@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 L3).
+
+Three tiers:
+
+* :func:`brute_force_topk` — exact: broadcast the (small) query set against
+  the corpus; one pass, no shuffle of the corpus.
+* :func:`bucketed_topk` — exact-within-bucket (IVF pattern with precomputed
+  coarse assignment): compare only within the query's bucket.
+* :func:`hyperplane_lsh_topk` — random-hyperplane LSH: deterministic
+  pseudo-random planes derived from md5, sign-bit bucket, search within
+  bucket. The scale path when no precomputed clustering exists.
+
+All vector math is JVM-side (zip_with/aggregate) in double precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from mrjob_spark.functions.rounding import rnd
+from pyspark.sql.window import Window
+
+from mrjob_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    The query set is broadcast, so the corpus is scanned once with no
+    shuffle; the per-query top-k is a window over (query, rounded sim desc,
+    id) — rank ties are impossible because the id breaks them.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    sim = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
+    scored = (
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k within the query's coarse bucket (IVF with nprobe=1):
+    the join key includes the bucket, so candidate volume drops by the
+    bucket count while the plan stays a plain equi-join."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(bucket_col).alias("__qbucket"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(bucket_col), F.col(vec_col)
+    )
+    sim = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__qbucket") == F.col(bucket_col))
+            & (F.col(query_id_col) != F.col("neighbor_id")),
+        )
+        .select(query_id_col, "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 — reproducible
+    across runs/engines without any RNG state."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()
+        comps.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+    return comps
+
+
+def add_lsh_bucket(
+    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append an integer sign-bucket column from ``n_planes`` random
+    hyperplanes. Pure column math: each plane's dot product is a zip_with
+    against an array literal; the bucket is the packed sign bits."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        dp = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: search only the query's LSH sign-bucket.
+
+    Recall/cost trade-off is controlled by ``n_planes`` (2^n_planes
+    buckets). At 100 TB the bucket column becomes the shuffle/bucketing key
+    and candidate volume per query drops exponentially with n_planes.
+    """
+    c = add_lsh_bucket(corpus, dim, n_planes, vec_col)
+    q = add_lsh_bucket(queries, dim, n_planes, vec_col)
+    return bucketed_topk(
+        c,
+        q,
+        k,
+        bucket_col="lsh_bucket",
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )

@@ -1,0 +1,383 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.11 L1-L7) over the ``documents``
+and ``embeddings`` fixtures: dedup family, similarity search, text analysis,
+multimodal byte columns — each an oracle-checked `queries()` entry backed by
+the operators in ``mrjob_spark.operators``.
+
+Also includes the two canonical mrjob example jobs re-expressed relationally:
+wordcount (``mr_word_freq_count.py``) and most-used-word
+(``mr_most_used_word.py``) — the A3/A4/A5/J3 idioms on real text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from mrjob_spark.functions.rounding import rnd
+
+from mrjob_spark.functions.hashing import sql_hex_hash64, hex_hash64
+from mrjob_spark.functions.text import (
+    STOPWORDS,
+    sql_normalize_text,
+    sql_tokens,
+    tokens,
+    distinct_tokens,
+)
+from mrjob_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    normalized_dedup,
+    simhash_fingerprints,
+    sql_jaccard_pairs,
+    sql_minhash_lsh_pairs,
+    sql_simhash_fingerprints,
+)
+from mrjob_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    hyperplane_lsh_topk,
+)
+from mrjob_spark.queries import Tables, query
+
+# ---------------------------------------------------------------------------
+# L1: exact / normalized dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l1_exact_dedup",
+    sql="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def l1_exact_dedup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return exact_dedup(t.documents, "text", "doc_id")
+
+
+@query(
+    "l1_normalized_dedup",
+    sql=f"""
+    SELECT md5({sql_normalize_text('text')}) AS norm_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def l1_normalized_dedup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return normalized_dedup(t.documents, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L2: near-dedup family
+# ---------------------------------------------------------------------------
+
+
+@query("l2_minhash_lsh_pairs", sql=sql_minhash_lsh_pairs(threshold=0.6))
+def l2_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified. The whole
+    pipeline (shingle → minhash → band → bucket join → verify) is portable
+    column math, so even this approximate operator is oracle-checked."""
+    t = Tables(spark, sf_dir)
+    return minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.6)
+
+
+@query("l2_simhash", sql=sql_simhash_fingerprints())
+def l2_simhash(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return simhash_fingerprints(t.documents, "doc_id", "text")
+
+
+@query("l2_jaccard_pairs", sql=sql_jaccard_pairs(threshold=0.8))
+def l2_jaccard_pairs(spark, sf_dir):
+    """Exact token-Jaccard near-dup pairs via inverted-index join — the
+    brute-force baseline that verifies the LSH path."""
+    t = Tables(spark, sf_dir)
+    return jaccard_pairs(t.documents, "doc_id", "text", threshold=0.8)
+
+
+@query(
+    "l2_embedding_neardup",
+    sql="""
+    WITH scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               (floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+)
+def l2_embedding_neardup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return embedding_neardup_pairs(t.embeddings, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# L3: similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL_TEMPLATE = """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               (floor((list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON {join_cond} AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query(
+    "l3_knn_bruteforce",
+    sql=_TOPK_SQL_TEMPLATE.format(join_cond="TRUE"),
+)
+def l3_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for the first 10 vectors: broadcast queries, scan
+    corpus once — the correctness baseline for the ANN variants."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    res = brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "l3_knn_bucketed",
+    sql=_TOPK_SQL_TEMPLATE.format(join_cond="q.label = c.label"),
+)
+def l3_knn_bucketed(spark, sf_dir):
+    """IVF-style ANN: search only the query's precomputed bucket (label) —
+    the equi-join on bucket is the 100 TB scale path."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    res = bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query("l3_knn_lsh", sql=None)  # approximate, engine-specific planes: rows-only
+def l3_knn_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (recall tested against brute force in
+    tests/test_operators.py; rows-only check here)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    res = hyperplane_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+    return res.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "l4_token_stats",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           (floor((CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                 / greatest(len(toks), 1)) * 1000000 + 0.5) / 1000000) AS avg_token_len,
+           (floor((CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL})) AS DOUBLE)
+                 / greatest(len(list_distinct(toks)), 1)) * 1000000 + 0.5) / 1000000) AS stopword_ratio
+    FROM tok
+    """,
+)
+def l4_token_stats(spark, sf_dir):
+    """Token counting + quality signals per document, all JVM-side column
+    math (no UDF): the core text-quality scoring pass of a training-data
+    pipeline."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    dtoks = F.array_distinct(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(dtoks).cast("long").alias("n_distinct"),
+        rnd(
+            F.length(F.concat_ws("", toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        rnd(
+            F.size(F.array_intersect(dtoks, stop_arr)).cast("double")
+            / F.greatest(F.size(dtoks), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "l5_lang_id",
+    sql=f"""
+    WITH scored AS (
+        SELECT lang,
+               CASE WHEN len(list_intersect({sql_tokens('text')},
+                                            {_STOP_SQL})) >= 1
+                    THEN 'en' ELSE 'other' END AS pred_lang
+        FROM documents
+    )
+    SELECT lang, pred_lang, count(*) AS n FROM scored GROUP BY lang, pred_lang
+    """,
+)
+def l5_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-hit rule), confusion-matrix output.
+    A real pipeline swaps in an n-gram model; the Spark plumbing — per-doc
+    scoring then grouped confusion counts — is what this declares."""
+    t = Tables(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    pred = F.when(
+        F.size(F.array_intersect(tokens(F.col("text")), stop_arr)) >= 1, "en"
+    ).otherwise("other")
+    return (
+        t.documents.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "l7_quality_profile",
+    sql="""
+    SELECT source, count(*) AS n_docs,
+           (floor((avg(n_chars)) * 10000 + 0.5) / 10000) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def l7_quality_profile(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "l4_doc_fingerprint",
+    sql=f"""
+    SELECT doc_id, min({sql_hex_hash64(f"substr(t, i, 8)")}) AS fingerprint
+    FROM (
+        SELECT doc_id, lower(text) AS t,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM documents
+    ) GROUP BY doc_id
+    """,
+)
+def l4_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: min rolling (8-char shingle)
+    hash per doc — a compact identity robust to small appends."""
+    t = Tables(spark, sf_dir)
+    from mrjob_spark.functions.text import char_shingles
+
+    return (
+        t.documents.select(
+            "doc_id", F.explode(char_shingles(F.col("text"), 8)).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .agg(F.min(hex_hash64(F.col("shingle"))).alias("fingerprint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: multimodal byte columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l6_multimodal_bytes",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           substr(text, 1, 8) AS head
+    FROM documents
+    """,
+)
+def l6_multimodal_bytes(spark, sf_dir):
+    """Opaque binary payload handling (SURVEY §2.11 L6): text re-encoded as
+    a BinaryType column stands in for image/audio bytes; real decode is the
+    Pandas-UDF stub in operators/multimodal.py (tested for plumbing)."""
+    t = Tables(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return t.documents.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        F.substring("text", 1, 8).alias("head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The two canonical mrjob examples, relationally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mr_wordcount",
+    sql=f"""
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest({sql_tokens('text')}) AS word FROM documents
+    ) GROUP BY word
+    """,
+)
+def mr_wordcount(spark, sf_dir):
+    """mrjob's flagship example (mr_word_freq_count.py:24-33): tokenize +
+    count. Catalyst's partial aggregation is the combiner."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "mr_most_used_word",
+    sql=f"""
+    SELECT word, n FROM (
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest({sql_tokens('text')}) AS word FROM documents
+        ) WHERE word NOT IN (SELECT UNNEST({_STOP_SQL}))
+        GROUP BY word
+    ) ORDER BY n DESC, word LIMIT 1
+    """,
+)
+def mr_most_used_word(spark, sf_dir):
+    """mr_most_used_word.py:33-77: stopword anti-join + global argmax
+    (single-reducer pattern → ungrouped top-1)."""
+    t = Tables(spark, sf_dir)
+    stop = spark.createDataFrame([(w,) for w in STOPWORDS], ["word"])
+    return (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .join(F.broadcast(stop), "word", "left_anti")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(1)
+    )

@@ -1,0 +1,751 @@
+"""Relational core queries (SURVEY.md §2.1-2.8: S/P/A/O/J/U/F families).
+
+Each query is idiomatic DataFrame code — filters and projections are written
+so Catalyst pushes them into the parquet scan, joins carry explicit
+``broadcast()`` hints for fixed-cardinality dims, and no Python executes per
+row anywhere.
+
+Scale notes (100 TB design target) are in the individual docstrings where a
+choice is non-obvious.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from mrjob_spark.functions.rounding import rnd, dsum, davg
+from pyspark.sql.window import Window
+
+from mrjob_spark.queries import Tables, query
+
+# ---------------------------------------------------------------------------
+# S: scans / sources (S7 parquet is the primary path; S1/S2 text scans are
+# exercised by the dataflow tests, not the oracle).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s7_parquet_scan_pushdown",
+    sql="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_size >= 30 AND p_brand = 'Brand#1'
+    """,
+)
+def s7_parquet_scan_pushdown(spark, sf_dir):
+    """Projection + predicate that must reach the parquet reader as
+    PushedFilters/ReadSchema — at 100 TB this is the difference between
+    scanning 3 columns of a few row groups and scanning everything."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.where((F.col("p_size") >= 30) & (F.col("p_brand") == "Brand#1"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P: projections / filters / row transforms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p3_filter_predicate",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           (floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100) AS disc_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07
+    """,
+)
+def p3_filter_predicate(spark, sf_dir):
+    """P3 filter + computed projection (reference idiom: user filter inside a
+    mapper, mr_most_used_word.py:52-58)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(
+            (F.col("l_quantity") > 45) & F.col("l_discount").between(0.05, 0.07)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rnd(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "disc_price"
+            ),
+        )
+    )
+
+
+@query(
+    "p7_project_rename",
+    sql="""
+    SELECT c_custkey AS id, upper(c_mktsegment) AS segment,
+           (floor((c_acctbal / 100.0) * 10000 + 0.5) / 10000) AS bal_hundreds
+    FROM customer
+    """,
+)
+def p7_project_rename(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        F.col("c_custkey").alias("id"),
+        F.upper("c_mktsegment").alias("segment"),
+        rnd(F.col("c_acctbal") / 100.0, 4).alias("bal_hundreds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A: aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           (floor((CAST(sum(CAST((l_quantity) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100)                                    AS sum_qty,
+           (floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100)                               AS sum_base_price,
+           (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100)            AS sum_disc_price,
+           (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS sum_charge,
+           (floor(((CAST(sum(CAST((l_quantity) AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity))) * 10000 + 0.5) / 10000)                                    AS avg_qty,
+           (floor(((CAST(sum(CAST((l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE) / count(l_extendedprice))) * 10000 + 0.5) / 10000)                               AS avg_price,
+           (floor(((CAST(sum(CAST((l_discount) AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount))) * 10000 + 0.5) / 10000)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-style pricing summary (A1/A2/A3/A7). Catalyst emits
+    partial+final hash aggregation — the map-side combine the reference
+    implements by hand via combineByKey (mrjob/spark/harness.py:439-509)."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(dsum("l_quantity"), 2).alias("sum_qty"),
+            rnd(dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(dsum(disc_price), 2).alias("sum_disc_price"),
+            rnd(dsum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(davg("l_quantity"), 4).alias("avg_qty"),
+            rnd(davg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(davg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a3_count_per_group",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a3_count_per_group(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "a4_global_agg",
+    sql="""
+    SELECT count(*) AS n, (floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS total,
+           (floor(((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) / count(o_totalprice))) * 10000 + 0.5) / 10000) AS avg_price,
+           (floor((min(o_totalprice)) * 100 + 0.5) / 100) AS min_price,
+           (floor((max(o_totalprice)) * 100 + 0.5) / 100) AS max_price
+    FROM orders
+    """,
+)
+def a4_global_agg(spark, sf_dir):
+    """A4: the reference's single-reducer pattern (yield None, v →
+    reduce-all, mr_most_used_word.py:65-77) is just an ungrouped agg."""
+    t = Tables(spark, sf_dir)
+    return t.orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(dsum("o_totalprice"), 2).alias("total"),
+        rnd(davg("o_totalprice"), 4).alias("avg_price"),
+        rnd(F.min("o_totalprice"), 2).alias("min_price"),
+        rnd(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "a5_argmax_per_group",
+    sql="""
+    SELECT c_mktsegment, (floor((max(c_acctbal)) * 100 + 0.5) / 100) AS max_bal,
+           min(c_custkey) FILTER (WHERE is_max) AS top_custkey
+    FROM (
+        SELECT c_mktsegment, c_acctbal, c_custkey,
+               c_acctbal = max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS is_max
+        FROM customer
+    ) GROUP BY c_mktsegment
+    """,
+)
+def a5_argmax_per_group(spark, sf_dir):
+    """A5 argmax with deterministic tie-break (min custkey among maxima) —
+    mirrors max(word_count_pairs) in mr_most_used_word.py:71-77."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment")
+    return (
+        t.customer.withColumn(
+            "is_max", F.col("c_acctbal") == F.max("c_acctbal").over(w)
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            rnd(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.min(F.when(F.col("is_max"), F.col("c_custkey"))).alias("top_custkey"),
+        )
+    )
+
+
+@query(
+    "a6_distinct",
+    sql="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def a6_distinct(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "a7_stats_per_group",
+    sql="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           (floor(((CAST(sum(CAST((l_quantity) AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity))) * 10000 + 0.5) / 10000) AS avg_qty,
+           (floor((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000) AS sd_qty,
+           (floor((min(l_extendedprice)) * 100 + 0.5) / 100) AS min_price,
+           (floor((max(l_extendedprice)) * 100 + 0.5) / 100) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_stats_per_group(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(davg("l_quantity"), 4).alias("avg_qty"),
+        rnd(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        rnd(F.min("l_extendedprice"), 2).alias("min_price"),
+        rnd(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "a9_rollup",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           (floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a9_rollup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(dsum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "a9_cube",
+    sql="""
+    SELECT o_orderstatus, year(o_orderdate) AS order_year, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
+)
+def a9_cube(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .cube("o_orderstatus", "order_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", "order_year", "n")
+    )
+
+
+@query("a10_approx_count_distinct", sql=None)  # sketch-based: rows-only check
+def a10_approx_count_distinct(spark, sf_dir):
+    """A10: HLL++ sketch — no DuckDB oracle (different sketch algorithms
+    produce different estimates); the driver records a rows-only check. The
+    point at 100 TB: count-distinct without a giant exact-distinct shuffle."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O: sort / limit / top-k / sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o4_global_sort_limit",
+    sql="""
+    SELECT o_orderkey, (floor((o_totalprice) * 100 + 0.5) / 100) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def o4_global_sort_limit(spark, sf_dir):
+    """O4+O5: Spark compiles orderBy+limit to TakeOrderedAndProject — a
+    per-partition top-k then a tiny driver merge; no global sort at scale."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", rnd("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "o6_topk_per_group",
+    sql="""
+    SELECT c_mktsegment, c_custkey, (floor((c_acctbal) * 100 + 0.5) / 100) AS c_acctbal, rn AS rank_in_seg
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def o6_topk_per_group(spark, sf_dir):
+    """O5/O6 head-per-group (reference: reducer breaks after n values,
+    mr_log_sampler.py:100-113). Window + filter; AQE handles skew."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t.customer.withColumn("rank_in_seg", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_seg") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            rnd("c_acctbal", 2).alias("c_acctbal"),
+            "rank_in_seg",
+        )
+    )
+
+
+@query(
+    "o7_deterministic_sample",
+    sql="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def o7_deterministic_sample(spark, sf_dir):
+    """O7 seeded sampling, engine-portable: hash-based ~10% Bernoulli sample
+    (md5 prefix) instead of engine-specific RNG (mr_log_sampler.py:83-113
+    attaches a random seed; we make the 'seed' the row key itself)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# J: joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_join_agg",
+    sql="""
+    SELECT o_orderpriority,
+           (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j1_join_agg(spark, sf_dir):
+    """J1 reduce-side join (reference idiom: tag + co-group in one reducer,
+    mr_text_classifier.py:148-160). Both sides large → shuffle join on the
+    key; AQE picks sort-merge vs shuffled-hash at runtime."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            rnd(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "j2_broadcast_star",
+    sql="""
+    SELECT r_name, n_name,
+           (floor((CAST(sum(CAST((c_acctbal) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS total_bal, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j2_broadcast_star(spark, sf_dir):
+    """J2 map-side broadcast join: nation/region are fixed-cardinality dims
+    (25/5 rows at ANY scale factor) — explicit broadcast() is always correct,
+    the reference's distributed-cache side-file idiom (mrjob/job.py:1131-1179)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            rnd(dsum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "j3_semi_join",
+    sql="""
+    SELECT c_mktsegment, count(*) AS n_active
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_semi_join(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "j3_anti_join",
+    sql="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j3_anti_join(spark, sf_dir):
+    """J3 anti join — the reference's stop-words membership filter
+    (mr_most_used_word.py:52-58) generalized."""
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "j4_left_outer_join",
+    sql="""
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           (floor((coalesce(CAST(sum(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE), 0)) * 100 + 0.5) / 100) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def j4_left_outer_join(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            rnd(F.coalesce(dsum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "j5_range_join",
+    sql="""
+    SELECT s_suppkey, count(*) AS n_close_customers
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+)
+def j5_range_join(spark, sf_dir):
+    """J5 non-equi (band) join. Supplier side is tiny → broadcast
+    nested-loop is the right physical plan; at larger dims you'd bucketize
+    the band into an equi-join key first."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.supplier),
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - 100, F.col("s_acctbal") + 100
+            ),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+@query(
+    "j7_star_join",
+    sql="""
+    SELECT r_name, year(o_orderdate) AS order_year,
+           (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, year(o_orderdate)
+    """,
+)
+def j7_star_join(spark, sf_dir):
+    """J7 multi-way star join: one shuffle join for the two fact tables,
+    broadcast for every dim; Catalyst+AQE reorder and pick strategies."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            rnd(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U: set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union",
+    sql="""
+    SELECT kind, nationkey, count(*) AS n FROM (
+        SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+    ) GROUP BY kind, nationkey
+    """,
+)
+def u1_union(spark, sf_dir):
+    """U1: multi-input concatenation (reference: multiple -input paths,
+    sc.union in mrjob/spark/harness.py:236-241) → unionByName."""
+    t = Tables(spark, sf_dir)
+    c = t.customer.select(
+        F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = t.supplier.select(
+        F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).groupBy("kind", "nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "u2_intersect",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u2_intersect(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "u2_except",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u2_except(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F: scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_string_funcs",
+    sql="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           length(p_name) AS name_len,
+           substr(p_brand, 1, 5) AS brand_prefix,
+           regexp_extract(p_type, '([a-z]+)$', 1) AS type_suffix,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def f1_string_funcs(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_brand", 1, 5).alias("brand_prefix"),
+        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_suffix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "f2_math_funcs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           (floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100) AS charge,
+           (floor((ln(l_quantity + 1)) * 1000000 + 0.5) / 1000000) AS log_qty,
+           (floor((sqrt(l_extendedprice)) * 1000000 + 0.5) / 1000000) AS sqrt_price,
+           abs((floor((l_discount - 0.05) * 10000 + 0.5) / 10000)) AS disc_dev
+    FROM lineitem WHERE l_quantity <= 5
+    """,
+)
+def f2_math_funcs(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.where(F.col("l_quantity") <= 5).select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            2,
+        ).alias("charge"),
+        rnd(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        rnd(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.abs(rnd(F.col("l_discount") - 0.05, 4)).alias("disc_dev"),
+    )
+
+
+@query(
+    "f3_conditional",
+    sql="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                ELSE 'cold' END AS urgency,
+           count(*) AS n, (floor(((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) / count(o_totalprice))) * 10000 + 0.5) / 10000) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def f3_conditional(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
+        .otherwise("cold")
+    )
+    return t.orders.groupBy(urgency.alias("urgency")).agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(davg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "f4_datetime",
+    sql="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n,
+           CAST(min(date_diff('day', TIMESTAMP '2024-01-01', o_orderdate)) AS BIGINT)
+               AS min_days_since_epoch_start
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def f4_datetime(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.datediff("o_orderdate", F.lit("2024-01-01")))
+        .cast("bigint")
+        .alias("min_days_since_epoch_start"),
+    )
+
+
+@query(
+    "f5_array_funcs",
+    sql="""
+    SELECT p_partkey,
+           len(words) AS n_words,
+           list_contains(words, 'green') AS has_green,
+           list_sort(words)[1] AS first_word
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    """,
+)
+def f5_array_funcs(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    words = F.split(F.col("p_name"), " ")
+    return t.part.select(
+        "p_partkey",
+        F.size(words).cast("long").alias("n_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.sort_array(words).getItem(0).alias("first_word"),
+    )
+
+
+@query(
+    "f6_json",
+    sql="""
+    SELECT event_type,
+           (floor((avg(CAST(json_extract_string(props, '$.k') AS DOUBLE))) * 10000 + 0.5) / 10000) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f6_json(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return t.events.groupBy("event_type").agg(
+        rnd(F.avg(k.cast("double")), 4).alias("avg_k"),
+        F.max(k.cast("int")).cast("long").alias("max_k"),
+    )
+
+
+@query(
+    "f7_hash_funcs",
+    sql="""
+    SELECT c_custkey, md5(c_name) AS name_md5,
+           substr(md5(concat(c_name, ':', CAST(c_custkey AS VARCHAR))), 1, 8) AS salt8
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def f7_hash_funcs(spark, sf_dir):
+    """F7: md5-based deterministic hashing (reference uses SHA1-of-text for
+    train/test splits, mr_text_classifier.py:40-43)."""
+    t = Tables(spark, sf_dir)
+    return t.customer.where(F.col("c_custkey") <= 100).select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.substring(
+            F.md5(F.concat_ws(":", "c_name", F.col("c_custkey").cast("string"))), 1, 8
+        ).alias("salt8"),
+    )
