@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract + BASELINE.md §3).
+
+Runs every registered query from ``mrjob_spark.queries`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line to stdout::
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Per-query timing = median of ``$SPARK_GRAFT_BENCH_RUNS`` (default 3) runs,
+materialized with the ``noop`` sink so we measure engine execution, not
+driver-side row transfer. All progress chatter goes to stderr; stdout is
+exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mrjob_spark import queries as _q  # noqa: E402
+from mrjob_spark.session import get_spark  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    try:
+        return float(m.group(1).rstrip(".")) if m else 0.0
+    except ValueError:
+        return 0.0
+
+
+def _materialize(df) -> None:
+    # noop sink: full execution, zero driver-side result transfer.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")  # comma-sep filter
+
+    spark = get_spark(
+        app_name="mrjob_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    registry = _q.queries()
+    if only:
+        keep = set(only.split(","))
+        registry = {k: v for k, v in registry.items() if k in keep}
+
+    timings: dict[str, float] = {}
+    for name, fn in registry.items():
+        runs = []
+        try:
+            for i in range(n_runs):
+                t0 = time.monotonic()
+                _materialize(fn(spark, sf_dir))
+                runs.append(time.monotonic() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+            print(f"[bench] {name}: {timings[name]}s (runs={['%.2f' % r for r in runs]})",
+                  file=sys.stderr, flush=True)
+        except Exception as exc:  # a failing query gets a null, not a crash
+            timings[name] = None
+            print(f"[bench] {name}: FAILED {type(exc).__name__}: {exc}",
+                  file=sys.stderr, flush=True)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    result = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "runs_per_query": n_runs,
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
