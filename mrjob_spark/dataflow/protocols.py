@@ -1,0 +1,202 @@
+"""Edge serde: translate lines of bytes <-> (key, value) Python pairs.
+
+Protocol semantics follow the reference (``mrjob/protocol.py:17-27``): a
+protocol has ``read(line) -> (key, value)`` and ``write(key, value) ->
+line`` (bytes, no trailing newline); pair protocols join two encoded fields
+with a tab, value protocols carry only the value with ``key=None``.
+
+Unlike the reference, protocols here appear ONLY at job edges (input files
+and output files). Between steps the engine keeps typed Python pairs on
+RDDs — the reference's own ``--skip-internal-protocol`` fast path
+(``mrjob/spark/harness.py:118-124``) made the default and only path.
+
+The internal protocol survives in one place: :meth:`Protocol.encode_sort_key`
+supplies the canonical byte encoding used for (a) shuffle grouping of
+arbitrary (possibly unhashable) keys and (b) SORT_VALUES secondary sort,
+which the reference defines as a sort on *encoded* values
+(``mrjob/job.py:1569-1584``, ``mrjob/sim.py:764-767``).
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+
+
+def _canonical_bytes(obj) -> bytes:
+    """Deterministic byte encoding of a JSON-ish Python value, used for
+    grouping and secondary sort. Dict keys are sorted so two equal dicts
+    always group together (stricter than the reference, which groups by
+    whatever byte order ``json.dumps`` emitted)."""
+    try:
+        return json.dumps(obj, sort_keys=True, default=repr).encode("utf-8")
+    except (TypeError, ValueError):
+        return repr(obj).encode("utf-8")
+
+
+class Protocol:
+    """Base: tab-joined encoded key/value fields."""
+
+    def _loads(self, field: bytes):
+        raise NotImplementedError
+
+    def _dumps(self, obj) -> bytes:
+        raise NotImplementedError
+
+    def read(self, line: bytes):
+        key_field, _, value_field = line.partition(b"\t")
+        return self._loads(key_field), self._loads(value_field)
+
+    def write(self, key, value) -> bytes:
+        return self._dumps(key) + b"\t" + self._dumps(value)
+
+    # -- engine-internal canonical encodings (not part of the file format) --
+
+    def encode_sort_key(self, obj) -> bytes:
+        """Byte encoding used for shuffle grouping / SORT_VALUES ordering."""
+        return _canonical_bytes(obj)
+
+
+class JSONProtocol(Protocol):
+    """key and value as two JSONs joined by a tab — the reference's default
+    INTERNAL/OUTPUT protocol (``mrjob/job.py:1282,1291``)."""
+
+    def _loads(self, field: bytes):
+        return json.loads(field.decode("utf-8"))
+
+    def _dumps(self, obj) -> bytes:
+        return json.dumps(obj).encode("utf-8")
+
+
+class JSONValueProtocol(Protocol):
+    """Value-only JSON; key reads as ``None``."""
+
+    def read(self, line: bytes):
+        return None, json.loads(line.decode("utf-8"))
+
+    def write(self, key, value) -> bytes:
+        return json.dumps(value).encode("utf-8")
+
+
+class BytesProtocol(Protocol):
+    """Raw bytes key/value joined by a tab; ``None`` fields are omitted and
+    a tabless line reads as ``(line, None)``."""
+
+    def read(self, line: bytes):
+        if b"\t" in line:
+            k, _, v = line.partition(b"\t")
+            return k, v
+        return line, None
+
+    def write(self, key, value) -> bytes:
+        return b"\t".join(f for f in (key, value) if f is not None)
+
+    def encode_sort_key(self, obj) -> bytes:
+        return obj if isinstance(obj, bytes) else _canonical_bytes(obj)
+
+
+class BytesValueProtocol(Protocol):
+    """Whole line (bytes) as the value; key is ``None``."""
+
+    def read(self, line: bytes):
+        return None, line
+
+    def write(self, key, value) -> bytes:
+        return value
+
+    def encode_sort_key(self, obj) -> bytes:
+        return obj if isinstance(obj, bytes) else _canonical_bytes(obj)
+
+
+def _decode_text(field: bytes) -> str:
+    try:
+        return field.decode("utf-8")
+    except UnicodeDecodeError:
+        return field.decode("latin-1")
+
+
+class TextProtocol(Protocol):
+    """UTF-8 text key/value joined by a tab (latin-1 read fallback, matching
+    ``mrjob/protocol.py:393-420``)."""
+
+    def read(self, line: bytes):
+        text = _decode_text(line)
+        if "\t" in text:
+            k, _, v = text.partition("\t")
+            return k, v
+        return text, None
+
+    def write(self, key, value) -> bytes:
+        return b"\t".join(f.encode("utf-8") for f in (key, value) if f is not None)
+
+    def encode_sort_key(self, obj) -> bytes:
+        return obj.encode("utf-8") if isinstance(obj, str) else _canonical_bytes(obj)
+
+
+class TextValueProtocol(Protocol):
+    """Whole line as a unicode value; the reference's default INPUT protocol
+    on Python 3 (``mrjob/protocol.py:423-451``)."""
+
+    def read(self, line: bytes):
+        return None, _decode_text(line)
+
+    def write(self, key, value) -> bytes:
+        return value.encode("utf-8")
+
+    def encode_sort_key(self, obj) -> bytes:
+        return obj.encode("utf-8") if isinstance(obj, str) else _canonical_bytes(obj)
+
+
+class PickleProtocol(Protocol):
+    """String-escaped pickles — works for any picklable type
+    (``mrjob/protocol.py:284-340``)."""
+
+    def _loads(self, field: bytes):
+        return pickle.loads(field.decode("unicode_escape").encode("latin-1"))
+
+    def _dumps(self, obj) -> bytes:
+        return (
+            pickle.dumps(obj, protocol=2)
+            .decode("latin-1")
+            .encode("unicode_escape")
+        )
+
+    def encode_sort_key(self, obj) -> bytes:
+        try:
+            return _canonical_bytes(obj)
+        except Exception:
+            return pickle.dumps(obj, protocol=2)
+
+
+class PickleValueProtocol(PickleProtocol):
+    def read(self, line: bytes):
+        return None, self._loads(line)
+
+    def write(self, key, value) -> bytes:
+        return self._dumps(value)
+
+
+class ReprProtocol(Protocol):
+    """``repr()`` round-tripped with a restricted literal eval
+    (``mrjob/protocol.py:465-502``)."""
+
+    def _loads(self, field: bytes):
+        import ast
+
+        return ast.literal_eval(field.decode("utf-8"))
+
+    def _dumps(self, obj) -> bytes:
+        return repr(obj).encode("utf-8")
+
+
+class ReprValueProtocol(ReprProtocol):
+    def read(self, line: bytes):
+        return None, self._loads(line)
+
+    def write(self, key, value) -> bytes:
+        return self._dumps(value)
+
+
+# Python-3 aliases (``mrjob/protocol.py:454-462``).
+RawProtocol = TextProtocol
+RawValueProtocol = TextValueProtocol

@@ -1,0 +1,535 @@
+"""SparkJobRunner — compiles a SparkMRJob's steps into ONE lazy Spark plan.
+
+Semantics follow the reference's own Spark harness
+(``mrjob/spark/harness.py:328-608``) but the implementation is fresh and
+Spark-first:
+
+* pairs stay native Python objects between steps (the harness's
+  ``--skip-internal-protocol`` fast path, made the only path);
+* the shuffle is ``repartitionAndSortWithinPartitions`` on a canonical
+  encoded key + ``itertools.groupby``, so reducers receive a **lazy**
+  value iterator per key — a hot key streams instead of materializing
+  (the reference harness materializes per-key lists via ``rdd.groupBy``,
+  ``mrjob/spark/harness.py:568-576``; at 100 TB that is an OOM);
+* combiners map onto ``combineByKey`` with the reference's exact
+  edge-case handling for combiners that yield 0 or ≥2 pairs
+  (``mrjob/spark/harness.py:466-489``);
+* counters are a Spark accumulator merging nested dicts
+  (``mrjob/spark/harness.py:125-139``);
+* SORT_VALUES sorts each key's values by their canonical encoded bytes
+  (``mrjob/job.py:1567-1593``, ``mrjob/sim.py:764-767``);
+* ``*_cmd`` / ``*_pre_filter`` substeps run through ``rdd.pipe`` with
+  jobconf-style environment variables (``mrjob/sim.py:320-402``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+import zlib
+from typing import Iterable, Iterator, Optional
+
+from pyspark.accumulators import AccumulatorParam
+
+from mrjob_spark.dataflow.step import MRStep, SparkStep
+
+#: Hadoop codec classes for the compressed sink (S9;
+#: cf. mrjob/spark/runner.py:446-454).
+_CODECS = {
+    "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+    "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+}
+
+
+class CounterAccumulatorParam(AccumulatorParam):
+    """Merge nested ``{group: {counter: amount}}`` dicts (A8)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, acc, other):
+        for group, counters in other.items():
+            dst = acc.setdefault(group, {})
+            for name, amount in counters.items():
+                dst[name] = dst.get(name, 0) + amount
+        return acc
+
+
+def _hash_bytes(b: bytes) -> int:
+    """Deterministic partitioner hash — crc32 is stable across Python
+    processes (unlike ``hash()``, which depends on PYTHONHASHSEED), so the
+    same key always lands on the same reducer on a real cluster."""
+    return zlib.crc32(b)
+
+
+def _jobconf_env(jobconf: dict) -> dict:
+    """Hadoop exposes jobconf to streaming tasks as env vars with dots
+    mapped to underscores (``mrjob/sim.py:320-402``)."""
+    return {str(k).replace(".", "_"): str(v) for k, v in jobconf.items()}
+
+
+class SparkJobRunner:
+    """Execute a :class:`~mrjob_spark.dataflow.job.SparkMRJob` on Spark.
+
+    :param job: the job instance.
+    :param spark: active ``SparkSession``.
+    :param input_paths: text files/globs/dirs (``.gz``/``.bz2`` transparent,
+        S1/S2); mutually exclusive with ``input_rdd``.
+    :param input_rdd: an RDD of ``(key, value)`` pairs — the bridge from
+        DataFrames (``df.rdd.map(...)``) into the dataflow engine.
+    :param output_dir: if set, :meth:`run` writes ``part-*`` files there
+        with ``OUTPUT_PROTOCOL`` (S8).
+    :param num_reducers: shuffle partition count (``mapreduce.job.reduces``,
+        ``mrjob/spark/runner.py:456-459``); defaults to
+        ``spark.sql.shuffle.partitions``.
+    :param max_output_files: coalesce the final stage to at most this many
+        files (S11, ``mrjob/spark/harness.py:266-268``).
+    :param compression: ``'gzip'`` or ``'bzip2'`` output codec (S9).
+    :param partition_output_by_key: write output under ``key=<k>/``
+        subdirectories like a partitioned OutputFormat (S10,
+        ``mrjob/examples/mr_nick_nack.py:30-50``).
+    :param emulate_map_input_file: expose the current input file to step-0
+        mappers via ``$mapreduce_map_input_file`` (S5,
+        ``mrjob/spark/harness.py:306-325``).
+    """
+
+    def __init__(
+        self,
+        job,
+        spark,
+        input_paths: Optional[list] = None,
+        input_rdd=None,
+        output_dir: Optional[str] = None,
+        num_reducers: Optional[int] = None,
+        max_output_files: Optional[int] = None,
+        compression: Optional[str] = None,
+        partition_output_by_key: bool = False,
+        emulate_map_input_file: bool = False,
+    ):
+        if input_paths is not None and input_rdd is not None:
+            raise ValueError("pass input_paths or input_rdd, not both")
+        self.job = job
+        self.spark = spark
+        self.input_paths = list(input_paths or [])
+        self.input_rdd = input_rdd
+        self.output_dir = output_dir
+        self.max_output_files = max_output_files
+        self.compression = compression
+        self.partition_output_by_key = partition_output_by_key
+        self.emulate_map_input_file = emulate_map_input_file
+
+        jobconf = dict(job.JOBCONF)
+        for step in job.steps():
+            jobconf.update(getattr(step, "jobconf", {}) or {})
+        self._jobconf = jobconf
+        if num_reducers is None and "mapreduce.job.reduces" in jobconf:
+            num_reducers = int(jobconf["mapreduce.job.reduces"])
+        self.num_reducers = num_reducers
+
+        self._counter_acc = spark.sparkContext.accumulator(
+            {}, CounterAccumulatorParam()
+        )
+        job._counter_acc = self._counter_acc
+
+        for path in job.FILES:
+            spark.sparkContext.addFile(path)
+
+        self._output_pairs = None
+        self._ran = False
+
+    # ------------------------------------------------------------------
+    # plan assembly
+    # ------------------------------------------------------------------
+
+    def _default_parallelism(self) -> int:
+        if self.num_reducers:
+            return self.num_reducers
+        try:
+            return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return self.spark.sparkContext.defaultParallelism
+
+    def _source_rdd(self, steps):
+        """Step-0 input as a pair RDD, decoded with INPUT_PROTOCOL."""
+        if self.input_rdd is not None:
+            return self.input_rdd
+
+        if not self.input_paths:
+            raise ValueError("no input: pass input_paths or input_rdd")
+
+        sc = self.spark.sparkContext
+        first = steps[0]
+        read = self.job.INPUT_PROTOCOL().read
+
+        if isinstance(first, MRStep) and first.mapper_raw is not None:
+            # S4: one whole file per mapper_raw() call. binaryFiles gives
+            # (uri, bytes); hand the fn a local temp path + the uri, per
+            # the mapper_raw contract (mrjob/job.py:365-374).
+            return sc.binaryFiles(",".join(self.input_paths))
+
+        if self.emulate_map_input_file:
+            # S5: (path, line) pairs via input_file_name(), like
+            # mrjob/spark/harness.py:306-325 but tracked per record.
+            from pyspark.sql import functions as F
+
+            df = self.spark.read.text(self.input_paths).select(
+                F.input_file_name().alias("path"), "value"
+            )
+            return df.rdd.map(
+                lambda row: (row.path, read(row.value.encode("utf-8")))
+            )
+
+        # S1/S2: plain text lines; Spark decompresses .gz/.bz2 by extension.
+        lines = sc.textFile(",".join(self.input_paths))
+        return lines.map(lambda line: read(line.encode("utf-8")))
+
+    def output_pairs(self):
+        """The composed (lazy) final pair RDD for the whole step chain."""
+        if self._output_pairs is None:
+            steps = self.job.steps()
+            rdd = self._source_rdd(steps)
+            for step_num, step in enumerate(steps):
+                if isinstance(step, SparkStep):
+                    rdd = step.spark(self.spark, rdd)
+                elif isinstance(step, MRStep):
+                    rdd = self._compile_step(step, step_num, rdd)
+                else:
+                    raise TypeError(f"unknown step type: {type(step)!r}")
+            self._output_pairs = rdd
+        return self._output_pairs
+
+    def _compile_step(self, step: MRStep, step_num: int, rdd):
+        job = self.job
+        enc = job.INTERNAL_PROTOCOL().encode_sort_key
+        sort_values = bool(job.SORT_VALUES)
+        env = _jobconf_env(self._jobconf)
+        raw_input_step = step_num == 0 and (
+            self.input_rdd is None and self.input_paths
+        )
+
+        # ---- mapper ----
+        if step.mapper_cmd:
+            rdd = self._pipe_pairs(
+                rdd, step.mapper_cmd, env,
+                raw_lines=bool(raw_input_step), step_num=step_num,
+            )
+        elif step.has_mapper or step_num == 0:
+            rdd = self._run_mapper(step, step_num, rdd)
+
+        # ---- combiner + shuffle ----
+        needs_shuffle = step.has_reducer
+        combinable = (
+            step.combiner is not None
+            and step.combiner_cmd is None
+            and step.combiner_pre_filter is None
+        )
+        if combinable:
+            # combineByKey both partially aggregates map-side AND shuffles;
+            # the reference skips cmd/pre_filter combiners the same way
+            # (combiners are optional by contract,
+            # mrjob/spark/harness.py:344-360).
+            rdd = self._run_combiner(step, step_num, rdd, enc, sort_values)
+            needs_shuffle = False
+            reducer_ready = rdd
+        elif needs_shuffle:
+            reducer_ready = self._shuffle_and_sort(rdd, enc, sort_values)
+        else:
+            reducer_ready = None
+
+        # ---- reducer ----
+        if not step.has_reducer:
+            if reducer_ready is not None:
+                # combiner-only step: strip the shuffle key bookkeeping
+                return reducer_ready.map(lambda kb_kv: kb_kv[1],
+                                         preservesPartitioning=True)
+            return rdd
+        if step.reducer_cmd:
+            flat = (reducer_ready or self._shuffle_and_sort(rdd, enc, sort_values)).map(
+                lambda kb_kv: kb_kv[1]
+            )
+            rdd = self._pipe_pairs(flat, step.reducer_cmd, env,
+                                   raw_lines=False, step_num=step_num)
+        elif step.has_reducer:
+            rdd = self._run_reducer(step, step_num, reducer_ready)
+
+        return rdd
+
+    # -- mapper ---------------------------------------------------------
+
+    def _run_mapper(self, step: MRStep, step_num: int, rdd):
+        job = self.job
+        mapper = step.mapper
+        mapper_raw = step.mapper_raw
+        mapper_init = step.mapper_init
+        mapper_final = step.mapper_final
+        attribute_files = self.emulate_map_input_file and step_num == 0
+        raw_files = mapper_raw is not None and step_num == 0
+
+        if step.mapper_pre_filter:
+            # step-0 pre-filters see raw input lines (mrjob/job.py:353-363);
+            # later steps see internal-protocol-encoded lines
+            rdd = self._pipe_pairs(
+                rdd, step.mapper_pre_filter, _jobconf_env(self._jobconf),
+                raw_lines=(step_num == 0 and self.input_rdd is None),
+                filter_only=True, step_num=step_num,
+            )
+
+        def map_partition(items: Iterable) -> Iterator:
+            if mapper_init:
+                yield from mapper_init() or ()
+
+            if raw_files:
+                # items: (uri, file_bytes) from binaryFiles
+                for uri, blob in items:
+                    os.environ["mapreduce_map_input_file"] = uri
+                    with tempfile.NamedTemporaryFile(
+                        delete=False, suffix=os.path.basename(uri)[-64:]
+                    ) as tf:
+                        tf.write(bytes(blob))
+                        local = tf.name
+                    try:
+                        yield from mapper_raw(local, uri) or ()
+                    finally:
+                        os.unlink(local)
+            elif attribute_files:
+                # items: (path, (key, value))
+                for path, (k, v) in items:
+                    os.environ["mapreduce_map_input_file"] = path
+                    if mapper is not None:
+                        yield from mapper(k, v) or ()
+                    else:
+                        yield k, v
+            else:
+                for k, v in items:
+                    if mapper is not None:
+                        yield from mapper(k, v) or ()
+                    else:
+                        yield k, v  # identity mapper (mrjob/step.py:258-263)
+
+            if mapper_final:
+                yield from mapper_final() or ()
+
+        return rdd.mapPartitions(map_partition)
+
+    # -- combiner -------------------------------------------------------
+
+    def _run_combiner(self, step: MRStep, step_num: int, rdd, enc, sort_values):
+        """Map-side partial aggregation + shuffle via ``combineByKey``.
+
+        Values are lists of (key, value) pairs; two single-pair lists merge
+        by running the user combiner, anything else concatenates — exactly
+        the reference's handling of combiners that yield 0 or ≥2 pairs
+        (``mrjob/spark/harness.py:466-489``).
+        """
+        combiner = step.combiner
+        combiner_init = step.combiner_init
+        combiner_final = step.combiner_final
+
+        def combine_pairs(pairs: list) -> list:
+            out = []
+            if combiner_init:
+                out.extend(combiner_init() or ())
+            for key, group in itertools.groupby(pairs, key=lambda kv: kv[0]):
+                values = (v for _, v in group)
+                out.extend(combiner(key, values) or ())
+            if combiner_final:
+                out.extend(combiner_final() or ())
+            return out
+
+        def merge(pairs1: list, pairs2: list) -> list:
+            if len(pairs1) == 1 and len(pairs2) == 1:
+                return combine_pairs(pairs1 + pairs2)
+            pairs1.extend(pairs2)
+            return pairs1
+
+        keyed = rdd.map(lambda kv: (enc(kv[0]), [kv]))
+        combined = keyed.combineByKey(
+            createCombiner=lambda pairs: pairs,
+            mergeValue=merge,
+            mergeCombiners=merge,
+            numPartitions=self._default_parallelism(),
+            partitionFunc=_hash_bytes,
+        )
+
+        internal_enc = enc
+
+        def flatten(item):
+            kbytes, pairs = item
+            if sort_values:
+                pairs = sorted(pairs, key=lambda kv: internal_enc(kv[1]))
+            return [(kbytes, kv) for kv in pairs]
+
+        # Same-key pairs stay adjacent within the partition — reducer-ready.
+        return combined.flatMap(flatten, preservesPartitioning=True)
+
+    # -- shuffle --------------------------------------------------------
+
+    def _shuffle_and_sort(self, rdd, enc, sort_values):
+        """Return reducer-ready ``(key_bytes, (key, value))`` with same-key
+        adjacency, partitioned by key hash and sorted by (key_bytes[,
+        value_bytes]) — Hadoop's shuffle, expressed as
+        ``repartitionAndSortWithinPartitions`` so downstream grouping is
+        streaming, not materialized."""
+        if sort_values:
+            keyed = rdd.map(lambda kv: ((enc(kv[0]), enc(kv[1])), kv))
+        else:
+            keyed = rdd.map(lambda kv: ((enc(kv[0]), b""), kv))
+
+        shuffled = keyed.repartitionAndSortWithinPartitions(
+            numPartitions=self._default_parallelism(),
+            partitionFunc=lambda composite: _hash_bytes(composite[0]),
+            ascending=True,
+            keyfunc=lambda composite: composite,
+        )
+        return shuffled.map(
+            lambda item: (item[0][0], item[1]), preservesPartitioning=True
+        )
+
+    # -- reducer --------------------------------------------------------
+
+    def _run_reducer(self, step: MRStep, step_num: int, reducer_ready):
+        reducer = step.reducer
+        reducer_init = step.reducer_init
+        reducer_final = step.reducer_final
+
+        if step.reducer_pre_filter:
+            flat = reducer_ready.map(lambda kb_kv: kb_kv[1])
+            filtered = self._pipe_filter(flat, step.reducer_pre_filter,
+                                         step_num=step_num)
+            enc = self.job.INTERNAL_PROTOCOL().encode_sort_key
+            reducer_ready = self._shuffle_and_sort(
+                filtered, enc, bool(self.job.SORT_VALUES)
+            )
+
+        def reduce_partition(items: Iterable) -> Iterator:
+            if reducer_init:
+                yield from reducer_init() or ()
+
+            for _, group in itertools.groupby(items, key=lambda x: x[0]):
+                kbytes, (key, first_value) = next(group)
+                values = itertools.chain(
+                    (first_value,), (kv[1] for _, kv in group)
+                )
+                if reducer is not None:
+                    yield from reducer(key, values) or ()
+                else:
+                    for v in values:
+                        yield key, v
+
+            if reducer_final:
+                yield from reducer_final() or ()
+
+        return reducer_ready.mapPartitions(
+            reduce_partition, preservesPartitioning=True
+        )
+
+    # -- shell substeps (P4/P5/X5) --------------------------------------
+
+    def _pipe_pairs(self, rdd, cmd: str, env: dict, raw_lines: bool = False,
+                    filter_only: bool = False, step_num: int = 0):
+        """Run encoded lines through a shell command (``mrjob/job.py:340-363``):
+        encode pairs → ``rdd.pipe`` → decode.
+
+        ``raw_lines``: encode/decode with INPUT_PROTOCOL (step-0 lines) rather
+        than INTERNAL. ``filter_only``: the command passes lines through
+        unchanged or drops them (a ``*_pre_filter``), so surviving lines decode
+        with the SAME protocol they were encoded with.
+        """
+        internal = self.job.INTERNAL_PROTOCOL()
+        edge = self.job.INPUT_PROTOCOL() if raw_lines else internal
+        write = edge.write
+        read = edge.read if (filter_only or not raw_lines) else internal.read
+        if raw_lines and not filter_only:
+            # cmd over raw input emits NEW encoded pairs → internal decode
+            read = internal.read
+
+        lines = rdd.map(lambda kv: write(*kv).decode("utf-8", "replace"))
+        piped = lines.pipe(cmd, env=env)
+        return piped.map(lambda line: read(line.encode("utf-8")))
+
+    def _pipe_filter(self, rdd, cmd: str, step_num: int):
+        """Shell predicate in front of a substep (``mrjob/job.py:353-363``):
+        lines that survive the command continue as pairs."""
+        return self._pipe_pairs(
+            rdd, cmd, _jobconf_env(self._jobconf),
+            raw_lines=False, filter_only=True, step_num=step_num,
+        )
+
+    # ------------------------------------------------------------------
+    # execution & output
+    # ------------------------------------------------------------------
+
+    def run(self):
+        """Execute the composed plan. Writes ``part-*`` files when
+        ``output_dir`` is set; otherwise persists the result in memory for
+        :meth:`cat_output`. Either way this is the action that makes
+        counters observable."""
+        pairs = self.output_pairs()
+
+        if self.output_dir:
+            write = self.job.OUTPUT_PROTOCOL().write
+            lines = pairs.map(lambda kv: write(*kv).decode("utf-8", "replace"))
+            if self.max_output_files:
+                lines = lines.coalesce(self.max_output_files)
+
+            if self.partition_output_by_key:
+                # S10: key=<k>/part-* layout via the DataFrame writer.
+                df = pairs.map(
+                    lambda kv: (str(kv[0]), write(None, kv[1]).decode("utf-8", "replace"))
+                ).toDF(["key", "value"])
+                if self.max_output_files:
+                    df = df.coalesce(self.max_output_files)
+                writer = df.write.mode("overwrite").partitionBy("key")
+                if self.compression:
+                    writer = writer.option("compression", self.compression)
+                writer.text(self.output_dir)
+            elif self.compression:
+                lines.saveAsTextFile(self.output_dir, _CODECS[self.compression])
+            else:
+                lines.saveAsTextFile(self.output_dir)
+        else:
+            self._cached = pairs.persist()
+            self._cached.count()
+        self._ran = True
+        return self
+
+    def cat_output(self) -> Iterator:
+        """Yield output ``(key, value)`` pairs. With an ``output_dir``,
+        re-reads the part files (skipping ``_*``/``.*`` per Hadoop
+        convention, ``mrjob/runner.py:512-556``) and decodes them with
+        OUTPUT_PROTOCOL; otherwise iterates the persisted result."""
+        if not self._ran:
+            self.run()
+        if self.output_dir:
+            read = self.job.OUTPUT_PROTOCOL().read
+            lines = self.spark.sparkContext.textFile(self.output_dir)
+            for line in lines.toLocalIterator():
+                yield read(line.encode("utf-8"))
+        else:
+            yield from self._cached.toLocalIterator()
+
+    def counters(self) -> dict:
+        """Accumulated ``{group: {counter: amount}}`` after :meth:`run`."""
+        return self._counter_acc.value
+
+    def to_dataframe(self, schema, row_fn=None):
+        """Bridge the (lazy) output pairs into a DataFrame. ``row_fn(k, v)``
+        maps a pair to a row tuple (default ``(k, v)``)."""
+        fn = row_fn or (lambda k, v: (k, v))
+        return self.spark.createDataFrame(
+            self.output_pairs().map(lambda kv: fn(kv[0], kv[1])), schema=schema
+        )
+
+    # context manager: unpersist cached output on exit
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        cached = getattr(self, "_cached", None)
+        if cached is not None:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+        return False

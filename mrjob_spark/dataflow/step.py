@@ -1,0 +1,138 @@
+"""Step descriptions — the dataflow IR.
+
+Mirrors the reference's step model (``mrjob/step.py:180-321``): a job is a
+list of steps; each :class:`MRStep` holds up to three substeps (mapper,
+combiner, reducer), each of which is either a Python generator function, a
+shell command (``*_cmd``), and/or bracketed by ``*_init``/``*_final`` hooks
+and an optional shell ``*_pre_filter``. :class:`SparkStep` is the free-form
+escape hatch (``mrjob/job.py:478-493``, X6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+#: Substep function slots accepted by MRStep (cf. mrjob/step.py:144-176).
+_FN_SLOTS = (
+    "mapper",
+    "mapper_init",
+    "mapper_final",
+    "mapper_raw",
+    "combiner",
+    "combiner_init",
+    "combiner_final",
+    "reducer",
+    "reducer_init",
+    "reducer_final",
+)
+_CMD_SLOTS = (
+    "mapper_cmd",
+    "combiner_cmd",
+    "reducer_cmd",
+    "mapper_pre_filter",
+    "combiner_pre_filter",
+    "reducer_pre_filter",
+)
+
+
+@dataclass
+class MRStep:
+    """One map/combine/reduce stage.
+
+    Generator contracts (reference ``mrjob/job.py:260-338``):
+
+    * ``mapper(key, value)`` — yields 0..n ``(key, value)`` pairs.
+    * ``combiner(key, values)`` — values is an iterator; may yield 0..n pairs.
+    * ``reducer(key, values)`` — values is a LAZY iterator (safe for huge
+      groups); may yield 0..n pairs.
+    * ``*_init()`` / ``*_final()`` — run once per task before/after; may
+      yield pairs themselves.
+    * ``mapper_raw(local_path, uri)`` — one whole input file per call
+      (``mrjob/job.py:365-374``).
+    * ``*_cmd`` — replace the substep with a shell command over encoded
+      lines (``mrjob/job.py:340-351``); ``*_pre_filter`` — shell predicate
+      piped in front of the substep (``mrjob/job.py:353-363``).
+    """
+
+    mapper: Optional[Callable] = None
+    mapper_init: Optional[Callable] = None
+    mapper_final: Optional[Callable] = None
+    mapper_raw: Optional[Callable] = None
+    mapper_cmd: Optional[str] = None
+    mapper_pre_filter: Optional[str] = None
+    combiner: Optional[Callable] = None
+    combiner_init: Optional[Callable] = None
+    combiner_final: Optional[Callable] = None
+    combiner_cmd: Optional[str] = None
+    combiner_pre_filter: Optional[str] = None
+    reducer: Optional[Callable] = None
+    reducer_init: Optional[Callable] = None
+    reducer_final: Optional[Callable] = None
+    reducer_cmd: Optional[str] = None
+    reducer_pre_filter: Optional[str] = None
+    jobconf: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.has_mapper and not self.has_reducer and not self.has_combiner:
+            raise ValueError("MRStep needs at least one of mapper/combiner/reducer")
+        if self.mapper and self.mapper_raw:
+            raise ValueError("can't specify both mapper and mapper_raw")
+        if self.mapper_cmd and (self.mapper or self.mapper_raw):
+            raise ValueError("can't specify both mapper_cmd and a mapper fn")
+        if self.combiner_cmd and self.combiner:
+            raise ValueError("can't specify both combiner_cmd and a combiner fn")
+        if self.reducer_cmd and self.reducer:
+            raise ValueError("can't specify both reducer_cmd and a reducer fn")
+
+    @property
+    def has_mapper(self) -> bool:
+        return any(
+            getattr(self, s) is not None
+            for s in ("mapper", "mapper_raw", "mapper_cmd", "mapper_init",
+                      "mapper_final", "mapper_pre_filter")
+        )
+
+    @property
+    def has_combiner(self) -> bool:
+        return any(
+            getattr(self, s) is not None
+            for s in ("combiner", "combiner_cmd", "combiner_init",
+                      "combiner_final", "combiner_pre_filter")
+        )
+
+    @property
+    def has_reducer(self) -> bool:
+        return any(
+            getattr(self, s) is not None
+            for s in ("reducer", "reducer_cmd", "reducer_init",
+                      "reducer_final", "reducer_pre_filter")
+        )
+
+    def description(self, step_num: int = 0) -> dict:
+        """JSON-able step description, same shape family as the reference
+        (``mrjob/step.py:301-321``) — used for logging/inspection only."""
+        d = {"type": "streaming", "step_num": step_num}
+        for s in _FN_SLOTS:
+            if getattr(self, s) is not None:
+                d[s] = {"type": "script"}
+        for s in _CMD_SLOTS:
+            if getattr(self, s) is not None:
+                d[s] = {"type": "command", "command": getattr(self, s)}
+        if self.jobconf:
+            d["jobconf"] = dict(self.jobconf)
+        return d
+
+
+@dataclass
+class SparkStep:
+    """Free-form Spark escape hatch (X6, ``mrjob/job.py:478-493``): the
+    function receives ``(spark, input_rdd)`` — where ``input_rdd`` is the
+    previous step's (key, value) pair RDD, or ``None`` for step 0 with no
+    pair input — and returns a new pair RDD."""
+
+    spark: Callable
+    jobconf: dict = field(default_factory=dict)
+
+    def description(self, step_num: int = 0) -> dict:
+        return {"type": "spark", "step_num": step_num}

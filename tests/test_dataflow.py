@@ -1,0 +1,453 @@
+"""Dataflow-API semantics tests — ports of the reference's probe-job corpus
+(``tests/spark/test_harness.py:244-504`` and ``tests/mr_*.py`` behaviors),
+asserted against our Spark-native engine.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from mrjob_spark.dataflow import (
+    JSONProtocol,
+    MRStep,
+    SparkMRJob,
+    TextProtocol,
+)
+from mrjob_spark.dataflow.examples import (
+    MRCustomerOrderDates,
+    MRDoubler,
+    MRFilterGrep,
+    MRMostUsedWord,
+    MRPreFilterWords,
+    MRWordCountWithCounters,
+    MRWordFreqCount,
+)
+
+LINES = [
+    "the quick brown fox jumps over the lazy dog",
+    "the dog barks",
+    "The Fox and the Hound",
+]
+EXPECTED_THE = 5
+
+
+def pair_rdd(spark, lines, parts=3):
+    return spark.sparkContext.parallelize([(None, l) for l in lines], parts)
+
+
+# ---------------------------------------------------------------------------
+# core contracts
+# ---------------------------------------------------------------------------
+
+
+def test_wordcount_with_combiner(spark):
+    with MRWordFreqCount().make_runner(
+        spark, input_rdd=pair_rdd(spark, LINES)
+    ) as r:
+        out = dict(r.cat_output())
+    assert out["the"] == EXPECTED_THE
+    assert out["dog"] == 2
+    assert out["hound"] == 1
+
+
+def test_two_step_chain(spark):
+    with MRMostUsedWord().make_runner(
+        spark, input_rdd=pair_rdd(spark, LINES)
+    ) as r:
+        out = list(r.cat_output())
+    assert out == [([EXPECTED_THE, "the"], None)] or out == [((EXPECTED_THE, "the"), None)]
+
+
+def test_doubler_n_steps(spark):
+    rdd = spark.sparkContext.parallelize([("a", 1), ("b", 5)], 2)
+    with MRDoubler(n=4).make_runner(spark, input_rdd=rdd) as r:
+        assert dict(r.cat_output()) == {"a": 16, "b": 80}
+
+
+def test_mapper_only_job(spark):
+    class MRUpper(SparkMRJob):
+        def mapper(self, _, line):
+            yield None, line.upper()
+
+    with MRUpper().make_runner(spark, input_rdd=pair_rdd(spark, ["ab", "cd"])) as r:
+        assert sorted(v for _, v in r.cat_output()) == ["AB", "CD"]
+
+
+def test_reducer_only_job(spark):
+    class MRGroup(SparkMRJob):
+        def reducer(self, key, values):
+            yield key, sorted(values)
+
+    rdd = spark.sparkContext.parallelize(
+        [("k1", 3), ("k2", 9), ("k1", 1)], 3
+    )
+    with MRGroup().make_runner(spark, input_rdd=rdd) as r:
+        out = dict(r.cat_output())
+    assert out == {"k1": [1, 3], "k2": [9]}
+
+
+def test_init_final_hooks_emit_pairs(spark):
+    """mapper_init/final may themselves yield pairs (mrjob/job.py:311-338)."""
+
+    class MRBracketed(SparkMRJob):
+        def mapper_init(self):
+            yield "init", 1
+
+        def mapper(self, _, line):
+            yield "data", 1
+
+        def mapper_final(self):
+            yield "final", 1
+
+        def reducer(self, key, values):
+            yield key, sum(values)
+
+    with MRBracketed().make_runner(
+        spark, input_rdd=pair_rdd(spark, ["x", "y"], parts=2)
+    ) as r:
+        out = dict(r.cat_output())
+    assert out["data"] == 2
+    # hooks run once per partition
+    assert out["init"] == 2
+    assert out["final"] == 2
+
+
+def test_lazy_reducer_values_stream(spark):
+    """Reducer value iterators must be lazy — consuming only the head of a
+    huge group must not materialize it (SURVEY §7.3 risk 1)."""
+
+    class MRHead(SparkMRJob):
+        def reducer(self, key, values):
+            yield key, next(iter(values))
+
+    rdd = spark.sparkContext.parallelize(
+        [("hot", i) for i in range(50_000)], 8
+    )
+    with MRHead().make_runner(spark, input_rdd=rdd) as r:
+        out = dict(r.cat_output())
+    assert "hot" in out
+
+
+# ---------------------------------------------------------------------------
+# combiner edge cases (tests/spark/test_harness.py:360-456)
+# ---------------------------------------------------------------------------
+
+
+def test_combiner_yields_zero_pairs(spark):
+    """A combiner may eat pairs entirely; the engine must not crash or
+    duplicate (harness combiner_helper edge case)."""
+
+    class MRDropSmall(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def combiner(self, word, counts):
+            total = sum(counts)
+            if total >= 2:
+                yield word, total
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    lines = ["a a b", "a b c"]
+    with MRDropSmall().make_runner(
+        spark, input_rdd=pair_rdd(spark, lines, parts=1)
+    ) as r:
+        out = dict(r.cat_output())
+    # combiners run 0..n times by contract: singleton keys ("c") never pass
+    # through combineByKey's merge, so they reach the reducer unfiltered —
+    # the same behavior as the reference harness's createCombiner wrap
+    # (mrjob/spark/harness.py:490-495).
+    assert out == {"a": 3, "b": 2, "c": 1}
+
+
+def test_combiner_yields_two_pairs(spark):
+    """A combiner may emit >1 pair; later merges must concatenate instead of
+    re-running the combiner on mismatched shapes."""
+
+    class MRSplitEmit(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def combiner(self, word, counts):
+            yield word, sum(counts)
+            yield word, 0  # extra pair, harmless for the final sum
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    lines = ["x x y", "x y y", "x y x"]
+    with MRSplitEmit().make_runner(
+        spark, input_rdd=pair_rdd(spark, lines, parts=3)
+    ) as r:
+        out = dict(r.cat_output())
+    assert out == {"x": 5, "y": 4}
+
+
+def test_combiner_counts_match_no_combiner(spark):
+    """Differential: same job with and without combiner agrees (the harness
+    comparison-test pattern, tests/spark/test_harness.py:244-300)."""
+
+    class MRNoCombiner(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    rdd = pair_rdd(spark, LINES)
+    with MRWordFreqCount().make_runner(spark, input_rdd=pair_rdd(spark, LINES)) as r1:
+        with_comb = dict(r1.cat_output())
+    with MRNoCombiner().make_runner(spark, input_rdd=rdd) as r2:
+        without = dict(r2.cat_output())
+    # tokenizers differ slightly (WORD_RE lowercases); compare via lowercase split
+    assert with_comb["the"] == 5
+    assert without["the"] == 4  # "The" kept as-is without lowering
+    assert with_comb["dog"] == without["dog"] == 2
+
+
+# ---------------------------------------------------------------------------
+# SORT_VALUES / secondary sort (O3)
+# ---------------------------------------------------------------------------
+
+
+def test_sort_values_orders_encoded(spark):
+    rdd = spark.sparkContext.parallelize(
+        [(1, "b"), (1, "a"), (2, "z"), (1, "c"), (2, "y")], 4
+    )
+    with MRCustomerOrderDates().make_runner(spark, input_rdd=rdd) as r:
+        out = dict(r.cat_output())
+    assert out == {1: "a,b,c", 2: "y,z"}
+
+
+def test_sort_values_with_combiner(spark):
+    class MRSortedConcat(SparkMRJob):
+        SORT_VALUES = True
+
+        def combiner(self, key, values):
+            yield from ((key, v) for v in values)  # pass-through
+
+        def reducer(self, key, values):
+            yield key, "".join(values)
+
+    rdd = spark.sparkContext.parallelize(
+        [("k", "c"), ("k", "a"), ("k", "b")], 3
+    )
+    with MRSortedConcat().make_runner(spark, input_rdd=rdd) as r:
+        assert dict(r.cat_output()) == {"k": "abc"}
+
+
+# ---------------------------------------------------------------------------
+# counters (A8; tests/spark/test_harness.py:457-504)
+# ---------------------------------------------------------------------------
+
+
+def test_counters(spark):
+    with MRWordCountWithCounters().make_runner(
+        spark, input_rdd=pair_rdd(spark, LINES)
+    ) as r:
+        r.run()
+        counters = r.counters()
+    assert counters["stats"]["lines"] == 3
+    assert counters["stats"]["words"] == sum(
+        len(l.lower().split()) for l in LINES
+    )
+
+
+def test_counters_in_reducer(spark):
+    class MRReduceCount(SparkMRJob):
+        def mapper(self, _, line):
+            yield line[0], line
+
+        def reducer(self, key, values):
+            n = len(list(values))
+            self.increment_counter("groups", "seen")
+            self.increment_counter("groups", "values", n)
+            yield key, n
+
+    with MRReduceCount().make_runner(
+        spark, input_rdd=pair_rdd(spark, ["ax", "ay", "bz"])
+    ) as r:
+        r.run()
+        c = r.counters()
+    assert c["groups"]["seen"] == 2
+    assert c["groups"]["values"] == 3
+
+
+# ---------------------------------------------------------------------------
+# text IO: sources/sinks/compression/cat (S1/S2/S8/S9/S11/S12)
+# ---------------------------------------------------------------------------
+
+
+def test_text_file_roundtrip(spark, tmp_path):
+    inp = tmp_path / "in.txt"
+    inp.write_text("\n".join(LINES) + "\n")
+    out_dir = str(tmp_path / "out")
+
+    with MRWordFreqCount().make_runner(
+        spark, input_paths=[str(inp)], output_dir=out_dir, max_output_files=2
+    ) as r:
+        r.run()
+        parts = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+        assert 1 <= len(parts) <= 2  # S11 file-count control
+        out = dict(r.cat_output())  # S12 cat skips _SUCCESS
+    assert out["the"] == EXPECTED_THE
+
+
+def test_gzip_source_and_sink(spark, tmp_path):
+    inp = tmp_path / "in.txt.gz"
+    with gzip.open(inp, "wt") as f:
+        f.write("\n".join(LINES) + "\n")
+    out_dir = str(tmp_path / "out_gz")
+
+    with MRWordFreqCount().make_runner(
+        spark, input_paths=[str(inp)], output_dir=out_dir, compression="gzip"
+    ) as r:
+        r.run()
+        assert any(f.endswith(".gz") for f in os.listdir(out_dir))
+        out = dict(r.cat_output())
+    assert out["the"] == EXPECTED_THE
+
+
+def test_partitioned_output_by_key(spark, tmp_path):
+    out_dir = str(tmp_path / "by_key")
+
+    class MRByFirstLetter(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w[0], w
+
+    with MRByFirstLetter().make_runner(
+        spark,
+        input_rdd=pair_rdd(spark, ["apple bee", "ant cat"]),
+        output_dir=out_dir,
+        partition_output_by_key=True,
+    ) as r:
+        r.run()
+    subdirs = {d for d in os.listdir(out_dir) if d.startswith("key=")}
+    assert subdirs == {"key=a", "key=b", "key=c"}
+
+
+def test_mapper_raw_whole_files(spark, tmp_path):
+    """S4: one mapper_raw call per input file, with S5 file attribution."""
+    for i, body in enumerate(["alpha beta", "gamma"]):
+        (tmp_path / f"doc{i}.txt").write_text(body)
+
+    class MRFileWordTotal(SparkMRJob):
+        def mapper_raw(self, local_path, uri):
+            with open(local_path) as f:
+                words = f.read().split()
+            yield os.path.basename(uri), len(words)
+
+    with MRFileWordTotal().make_runner(
+        spark, input_paths=[str(tmp_path / "*.txt")]
+    ) as r:
+        out = dict(r.cat_output())
+    assert out == {"doc0.txt": 2, "doc1.txt": 1}
+
+
+def test_input_file_attribution(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("one\n")
+    (tmp_path / "b.txt").write_text("two\n")
+
+    class MRWhichFile(SparkMRJob):
+        def mapper(self, _, line):
+            yield os.path.basename(
+                os.environ.get("mapreduce_map_input_file", "")
+            ), line
+
+    with MRWhichFile().make_runner(
+        spark,
+        input_paths=[str(tmp_path / "*.txt")],
+        emulate_map_input_file=True,
+    ) as r:
+        out = dict(r.cat_output())
+    assert out == {"a.txt": "one", "b.txt": "two"}
+
+
+# ---------------------------------------------------------------------------
+# shell substeps (P4/P5/X5)
+# ---------------------------------------------------------------------------
+
+
+def test_mapper_cmd_grep(spark, tmp_path):
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple pie\nbanana split\napple cake\n")
+
+    with MRFilterGrep("apple").make_runner(spark, input_paths=[str(inp)]) as r:
+        values = sorted(v for _, v in r.cat_output())
+    assert values == ["apple cake", "apple pie"]
+
+
+def test_mapper_pre_filter(spark, tmp_path):
+    inp = tmp_path / "in.txt"
+    inp.write_text("umbrella rain\nsunny day\nfun run\n")
+
+    with MRPreFilterWords().make_runner(spark, input_paths=[str(inp)]) as r:
+        out = dict(r.cat_output())
+    # "sunny day" was filtered out before the mapper (contains no 'u'... it
+    # does contain 'u'! 's-u-nny'). grep -i u keeps lines WITH u: umbrella
+    # rain, sunny day, fun run all contain u → mapper then keeps u-words.
+    assert out == {"umbrella": 1, "sunny": 1, "fun": 1, "run": 1}
+
+
+# ---------------------------------------------------------------------------
+# protocols at the edges
+# ---------------------------------------------------------------------------
+
+
+def test_output_protocol_json_roundtrip(spark, tmp_path):
+    out_dir = str(tmp_path / "json_out")
+
+    class MRStructured(SparkMRJob):
+        OUTPUT_PROTOCOL = JSONProtocol
+
+        def mapper(self, _, line):
+            yield {"k": line}, [1, line]
+
+    with MRStructured().make_runner(
+        spark, input_rdd=pair_rdd(spark, ["a", "b"]), output_dir=out_dir
+    ) as r:
+        out = sorted(r.cat_output(), key=repr)
+    assert out == [({"k": "a"}, [1, "a"]), ({"k": "b"}, [1, "b"])]
+
+
+def test_text_protocol_output(spark, tmp_path):
+    out_dir = str(tmp_path / "text_out")
+
+    class MRTsv(SparkMRJob):
+        OUTPUT_PROTOCOL = TextProtocol
+
+        def mapper(self, _, line):
+            yield line, line.upper()
+
+    with MRTsv().make_runner(
+        spark, input_rdd=pair_rdd(spark, ["ab"]), output_dir=out_dir
+    ) as r:
+        out = list(r.cat_output())
+    assert out == [("ab", "AB")]
+
+
+def test_spark_escape_hatch(spark):
+    """X6: free-form spark() step (mrjob/job.py:478-493)."""
+
+    class MRSparkStep(SparkMRJob):
+        def spark(self, spark_session, input_rdd):
+            return input_rdd.mapValues(lambda v: v * 10)
+
+    rdd = spark.sparkContext.parallelize([("a", 1), ("b", 2)], 2)
+    with MRSparkStep().make_runner(spark, input_rdd=rdd) as r:
+        assert dict(r.cat_output()) == {"a": 10, "b": 20}
+
+
+def test_step_validation():
+    with pytest.raises(ValueError):
+        MRStep()  # no substeps
+    with pytest.raises(ValueError):
+        MRStep(mapper=lambda k, v: None, mapper_cmd="cat")
