@@ -52,6 +52,14 @@ class Tables:
         self._sf_dir = sf_dir
 
     def __getattr__(self, name: str) -> DataFrame:
+        from mrjob_spark.catalog import TABLES
+
+        if name not in TABLES:
+            # dunder probes / typos must raise AttributeError, not surface a
+            # confusing AnalysisException on a nonexistent parquet path
+            raise AttributeError(
+                f"no fixture table {name!r} (have: {', '.join(TABLES)})"
+            )
         return load_table(self._spark, self._sf_dir, name)
 
 
@@ -67,3 +75,4 @@ def oracle_sql() -> dict[str, str]:
 from mrjob_spark.queries import relational  # noqa: E402,F401
 from mrjob_spark.queries import windows  # noqa: E402,F401
 from mrjob_spark.queries import llm  # noqa: E402,F401
+from mrjob_spark.queries import dataflow_queries  # noqa: E402,F401

@@ -1,0 +1,125 @@
+"""Registry queries that execute through the DATAFLOW engine (SURVEY.md
+§2.9 X1-X5, §2.4 O3) — real ``SparkMRJob`` runs whose outputs are bridged to
+DataFrames and checked against DuckDB oracles, proving the mapper/combiner/
+reducer path end-to-end, not just the relational surface.
+
+The tokenizer is the engine-portable ``[a-z]+``-on-lowered-text family
+(``mrjob_spark.dataflow.examples.WORD_RE``) so every job here has an exact
+SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from mrjob_spark.dataflow.examples import (
+    MRCustomerOrderDates,
+    MRFilterGrep,
+    MRMostUsedWord,
+    MRWordFreqCount,
+)
+from mrjob_spark.queries import Tables, query
+
+_WORDS_SQL = (
+    "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+    "FROM documents"
+)
+
+
+def _doc_lines(t: Tables):
+    """documents.text as (None, line) pairs — the DataFrame→dataflow bridge.
+    Newlines inside a document are collapsed so one document == one record,
+    matching what a text-file source would deliver per line."""
+    return t.documents.select("text").rdd.map(
+        lambda r: (None, r.text.replace("\n", " "))
+    )
+
+
+@query(
+    "x1_dataflow_wordcount",
+    sql=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_WORDS_SQL}) GROUP BY word
+    """,
+)
+def x1_dataflow_wordcount(spark, sf_dir):
+    """X1+X2+X3: generator mapper, combiner and reducer over real text —
+    the canonical wordcount (``mrjob/examples/mr_word_freq_count.py``)
+    executed by the dataflow engine, not a relational translation."""
+    t = Tables(spark, sf_dir)
+    runner = MRWordFreqCount().make_runner(spark, input_rdd=_doc_lines(t))
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return runner.to_dataframe(schema)
+
+
+@query(
+    "x2_dataflow_most_used_word",
+    sql=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_WORDS_SQL}) GROUP BY word
+    ORDER BY cnt DESC, word DESC LIMIT 1
+    """,
+)
+def x2_dataflow_most_used_word(spark, sf_dir):
+    """Two-step dataflow chain (wordcount → global argmax) compiled into one
+    lazy plan (``mrjob/examples/mr_most_used_word.py:33-77``); the reducer's
+    max-by-(count, word) tiebreak mirrors the SQL ORDER BY exactly."""
+    t = Tables(spark, sf_dir)
+    runner = MRMostUsedWord().make_runner(spark, input_rdd=_doc_lines(t))
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    # job emits ((count, word), None); flatten to (word, count) rows
+    return runner.to_dataframe(schema, row_fn=lambda k, v: (k[1], k[0]))
+
+
+@query(
+    "o3_dataflow_sorted_dates",
+    sql="""
+    SELECT o_custkey,
+           string_agg(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), ','
+                      ORDER BY strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS dates
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def o3_dataflow_sorted_dates(spark, sf_dir):
+    """O3 SORT_VALUES secondary sort: values reach the reducer pre-sorted by
+    encoded bytes (``mrjob/job.py:1567-1593``), provable because the reducer
+    just concatenates what it is handed."""
+    t = Tables(spark, sf_dir)
+    pairs = t.orders.select("o_custkey", "o_orderdate").rdd.map(
+        lambda r: (r.o_custkey, r.o_orderdate.strftime("%Y-%m-%d %H:%M:%S"))
+    )
+    runner = MRCustomerOrderDates().make_runner(spark, input_rdd=pairs)
+    schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("dates", T.StringType()),
+        ]
+    )
+    return runner.to_dataframe(schema, row_fn=lambda k, v: (int(k), v))
+
+
+@query(
+    "x5_dataflow_pipe_grep",
+    sql="""
+    SELECT replace(text, chr(10), ' ') AS line FROM documents
+    WHERE contains(replace(text, chr(10), ' '), 'data')
+    """,
+)
+def x5_dataflow_pipe_grep(spark, sf_dir):
+    """X5/P5 external-process substep: the mapper stage is a literal
+    ``grep -F`` subprocess over raw lines via ``rdd.pipe``
+    (``mrjob/examples/mr_grep.py:22-37``)."""
+    t = Tables(spark, sf_dir)
+    runner = MRFilterGrep("data").make_runner(spark, input_rdd=_doc_lines(t))
+    schema = T.StructType([T.StructField("line", T.StringType())])
+    return runner.to_dataframe(schema, row_fn=lambda k, v: (v,))

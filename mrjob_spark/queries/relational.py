@@ -287,7 +287,7 @@ def a10_approx_count_distinct(spark, sf_dir):
     "o4_global_sort_limit",
     sql="""
     SELECT o_orderkey, (floor((o_totalprice) * 100 + 0.5) / 100) AS o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 20
     """,
 )
 def o4_global_sort_limit(spark, sf_dir):

@@ -36,14 +36,43 @@ RUNTIME_CONFS = {
 }
 
 
+#: Confs whose absence silently breaks correctness (not just performance):
+#: nanosAsLong gates reading the events fixture's TIMESTAMP(NANOS) column;
+#: the session timezone pins timestamp semantics for oracle comparison.
+_LOAD_BEARING_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.session.timeZone",
+)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an existing session."""
+    """Apply runtime-settable engine confs to an existing session.
+
+    Performance confs are best-effort, but load-bearing ones are verified
+    after the attempt and a loud warning names any that did not take effect
+    (an externally-owned session may reject late conf sets; swallowing that
+    silently produced undiagnosable events-table failures — ADVICE r1).
+    """
+    import warnings
+
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            # conf not settable at runtime on this build — non-fatal
             pass
+    for k in _LOAD_BEARING_CONFS:
+        try:
+            actual = spark.conf.get(k)
+        except Exception:
+            actual = None
+        if actual != RUNTIME_CONFS[k]:
+            warnings.warn(
+                f"load-bearing Spark conf {k}={RUNTIME_CONFS[k]!r} did not "
+                f"take effect (session reports {actual!r}); reading the "
+                "events fixture may fail or mismatch the oracle",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark
 
 
