@@ -14,6 +14,11 @@ Two surfaces:
   ``mapper``/``combiner``/``reducer`` generators, and run multi-step
   pipelines as one lazy Spark plan (cf. reference ``mrjob/job.py:260-309``).
 
+* A Structured Streaming surface (``mrjob_spark.streaming``): event-time
+  tumbling/sliding/session windows, watermarked late-data handling, and
+  stateful dedup — batch/stream-agnostic plans validated by differential
+  tests (SURVEY.md §2.10).
+
 Design: everything internal is a typed DataFrame plan optimized by Catalyst;
 protocols/serde exist only at the edges (SURVEY.md §1.2); RDDs are used only
 for the arbitrary-Python-object dataflow API where DataFrame semantics cannot

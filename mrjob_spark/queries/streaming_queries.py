@@ -1,0 +1,97 @@
+"""Oracle-checked batch twins of the Structured Streaming operators
+(SURVEY.md §2.10) — these run the SAME transform builders from
+``mrjob_spark.streaming`` over the static ``events`` table, which is how the
+DuckDB oracle can verify them; ``tests/test_streaming.py`` replays the
+identical plans through real micro-batch execution (file source →
+AvailableNow → memory sink) and asserts equivalence, plus the two behaviors
+batch cannot express: watermark late-row dropping and cross-batch stateful
+dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrjob_spark.functions.rounding import rnd, dsum
+from mrjob_spark.queries import Tables, query
+from mrjob_spark.streaming import session_window_agg, stream_dedup, tumbling_window_agg
+
+
+@query(
+    "st4_session_window",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           (floor((CAST(sum(CAST((value) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS sum_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def st4_session_window(spark, sf_dir):
+    """ST-session via ``F.session_window`` (streaming/ops.py): Spark merges
+    overlapping per-event 30-min windows into maximal sessions — the oracle
+    states the same semantics as the lag-gap formulation (st3's CTE), so a
+    hash match proves the two constructions agree session-for-session."""
+    t = Tables(spark, sf_dir)
+    return session_window_agg(
+        t.events,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(dsum("value"), 2).alias("sum_value"),
+        ],
+    ).drop("session_end")
+
+
+@query(
+    "st5_stream_dedup",
+    sql="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+           arg_min(event_id, ts) AS first_event_id,
+           count(*) AS n_dupes
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def st5_stream_dedup(spark, sf_dir):
+    """ST-dedup, deterministic batch twin: one representative event per
+    (user_id, event_type, 10-min bucket) — the first by (ts, event_id) —
+    plus the duplicate count. The streaming form is
+    ``stream_dedup(..., watermark=...)`` → ``dropDuplicatesWithinWatermark``
+    (first-arriving row, state expired past the watermark), exercised
+    cross-micro-batch in tests/test_streaming.py. One shuffle, map-side
+    partial agg; the min-struct trick keeps it a plain hash aggregate."""
+    t = Tables(spark, sf_dir)
+    first = F.min(F.struct("ts", "event_id")).alias("f")
+    return (
+        t.events.groupBy(
+            "user_id",
+            "event_type",
+            F.window("ts", "10 minutes").alias("w"),
+        )
+        .agg(first, F.count(F.lit(1)).alias("n_dupes"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.start").alias("wstart"),
+            F.col("f.event_id").alias("first_event_id"),
+            "n_dupes",
+        )
+    )

@@ -1,0 +1,137 @@
+"""Streaming operators that build identical plans over batch and streaming
+DataFrames (SURVEY.md §2.10).
+
+Scale notes (100 TB / unbounded-stream design):
+
+- Windowed aggregation shuffles once on (window, *keys) with partial
+  aggregation map-side — same shape as any groupBy, so it scales like A1.
+- Watermarks bound state: without one, a streaming group-agg or dedup keeps
+  state forever. Every streaming wrapper here therefore takes a watermark
+  and applies it ONLY on streaming inputs (batch inputs are complete by
+  definition; ``withWatermark`` on them is a no-op Spark warns about).
+- ``dropDuplicatesWithinWatermark`` keeps at most one state row per key per
+  watermark horizon — the unbounded-stream twin of L1 exact dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Apply an event-time watermark on streaming input; no-op on batch.
+
+    Batch-equivalence contract: a batch DataFrame is a complete, closed
+    input — no row can be "late" — so the batch twin of every watermarked
+    plan is simply the un-watermarked plan. Late-data *dropping* is
+    micro-batch-order-dependent and is exercised by
+    ``tests/test_streaming.py::test_watermark_drops_late_rows``.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed, non-overlapping event-time windows (ST-tumbling).
+
+    Returns one row per (window_start, *keys) with ``wstart`` as the first
+    column, matching the batch query ``st1_tumbling_window``.
+    """
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("wstart", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows of ``duration`` every ``slide`` (ST-sliding).
+
+    Each event lands in duration/slide windows; Spark expands the windows
+    map-side, so the shuffle carries the fan-out factor — keep
+    duration/slide small (2 here) at scale.
+    """
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("wstart", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sessions closed by ``gap`` of inactivity per key (ST-session).
+
+    ``F.session_window`` merges overlapping per-event windows into maximal
+    sessions — identical semantics to the lag-gap + running-sum batch
+    formulation in ``st3_sessionization`` (queries/windows.py), which is the
+    oracle-checked twin. Streaming requires a watermark so session state can
+    be finalized and evicted.
+    """
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stateful exact dedup on ``keys`` (ST-dedup; streaming twin of L1).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps the FIRST-ARRIVING
+    row per key and expires key state once the watermark passes it —
+    bounded state on an unbounded stream. Batch: plain ``dropDuplicates``
+    (arbitrary-but-single row per key; callers needing a deterministic
+    representative should aggregate with min_by, as
+    ``st5_stream_dedup`` does for the oracle check).
+    """
+    if df.isStreaming:
+        if not (ts_col and watermark):
+            raise ValueError("streaming dedup requires ts_col and watermark")
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))

@@ -1,0 +1,223 @@
+"""Structured Streaming tests (SURVEY.md §2.10, §5.2 differential pattern).
+
+Strategy mirrors the reference's harness validation (its
+``tests/spark/test_harness.py`` runs one job through two engines and
+compares): each windowed operator runs (a) as a batch plan and (b) through
+real micro-batch execution — file source → AvailableNow trigger → memory
+sink — and the results must agree row-for-row. Watermark late-row dropping
+and cross-batch stateful dedup, which have no batch twin, are exercised by
+replaying files into a running query in a controlled order.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mrjob_spark.streaming import (
+    read_stream_parquet,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+    write_stream_parquet,
+)
+
+EVENTS = "{sf}/events.parquet"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    return read_stream_parquet(spark, EVENTS.format(sf=sf_dir))
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    from mrjob_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream, events_batch):
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+    ]
+    got = run_available_now(
+        tumbling_window_agg(
+            events_stream, "ts", "10 minutes", ["event_type"], aggs,
+            watermark="1 hour",
+        ),
+        output_mode="update",
+    )
+    want = tumbling_window_agg(events_batch, "ts", "10 minutes", ["event_type"], aggs)
+    cols = ["wstart", "event_type", "n", "sum_value"]
+    # update mode may emit several versions of a group; the last (max n) is
+    # the final one — with AvailableNow over one directory there is exactly
+    # one emission per group, which the row-count equality below pins down.
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_equals_batch(spark, events_stream, events_batch):
+    aggs = [F.count(F.lit(1)).alias("n")]
+    got = run_available_now(
+        sliding_window_agg(
+            events_stream, "ts", "10 minutes", "5 minutes", [], aggs,
+            watermark="1 hour",
+        )
+    )
+    want = sliding_window_agg(events_batch, "ts", "10 minutes", "5 minutes", [], aggs)
+    assert _rows(got, ["wstart", "n"]) == _rows(want, ["wstart", "n"])
+
+
+def test_session_stream_equals_batch(spark, tmp_path):
+    """Session windows only stream in append mode: a session is emitted once
+    the watermark passes its end. A far-future flush event closes every real
+    session so stream output can be compared exactly to the batch twin."""
+    rows = [
+        (_t(0), "u1", 1.0),
+        (_t(10), "u1", 2.0),   # same session (gap < 30m)
+        (_t(120), "u1", 3.0),  # new session
+        (_t(5), "u2", 4.0),
+        (_t(999999), "flush", 0.0),
+    ]
+    src = str(tmp_path / "src")
+    _write_events(spark, src, rows)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+
+    got = run_available_now(
+        session_window_agg(
+            read_stream_parquet(spark, src), "ts", "30 minutes", ["key"], aggs,
+            watermark="10 minutes",
+        ),
+        output_mode="append",
+    ).filter(F.col("key") != "flush")
+    want = session_window_agg(
+        spark.createDataFrame([Row(ts=ts, key=k, value=v) for ts, k, v in rows]),
+        "ts", "30 minutes", ["key"], aggs,
+    ).filter(F.col("key") != "flush")
+    cols = ["key", "session_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) == 3
+
+
+def test_session_batch_on_fixture(spark, events_batch):
+    """Batch session_window over the events fixture agrees with the lag-gap
+    sessionization (st3) on session count — the two constructions of
+    30-min-gap sessions are equivalent."""
+    from mrjob_spark.queries import REGISTRY
+
+    ours = session_window_agg(
+        events_batch, "ts", "30 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    import os
+
+    sf = os.environ.get("MRJOB_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+    st3 = REGISTRY["st3_sessionization"].fn(spark, sf)
+    assert ours.count() == st3.count()
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [Row(ts=ts, key=k, value=v) for ts, k, v in rows]
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+TS0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(minutes):
+    return TS0 + dt.timedelta(minutes=minutes)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Real watermark semantics: a row older than (max event time seen −
+    delay) when its micro-batch arrives is dropped from the aggregation.
+    Batch 1 advances the watermark to 60−10=50 min; batch 2's row at t=5
+    is late (dropped) while its row at t=65 is on time."""
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(_t(0), "a", 1.0), (_t(60), "a", 1.0)])
+
+    sdf = read_stream_parquet(spark, src)
+    counts = tumbling_window_agg(
+        sdf, "ts", "10 minutes", ["key"],
+        [F.count(F.lit(1)).alias("n")],
+        watermark="10 minutes",
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(spark, src, [(_t(5), "a", 1.0), (_t(65), "a", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("wm_test")
+    by_window = {
+        r["wstart"]: r["n"]
+        for r in out.groupBy("wstart").agg(F.max("n").alias("n")).collect()
+    }
+    # late t=5 row never incremented the 00:00 window; on-time t=65 did
+    assert by_window[_t(0)] == 1
+    assert by_window[_t(60)] == 2
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark holds key state across micro-batches:
+    the second arrival of key 'a' (in a later file) is suppressed."""
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(_t(0), "a", 1.0), (_t(1), "b", 2.0)])
+
+    sdf = read_stream_parquet(spark, src)
+    deduped = stream_dedup(sdf, ["key"], ts_col="ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(spark, src, [(_t(2), "a", 99.0), (_t(3), "c", 3.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["key"]: r["value"] for r in spark.table("dedup_test").collect()}
+    assert out == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+
+def test_stream_dedup_batch_twin(spark, events_batch):
+    """Batch path of stream_dedup is plain dropDuplicates."""
+    n_keys = events_batch.select("user_id", "event_type").distinct().count()
+    assert stream_dedup(events_batch, ["user_id", "event_type"]).count() == n_keys
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    """Production-shaped sink: stream → parquet files + checkpoint, re-read
+    and verify. Exercises S8/S9-at-streaming (append mode, exactly-once)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [(_t(0), "a", 1.0), (_t(1), "b", 2.0)])
+
+    sdf = read_stream_parquet(spark, src)
+    q = write_stream_parquet(sdf.select("key", "value"), out, ckpt)
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [("a", 1.0), ("b", 2.0)]
