@@ -321,8 +321,8 @@ def l4_doc_fingerprint(spark, sf_dir):
 )
 def l6_multimodal_bytes(spark, sf_dir):
     """Opaque binary payload handling (SURVEY §2.11 L6): text re-encoded as
-    a BinaryType column stands in for image/audio bytes; real decode is the
-    Pandas-UDF stub in operators/multimodal.py (tested for plumbing)."""
+    a BinaryType column stands in for image/audio bytes — pure JVM column
+    math over the binary payload (length/hash/slice need no decode)."""
     t = Tables(spark, sf_dir)
     payload = F.encode(F.col("text"), "UTF-8")
     return t.documents.select(
@@ -330,6 +330,34 @@ def l6_multimodal_bytes(spark, sf_dir):
         F.length(payload).cast("long").alias("n_bytes"),
         F.md5("text").alias("content_hash"),
         F.substring("text", 1, 8).alias("head"),
+    )
+
+
+@query(
+    "l6_media_features",
+    sql="""
+    SELECT doc_id, 'unknown' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def l6_media_features(spark, sf_dir):
+    """L6 via the real multimodal operator (operators/multimodal.py): bytes
+    cross the JVM→Python boundary in Arrow batches, mapInPandas sniffs
+    container headers (PNG/GIF/JPEG/WAV parse from magic bytes; UTF-8 text
+    is modality 'unknown') and emits typed metadata + a deterministic
+    md5-derived feature vector. The oracle checks the metadata columns;
+    the binaryFile-source path and real-container sniffing are covered by
+    tests/test_multimodal.py."""
+    from mrjob_spark.operators.multimodal import featurize_media
+
+    t = Tables(spark, sf_dir)
+    payload = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return featurize_media(payload, id_cols=("doc_id",)).select(
+        "doc_id", "modality", "n_bytes", "content_hash"
     )
 
 

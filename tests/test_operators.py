@@ -1,0 +1,186 @@
+"""Unit tests of the LLM-pipeline operators (SURVEY.md §2.11) beyond the
+oracle-differential suite: LSH recall vs the exact baseline, dedup
+mechanics on controlled corpora, and the as-of/top-k primitives.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mrjob_spark.operators.asof import asof_join
+from mrjob_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    normalized_dedup,
+    simhash_fingerprints,
+)
+from mrjob_spark.operators.similarity import (
+    add_lsh_bucket,
+    brute_force_topk,
+    bucketed_topk,
+    hyperplane_lsh_topk,
+)
+from mrjob_spark.operators.topk import top_k_per_group
+
+DIM = 16
+
+
+def _unit_vec(rng):
+    v = [rng.gauss(0, 1) for _ in range(DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    """64 vectors in 4 well-separated clusters + per-vector jitter, so true
+    nearest neighbors are overwhelmingly intra-cluster."""
+    rng = random.Random(7)
+    centers = [_unit_vec(rng) for _ in range(4)]
+    rows = []
+    for i in range(64):
+        c = centers[i % 4]
+        v = [x + rng.gauss(0, 0.05) for x in c]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_lsh_recall_vs_bruteforce(spark, vec_corpus):
+    """The docstring-promised recall check: hyperplane-LSH top-k must
+    recover a large fraction of the exact top-k on clustered data. With
+    4 planes (16 buckets) on 4 tight clusters, same-cluster vectors nearly
+    always share a bucket."""
+    k = 5
+    exact = brute_force_topk(vec_corpus, vec_corpus, k)
+    approx = hyperplane_lsh_topk(vec_corpus, vec_corpus, k, dim=DIM, n_planes=4)
+
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} below floor"
+    # and LSH must never invent a neighbor the exact search ranks outside
+    # its bucket-restricted candidate set — sanity: all sims computable
+    assert approx.where(F.col("cosine") > 1.000001).count() == 0
+
+
+def test_lsh_bucket_determinism(spark, vec_corpus):
+    a = add_lsh_bucket(vec_corpus, DIM, 6).select("vec_id", "lsh_bucket")
+    b = add_lsh_bucket(vec_corpus, DIM, 6).select("vec_id", "lsh_bucket")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bucketed_topk_restricts_to_bucket(spark):
+    rows = [
+        Row(vec_id=0, label="a", embedding=[1.0, 0.0]),
+        Row(vec_id=1, label="a", embedding=[0.9, 0.1]),
+        Row(vec_id=2, label="b", embedding=[1.0, 0.0]),  # other bucket
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bucketed_topk(df, df, k=3, bucket_col="label").collect()
+    }
+    assert got == {(0, 1), (1, 0)}  # cross-bucket pair (0,2) excluded
+
+
+def test_exact_and_normalized_dedup(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world"),   # same after normalization
+            Row(doc_id=3, text="Hello  World"),  # exact dup of 1
+            Row(doc_id=4, text="something else"),
+        ]
+    )
+    exact = exact_dedup(docs, "text", "doc_id")
+    assert {r["keep_id"] for r in exact.collect()} == {1, 2, 4}
+    assert {(r["keep_id"], r["n_copies"]) for r in exact.collect()} == {
+        (1, 2), (2, 1), (4, 1)
+    }
+    norm = normalized_dedup(docs, "text", "doc_id")
+    assert {(r["keep_id"], r["n_copies"]) for r in norm.collect()} == {(1, 3), (4, 1)}
+
+
+def test_minhash_lsh_finds_near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + "with a tiny suffix"),
+            Row(doc_id=3, text="an entirely different document about spark "
+                               "query engines and shuffle planning " * 5),
+        ]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_dupes_share_fingerprint_bits(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta iota"),
+            Row(doc_id=3, text="completely unrelated words here nothing shared"),
+        ]
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash_fingerprints(docs, "doc_id", "text").collect()}
+    ham12 = bin(fps[1] ^ fps[2]).count("1")
+    ham13 = bin(fps[1] ^ fps[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_jaccard_pairs_df_cap_bounds_candidates(spark):
+    """A token present in every document must not explode the candidate
+    set: with max_df below the corpus size, the ubiquitous token is dropped
+    and only genuinely-overlapping docs pair up."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"common shared{i % 2} unique{i}") for i in range(10)]
+    )
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.1, df_cutoff=5)
+    got = pairs.collect()
+    # 'common' (df=10 > 5) is excluded; 'shared0'/'shared1' (df=5) survive
+    assert all(
+        (r["doc_a"] % 2) == (r["doc_b"] % 2) for r in got
+    ), "pairing must come from sharedN tokens only"
+    assert len(got) > 0
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [Row(ev=1, key=1, t=10), Row(ev=2, key=1, t=25), Row(ev=3, key=2, t=5)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(key=1, rt=5, val="a"),
+            Row(key=1, rt=20, val="b"),
+            Row(key=2, rt=50, val="c"),  # after the event → no match
+        ]
+    )
+    out = asof_join(
+        left, right,
+        left_on="key", right_on="key", left_time="t", right_time="rt",
+        right_value_cols=["val"], tie_break="val", how="inner",
+    )
+    got = {(r["ev"], r["val"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_top_k_per_group_ties_break_deterministically(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", v=5, id=1), Row(g="x", v=5, id=2), Row(g="x", v=3, id=3),
+         Row(g="y", v=9, id=4)]
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
+    got = sorted((r["g"], r["id"]) for r in out.collect())
+    assert got == [("x", 1), ("x", 2), ("y", 4)]
