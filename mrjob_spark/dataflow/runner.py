@@ -180,8 +180,24 @@ class SparkJobRunner:
                 lambda row: (row.path, read(row.value.encode("utf-8")))
             )
 
+        # S3: '-' means stdin; the driver drains it once and parallelizes
+        # (mrjob/runner.py:1069-1088 dumps stdin to a temp file the same way).
+        paths = [p for p in self.input_paths if p != "-"]
+        stdin_rdd = None
+        if len(paths) < len(self.input_paths):
+            import sys
+
+            stdin_lines = [
+                line.rstrip("\n") for line in sys.stdin.buffer.read().decode("utf-8").splitlines()
+            ]
+            stdin_rdd = sc.parallelize(stdin_lines or [], 1)
+
         # S1/S2: plain text lines; Spark decompresses .gz/.bz2 by extension.
-        lines = sc.textFile(",".join(self.input_paths))
+        lines = sc.textFile(",".join(paths)) if paths else None
+        if lines is not None and stdin_rdd is not None:
+            lines = lines.union(stdin_rdd)
+        elif lines is None:
+            lines = stdin_rdd
         return lines.map(lambda line: read(line.encode("utf-8")))
 
     def output_pairs(self):

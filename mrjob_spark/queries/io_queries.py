@@ -1,0 +1,138 @@
+"""Oracle-checked IO queries: CSV/JSON scans (S7-rest) and sink controls
+(S10/S11/S12).
+
+Each query round-trips a fixture table through the format under test in a
+scratch directory, reads it back, and aggregates — so a hash match against
+the DuckDB oracle (which reads the ORIGINAL parquet) proves the write+read
+path preserved every value. Scratch lives under /tmp keyed by scale factor;
+overwrite mode makes reruns idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mrjob_spark.functions.rounding import rnd, dsum
+from mrjob_spark.queries import Tables, query
+from mrjob_spark.sources import cat_output, read_csv, read_json, write_table
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/mrjob_spark_io/{tag}/{name}"
+
+
+@query(
+    "s7_csv_roundtrip",
+    sql="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_name,
+           CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def s7_csv_roundtrip(spark, sf_dir):
+    """S7 CSV: nation → csv (header, explicit schema on re-read: inference
+    at scale means a second full pass) → aggregate. Hash match vs the
+    parquet-reading oracle proves lossless csv serde."""
+    t = Tables(spark, sf_dir)
+    nation = t.nation
+    path = _scratch(sf_dir, "nation_csv")
+    write_table(nation, path, fmt="csv", max_output_files=1)
+    back = read_csv(spark, path, schema=nation.schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.sum(F.length("n_name")).alias("name_chars"),
+    )
+
+
+@query(
+    "s7_json_roundtrip",
+    sql="""
+    SELECT s_nationkey, count(*) AS n_sup,
+           (floor((CAST(sum(CAST((s_acctbal) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS sum_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def s7_json_roundtrip(spark, sf_dir):
+    """S7 JSON-lines: supplier → json → aggregate; schema passed explicitly
+    on re-read (JSON inference is another full pass at scale)."""
+    t = Tables(spark, sf_dir)
+    supplier = t.supplier
+    path = _scratch(sf_dir, "supplier_json")
+    write_table(supplier, path, fmt="json", max_output_files=2)
+    back = read_json(spark, path, schema=supplier.schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        rnd(dsum("s_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "o1_o2_partition_layout",
+    sql="""
+    SELECT CAST(8 AS BIGINT) AS n_partitions,
+           count(*) AS total_rows,
+           CAST(8 AS BIGINT) AS n_sorted,
+           min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+)
+def o1_o2_partition_layout(spark, sf_dir):
+    """O1+O2 as first-class operators: hash-repartition lineitem on
+    l_orderkey into 8 partitions, sort within each, then AUDIT the physical
+    layout with a per-partition mapInPandas pass (operators/partitioning.py).
+    The oracle pins the claim: exactly 8 non-empty partitions, every one
+    key-sorted, no row lost. This layout (same exchange reused by downstream
+    same-key stages) is the write-side of bucketing at scale."""
+    from mrjob_spark.operators.partitioning import (
+        partition_audit,
+        repartition_by_key,
+        sort_within_partitions,
+    )
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey")
+    laid_out = sort_within_partitions(
+        repartition_by_key(li, 8, "l_orderkey"), "l_orderkey"
+    )
+    audit = partition_audit(laid_out, "l_orderkey")
+    return audit.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("rows").alias("total_rows"),
+        F.sum("is_sorted").cast("long").alias("n_sorted"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+    )
+
+
+@query(
+    "s10_partitioned_sink",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n,
+           (floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def s10_partitioned_sink(spark, sf_dir):
+    """S10+S11+S12: orders written Hive-partitioned by o_orderpriority with
+    a file-count cap, then cat back and aggregate per partition value.
+    The re-read restores the partition column from directory names, so a
+    hash match proves layout + values both survived. Downstream filters on
+    o_orderpriority would prune whole directories — the scale payoff."""
+    t = Tables(spark, sf_dir)
+    path = _scratch(sf_dir, "orders_by_priority")
+    write_table(
+        t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        path,
+        partition_by=["o_orderpriority"],
+        max_output_files=4,
+    )
+    back = cat_output(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(dsum("o_totalprice"), 2).alias("sum_price"),
+    )
