@@ -11,6 +11,7 @@ pairs.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from mrjob_spark.functions.rounding import rnd
@@ -152,8 +153,6 @@ def minhash_lsh_pairs(
         F.explode(char_shingles(F.col(text_col), SHINGLE_N)).alias("shingle"),
     ).select("doc_id", hex_hash32(F.col("shingle")).alias("h"))
     if persist_shingles:
-        from pyspark import StorageLevel
-
         sh = sh.persist(getattr(StorageLevel, persist_shingles))
 
     aggs = [
@@ -183,16 +182,30 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Candidate pairs per LSH bucket WITHOUT a self-join: a band self-join
+    # re-executes the whole shingle->signature pipeline for each side
+    # (measured ~3x total cost at sf0.1; persisting the signatures benched
+    # even slower — cache materialization beat exchange reuse). Grouping by
+    # bucket instead runs the pipeline once, and pair generation is in-row
+    # array math over each bucket's doc list. Bucket membership lists are
+    # small by construction (a big bucket means near-identical documents,
+    # where the PAIR volume is quadratic under either plan shape).
+    ids = F.array_sort(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -202,9 +215,13 @@ def minhash_lsh_pairs(
     # set (round 1's cache, flagged in VERDICT), candidates are bounded by
     # the number of colliding PAIRS — a tiny spill-safe footprint at any
     # corpus size.
-    from pyspark import StorageLevel
-
+    # Materialize NOW: the three downstream consumers (two sides of
+    # cand_ids' union + the pair join) are scheduled as independent stages
+    # within one action, and a lazily-persisted plan gets recomputed by
+    # whichever stages race ahead of the cache fill (measured ~3x at
+    # sf0.1). One eager job populates the cache; everything after reads it.
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
 
     cand_ids = (
         cand.select(F.col("doc_a").alias("cid"))
@@ -214,7 +231,22 @@ def minhash_lsh_pairs(
     cand_docs = df.join(
         cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
     )
-    base = _shingle_hash_arrays(cand_docs, id_col, text_col)
+    # Shingle-hash sets for verification via explode + collect_set — the
+    # whole-stage-codegen path (the per-row HOF transform variant is
+    # interpreted per element and benched 4x slower at sf0.1). Persisted
+    # because both sides of the pair join consume it; bounded by the
+    # candidate-doc set, not the corpus.
+    base = (
+        cand_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(char_shingles(F.col(text_col), SHINGLE_N)).alias("shingle"),
+        )
+        .select("doc_id", hex_hash32(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()  # eager for the same reason: two join sides consume it
 
     n_inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     jac = rnd(
