@@ -77,11 +77,14 @@ def bucketed_ranking(
         F.dense_rank().over(w_local).alias("__ldrnk"),
     )
 
-    # Tiny per-(key, bucket) stats -> cumulative offsets. countDistinct is
-    # safe here because a value belongs to exactly one bucket.
+    # Tiny per-(key, bucket) stats -> cumulative offsets. Rank peers are
+    # rows equal in the ENTIRE ordering tuple (value, tie) — Spark and the
+    # SQL standard agree — so the dense offset counts distinct tuples, not
+    # distinct values. Safe per-bucket because a value (hence any tuple
+    # containing it) belongs to exactly one bucket.
     stats = data.groupBy(partition_col, "__bucket").agg(
         F.count(F.lit(1)).alias("__cnt"),
-        F.countDistinct(value_col).alias("__dcnt"),
+        F.countDistinct(value_col, tie_col).alias("__dcnt"),
     )
     w_cum = (
         Window.partitionBy(partition_col)
@@ -158,10 +161,14 @@ def bucketed_range_frame(
     )
     both = targets.unionByName(ghosts)
 
+    # Window.rangeBetween only accepts long boundaries through the py4j
+    # API; integral widths are the common case (and what the oracle SQL
+    # states), so pass them as ints.
+    start = -int(range_width) if float(range_width).is_integer() else -range_width
     w = (
         Window.partitionBy(partition_col, "__bucket")
         .orderBy(order_col)
-        .rangeBetween(-range_width, Window.currentRow)
+        .rangeBetween(start, Window.currentRow)
     )
     out = both.select("*", *[mk(w) for mk in agg_exprs])
     agg_names = [c for c in out.columns if c not in both.columns]

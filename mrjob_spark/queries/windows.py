@@ -12,6 +12,10 @@ from mrjob_spark.functions.rounding import rnd, dsum, davg
 from pyspark.sql.window import Window
 
 from mrjob_spark.operators.asof import asof_join
+from mrjob_spark.operators.scalable_windows import (
+    bucketed_ranking,
+    bucketed_range_frame,
+)
 from mrjob_spark.queries import Tables, query
 
 
@@ -126,6 +130,69 @@ def w4_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_in_band"),
         rnd((F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double") / F.count(F.col("o_totalprice")).over(w)), 4).alias("avg_in_band"),
     )
+
+
+@query(
+    "w1_ranking_scalable",
+    sql="""
+    SELECT c_mktsegment, c_custkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w1_ranking_scalable(spark, sf_dir):
+    """W1 at 100 TB: same result as w1_ranking (identical oracle — the
+    driver's hash match proves it) but no task ever holds a whole market
+    segment. See operators/scalable_windows.py for the range-bucket +
+    offset-merge construction."""
+    t = Tables(spark, sf_dir)
+    return bucketed_ranking(
+        t.customer.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        partition_col="c_mktsegment",
+        value_col="c_acctbal",
+        tie_col="c_custkey",
+        bucket_width=500.0,
+    ).select("c_mktsegment", "c_custkey", "rn", "rnk", "drnk", "quartile")
+
+
+@query(
+    "w4_range_frame_scalable",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+           (floor(((CAST(sum(CAST((o_totalprice) AS DECIMAL(38,6))) OVER w AS DOUBLE) / count(o_totalprice) OVER w)) * 10000 + 0.5) / 10000) AS avg_in_band
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4_range_frame_scalable(spark, sf_dir):
+    """W4 at 100 TB: bounded RANGE frame via ghost-row bucketing — each row
+    duplicates once into the next value-bucket, so a plain range window
+    inside (priority, bucket) sees exactly the global frame. Same oracle as
+    w4_range_frame."""
+    t = Tables(spark, sf_dir)
+    aggs = [
+        lambda w: F.count(F.lit(1)).over(w).alias("n_in_band"),
+        lambda w: rnd(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+                / F.count(F.col("o_totalprice")).over(w)
+            ),
+            4,
+        ).alias("avg_in_band"),
+    ]
+    return bucketed_range_frame(
+        t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        partition_col="o_orderpriority",
+        order_col="o_totalprice",
+        range_width=100.0,
+        agg_exprs=aggs,
+    ).select("o_orderkey", "o_orderpriority", "n_in_band", "avg_in_band")
 
 
 @query(

@@ -184,3 +184,87 @@ def test_top_k_per_group_ties_break_deterministically(spark):
     out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
     got = sorted((r["g"], r["id"]) for r in out.collect())
     assert got == [("x", 1), ("x", 2), ("y", 4)]
+
+
+# ---------------------------------------------------------------------------
+# scalable_windows: two-phase bucketed ranking / range frames must agree
+# bit-for-bit with the naive single-partition window.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.window import Window
+
+from mrjob_spark.operators.scalable_windows import (
+    bucketed_range_frame,
+    bucketed_ranking,
+)
+
+
+def _naive_ranking(df, part, val, tie, n=4):
+    w = Window.partitionBy(part).orderBy(F.col(val).desc(), F.col(tie))
+    return df.select(
+        part, tie,
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(n).over(w).cast("long").alias("quartile"),
+    )
+
+
+def test_bucketed_ranking_matches_naive_with_cross_bucket_ties(spark):
+    # values straddle bucket boundaries (width=10) and include ties,
+    # negatives, and a group whose size is not divisible by the ntile n
+    rows = [
+        Row(g="a", id=i, v=float(v))
+        for i, v in enumerate([3, 3, 9, 10, 10, 11, 25, -7, -7, 0, 42])
+    ] + [Row(g="b", id=100 + i, v=float(v)) for i, v in enumerate([5, 5, 5])]
+    df = spark.createDataFrame(rows)
+    got = (
+        bucketed_ranking(df, "g", "v", "id", bucket_width=10.0)
+        .select("g", "id", "rn", "rnk", "drnk", "quartile")
+        .collect()
+    )
+    want = _naive_ranking(df, "g", "v", "id").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bucketed_ranking_parallelizes_the_sort(spark):
+    # the heavy window must partition on (key, bucket), never on key alone
+    df = spark.createDataFrame(
+        [Row(g="only", id=i, v=float(i)) for i in range(100)]
+    )
+    plan = bucketed_ranking(df, "g", "v", "id", bucket_width=10.0)._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan.split("Window")[-1] or "__bucket" in plan
+
+
+def test_bucketed_range_frame_matches_naive_across_buckets(spark):
+    rows = [
+        Row(g="a", id=i, v=float(v))
+        for i, v in enumerate([0, 50, 99, 100, 101, 150, 199, 200, 300, -20])
+    ] + [Row(g="b", id=100, v=100.0)]
+    df = spark.createDataFrame(rows)
+    aggs = [
+        lambda w: F.count(F.lit(1)).over(w).cast("long").alias("n_in_band"),
+        lambda w: F.sum("v").over(w).alias("sum_in_band"),
+    ]
+    got = bucketed_range_frame(
+        df, "g", "v", range_width=100.0, agg_exprs=aggs
+    ).collect()
+    w = (
+        Window.partitionBy("g").orderBy("v").rangeBetween(-100, Window.currentRow)
+    )
+    want = df.select(
+        "g", "id", "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_band"),
+        F.sum("v").over(w).alias("sum_in_band"),
+    ).drop("v").collect()
+    got_cmp = sorted((r["g"], r["id"], r["n_in_band"], r["sum_in_band"]) for r in got)
+    want_cmp = sorted((r["g"], r["id"], r["n_in_band"], r["sum_in_band"]) for r in want)
+    assert got_cmp == want_cmp
+
+
+def test_bucketed_range_frame_rejects_narrow_buckets(spark):
+    df = spark.createDataFrame([Row(g="a", id=1, v=1.0)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bucketed_range_frame(df, "g", "v", 100.0, [], bucket_width=50.0)
