@@ -78,3 +78,4 @@ from mrjob_spark.queries import llm  # noqa: E402,F401
 from mrjob_spark.queries import dataflow_queries  # noqa: E402,F401
 from mrjob_spark.queries import streaming_queries  # noqa: E402,F401
 from mrjob_spark.queries import io_queries  # noqa: E402,F401
+from mrjob_spark.queries import udf_queries  # noqa: E402,F401
