@@ -136,3 +136,44 @@ def s10_partitioned_sink(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         rnd(dsum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "s4_s5_file_attribution",
+    sql="""
+    SELECT lang, count(*) AS n_lines,
+           CAST(sum(length(txt)) AS BIGINT) AS n_chars
+    FROM (SELECT lang, replace(text, chr(10), ' ') AS txt FROM documents)
+    GROUP BY lang
+    """,
+)
+def s4_s5_file_attribution(spark, sf_dir):
+    """S4+S5: documents written as TEXT files Hive-partitioned by lang, read
+    back as raw lines with ``F.input_file_name()`` attribution, the lang
+    recovered FROM THE FILE PATH (``lang=xx/part-*``), and aggregated per
+    attributed file group. This is the reference's
+    ``mapreduce.map.input.file`` jobconf / ``mapper_raw`` surface
+    (``mrjob/sim.py:386-389``, ``mrjob/spark/harness.py:306-325``) —
+    the oracle hash proves no line lost its provenance. Newlines are
+    collapsed before writing so one document stays one text record."""
+    t = Tables(spark, sf_dir)
+    path = _scratch(sf_dir, "docs_text_by_lang")
+    write_table(
+        t.documents.select(
+            F.regexp_replace("text", "\n", " ").alias("value"), "lang"
+        ),
+        path,
+        fmt="text",
+        partition_by=["lang"],
+    )
+    lines = spark.read.text(path, pathGlobFilter="part-*", recursiveFileLookup=True)
+    attributed = lines.select(
+        "value", F.input_file_name().alias("src_file")
+    ).select(
+        "value",
+        F.regexp_extract("src_file", r"lang=([^/]+)/", 1).alias("lang"),
+    )
+    return attributed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("n_chars"),
+    )

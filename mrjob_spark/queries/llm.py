@@ -21,6 +21,7 @@ from mrjob_spark.functions.text import (
     tokens,
     distinct_tokens,
 )
+from mrjob_spark.operators.graph import connected_components
 from mrjob_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
@@ -81,6 +82,38 @@ def l2_minhash_lsh_pairs(spark, sf_dir):
     column math, so even this approximate operator is oracle-checked."""
     t = Tables(spark, sf_dir)
     return minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.6)
+
+
+_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS ({lsh_sql}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach AS (
+    SELECT u AS node, u AS r FROM edges
+    UNION
+    SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u
+)
+SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+""".format(lsh_sql=sql_minhash_lsh_pairs(threshold=0.6))
+
+
+@query("l1_dedup_clusters", sql=_CLUSTERS_SQL)
+def l1_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: connected components of the
+    MinHash-LSH near-dup graph via iterative min-label propagation
+    (operators/graph.py) — the step that turns pair detection into "keep
+    one representative per group" at 100 TB. Genuinely iterative (rounds =
+    graph diameter), yet still oracle-checked: the DuckDB twin is a WITH
+    RECURSIVE transitive closure over the SAME pair SQL, and both engines
+    must land on identical (doc, min-reachable-id) labels."""
+    t = Tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.6)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
 
 
 @query("l2_simhash", sql=sql_simhash_fingerprints())

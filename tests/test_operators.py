@@ -268,3 +268,42 @@ def test_bucketed_range_frame_rejects_narrow_buckets(spark):
 
     with _pytest.raises(ValueError):
         bucketed_range_frame(df, "g", "v", 100.0, [], bucket_width=50.0)
+
+
+# ---------------------------------------------------------------------------
+# graph: connected components via min-label propagation
+# ---------------------------------------------------------------------------
+
+from mrjob_spark.operators.graph import connected_components
+
+
+def test_connected_components_chain_needs_multiple_rounds(spark):
+    # path graph 9-8-7-...-1: min label must travel the full diameter
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(1, 9)]
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 10)}
+
+
+def test_connected_components_multiple_components(spark):
+    edges = spark.createDataFrame(
+        [Row(src=10, dst=20), Row(src=20, dst=30), Row(src=99, dst=98),
+         Row(src=5, dst=5)]
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(10, 10), (20, 10), (30, 10), (98, 98), (99, 98), (5, 5)}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(1, 9)])
+    with _pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=2)
