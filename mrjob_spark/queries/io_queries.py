@@ -177,3 +177,57 @@ def s4_s5_file_attribution(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("value")).alias("n_chars"),
     )
+
+
+@query(
+    "s1_s2_gzip_text_scan",
+    sql="""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(replace(text, chr(10), ' ')),
+                                           '[a-z]+')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def s1_s2_gzip_text_scan(spark, sf_dir):
+    """S1+S2+S8 through the REAL text source: documents dumped to gzipped
+    text part-files, then a dataflow wordcount runs with ``input_paths``
+    (``sc.textFile`` — Spark decompresses ``.gz`` by extension, one task
+    per file since gzip is unsplittable, exactly the reference's rule
+    ``mrjob/cat.py:78-104``/``mrjob/sim.py:443-463``). Hash match vs SQL
+    over the original parquet proves the text write→compress→scan→dataflow
+    path loses nothing."""
+    import glob
+    import gzip
+    import os
+
+    from pyspark.sql import types as T
+
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    t = Tables(spark, sf_dir)
+    path = _scratch(sf_dir, "docs_text_gz")
+    write_table(
+        t.documents.select(F.regexp_replace("text", "\n", " ").alias("value")),
+        path,
+        fmt="text",
+        max_output_files=4,
+    )
+    # compress the part files the way a log producer would
+    for part in glob.glob(os.path.join(path, "part-*")):
+        if part.endswith(".gz"):
+            continue
+        with open(part, "rb") as fin, gzip.open(part + ".gz", "wb") as fout:
+            fout.write(fin.read())
+        os.remove(part)
+
+    runner = MRWordFreqCount().make_runner(
+        spark, input_paths=[os.path.join(path, "part-*.gz")]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return runner.to_dataframe(schema)
