@@ -77,7 +77,7 @@ def main() -> int:
                   file=sys.stderr, flush=True)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
-    result = {
+    detail = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
@@ -86,7 +86,34 @@ def main() -> int:
         "cpus": cpus,
         "runs_per_query": n_runs,
     }
-    print(json.dumps(result), flush=True)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # The driver captures only the TAIL of stdout (BENCH_r02 recorded
+    # `parsed: null` against the full ~2.3 KB per-query line), so the one
+    # stdout line must stay short: headline = the 10 slowest queries;
+    # everything is in bench_detail.json.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    summary = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v is None),
+        "detail_file": "bench_detail.json",
+    }
+    print(json.dumps(summary), flush=True)
     return 0
 
 

@@ -50,12 +50,20 @@ def x1_udtf_tokenize(spark, sf_dir):
 
     def tokenize(batches):
         for pdf in batches:
-            ids, words = [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = _WORD_RE.findall(text.lower())
-                ids.extend([did] * len(ws))
-                words.extend(ws)
-            yield pd.DataFrame({"doc_id": ids, "word": words})
+            # Vectorized flat-map: pandas' str accessor runs the regex over
+            # the whole Arrow batch, explode() expands the per-row match
+            # lists, and the (duplicated) index carries doc_id — no per-row
+            # Python loop.
+            words = (
+                pdf.set_index("doc_id")["text"]
+                .str.lower()
+                .str.findall(_WORD_RE)
+                .explode()
+                .dropna()
+            )
+            yield pd.DataFrame(
+                {"doc_id": words.index.to_numpy(), "word": words.to_numpy()}
+            )
 
     t = Tables(spark, sf_dir)
     return t.documents.select("doc_id", "text").mapInPandas(

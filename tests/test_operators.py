@@ -307,3 +307,37 @@ def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(1, 9)])
     with _pytest.raises(RuntimeError):
         connected_components(edges, max_iter=2)
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # durable-iteration path: reliable checkpoint() into a fault-tolerant
+    # dir (VERDICT r2 #3) must produce identical labels to localCheckpoint
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=7, dst=8)]
+    )
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint_dir=ckpt_dir).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+    # the reliable checkpoint actually wrote state to the directory
+    import os
+
+    assert any(os.scandir(ckpt_dir))
+
+
+def test_minhash_lsh_pairs_leaves_no_cached_plans(spark):
+    # VERDICT r2 #4: repeated invocations in a long-lived session must not
+    # accrete CacheManager entries (the session-lifetime leak persist()
+    # creates); localCheckpoint-backed intermediates are GC-released.
+    from mrjob_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick brown fox {i} jumps over the dog " * 4)
+         for i in range(30)]
+    )
+    # start from a clean slate (other fixtures' caches merely recompute)
+    spark.catalog.clearCache()
+    for _ in range(2):
+        minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
