@@ -11,7 +11,7 @@ import re
 
 from mrjob_spark.dataflow.job import SparkMRJob
 from mrjob_spark.dataflow.protocols import RawValueProtocol
-from mrjob_spark.dataflow.step import MRStep
+from mrjob_spark.dataflow.step import MRStep, SparkStep
 
 #: ASCII-word tokenizer shared by the wordcount-family jobs; chosen because
 #: it has an exact DuckDB equivalent (``regexp_extract_all(lower(x),
@@ -124,6 +124,45 @@ class MRFilterGrep(SparkMRJob):
     def __init__(self, pattern: str):
         super().__init__()
         self.mapper_cmd = f"grep -F {pattern}"
+
+
+class MRWordFreqSparkFilter(SparkMRJob):
+    """X6 Spark escape-hatch probe (``mrjob/job.py:478-493``): a wordcount
+    MRStep chained into a free-form :class:`SparkStep` that filters low
+    counts and rekeys to uppercase — the idiom for dropping into native
+    Spark mid-pipeline when generator semantics stop being the right tool.
+    """
+
+    def __init__(self, min_count: int = 5):
+        super().__init__()
+        self.min_count = min_count
+
+    def steps(self):
+        n = self.min_count
+
+        def spark_filter(spark_session, rdd):
+            return rdd.filter(lambda kv: kv[1] >= n).map(
+                lambda kv: (kv[0].upper(), kv[1])
+            )
+
+        return [
+            MRStep(
+                mapper=self.mapper_words,
+                combiner=self.combiner_sum,
+                reducer=self.reducer_sum,
+            ),
+            SparkStep(spark=spark_filter),
+        ]
+
+    def mapper_words(self, _, line):
+        for word in WORD_RE.findall(line.lower()):
+            yield word, 1
+
+    def combiner_sum(self, word, counts):
+        yield word, sum(counts)
+
+    def reducer_sum(self, word, counts):
+        yield word, sum(counts)
 
 
 class MRPreFilterWords(SparkMRJob):

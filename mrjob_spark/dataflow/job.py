@@ -29,6 +29,10 @@ Example (wordcount, cf. ``mrjob/examples/mr_word_freq_count.py:20-33``)::
 
 from __future__ import annotations
 
+import argparse
+import os
+import sys
+
 from mrjob_spark.dataflow.protocols import (
     JSONProtocol,
     RawValueProtocol,
@@ -59,6 +63,19 @@ class SparkMRJob:
       partition count (``mrjob/spark/runner.py:456-459``).
     * ``FILES`` — paths shipped to every task via ``SparkContext.addFile``
       (``mrjob/job.py:1410-1430``).
+    * ``ARCHIVES`` — tar/zip archives shipped via ``SparkContext.addArchive``
+      and unpacked into every task's file root (``mrjob/job.py:1432-1446``);
+      a trailing ``#alias`` fragment names the unpack directory, else the
+      file name is used. Resolve with :meth:`archive_path`.
+    * ``DIRS`` — local directories shipped whole (``mrjob/job.py:1448-1464``):
+      the runner tars each one and ships it like an archive aliased to the
+      directory's basename.
+    * ``PARTITIONER`` — optional ``f(key_bytes) -> int`` replacing the
+      default crc32 shuffle partitioner (reference semantics:
+      ``mrjob/job.py:1390-1408``, where it names a Hadoop partitioner class;
+      here it is a callable over the canonical encoded key, which is what a
+      custom partitioner actually needs — e.g. route on a key prefix the
+      way ``KeyFieldBasedPartitioner`` routes on key fields).
     """
 
     INPUT_PROTOCOL = RawValueProtocol
@@ -67,6 +84,9 @@ class SparkMRJob:
     SORT_VALUES = False
     JOBCONF: dict = {}
     FILES: list = []
+    ARCHIVES: list = []
+    DIRS: list = []
+    PARTITIONER = None
 
     def __init__(self):
         # Counter sink; the runner swaps in a Spark accumulator before
@@ -179,3 +199,139 @@ class SparkMRJob:
         from mrjob_spark.dataflow.runner import SparkJobRunner
 
         return SparkJobRunner(self, spark, **kwargs)
+
+    # ------------------------------------------------------------------
+    # distributed-cache path resolution (inside tasks)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def archive_path(name: str) -> str:
+        """Task-side path of an unpacked ``ARCHIVES``/``DIRS`` entry: the
+        directory Spark extracted ``<archive>#<name>`` into. Valid on the
+        driver and inside any substep (including ``*_init``)."""
+        from pyspark import SparkFiles
+
+        return os.path.join(SparkFiles.getRootDirectory(), name)
+
+    @staticmethod
+    def file_path(name: str) -> str:
+        """Task-side path of a ``FILES`` entry (``SparkFiles.get``)."""
+        from pyspark import SparkFiles
+
+        return SparkFiles.get(name)
+
+    # ------------------------------------------------------------------
+    # command line (mrjob/job.py:601-687: `python my_job.py <input...>`)
+    # ------------------------------------------------------------------
+
+    def configure_args(self, parser: argparse.ArgumentParser) -> None:
+        """Hook for subclasses to add custom options (the reference's
+        ``configure_args``/``add_passthru_arg``, ``mrjob/job.py:1080-1179``).
+        Parsed values land on ``self.options`` before ``steps()`` is read,
+        so substeps may close over them."""
+
+    def arg_parser(self) -> argparse.ArgumentParser:
+        parser = argparse.ArgumentParser(
+            prog=type(self).__name__,
+            description=(self.__doc__ or "").strip().splitlines()[0]
+            if self.__doc__
+            else None,
+        )
+        parser.add_argument(
+            "input", nargs="*", default=["-"],
+            help="input paths/globs (.gz/.bz2 transparent); '-' = stdin",
+        )
+        parser.add_argument("-o", "--output-dir", default=None,
+                            help="write part-* files here instead of stdout")
+        parser.add_argument(
+            "--cat-output", action=argparse.BooleanOptionalAction,
+            default=None,
+            help="stream output to stdout (default: only when no -o)",
+        )
+        parser.add_argument("--num-reducers", type=int, default=None,
+                            help="shuffle partition count")
+        parser.add_argument(
+            "--jobconf", action="append", default=[], metavar="KEY=VALUE",
+            help="jobconf knob, repeatable (mapreduce.job.reduces, ...)",
+        )
+        parser.add_argument("--max-output-files", type=int, default=None)
+        parser.add_argument("--compression", choices=("gzip", "bzip2"),
+                            default=None)
+        parser.add_argument("--partition-output-by-key", action="store_true")
+        parser.add_argument("--emulate-map-input-file", action="store_true",
+                            help="expose $mapreduce_map_input_file to mappers")
+        parser.add_argument("--file", action="append", default=[],
+                            help="ship a file to every task (repeatable)")
+        parser.add_argument("--archive", action="append", default=[],
+                            help="ship + unpack an archive (repeatable)")
+        parser.add_argument("--dir", action="append", default=[],
+                            help="ship a directory whole (repeatable)")
+        parser.add_argument(
+            "--spark-master",
+            default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"),
+        )
+        self.configure_args(parser)
+        return parser
+
+    def execute(self, args=None, spark=None):
+        """Parse argv, run the job, and stream output like the reference's
+        ``run_job`` (``mrjob/job.py:611-645``): part files under ``-o``,
+        OUTPUT_PROTOCOL lines on stdout otherwise.
+
+        :param args: argv list (default ``sys.argv[1:]``).
+        :param spark: reuse an existing ``SparkSession`` (tests); default
+            builds one on ``--spark-master``.
+        """
+        opts = self.arg_parser().parse_args(args)
+        self.options = opts
+
+        # CLI upload args extend the class-level lists (instance-local)
+        self.FILES = list(self.FILES) + list(opts.file)
+        self.ARCHIVES = list(self.ARCHIVES) + list(opts.archive)
+        self.DIRS = list(self.DIRS) + list(opts.dir)
+
+        if spark is None:
+            from mrjob_spark.session import get_spark
+
+            spark = get_spark(
+                app_name=type(self).__name__, master=opts.spark_master
+            )
+
+        jobconf = {}
+        for item in opts.jobconf:
+            key, _, value = item.partition("=")
+            jobconf[key] = value
+
+        runner = self.make_runner(
+            spark,
+            input_paths=list(opts.input) or ["-"],
+            output_dir=opts.output_dir,
+            num_reducers=opts.num_reducers,
+            max_output_files=opts.max_output_files,
+            compression=opts.compression,
+            partition_output_by_key=opts.partition_output_by_key,
+            emulate_map_input_file=opts.emulate_map_input_file,
+            jobconf=jobconf,
+        )
+        with runner:
+            runner.run()
+            cat = opts.cat_output
+            if cat is None:
+                cat = not opts.output_dir
+            if cat:
+                write = self.OUTPUT_PROTOCOL().write
+                out = sys.stdout.buffer
+                for key, value in runner.cat_output():
+                    out.write(write(key, value) + b"\n")
+                out.flush()
+        return runner
+
+    @classmethod
+    def run(cls, args=None, spark=None):
+        """CLI entry point: ``python my_job.py input.txt -o out/``
+        (``mrjob/job.py:601-615``). Subclass modules end with::
+
+            if __name__ == "__main__":
+                MRMyJob.run()
+        """
+        return cls().execute(args=args, spark=spark)

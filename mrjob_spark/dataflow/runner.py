@@ -92,6 +92,12 @@ class SparkJobRunner:
     :param emulate_map_input_file: expose the current input file to step-0
         mappers via ``$mapreduce_map_input_file`` (S5,
         ``mrjob/spark/harness.py:306-325``).
+    :param jobconf: extra jobconf knobs merged over the job's own (the
+        CLI's repeated ``--jobconf KEY=VALUE``).
+    :param partition_func: ``f(key_bytes) -> int`` shuffle partitioner
+        override (O1 in full); precedence: this kwarg > ``job.PARTITIONER``
+        > crc32. Must be importable/picklable and deterministic across
+        processes — no closure over ``hash()``.
     """
 
     def __init__(
@@ -106,6 +112,8 @@ class SparkJobRunner:
         compression: Optional[str] = None,
         partition_output_by_key: bool = False,
         emulate_map_input_file: bool = False,
+        jobconf: Optional[dict] = None,
+        partition_func=None,
     ):
         if input_paths is not None and input_rdd is not None:
             raise ValueError("pass input_paths or input_rdd, not both")
@@ -118,13 +126,19 @@ class SparkJobRunner:
         self.compression = compression
         self.partition_output_by_key = partition_output_by_key
         self.emulate_map_input_file = emulate_map_input_file
+        self.partition_func = (
+            partition_func
+            if partition_func is not None
+            else (getattr(job, "PARTITIONER", None) or _hash_bytes)
+        )
 
-        jobconf = dict(job.JOBCONF)
+        merged = dict(job.JOBCONF)
         for step in job.steps():
-            jobconf.update(getattr(step, "jobconf", {}) or {})
-        self._jobconf = jobconf
-        if num_reducers is None and "mapreduce.job.reduces" in jobconf:
-            num_reducers = int(jobconf["mapreduce.job.reduces"])
+            merged.update(getattr(step, "jobconf", {}) or {})
+        merged.update(jobconf or {})
+        self._jobconf = merged
+        if num_reducers is None and "mapreduce.job.reduces" in merged:
+            num_reducers = int(merged["mapreduce.job.reduces"])
         self.num_reducers = num_reducers
 
         self._counter_acc = spark.sparkContext.accumulator(
@@ -134,9 +148,32 @@ class SparkJobRunner:
 
         for path in job.FILES:
             spark.sparkContext.addFile(path)
+        for path in getattr(job, "ARCHIVES", []) or []:
+            # '#alias' names the unpack dir (mrjob/job.py:1432-1446); Spark's
+            # addArchive honors the same fragment syntax.
+            spark.sparkContext.addArchive(path)
+        for path in getattr(job, "DIRS", []) or []:
+            spark.sparkContext.addArchive(self._tar_dir(path))
 
         self._output_pairs = None
         self._ran = False
+
+    @staticmethod
+    def _tar_dir(path: str) -> str:
+        """Pack a DIRS entry into a temp tar.gz shipped as
+        ``<tmp>.tar.gz#<basename>`` so tasks see the directory under its own
+        name (``mrjob/job.py:1448-1464`` unpacks into the task wd the same
+        way). An optional ``#alias`` on the entry overrides the name."""
+        import tarfile
+
+        path, _, alias = path.partition("#")
+        path = path.rstrip("/")
+        alias = alias or os.path.basename(path)
+        fd, tar_path = tempfile.mkstemp(suffix=".tar.gz")
+        os.close(fd)
+        with tarfile.open(tar_path, "w:gz") as tar:
+            tar.add(path, arcname=".")
+        return f"{tar_path}#{alias}"
 
     # ------------------------------------------------------------------
     # plan assembly
@@ -365,7 +402,7 @@ class SparkJobRunner:
             mergeValue=merge,
             mergeCombiners=merge,
             numPartitions=self._default_parallelism(),
-            partitionFunc=_hash_bytes,
+            partitionFunc=self.partition_func,
         )
 
         internal_enc = enc
@@ -392,9 +429,11 @@ class SparkJobRunner:
         else:
             keyed = rdd.map(lambda kv: ((enc(kv[0]), b""), kv))
 
+        pf = self.partition_func  # plain local: the closure must not drag
+        # the runner (and its unpicklable SparkSession) into the task
         shuffled = keyed.repartitionAndSortWithinPartitions(
             numPartitions=self._default_parallelism(),
-            partitionFunc=lambda composite: _hash_bytes(composite[0]),
+            partitionFunc=lambda composite: pf(composite[0]),
             ascending=True,
             keyfunc=lambda composite: composite,
         )

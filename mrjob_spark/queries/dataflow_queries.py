@@ -17,6 +17,7 @@ from mrjob_spark.dataflow.examples import (
     MRFilterGrep,
     MRMostUsedWord,
     MRWordFreqCount,
+    MRWordFreqSparkFilter,
 )
 from mrjob_spark.queries import Tables, query
 
@@ -106,6 +107,33 @@ def o3_dataflow_sorted_dates(spark, sf_dir):
         ]
     )
     return runner.to_dataframe(schema, row_fn=lambda k, v: (int(k), v))
+
+
+@query(
+    "x6_spark_step",
+    sql=f"""
+    SELECT upper(word) AS word, cnt FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({_WORDS_SQL}) GROUP BY word
+    ) WHERE cnt >= 5
+    """,
+)
+def x6_spark_step(spark, sf_dir):
+    """X6 Spark escape hatch (``mrjob/job.py:478-493``): an MRStep wordcount
+    chained into a free-form SparkStep (filter + rekey on the native pair
+    RDD), all still ONE lazy plan — proving step composition crosses the
+    generator/Spark boundary without a materialization barrier."""
+    t = Tables(spark, sf_dir)
+    runner = MRWordFreqSparkFilter(min_count=5).make_runner(
+        spark, input_rdd=_doc_lines(t)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return runner.to_dataframe(schema)
 
 
 @query(

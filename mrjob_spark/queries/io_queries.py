@@ -180,6 +180,46 @@ def s4_s5_file_attribution(spark, sf_dir):
 
 
 @query(
+    "s6_hadoop_input_format",
+    sql="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(txt)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_extract_all(lower(txt), '[a-z]+'))) AS BIGINT)
+               AS n_words
+    FROM (SELECT replace(text, chr(10), ' ') AS txt FROM documents)
+    """,
+)
+def s6_hadoop_input_format(spark, sf_dir):
+    """S6 arbitrary Hadoop InputFormat scan: documents dumped to text, read
+    back through ``newAPIHadoopFile`` + ``TextInputFormat`` (the reference
+    hands ``-inputformat`` to Hadoop streaming the same way,
+    ``mrjob/job.py:1313-1322``), and aggregated. The (offset, line) pair RDD
+    crosses into DataFrame-land once; the hash match vs the parquet oracle
+    proves the InputFormat path loses no line. FileInputFormat skips
+    ``_``/``.`` files by convention, so the committed _SUCCESS marker is
+    transparent."""
+    from mrjob_spark.sources import read_hadoop_input_format
+
+    t = Tables(spark, sf_dir)
+    path = _scratch(sf_dir, "docs_text_s6")
+    write_table(
+        t.documents.select(F.regexp_replace("text", "\n", " ").alias("value")),
+        path,
+        fmt="text",
+        max_output_files=2,
+    )
+    pairs = read_hadoop_input_format(spark, path)
+    lines = pairs.map(lambda kv: (kv[1],)).toDF(["txt"])
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("txt")).alias("n_chars"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower("txt"), F.lit("[a-z]+"), 0))
+        ).alias("n_words"),
+    )
+
+
+@query(
     "s1_s2_gzip_text_scan",
     sql="""
     SELECT word, CAST(count(*) AS BIGINT) AS cnt

@@ -451,3 +451,192 @@ def test_step_validation():
         MRStep()  # no substeps
     with pytest.raises(ValueError):
         MRStep(mapper=lambda k, v: None, mapper_cmd="cat")
+
+
+# ---------------------------------------------------------------------------
+# CLI entry point (mrjob/job.py:601-687: `python my_job.py <input...>`)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_run_matches_programmatic(spark, tmp_path, capsysbinary):
+    inp = tmp_path / "in.txt"
+    inp.write_text("\n".join(LINES) + "\n")
+    out_dir = str(tmp_path / "cli_out")
+
+    # argv path: input positional, -o, --num-reducers
+    MRWordFreqCount.run(
+        args=[str(inp), "-o", out_dir, "--num-reducers", "2"], spark=spark
+    )
+    with MRWordFreqCount().make_runner(
+        spark, input_paths=[str(inp)]
+    ) as prog:
+        expected = dict(prog.cat_output())
+
+    read = MRWordFreqCount.OUTPUT_PROTOCOL().read
+    got = {}
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith(("_", ".")):
+            continue
+        with open(os.path.join(out_dir, name), "rb") as fh:
+            for line in fh:
+                k, v = read(line.rstrip(b"\n"))
+                got[k] = v
+    assert got == expected
+    # part-file count respects --num-reducers
+    parts = [n for n in os.listdir(out_dir) if n.startswith("part-")]
+    assert len(parts) == 2
+
+
+def test_cli_cats_output_to_stdout(spark, tmp_path, capsysbinary):
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b a\n")
+    MRWordFreqCount.run(args=[str(inp)], spark=spark)
+    captured = capsysbinary.readouterr().out
+    read = MRWordFreqCount.OUTPUT_PROTOCOL().read
+    got = dict(read(l) for l in captured.splitlines() if l)
+    assert got == {"a": 2, "b": 1}
+
+
+def test_cli_jobconf_sets_num_reducers(spark, tmp_path):
+    inp = tmp_path / "in.txt"
+    inp.write_text("x y z\n")
+    out_dir = str(tmp_path / "jc_out")
+    MRWordFreqCount.run(
+        args=[str(inp), "-o", out_dir, "--jobconf", "mapreduce.job.reduces=3",
+              "--no-cat-output"],
+        spark=spark,
+    )
+    parts = [n for n in os.listdir(out_dir) if n.startswith("part-")]
+    assert len(parts) == 3
+
+
+def test_cli_passthru_args(spark, tmp_path, capsysbinary):
+    class MRMinLen(SparkMRJob):
+        def configure_args(self, parser):
+            parser.add_argument("--min-len", type=int, default=1)
+
+        def mapper(self, _, line):
+            for w in line.lower().split():
+                if len(w) >= self.options.min_len:
+                    yield w, 1
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("a bb ccc\n")
+    MRMinLen.run(args=[str(inp), "--min-len", "2"], spark=spark)
+    captured = capsysbinary.readouterr().out
+    read = MRMinLen.OUTPUT_PROTOCOL().read
+    got = dict(read(l) for l in captured.splitlines() if l)
+    assert got == {"bb": 1, "ccc": 1}
+
+
+# ---------------------------------------------------------------------------
+# ARCHIVES / DIRS distributed cache (mrjob/job.py:1432-1464)
+# ---------------------------------------------------------------------------
+
+
+def _make_tar(tmp_path, name, files):
+    import tarfile
+
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    for fname, content in files.items():
+        (src / fname).write_text(content)
+    tar_path = str(tmp_path / f"{name}.tar.gz")
+    with tarfile.open(tar_path, "w:gz") as tar:
+        for fname in files:
+            tar.add(str(src / fname), arcname=fname)
+    return tar_path
+
+
+def test_archives_unpacked_for_tasks(spark, tmp_path):
+    tar_path = _make_tar(tmp_path, "stop", {"stopwords.txt": "the\na\n"})
+
+    class MRStopFiltered(SparkMRJob):
+        ARCHIVES = [tar_path + "#stopbundle"]
+
+        def mapper_init(self):
+            with open(
+                os.path.join(self.archive_path("stopbundle"), "stopwords.txt")
+            ) as fh:
+                self._stop = set(fh.read().split())
+
+        def mapper(self, _, line):
+            for w in line.lower().split():
+                if w not in self._stop:
+                    yield w, 1
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    with MRStopFiltered().make_runner(
+        spark, input_rdd=pair_rdd(spark, ["the quick fox", "a quick dog"])
+    ) as r:
+        out = dict(r.cat_output())
+    assert out == {"quick": 2, "fox": 1, "dog": 1}
+
+
+def test_dirs_shipped_whole(spark, tmp_path):
+    d = tmp_path / "conf"
+    d.mkdir()
+    (d / "threshold.txt").write_text("2")
+
+    class MRThreshold(SparkMRJob):
+        DIRS = [str(d)]
+
+        def mapper_init(self):
+            with open(os.path.join(self.archive_path("conf"),
+                                   "threshold.txt")) as fh:
+                self._min = int(fh.read())
+
+        def mapper(self, _, line):
+            for w in line.split():
+                if len(w) >= self._min:
+                    yield w, 1
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    with MRThreshold().make_runner(
+        spark, input_rdd=pair_rdd(spark, ["a bb ccc"])
+    ) as r:
+        out = dict(r.cat_output())
+    assert out == {"bb": 1, "ccc": 1}
+
+
+# ---------------------------------------------------------------------------
+# pluggable partitioner (O1 in full; mrjob/job.py:1390-1408)
+# ---------------------------------------------------------------------------
+
+
+def test_custom_partitioner_routes_keys(spark):
+    # defined locally so cloudpickle ships them by value (test modules are
+    # not importable on executors)
+    def first_byte_partitioner(key_bytes: bytes) -> int:
+        return key_bytes[0] if key_bytes else 0
+
+    class MRPartitionedCount(SparkMRJob):
+        PARTITIONER = staticmethod(first_byte_partitioner)
+
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def reducer(self, word, counts):
+            from pyspark import TaskContext
+
+            # tag every key with the partition that reduced it
+            yield word, (TaskContext.get().partitionId(), sum(counts))
+
+    with MRPartitionedCount().make_runner(
+        spark,
+        input_rdd=pair_rdd(spark, ["apple apricot banana", "banana cherry"]),
+        num_reducers=4,
+    ) as r:
+        out = dict(r.cat_output())
+    enc = MRPartitionedCount.INTERNAL_PROTOCOL().encode_sort_key
+    for word, (pid, n) in out.items():
+        assert pid == first_byte_partitioner(enc(word)) % 4, word
+    assert out["banana"][1] == 2
