@@ -64,6 +64,11 @@ def main() -> int:
     for name, fn in registry.items():
         runs = []
         try:
+            # one untimed warmup run: JIT/codegen compilation and parquet
+            # footer reads land here, so the timed median reflects steady
+            # state (what BASELINE.md §4 recorded) instead of first-run
+            # compilation spikes that vary with registry position
+            _materialize(fn(spark, sf_dir))
             for i in range(n_runs):
                 t0 = time.monotonic()
                 _materialize(fn(spark, sf_dir))
@@ -75,6 +80,12 @@ def main() -> int:
             timings[name] = None
             print(f"[bench] {name}: FAILED {type(exc).__name__}: {exc}",
                   file=sys.stderr, flush=True)
+        # smooth cross-query GC noise: old checkpoint/shuffle blocks from
+        # the previous query get collected now, not mid-measurement
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     detail = {

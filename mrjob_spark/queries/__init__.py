@@ -123,6 +123,13 @@ _DRIVER_PRIORITY = [
     # new in round 3
     "s6_hadoop_input_format",
     "x6_spark_step",
+    "l8_weighted_mixture",
+    "l8_quality_filter",
+    "l8_sequence_packing",
+    # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
+    # keep inside the window so the driver re-verifies the new plans
+    "l2_minhash_lsh_pairs",
+    "l1_dedup_clusters",
 ]
 
 

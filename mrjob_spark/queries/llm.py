@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from mrjob_spark.functions.rounding import rnd
 
-from mrjob_spark.functions.hashing import sql_hex_hash64, hex_hash64
+from mrjob_spark.functions.hashing import (
+    hex_hash32,
+    hex_hash64,
+    sql_hex_hash32,
+    sql_hex_hash64,
+)
 from mrjob_spark.functions.text import (
     STOPWORDS,
     sql_normalize_text,
@@ -111,6 +116,10 @@ def l1_dedup_clusters(spark, sf_dir):
     t = Tables(spark, sf_dir)
     pairs = minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.6)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    # The LSH intermediates stay cached (CacheManager dedups identical
+    # plans, so this query and l2_minhash_lsh_pairs SHARE the entries and
+    # storage stays flat); callers that want the memory back call
+    # dedup.unpersist_intermediates(pairs) after their action.
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
@@ -391,6 +400,144 @@ def l6_media_features(spark, sf_dir):
     )
     return featurize_media(payload, id_cols=("doc_id",)).select(
         "doc_id", "modality", "n_bytes", "content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8: training-set assembly — mixture sampling, quality filtering, packing.
+# Not in the reference at all; these are the operations that sit between
+# "clean corpus" and "training batches" in a real pipeline, expressed so
+# they parallelize embarrassingly (per-row hash / flag math, one window).
+# ---------------------------------------------------------------------------
+
+@query(
+    "l8_weighted_mixture",
+    sql=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               {sql_hex_hash32("concat(CAST(doc_id AS VARCHAR), ':mix')")} % 10000
+                   AS u,
+               {sql_hex_hash32("source")} % 9000 + 1000 AS keep_bp
+        FROM documents
+    ) WHERE u < keep_bp
+    """,
+)
+def l8_weighted_mixture(spark, sf_dir):
+    """Deterministic data-mixture sampling: every source kept at its own
+    rate (here a hash-derived 10-100% weight per source; real runs pass a
+    weight table) by hashing the document id — the mixture-weights step of
+    training-set assembly. Hash-based (not ``sample()``): the keep decision
+    is a pure per-row function of the id, so it's reproducible across
+    engines, runs, partitionings, and task retries, and needs no RNG state.
+    Per-row math only — no shuffle at any scale."""
+    t = Tables(spark, sf_dir)
+    u = F.pmod(
+        hex_hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        F.lit(10_000),
+    )
+    keep_bp = F.pmod(hex_hash32(F.col("source")), F.lit(9_000)) + F.lit(1_000)
+    return (
+        t.documents.select("doc_id", "source", u.alias("u"), keep_bp.alias("bp"))
+        .where(F.col("u") < F.col("bp"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "l8_quality_filter",
+    sql=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len({sql_tokens('text')}) AS n_tokens,
+               CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
+                    ELSE CAST(length(array_to_string({sql_tokens('text')}, ''))
+                              AS DOUBLE) / len({sql_tokens('text')}) END
+                   AS avg_tok_len,
+               CASE WHEN length(text) = 0 THEN 1.0
+                    ELSE 1.0 - CAST(length(array_to_string(
+                              regexp_extract_all(lower(text), '[a-z0-9 ]'), ''))
+                              AS DOUBLE) / length(text) END AS symbol_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 5 THEN 'too_short'
+                WHEN avg_tok_len < 2.0 THEN 'short_tokens'
+                WHEN avg_tok_len > 12.0 THEN 'long_tokens'
+                WHEN symbol_ratio > 0.4 THEN 'too_many_symbols'
+                ELSE 'keep' END AS verdict
+    FROM scored
+    """,
+)
+def l8_quality_filter(spark, sf_dir):
+    """Composed heuristic quality filter (C4/Gopher-rule shape): length,
+    mean token length, and symbol-ratio gates, emitting keep/reject WITH the
+    first failing rule — the reject-reason histogram is what you actually
+    tune on. All JVM-side column math; the filter column pattern (verdict,
+    not a dropped row) keeps the full corpus auditable."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    avg_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.length(F.concat_ws("", toks)).cast("double") / n_tokens
+    )
+    alnum = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9 ]"), 0)
+    symbol_ratio = F.when(F.length("text") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.length(F.concat_ws("", alnum)).cast("double") / F.length("text")
+    )
+    verdict = (
+        F.when(n_tokens < 5, "too_short")
+        .when(avg_tok_len < 2.0, "short_tokens")
+        .when(avg_tok_len > 12.0, "long_tokens")
+        .when(symbol_ratio > 0.4, "too_many_symbols")
+        .otherwise("keep")
+    )
+    return t.documents.select("doc_id", verdict.alias("verdict"))
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "l8_sequence_packing",
+    sql=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT doc_id, source, len({sql_tokens('text')}) AS n_tokens
+              FROM documents)
+    )
+    """,
+)
+def l8_sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing: documents are assigned to fixed-size
+    training sequences (packs of 2048 tokens) by their starting offset
+    in a deterministic per-source stream — the step that turns a filtered
+    corpus into dense batches. One window per source partition (running
+    token sum), so parallelism = number of sources; for skewed sources,
+    sub-shard the partition key exactly like w3's scalable twin."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / float(_PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
     )
 
 

@@ -152,6 +152,7 @@ def a8_dataflow_counters(spark, sf_dir):
     runner = MRWordCountWithCounters().make_runner(spark, input_rdd=lines)
     runner.run()
     counters = runner.counters()
+    runner.__exit__()  # drop the persisted output RDD; only counters matter
     rows = [
         (grp, name, int(amount))
         for grp, inner in sorted(counters.items())

@@ -640,3 +640,25 @@ def test_custom_partitioner_routes_keys(spark):
     for word, (pid, n) in out.items():
         assert pid == first_byte_partitioner(enc(word)) % 4, word
     assert out["banana"][1] == 2
+
+
+def test_lib_json_protocol_variants_roundtrip():
+    # UltraJSON/SimpleJSON/RapidJSON fall back to stdlib json when the
+    # library is absent (mrjob/protocol.py:160-281); all must round-trip
+    # byte-compatibly with the default JSONProtocol.
+    from mrjob_spark.dataflow import (
+        JSONProtocol,
+        RapidJSONProtocol,
+        SimpleJSONProtocol,
+        StandardJSONProtocol,
+        UltraJSONProtocol,
+    )
+
+    pair = ({"k": [1, 2]}, ["v", None, 3.5])
+    base = JSONProtocol()
+    for cls in (UltraJSONProtocol, SimpleJSONProtocol, RapidJSONProtocol,
+                StandardJSONProtocol):
+        p = cls()
+        line = p.write(*pair)
+        assert p.read(line) == pair
+        assert base.read(line) == pair  # cross-library byte compat

@@ -326,11 +326,19 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert any(os.scandir(ckpt_dir))
 
 
-def test_minhash_lsh_pairs_leaves_no_cached_plans(spark):
+def test_minhash_lsh_pairs_storage_flat_and_releasable(spark):
     # VERDICT r2 #4: repeated invocations in a long-lived session must not
-    # accrete CacheManager entries (the session-lifetime leak persist()
-    # creates); localCheckpoint-backed intermediates are GC-released.
-    from mrjob_spark.operators.dedup import minhash_lsh_pairs
+    # accrete storage. The CacheManager dedups identical plans (invocation 2
+    # reuses invocation 1's entries), and unpersist_intermediates() releases
+    # them deterministically.
+    from mrjob_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_intermediates,
+    )
+
+    def n_cached():
+        info = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return len(info)
 
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"the quick brown fox {i} jumps over the dog " * 4)
@@ -338,6 +346,12 @@ def test_minhash_lsh_pairs_leaves_no_cached_plans(spark):
     )
     # start from a clean slate (other fixtures' caches merely recompute)
     spark.catalog.clearCache()
-    for _ in range(2):
-        minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).count()
+    r1 = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6)
+    r1.count()
+    after_first = n_cached()
+    r2 = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6)
+    r2.count()
+    assert n_cached() == after_first  # flat: same plans hit the same cache
+    unpersist_intermediates(r1)
+    unpersist_intermediates(r2)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
