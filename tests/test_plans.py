@@ -1,0 +1,96 @@
+"""Physical-plan shape assertions for the scale-critical queries.
+
+Correctness tests prove the VALUES; these prove the PLANS — the properties
+that decide whether a query survives a 1000-executor, 100 TB run: filters
+reaching the parquet scan, small dimensions broadcast instead of shuffled,
+per-row operators staying shuffle-free, and the only cartesian product
+being the one that is labeled as such. A regression here (a lost broadcast
+hint, a filter that stops pushing down) changes no answer at sf0.001 but
+multiplies cost at scale, which is exactly why it needs a test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mrjob_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "s7_parquet_scan_pushdown")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    plan = _plan(spark, "j2_broadcast_star")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_semi_and_anti_joins_broadcast_small_side(spark):
+    for name in ("j3_semi_join", "j3_anti_join"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    # WindowGroupLimit prunes per-partition before the shuffle — the
+    # difference between shipping k rows and shipping every row per group
+    plan = _plan(spark, "o6_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_sort_limit_avoids_total_sort(spark):
+    # LIMIT + ORDER BY must compile to TakeOrderedAndProject (per-partition
+    # top-N + merge), not a full global Sort
+    plan = _plan(spark, "o4_global_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_mixture_has_no_shuffle(spark):
+    # pure per-row hash math: any Exchange means someone broke the design
+    plan = _plan(spark, "l8_weighted_mixture")
+    assert "Exchange" not in plan
+
+
+def test_quality_filter_has_no_shuffle(spark):
+    plan = _plan(spark, "l8_quality_filter")
+    assert "Exchange" not in plan
+
+
+def test_sequence_packing_shuffles_once_on_source(spark):
+    plan = _plan(spark, "l8_sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "source" in plan
+
+
+def test_only_labeled_query_is_cartesian(spark):
+    # l3_knn_bruteforce is the labeled correctness baseline (broadcast
+    # nested loop over a 10-vector query set); nothing else may go cartesian
+    for name, spec in REGISTRY.items():
+        if name.startswith(("x", "o3", "a8", "s1", "s4", "s6", "s10", "o1",
+                            "s7_csv", "s7_json", "mr_")):
+            continue  # dataflow/IO queries execute jobs at build time
+        plan = _plan(spark, name)
+        if name == "l3_knn_bruteforce":
+            assert ("BroadcastNestedLoopJoin" in plan
+                    or "CartesianProduct" in plan)
+        else:
+            assert "CartesianProduct" not in plan, name
+
+
+def test_exact_dedup_aggregates_partially_before_shuffle(spark):
+    # partial_min/partial_count markers prove map-side combine: the shuffle
+    # carries one row per distinct hash per partition, not per document
+    plan = _plan(spark, "l1_exact_dedup")
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
