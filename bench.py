@@ -56,6 +56,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     registry = _q.queries()
+    # bench in module (baseline-recording) order, not driver-priority
+    # order: position in the session affects sub-second timings, so
+    # comparability with BASELINE.md §4 requires the same order it was
+    # recorded in. Names not in MODULE_ORDER (shouldn't happen) go last.
+    rank = {n: i for i, n in enumerate(_q.MODULE_ORDER)}
+    registry = dict(
+        sorted(registry.items(), key=lambda kv: rank.get(kv[0], len(rank)))
+    )
     if only:
         keep = set(only.split(","))
         registry = {k: v for k, v in registry.items() if k in keep}
@@ -80,12 +88,10 @@ def main() -> int:
             timings[name] = None
             print(f"[bench] {name}: FAILED {type(exc).__name__}: {exc}",
                   file=sys.stderr, flush=True)
-        # smooth cross-query GC noise: old checkpoint/shuffle blocks from
-        # the previous query get collected now, not mid-measurement
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        # NOTE: no System.gc() between queries — measured: explicit full
+        # GCs unload generated (codegen) classes, so every later query
+        # re-JITs and the whole run reads 2-4x slow. The ContextCleaner
+        # reclaims old blocks on its own.
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     detail = {

@@ -19,3 +19,9 @@ from mrjob_spark.operators.similarity import (  # noqa: F401
     bucketed_topk,
     hyperplane_lsh_topk,
 )
+from mrjob_spark.operators.graph import connected_components  # noqa: F401
+from mrjob_spark.operators.skew import (  # noqa: F401
+    salted_collect_set,
+    salted_equi_join,
+    with_salt,
+)

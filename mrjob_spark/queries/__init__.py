@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "l8_weighted_mixture",
     "l8_quality_filter",
     "l8_sequence_packing",
+    "skew_salted_collect_set",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",
@@ -133,8 +134,19 @@ _DRIVER_PRIORITY = [
 ]
 
 
+#: Registration (module) order, preserved before the driver-priority
+#: reorder. bench.py iterates THIS order so per-query timings stay
+#: position-comparable with BASELINE.md §4, which was recorded in module
+#: order — heavy dataflow/RDD queries late, micro relational queries in a
+#: fresh session. (Session state accumulated by earlier queries adds a
+#: measurable fixed cost to later ones, so order changes masquerade as
+#: per-query regressions.)
+MODULE_ORDER: list[str] = []
+
+
 def _reorder_registry() -> None:
     global REGISTRY
+    MODULE_ORDER.extend(REGISTRY)
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_PRIORITY:
         if name in REGISTRY:

@@ -541,6 +541,32 @@ def l8_sequence_packing(spark, sf_dir):
     )
 
 
+@query(
+    "skew_salted_collect_set",
+    sql="""
+    SELECT lang,
+           array_to_string(list_sort(list_distinct(list(source))), ',')
+               AS source_set
+    FROM documents GROUP BY lang
+    """,
+)
+def skew_salted_collect_set(spark, sf_dir):
+    """Skew-safe non-algebraic aggregation (operators/skew.py): collect_set
+    has no map-side partial form, so under the naive plan every row of a
+    hot key lands on one task. The salted two-phase variant spreads a hot
+    key over n_salts tasks and flattens bounded partial sets — here
+    collecting each language's source set, oracle-checked against DuckDB's
+    straight list aggregation (same sorted result, skew-proof plan). The
+    set is emitted as a joined string: array columns stringify differently
+    across engines, scalars hash identically."""
+    from mrjob_spark.operators.skew import salted_collect_set
+
+    t = Tables(spark, sf_dir)
+    return salted_collect_set(t.documents, "lang", "source", n_salts=8).select(
+        "lang", F.array_join("source_set", ",").alias("source_set")
+    )
+
+
 # ---------------------------------------------------------------------------
 # The two canonical mrjob examples, relationally.
 # ---------------------------------------------------------------------------

@@ -355,3 +355,60 @@ def test_minhash_lsh_pairs_storage_flat_and_releasable(spark):
     unpersist_intermediates(r1)
     unpersist_intermediates(r2)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation: deterministic salting
+# ---------------------------------------------------------------------------
+
+
+def test_salted_equi_join_matches_plain_join(spark):
+    from mrjob_spark.operators.skew import salted_equi_join
+
+    # hot key: 5000 of 5005 left rows share key "hot"
+    left = spark.createDataFrame(
+        [(i, "hot" if i < 5000 else f"k{i}") for i in range(5005)],
+        ["row_id", "k"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k5001", 2), ("k5002", 3), ("absent", 9)], ["k", "v"]
+    )
+    got = salted_equi_join(left, right, on="k", left_unique_col="row_id",
+                           n_salts=8)
+    expected = left.join(right, "k")
+    assert got.count() == expected.count() == 5002
+    assert sorted(got.columns) == sorted(expected.columns)
+    # spot-check content equality
+    g = {(r.row_id, r.k, r.v) for r in got.collect()}
+    e = {(r.row_id, r.k, r.v) for r in expected.collect()}
+    assert g == e
+
+
+def test_salted_equi_join_spreads_hot_key(spark):
+    from mrjob_spark.operators.skew import with_salt
+
+    left = spark.createDataFrame(
+        [(i, "hot") for i in range(1000)], ["row_id", "k"]
+    )
+    n_salts = with_salt(left, "row_id", 8).select("__salt").distinct().count()
+    assert n_salts == 8  # the hot key really fans out across salts
+
+
+def test_salted_collect_set_matches_naive(spark):
+    from mrjob_spark.operators.skew import salted_collect_set
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hot", f"v{i % 50}") for i in range(2000)]
+        + [("cold", "x"), ("cold", "y")],
+        ["k", "v"],
+    )
+    got = {
+        r.k: list(r.v_set)
+        for r in salted_collect_set(df, "k", "v", n_salts=8).collect()
+    }
+    naive = {
+        r.k: sorted(r.s)
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    assert got == naive
