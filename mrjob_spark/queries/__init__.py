@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = [
     "l8_quality_filter",
     "l8_sequence_packing",
     "skew_salted_collect_set",
+    "st6_stateful_running_totals",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",

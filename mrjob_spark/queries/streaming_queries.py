@@ -95,3 +95,28 @@ def st5_stream_dedup(spark, sf_dir):
             "n_dupes",
         )
     )
+
+
+@query(
+    "st6_stateful_running_totals",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           (floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100)
+               AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def st6_stateful_running_totals(spark, sf_dir):
+    """ST-custom: the batch twin of ``stateful_running_totals``
+    (streaming/ops.py), the ``applyInPandasWithState`` exemplar — per-key
+    state updated with arbitrary Python across micro-batches. A complete
+    batch input's final state IS the grouped aggregate, which is what the
+    oracle checks; the cross-micro-batch state retention (the part batch
+    can't express) is asserted in tests/test_streaming.py."""
+    from mrjob_spark.functions.rounding import rnd, dsum
+    from mrjob_spark.streaming import stateful_running_totals
+
+    t = Tables(spark, sf_dir)
+    out = stateful_running_totals(t.events, "event_type", "value")
+    return out.select("event_type", "n", rnd(F.col("total"), 2).alias("total"))

@@ -20,6 +20,7 @@ compares).
 from mrjob_spark.streaming.ops import (
     session_window_agg,
     sliding_window_agg,
+    stateful_running_totals,
     stream_dedup,
     tumbling_window_agg,
     with_watermark,
@@ -34,6 +35,7 @@ __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
+    "stateful_running_totals",
     "with_watermark",
     "stream_dedup",
     "read_stream_parquet",

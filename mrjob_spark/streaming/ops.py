@@ -112,6 +112,66 @@ def session_window_agg(
     )
 
 
+def stateful_running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator (ST-custom): per-key running ``(n, total)``
+    maintained ACROSS micro-batches via ``applyInPandasWithState`` — the
+    escape hatch for stateful logic the built-in windowed aggregates can't
+    express (per-key model state, custom eviction, cross-batch counters).
+
+    Emits one row per key per micro-batch that touched it, carrying the
+    cumulative count and sum so far — the streaming twin of a grouped
+    aggregate, except the intermediate state is USER-owned and updatable
+    with arbitrary Python. State is one small tuple per key (bounded by
+    key cardinality, not stream length); rows cross into Python in Arrow
+    batches grouped by key.
+
+    Batch twin: a complete input's final state is just the grouped
+    aggregate, so the batch path is ``groupBy(key).agg(count, sum)`` — and
+    with deterministic per-key totals, the pair is oracle-checkable.
+    """
+    out_schema = f"{key_col} string, n bigint, total double"
+
+    if not df.isStreaming:
+        from mrjob_spark.functions.rounding import dsum
+
+        # decimal accumulation: order-independent, so the batch twin is
+        # bit-stable for the oracle (streaming per-batch float sums are
+        # checked behaviorally, not bit-wise)
+        return df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(value_col).alias("total"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].astype(float).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return (
+        df.select(F.col(key_col).cast("string").alias(key_col), value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     keys: Sequence[str],

@@ -221,3 +221,49 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
 
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got == [("a", 1.0), ("b", 2.0)]
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key (n, total) across micro-batches:
+    batch 2's rows ACCUMULATE onto batch 1's state rather than restarting."""
+    from mrjob_spark.streaming import stateful_running_totals
+
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(_t(0), "a", 1.0), (_t(1), "b", 2.0)])
+
+    sdf = read_stream_parquet(spark, src)
+    totals = stateful_running_totals(sdf, "key", "value")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["key"]: (r["n"], r["total"])
+            for r in spark.table("running_totals").collect()
+        }
+        _write_events(spark, src, [(_t(2), "a", 10.0), (_t(3), "a", 100.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert first == {"a": (1, 1.0), "b": (1, 2.0)}
+    latest = {}
+    for r in spark.table("running_totals").collect():
+        n, total = latest.get(r["key"], (0, 0.0))
+        if r["n"] > n:
+            latest[r["key"]] = (r["n"], r["total"])
+    # key 'a' saw 3 rows totalling 111 across the two batches — state held
+    assert latest["a"] == (3, 111.0)
+    assert latest["b"] == (1, 2.0)
+
+
+def test_stateful_running_totals_batch_twin(spark, events_batch):
+    from mrjob_spark.streaming import stateful_running_totals
+
+    got = stateful_running_totals(events_batch, "event_type", "value")
+    assert got.columns == ["event_type", "n", "total"]
+    assert got.count() == events_batch.select("event_type").distinct().count()
