@@ -1,0 +1,187 @@
+"""Property-based tests (hypothesis) — the reference's probe-job testing
+idea generalized: instead of fixed fixtures, random inputs checked against
+an independent reference implementation or an algebraic invariant.
+
+Driver-only properties (protocols, canonical encoding) run at full example
+counts; Spark-backed properties use a handful of examples each — a Spark
+job per example is the cost floor, and the value is the random structure,
+not the volume.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# protocols: write→read is the identity on the supported value domain
+# ---------------------------------------------------------------------------
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=10), children, max_size=4),
+    ),
+    max_leaves=10,
+)
+
+
+@given(key=json_values, value=json_values)
+@settings(max_examples=150, deadline=None)
+def test_json_protocol_roundtrip(key, value):
+    from mrjob_spark.dataflow import JSONProtocol
+
+    p = JSONProtocol()
+    k2, v2 = p.read(p.write(key, value))
+    assert k2 == key and v2 == value
+
+
+@given(key=json_values, value=json_values)
+@settings(max_examples=100, deadline=None)
+def test_pickle_protocol_roundtrip(key, value):
+    from mrjob_spark.dataflow import PickleProtocol
+
+    p = PickleProtocol()
+    line = p.write(key, value)
+    assert b"\n" not in line  # must stay one line in a text file
+    k2, v2 = p.read(line)
+    assert k2 == key and v2 == value
+
+
+@given(
+    key=st.text(max_size=30).filter(lambda s: "\t" not in s and "\n" not in s),
+    value=st.text(max_size=30).filter(lambda s: "\t" not in s and "\n" not in s),
+)
+@settings(max_examples=100, deadline=None)
+def test_text_protocol_roundtrip(key, value):
+    from mrjob_spark.dataflow import TextProtocol
+
+    p = TextProtocol()
+    k2, v2 = p.read(p.write(key, value))
+    assert (k2, v2) == (key, value)
+
+
+@given(d=st.dictionaries(st.text(max_size=8), st.integers(), max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_canonical_bytes_is_key_order_insensitive(d):
+    """Shuffle grouping must treat equal dicts as equal keys regardless of
+    insertion order — the encoding the shuffle partitions on."""
+    from mrjob_spark.dataflow.protocols import _canonical_bytes
+
+    reordered = dict(reversed(list(d.items())))
+    assert _canonical_bytes(d) == _canonical_bytes(reordered)
+    # and distinct values must not collide trivially
+    assert json.loads(_canonical_bytes(d)) == d
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a pure-python union-find reference
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component label = min node id reachable
+    labels = {}
+    for node in list(parent):
+        root = find(node)
+        labels.setdefault(root, root)
+        labels[root] = min(labels[root], node)
+    return {node: labels[find(node)] for node in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from mrjob_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# dataflow: combiner presence must never change results
+# ---------------------------------------------------------------------------
+
+
+@given(
+    lines=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_wordcount_combiner_is_transparent(spark, lines):
+    from mrjob_spark.dataflow import SparkMRJob
+
+    class MRWith(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def combiner(self, w, counts):
+            yield w, sum(counts)
+
+        def reducer(self, w, counts):
+            yield w, sum(counts)
+
+    class MRWithout(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def reducer(self, w, counts):
+            yield w, sum(counts)
+
+    rdd = spark.sparkContext.parallelize([(None, l) for l in lines], 3)
+    with MRWith().make_runner(spark, input_rdd=rdd) as r1:
+        a = dict(r1.cat_output())
+    rdd = spark.sparkContext.parallelize([(None, l) for l in lines], 3)
+    with MRWithout().make_runner(spark, input_rdd=rdd) as r2:
+        b = dict(r2.cat_output())
+    assert a == b
