@@ -1,0 +1,241 @@
+"""InlineJobRunner — single-process, zero-Spark execution of a SparkMRJob.
+
+The reference ships an inline runner (``mrjob/inline.py:60-120``) whose
+whole point is DEVELOPMENT SPEED: run the job in-process with no cluster,
+no serialization boundary, and real breakpoints, then switch ``-r`` to the
+distributed runner unchanged. This is that, for the Spark engine: the same
+step semantics as :class:`~mrjob_spark.dataflow.runner.SparkJobRunner`
+(generator substeps, 0/≥2-pair combiners, SORT_VALUES on canonical encoded
+bytes, counters, ``*_cmd``/``*_pre_filter`` subprocesses, protocols at the
+edges), executed eagerly over Python lists.
+
+Differential testing is the contract: ``tests/test_inline.py`` runs probe
+jobs through BOTH runners and asserts identical output — the reference's
+own strategy for validating its Spark harness against the simpler engines
+(``tests/spark/test_harness.py:244-300``).
+
+Not for data of any size — one process, fully materialized. The Spark
+runner is the same job's scale path.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import itertools
+import os
+import subprocess
+from typing import Iterator, Optional
+
+from mrjob_spark.dataflow.step import MRStep, SparkStep
+
+
+class _DictCounterSink:
+    """Stands in for the Spark accumulator (same ``add`` surface)."""
+
+    def __init__(self):
+        self.value: dict = {}
+
+    def add(self, other: dict) -> None:
+        for group, counters in other.items():
+            dst = self.value.setdefault(group, {})
+            for name, amount in counters.items():
+                dst[name] = dst.get(name, 0) + amount
+
+
+class InlineJobRunner:
+    """Execute a :class:`SparkMRJob` eagerly in this process.
+
+    Accepts ``input_paths`` (text files/globs, ``.gz`` transparent) or
+    ``input_pairs`` (an iterable of ``(key, value)``). ``output_dir``
+    writes a single ``part-00000`` with OUTPUT_PROTOCOL, mirroring the
+    reference inline runner's layout (``mrjob/inline.py:146-160``).
+    """
+
+    def __init__(
+        self,
+        job,
+        input_paths: Optional[list] = None,
+        input_pairs=None,
+        output_dir: Optional[str] = None,
+    ):
+        if input_paths is not None and input_pairs is not None:
+            raise ValueError("pass input_paths or input_pairs, not both")
+        self.job = job
+        self.input_paths = list(input_paths or [])
+        self.input_pairs = input_pairs
+        self.output_dir = output_dir
+        self._counters = _DictCounterSink()
+        job._counter_acc = self._counters
+        self._output: Optional[list] = None
+
+    # -- input ----------------------------------------------------------
+
+    def _source_pairs(self, steps) -> list:
+        if self.input_pairs is not None:
+            return list(self.input_pairs)
+        read = self.job.INPUT_PROTOCOL().read
+        first = steps[0]
+        if isinstance(first, MRStep) and first.mapper_raw is not None:
+            # handled by _run_step; deliver (path, None) markers
+            return [(p, None) for p in self._expand_paths()]
+        pairs = []
+        for path in self._expand_paths():
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rb") as fh:
+                for line in fh:
+                    pairs.append(read(line.rstrip(b"\r\n")))
+        return pairs
+
+    def _expand_paths(self) -> list:
+        out = []
+        for p in self.input_paths:
+            matches = sorted(_glob.glob(p))
+            out.extend(matches if matches else [p])
+        return out
+
+    # -- execution ------------------------------------------------------
+
+    def run(self) -> "InlineJobRunner":
+        steps = self.job.steps()
+        pairs = self._source_pairs(steps)
+        for step_num, step in enumerate(steps):
+            if isinstance(step, SparkStep):
+                raise NotImplementedError(
+                    "SparkStep requires the Spark runner (make_runner)"
+                )
+            pairs = self._run_step(step, step_num, pairs)
+        self._output = pairs
+
+        if self.output_dir:
+            os.makedirs(self.output_dir, exist_ok=True)
+            write = self.job.OUTPUT_PROTOCOL().write
+            with open(os.path.join(self.output_dir, "part-00000"), "wb") as fh:
+                for k, v in pairs:
+                    fh.write(write(k, v) + b"\n")
+        return self
+
+    def _run_step(self, step: MRStep, step_num: int, pairs: list) -> list:
+        job = self.job
+        enc = job.INTERNAL_PROTOCOL().encode_sort_key
+
+        # ---- mapper ----
+        if step.mapper_cmd:
+            pairs = self._pipe(pairs, step.mapper_cmd,
+                               raw_lines=(step_num == 0 and self.input_paths))
+        else:
+            out = []
+            if step.mapper_pre_filter:
+                pairs = self._pipe(pairs, step.mapper_pre_filter,
+                                   raw_lines=(step_num == 0 and bool(self.input_paths)),
+                                   filter_only=True)
+            if step.mapper_init:
+                out.extend(step.mapper_init() or ())
+            if step.mapper_raw is not None and step_num == 0:
+                for path, _ in pairs:
+                    os.environ["mapreduce_map_input_file"] = path
+                    out.extend(step.mapper_raw(path, path) or ())
+            elif step.mapper is not None:
+                for k, v in pairs:
+                    out.extend(step.mapper(k, v) or ())
+            else:
+                out.extend(pairs)  # identity mapper
+            if step.mapper_final:
+                out.extend(step.mapper_final() or ())
+            pairs = out
+
+        if not (step.has_reducer or step.has_combiner):
+            return pairs
+
+        # ---- shuffle & sort (single "reducer task") ----
+        sort_values = bool(job.SORT_VALUES)
+        keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
+                 for k, v in pairs]
+        keyed.sort(key=lambda item: item[0])
+
+        # ---- combiner (once per key, like a single map task's combine) ----
+        if step.combiner is not None and step.combiner_cmd is None:
+            combined = []
+            if step.combiner_init:
+                combined.extend(step.combiner_init() or ())
+            for kbytes, group in itertools.groupby(keyed, key=lambda i: i[0][0]):
+                vals = [kv for _, kv in group]
+                key = vals[0][0]
+                combined.extend(
+                    step.combiner(key, (v for _, v in vals)) or ()
+                )
+            if step.combiner_final:
+                combined.extend(step.combiner_final() or ())
+            keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
+                     for k, v in combined]
+            keyed.sort(key=lambda item: item[0])
+
+        if not step.has_reducer:
+            return [kv for _, kv in keyed]
+
+        # ---- reducer ----
+        if step.reducer_cmd:
+            return self._pipe([kv for _, kv in keyed], step.reducer_cmd)
+        if step.reducer_pre_filter:
+            flat = self._pipe([kv for _, kv in keyed],
+                              step.reducer_pre_filter, filter_only=True)
+            keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
+                     for k, v in flat]
+            keyed.sort(key=lambda item: item[0])
+
+        out = []
+        if step.reducer_init:
+            out.extend(step.reducer_init() or ())
+        for kbytes, group in itertools.groupby(keyed, key=lambda i: i[0][0]):
+            vals = (kv for _, kv in group)
+            first_key, first_value = next(vals)
+            values = itertools.chain(
+                (first_value,), (v for _, v in vals)
+            )
+            if step.reducer is not None:
+                out.extend(step.reducer(first_key, values) or ())
+            else:
+                out.extend((first_key, v) for v in values)
+        if step.reducer_final:
+            out.extend(step.reducer_final() or ())
+        return out
+
+    # -- shell substeps -------------------------------------------------
+
+    def _pipe(self, pairs: list, cmd: str, raw_lines: bool = False,
+              filter_only: bool = False) -> list:
+        """Encoded lines through a shell command (``mrjob/job.py:340-363``),
+        same protocol selection as the Spark runner's ``_pipe_pairs``."""
+        internal = self.job.INTERNAL_PROTOCOL()
+        edge = self.job.INPUT_PROTOCOL() if raw_lines else internal
+        write = edge.write
+        read = edge.read if (filter_only or not raw_lines) else internal.read
+        if raw_lines and not filter_only:
+            read = internal.read
+
+        payload = b"".join(write(*kv) + b"\n" for kv in pairs)
+        proc = subprocess.run(
+            cmd, shell=True, input=payload, stdout=subprocess.PIPE, check=False
+        )
+        return [
+            read(line)
+            for line in proc.stdout.split(b"\n")
+            if line
+        ]
+
+    # -- results --------------------------------------------------------
+
+    def cat_output(self) -> Iterator:
+        if self._output is None:
+            self.run()
+        yield from self._output
+
+    def counters(self) -> dict:
+        return self._counters.value
+
+    # context manager for API parity with SparkJobRunner
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False

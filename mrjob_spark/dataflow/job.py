@@ -200,6 +200,18 @@ class SparkMRJob:
 
         return SparkJobRunner(self, spark, **kwargs)
 
+    def make_inline_runner(self, **kwargs):
+        """Build an :class:`InlineJobRunner` — single-process, zero-Spark
+        execution for development and unit tests (the reference's
+        ``-r inline``, ``mrjob/inline.py:60-120``). Same step semantics;
+        run the identical job on Spark by switching to :meth:`make_runner`.
+
+        :param kwargs: ``input_paths``, ``input_pairs``, ``output_dir``.
+        """
+        from mrjob_spark.dataflow.inline import InlineJobRunner
+
+        return InlineJobRunner(self, **kwargs)
+
     # ------------------------------------------------------------------
     # distributed-cache path resolution (inside tasks)
     # ------------------------------------------------------------------
@@ -270,6 +282,11 @@ class SparkMRJob:
             "--spark-master",
             default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"),
         )
+        parser.add_argument(
+            "-r", "--runner", choices=("spark", "inline"), default="spark",
+            help="inline = single-process, no Spark (dev/test; "
+                 "mrjob/inline.py:60-120)",
+        )
         self.configure_args(parser)
         return parser
 
@@ -289,6 +306,23 @@ class SparkMRJob:
         self.FILES = list(self.FILES) + list(opts.file)
         self.ARCHIVES = list(self.ARCHIVES) + list(opts.archive)
         self.DIRS = list(self.DIRS) + list(opts.dir)
+
+        if opts.runner == "inline":
+            runner = self.make_inline_runner(
+                input_paths=list(opts.input) or ["-"],
+                output_dir=opts.output_dir,
+            )
+            runner.run()
+            cat = opts.cat_output
+            if cat is None:
+                cat = not opts.output_dir
+            if cat:
+                write = self.OUTPUT_PROTOCOL().write
+                out = sys.stdout.buffer
+                for key, value in runner.cat_output():
+                    out.write(write(key, value) + b"\n")
+                out.flush()
+            return runner
 
         if spark is None:
             from mrjob_spark.session import get_spark

@@ -1,0 +1,125 @@
+"""InlineJobRunner differential tests: the same probe jobs through the
+inline (single-process) and Spark runners must produce identical output —
+the reference's strategy for validating engines against each other
+(``tests/spark/test_harness.py:244-300``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from mrjob_spark.dataflow import SparkMRJob
+from mrjob_spark.dataflow.examples import (
+    MRCustomerOrderDates,
+    MRFilterGrep,
+    MRMostUsedWord,
+    MRPreFilterWords,
+    MRWordCountWithCounters,
+    MRWordFreqCount,
+)
+
+LINES = [
+    "the quick brown fox jumps over the lazy dog",
+    "the dog barks",
+    "The Fox and the Hound",
+]
+
+
+def _spark_out(spark, job_factory, lines):
+    rdd = spark.sparkContext.parallelize([(None, l) for l in lines], 3)
+    with job_factory().make_runner(spark, input_rdd=rdd) as r:
+        return sorted(r.cat_output())
+
+
+def _inline_out(job_factory, lines):
+    with job_factory().make_inline_runner(
+        input_pairs=[(None, l) for l in lines]
+    ) as r:
+        r.run()
+        return sorted(r.cat_output())
+
+
+@pytest.mark.parametrize(
+    "job_factory",
+    [MRWordFreqCount, MRMostUsedWord, MRPreFilterWords,
+     lambda: MRFilterGrep("dog")],
+    ids=["wordcount", "two_step_argmax", "pre_filter", "cmd_grep"],
+)
+def test_inline_matches_spark(spark, job_factory):
+    assert _inline_out(job_factory, LINES) == _spark_out(
+        spark, job_factory, LINES
+    )
+
+
+def test_inline_sort_values(spark):
+    pairs = [(1, "b"), (1, "a"), (2, "z"), (1, "c"), (2, "y")]
+    with MRCustomerOrderDates().make_inline_runner(input_pairs=pairs) as r:
+        out = dict(r.cat_output())
+    assert out == {1: "a,b,c", 2: "y,z"}
+
+
+def test_inline_counters():
+    with MRWordCountWithCounters().make_inline_runner(
+        input_pairs=[(None, l) for l in LINES]
+    ) as r:
+        r.run()
+        counters = r.counters()
+    assert counters["stats"]["lines"] == 3
+    assert counters["stats"]["words"] == 17
+
+
+def test_inline_reads_text_and_gzip(tmp_path):
+    (tmp_path / "a.txt").write_text("x y\n")
+    with gzip.open(tmp_path / "b.txt.gz", "wb") as fh:
+        fh.write(b"y z\n")
+    with MRWordFreqCount().make_inline_runner(
+        input_paths=[str(tmp_path / "a.txt"), str(tmp_path / "b.txt.gz")]
+    ) as r:
+        out = dict(r.cat_output())
+    assert out == {"x": 1, "y": 2, "z": 1}
+
+
+def test_inline_output_dir_and_protocol(tmp_path):
+    out_dir = str(tmp_path / "out")
+    with MRWordFreqCount().make_inline_runner(
+        input_pairs=[(None, "a b a")], output_dir=out_dir
+    ) as r:
+        r.run()
+    read = MRWordFreqCount.OUTPUT_PROTOCOL().read
+    with open(os.path.join(out_dir, "part-00000"), "rb") as fh:
+        got = dict(read(l.rstrip(b"\n")) for l in fh)
+    assert got == {"a": 2, "b": 1}
+
+
+def test_inline_cli_runner_flag(tmp_path, capsysbinary):
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b a\n")
+    MRWordFreqCount.run(args=[str(inp), "-r", "inline"])
+    captured = capsysbinary.readouterr().out
+    read = MRWordFreqCount.OUTPUT_PROTOCOL().read
+    assert dict(read(l) for l in captured.splitlines() if l) == {"a": 2, "b": 1}
+
+
+def test_inline_init_final_hooks():
+    class MRBracketed(SparkMRJob):
+        def mapper_init(self):
+            yield "init", 1
+
+        def mapper(self, _, line):
+            yield "data", 1
+
+        def mapper_final(self):
+            yield "final", 1
+
+        def reducer(self, key, values):
+            yield key, sum(values)
+
+    with MRBracketed().make_inline_runner(
+        input_pairs=[(None, "x"), (None, "y")]
+    ) as r:
+        out = dict(r.cat_output())
+    # inline = ONE task, so hooks run once (vs once per partition on Spark)
+    assert out == {"init": 1, "data": 2, "final": 1}
