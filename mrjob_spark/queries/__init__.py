@@ -128,6 +128,8 @@ _DRIVER_PRIORITY = [
     "l8_sequence_packing",
     "skew_salted_collect_set",
     "st6_stateful_running_totals",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",

@@ -749,3 +749,92 @@ def f7_hash_funcs(spark, sf_dir):
             F.md5(F.concat_ws(":", "c_name", F.col("c_custkey").cast("string"))), 1, 8
         ).alias("salt8"),
     )
+
+
+@query(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate  > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Composite workload: TPC-H Q3 shape — selective filters on THREE
+    tables feed a join chain, grouped revenue, global top-10. What it
+    proves at scale: every filter is written pre-join so it reaches the
+    scans (pushdown prunes both fact sides before the shuffle), and the
+    final ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a global
+    sort. Declarative composition — Catalyst picks the join order."""
+    t = Tables(spark, sf_dir)
+    cutoff = "1995-03-15"
+    cust = t.customer.where(F.col("c_mktsegment") == "BUILDING")
+    orders = t.orders.where(F.col("o_orderdate") < cutoff)
+    li = t.lineitem.where(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            rnd(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    sql="""
+    SELECT n_name,
+           (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """Composite workload: TPC-H Q5 shape — a six-table join whose graph
+    has a CYCLE (customer's nation must equal supplier's nation), the case
+    that separates a join planner from a star template. The region filter
+    prunes through two broadcast dims before touching facts; the
+    nation-equality rides the supplier join as a second key rather than a
+    post-join filter, shrinking the join output at the operator."""
+    t = Tables(spark, sf_dir)
+    asia_nations = (
+        F.broadcast(t.nation)
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            rnd(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -94,3 +94,19 @@ def test_exact_dedup_aggregates_partially_before_shuffle(spark):
     plan = _plan(spark, "l1_exact_dedup")
     assert "partial_" in plan or "HashAggregate" in plan
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_q3_pushes_all_three_filters_and_takes_ordered(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    # every scan carries a real pushed predicate; top-10 never global-sorts
+    assert plan.count("PushedFilters: [") >= 3
+    assert "PushedFilters: []" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_join_cycle_stays_equi(spark):
+    # the customer-nation = supplier-nation cycle must ride the supplier
+    # join as a key, never degrade to a cartesian + filter
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
