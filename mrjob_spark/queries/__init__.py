@@ -130,6 +130,9 @@ _DRIVER_PRIORITY = [
     "st6_stateful_running_totals",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "l4_ngrams",
+    "l4_tfidf",
+    "l5_text_classifier",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",

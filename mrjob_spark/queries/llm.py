@@ -11,7 +11,7 @@ wordcount (``mr_word_freq_count.py``) and most-used-word
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from mrjob_spark.functions.rounding import rnd
+from mrjob_spark.functions.rounding import dsum, rnd, sql_dsum, sql_rnd
 
 from mrjob_spark.functions.hashing import (
     hex_hash32,
@@ -614,4 +614,199 @@ def mr_most_used_word(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "word")
         .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L5 completions: n-grams, TF-IDF, naive-Bayes classification scoring.
+# SURVEY §2.11 declares L4 as "tokenize/ngram/tf-idf/langfilter" and L5 as
+# the mr_text_classifier scoring pipeline; tokenize/langfilter landed in
+# rounds 1-2, these close the family.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l4_ngrams",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bigram
+        FROM tok
+    )
+    SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def l4_ngrams(spark, sf_dir):
+    """Word-bigram counting (the ``count_ngrams`` idiom of
+    ``mrjob/examples/mr_text_classifier.py:88-126``), entirely JVM-side:
+    adjacent-token pairs via ``zip_with`` over two shifted ``slice`` views
+    of the token array — no posexplode + self-join, no UDF. One explode and
+    one map-side-combinable count: linear in corpus size at any scale."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        t.documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "l4_tfidf",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.term, tf.tf,
+           {sql_rnd('tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)', 6)}
+               AS tfidf
+    FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    """,
+)
+def l4_tfidf(spark, sf_dir):
+    """TF-IDF term weighting (SURVEY L4). Two shuffles total — (doc, term)
+    counts and per-term document frequencies — then the small df table and
+    the single-row corpus count join back by broadcast, so the big side is
+    shuffled exactly once. The idf model (|vocab| rows) is broadcast-sized
+    by construction at any corpus scale."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = rnd(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf.alias("tfidf"))
+    )
+
+
+@query(
+    "l5_text_classifier",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({sql_tokens('text')}) AS term
+        FROM documents
+    ), model AS (
+        SELECT lang, term, count(*) AS c_tl FROM tok GROUP BY lang, term
+    ), lang_tot AS (
+        SELECT lang, count(*) AS c_l FROM tok GROUP BY lang
+    ), prior AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), vocab AS (
+        SELECT count(DISTINCT term) AS v FROM tok
+    ), corpus AS (
+        SELECT count(*) AS n FROM documents
+    ), doc_terms AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), scored AS (
+        SELECT dt.doc_id, p.lang,
+               {sql_rnd('ln(CAST(p.n_docs AS DOUBLE) / corpus.n)', 6)}
+                   + {sql_dsum(
+                       'dt.tf * ln((coalesce(m.c_tl, 0) + 1.0)'
+                       ' / (lt.c_l + vocab.v))')}
+                   AS score
+        FROM doc_terms dt
+        CROSS JOIN prior p
+        CROSS JOIN vocab CROSS JOIN corpus
+        JOIN lang_tot lt ON lt.lang = p.lang
+        LEFT JOIN model m ON m.lang = p.lang AND m.term = dt.term
+        GROUP BY dt.doc_id, p.lang, p.n_docs, corpus.n, lt.c_l, vocab.v
+    )
+    SELECT s.doc_id, d.lang, s.lang AS pred_lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rk
+        FROM scored
+    ) s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE s.rk = 1
+    """,
+)
+def l5_text_classifier(spark, sf_dir):
+    """Naive-Bayes text classification scoring — the
+    ``mrjob/examples/mr_text_classifier.py:141-160`` pipeline re-expressed
+    relationally: train per-(lang, term) add-one-smoothed log-likelihoods
+    over the corpus, then score every document against every language and
+    take the argmax. Scale shape: the exploded token stream is shuffled
+    twice (model + doc-term counts); the trained model, language totals,
+    priors, vocab size, and corpus count are all tiny and broadcast, so
+    scoring is a map-side join over the doc-term stream followed by one
+    grouped sum. Cross-engine float determinism: each per-token log term
+    accumulates in DECIMAL(38,6) (order-independent — see
+    functions/rounding.py), and the prior is rounded to the same grid, so
+    both engines produce bit-identical scores and the argmax can't flip."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    model = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c_tl"))
+    lang_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
+    prior = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n"))
+    doc_terms = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    langs = (
+        F.broadcast(prior)
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(corpus))
+    )
+    per_token = F.col("tf") * F.log(
+        (F.coalesce(F.col("c_tl"), F.lit(0)) + F.lit(1.0))
+        / (F.col("c_l") + F.col("v"))
+    )
+    scored = (
+        doc_terms.crossJoin(langs)
+        .join(F.broadcast(model), ["lang", "term"], "left")
+        .groupBy("doc_id", "lang", "n_docs", "n", "c_l", "v")
+        .agg(
+            (
+                rnd(F.log(F.col("n_docs").cast("double") / F.col("n")), 6)
+                + dsum(per_token)
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    )
+    pred = (
+        scored.select("doc_id", "lang", "score")
+        .withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select("doc_id", "lang", "pred_lang")
     )

@@ -336,22 +336,29 @@ def test_minhash_lsh_pairs_storage_flat_and_releasable(spark):
         unpersist_intermediates,
     )
 
-    def n_cached():
+    def cached_ids():
         info = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        return len(info)
+        return {i.id() for i in info}
 
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"the quick brown fox {i} jumps over the dog " * 4)
          for i in range(30)]
     )
-    # start from a clean slate (other fixtures' caches merely recompute)
+    # start from a clean slate (other fixtures' caches merely recompute).
+    # Stale blocks from earlier tests (e.g. localCheckpoint RDDs awaiting
+    # the async ContextCleaner) may still appear in storage info and can
+    # vanish mid-test, so flatness is asserted on the ids NEW to this
+    # test's invocations, not on the global entry count.
     spark.catalog.clearCache()
+    baseline = cached_ids()
     r1 = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6)
     r1.count()
-    after_first = n_cached()
+    new_after_first = cached_ids() - baseline
     r2 = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6)
     r2.count()
-    assert n_cached() == after_first  # flat: same plans hit the same cache
+    new_after_second = cached_ids() - baseline
+    # flat: the identical plan hits the same cache entries, adding none
+    assert new_after_second == new_after_first
     unpersist_intermediates(r1)
     unpersist_intermediates(r2)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -110,3 +110,29 @@ def test_q5_join_cycle_stays_equi(spark):
     plan = _plan(spark, "q5_local_supplier_volume")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_model_and_corpus_count(spark):
+    # the big side (doc-term counts) must shuffle exactly for its own
+    # aggregation; the df table and 1-row corpus count join back broadcast
+    plan = _plan(spark, "l4_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_classifier_scores_via_broadcast_model(spark):
+    # scoring = map-side join of the doc-term stream against the trained
+    # (lang, term) model — a shuffled join here would re-shuffle the whole
+    # token stream per language at scale
+    plan = _plan(spark, "l5_text_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngrams_single_shuffle(spark):
+    # bigrams are built in-row (zip_with over shifted slices): the only
+    # exchange is the count's own aggregation shuffle
+    plan = _plan(spark, "l4_ngrams")
+    assert plan.count("Exchange hashpartitioning") == 1
