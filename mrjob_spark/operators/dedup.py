@@ -143,6 +143,15 @@ def minhash_lsh_pairs(
     persists the exploded shingle set instead — an explicit, caller-owned
     choice.
     """
+    # Hashing dominates this operator (shingles x 64 affine maps), so the
+    # input must enter at cluster parallelism: a single-row-group parquet
+    # file or gzip text gives the scan ONE task and the whole signature
+    # stage runs on one core (measured 3.1 s -> ~1 s at sf0.1 on 32 cores).
+    # No-op whenever the scan already has enough partitions.
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    df = parallelize_narrow_scan(df.select(id_col, text_col))
+
     # min() is duplicate-insensitive, so the signature path skips shingle
     # dedup entirely — explode feeds the 64 min-aggs directly and partial
     # (map-side) aggregation collapses each partition to one row per doc
@@ -424,6 +433,9 @@ def jaccard_pairs(
     token. Near-duplicate pairs share rare tokens overwhelmingly, so the
     capped score is the same signal (and the LSH path is the detector of
     record at 100 TB anyway)."""
+    # NOTE: no parallelize_narrow_scan here — tokenization is light and the
+    # inverted-index self-join below shuffles anyway (its exchange supplies
+    # the parallelism); an input repartition benched as pure overhead.
     all_tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(distinct_tokens(F.col(text_col))).alias("token"),
@@ -516,7 +528,9 @@ def embedding_neardup_pairs(
     once per PAIR inside it (pairs x 2d) — at b rows per bucket that saves
     ~2/3 of the per-pair arithmetic, which dominates this operator."""
     from mrjob_spark.functions.vectors import dot, l2_norm
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
+    df = parallelize_narrow_scan(df.select(id_col, bucket_col, vec_col))
     normed = df.select(
         F.col(id_col).alias("_id"),
         F.col(bucket_col).alias("_bucket"),

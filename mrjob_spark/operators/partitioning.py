@@ -82,3 +82,24 @@ def partition_audit(df: DataFrame, key_col: str) -> DataFrame:
             )
 
     return df.mapInPandas(audit, schema=schema)
+
+
+def parallelize_narrow_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a compute-heavy input whose scan produced
+    fewer partitions than the cluster has cores.
+
+    Unsplittable inputs — single-row-group parquet files, gzip text — give
+    the scan 1 task per file no matter how large the cluster is, so every
+    per-row-heavy operator downstream (shingling, 64-way minhash, per-byte
+    hashing) runs at file parallelism, not cluster parallelism. The fix is
+    one cheap shuffle of the narrow projection (id + text) before the
+    expensive math. At real scale the file count supplies the parallelism
+    and this is a structural no-op: when the scan already has >= target
+    partitions the input is returned untouched, so the repartition only
+    ever triggers exactly in the degenerate layouts that need it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -37,10 +37,16 @@ def brute_force_topk(
     shuffle; the per-query top-k is a window over (query, rounded sim desc,
     id) — rank ties are impossible because the id breaks them.
     """
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    # per-row cosine math dominates; enter at cluster parallelism even when
+    # the corpus is a single unsplittable file (no-op otherwise)
+    c = parallelize_narrow_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    )
     sim = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
     scored = (
         c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
@@ -72,8 +78,12 @@ def bucketed_topk(
         F.col(bucket_col).alias("__qbucket"),
         F.col(vec_col).alias("__qvec"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(bucket_col), F.col(vec_col)
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    c = parallelize_narrow_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(bucket_col), F.col(vec_col)
+        )
     )
     sim = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
     scored = (

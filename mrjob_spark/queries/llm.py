@@ -333,12 +333,17 @@ def l7_quality_profile(spark, sf_dir):
 )
 def l4_doc_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint: min rolling (8-char shingle)
-    hash per doc — a compact identity robust to small appends."""
+    hash per doc — a compact identity robust to small appends. The md5 per
+    shingle dominates, so the narrow (id, text) projection is repartitioned
+    to cluster parallelism first (no-op when the scan already parallelizes;
+    single-row-group files otherwise hash on one core)."""
     t = Tables(spark, sf_dir)
     from mrjob_spark.functions.text import char_shingles
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
+    docs = parallelize_narrow_scan(t.documents.select("doc_id", "text"))
     return (
-        t.documents.select(
+        docs.select(
             "doc_id", F.explode(char_shingles(F.col("text"), 8)).alias("shingle")
         )
         .groupBy("doc_id")

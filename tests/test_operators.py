@@ -419,3 +419,34 @@ def test_salted_collect_set_matches_naive(spark):
         for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# parallelize_narrow_scan: unsplittable-input parallelism recovery
+# ---------------------------------------------------------------------------
+
+
+def test_parallelize_narrow_scan_widens_single_partition_input(spark, tmp_path):
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    # one-row-group parquet file → scan yields a single partition
+    path = str(tmp_path / "one_group.parquet")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.rdd.getNumPartitions() == 1
+    widened = parallelize_narrow_scan(df)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # values survive the round-robin shuffle
+    assert widened.count() == 1000
+
+
+def test_parallelize_narrow_scan_noop_when_already_parallel(spark):
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    df = spark.range(1000).repartition(64)
+    # already >= defaultParallelism → returned untouched, no extra exchange
+    widened = parallelize_narrow_scan(df)
+    assert widened is df
