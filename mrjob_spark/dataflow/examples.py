@@ -178,3 +178,62 @@ class MRPreFilterWords(SparkMRJob):
 
     def reducer(self, word, counts):
         yield word, sum(counts)
+
+
+class MRNextWordStats(SparkMRJob):
+    """The reference's SORT_VALUES showcase
+    (``mrjob/examples/mr_next_word_stats.py:28-95``): step 1 counts each
+    adjacent (prev, next) word pair plus a ``(prev, '*')`` total; step 2
+    re-keys on ``prev_word`` and computes each next-word's percentage in a
+    single streaming pass — correct ONLY because SORT_VALUES delivers the
+    ``'A: total'`` record before every ``'B: stats'`` record (encoded-byte
+    order), so the total is known before any percentage is emitted and the
+    group is never materialized.
+
+    The percentage is floor-rounded to 6 decimals with the same IEEE-754
+    expression both engines use (``functions/rounding.py``), keeping even
+    this float output oracle-hashable.
+    """
+
+    SORT_VALUES = True
+
+    def steps(self):
+        return [
+            MRStep(
+                mapper=self.m_find_words,
+                combiner=self.c_sum,
+                reducer=self.r_sum,
+            ),
+            MRStep(reducer=self.r_stats),
+        ]
+
+    def m_find_words(self, _, line):
+        prev = None
+        for word in WORD_RE.findall(line.lower()):
+            if prev is not None:
+                yield (prev, "*"), 1
+                yield (prev, word), 1
+            prev = word
+
+    def c_sum(self, key, counts):
+        yield key, sum(counts)
+
+    def r_sum(self, key, counts):
+        prev_word, word = key
+        count = sum(counts)
+        if word == "*":
+            yield prev_word, ("A: total", count)
+        else:
+            yield prev_word, ("B: stats", (word, count))
+
+    def r_stats(self, prev_word, values):
+        import math
+
+        total = None
+        for tag, data in values:
+            if tag == "A: total":
+                total = data
+            else:
+                word, count = data
+                pct = math.floor((100.0 * count / total) * 1000000 + 0.5) / 1000000
+                yield (prev_word, word), (total, count, pct)

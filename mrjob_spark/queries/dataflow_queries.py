@@ -151,3 +151,54 @@ def x5_dataflow_pipe_grep(spark, sf_dir):
     runner = MRFilterGrep("data").make_runner(spark, input_rdd=_doc_lines(t))
     schema = T.StructType([T.StructField("line", T.StringType())])
     return runner.to_dataframe(schema, row_fn=lambda k, v: (v,))
+
+
+@query(
+    "mr_next_word_stats",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos
+        FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT word AS prev_word,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS word
+        FROM tok
+    ), pc AS (
+        SELECT prev_word, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs WHERE word IS NOT NULL GROUP BY prev_word, word
+    ), tot AS (
+        SELECT prev_word, CAST(sum(cnt) AS BIGINT) AS total
+        FROM pc GROUP BY prev_word
+    )
+    SELECT pc.prev_word, pc.word, tot.total, pc.cnt,
+           (floor((100.0 * pc.cnt / tot.total) * 1000000 + 0.5) / 1000000)
+               AS percent
+    FROM pc JOIN tot ON tot.prev_word = pc.prev_word
+    """,
+)
+def mr_next_word_stats(spark, sf_dir):
+    """O3 in anger: the reference's SORT_VALUES demo job
+    (``mrjob/examples/mr_next_word_stats.py``) run through the dataflow
+    engine — two chained steps, a combiner, tagged values, and a stateful
+    streaming reducer whose correctness depends on encoded-value order.
+    The oracle recomputes the same stats relationally (lead window +
+    two grouped counts)."""
+    from mrjob_spark.dataflow.examples import MRNextWordStats
+
+    t = Tables(spark, sf_dir)
+    runner = MRNextWordStats().make_runner(spark, input_rdd=_doc_lines(t))
+    schema = T.StructType(
+        [
+            T.StructField("prev_word", T.StringType()),
+            T.StructField("word", T.StringType()),
+            T.StructField("total", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("percent", T.DoubleType()),
+        ]
+    )
+    return runner.to_dataframe(
+        schema, row_fn=lambda k, v: (k[0], k[1], v[0], v[1], v[2])
+    )

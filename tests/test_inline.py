@@ -16,6 +16,7 @@ from mrjob_spark.dataflow.examples import (
     MRCustomerOrderDates,
     MRFilterGrep,
     MRMostUsedWord,
+    MRNextWordStats,
     MRPreFilterWords,
     MRWordCountWithCounters,
     MRWordFreqCount,
@@ -45,8 +46,9 @@ def _inline_out(job_factory, lines):
 @pytest.mark.parametrize(
     "job_factory",
     [MRWordFreqCount, MRMostUsedWord, MRPreFilterWords,
-     lambda: MRFilterGrep("dog")],
-    ids=["wordcount", "two_step_argmax", "pre_filter", "cmd_grep"],
+     lambda: MRFilterGrep("dog"), MRNextWordStats],
+    ids=["wordcount", "two_step_argmax", "pre_filter", "cmd_grep",
+         "sort_values_stats"],
 )
 def test_inline_matches_spark(spark, job_factory):
     assert _inline_out(job_factory, LINES) == _spark_out(
