@@ -815,3 +815,77 @@ def l5_text_classifier(spark, sf_dir):
         .join(pred, "doc_id")
         .select("doc_id", "lang", "pred_lang")
     )
+
+
+@query(
+    "l8_decontaminate",
+    sql=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {sql_hex_hash32('substr(t, i, 8)')} AS h
+        FROM (
+            SELECT doc_id, lower(text) AS t,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                       AS i
+            FROM documents
+        )
+    ), bench_sh AS (
+        SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0
+    ), corpus_sh AS (
+        SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0
+    ), overlap AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM corpus_sh c JOIN bench_sh b ON b.h = c.h
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(o.n_shared, 0) AS n_shared,
+           CASE WHEN coalesce(o.n_shared, 0) >= 16 THEN 1 ELSE 0 END
+               AS contaminated
+    FROM documents d LEFT JOIN overlap o ON o.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def l8_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-pipeline step that removes
+    corpus documents overlapping the evaluation set (here: the deterministic
+    ``doc_id % 97 = 0`` subset stands in for the benchmark; real runs pass
+    one). Overlap = count of distinct shared 8-char shingle hashes; >= 16
+    flags the document. Scale shape: the benchmark shingle set is tiny by
+    construction (eval sets are small), so it broadcasts and the corpus
+    stream is never shuffled for the probe — the only shuffles are the
+    per-doc distinct + overlap count, both map-side combinable."""
+    t = Tables(spark, sf_dir)
+    from mrjob_spark.functions.text import char_shingles
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    docs = parallelize_narrow_scan(t.documents.select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    char_shingles(F.col("text"), 8), lambda s: hex_hash32(s)
+                )
+            )
+        ).alias("h"),
+    )
+    bench_sh = sh.where(F.col("doc_id") % 97 == 0).select("h").distinct()
+    corpus_sh = sh.where(F.col("doc_id") % 97 != 0)
+    overlap = (
+        corpus_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        t.documents.select("doc_id")
+        .where(F.col("doc_id") % 97 != 0)
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.when(F.coalesce(F.col("n_shared"), F.lit(0)) >= 16, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
