@@ -30,8 +30,13 @@ _WORDS_SQL = (
 def _doc_lines(t: Tables):
     """documents.text as (None, line) pairs — the DataFrame→dataflow bridge.
     Newlines inside a document are collapsed so one document == one record,
-    matching what a text-file source would deliver per line."""
-    return t.documents.select("text").rdd.map(
+    matching what a text-file source would deliver per line. The narrow
+    projection is widened to cluster parallelism first: a single-row-group
+    file otherwise feeds every Python mapper from ONE task (2x total job
+    cost at sf0.1; no-op when the scan parallelizes on its own)."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    return parallelize_narrow_scan(t.documents.select("text")).rdd.map(
         lambda r: (None, r.text.replace("\n", " "))
     )
 
@@ -95,8 +100,14 @@ def o3_dataflow_sorted_dates(spark, sf_dir):
     """O3 SORT_VALUES secondary sort: values reach the reducer pre-sorted by
     encoded bytes (``mrjob/job.py:1567-1593``), provable because the reducer
     just concatenates what it is handed."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
     t = Tables(spark, sf_dir)
-    pairs = t.orders.select("o_custkey", "o_orderdate").rdd.map(
+    # 150k rows cross the Python serde boundary here; without the widen a
+    # single-row-group file funnels them all through one task
+    pairs = parallelize_narrow_scan(
+        t.orders.select("o_custkey", "o_orderdate")
+    ).rdd.map(
         lambda r: (r.o_custkey, r.o_orderdate.strftime("%Y-%m-%d %H:%M:%S"))
     )
     runner = MRCustomerOrderDates().make_runner(spark, input_rdd=pairs)

@@ -65,10 +65,12 @@ def x1_udtf_tokenize(spark, sf_dir):
                 {"doc_id": words.index.to_numpy(), "word": words.to_numpy()}
             )
 
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
     t = Tables(spark, sf_dir)
-    return t.documents.select("doc_id", "text").mapInPandas(
-        tokenize, "doc_id bigint, word string"
-    )
+    return parallelize_narrow_scan(
+        t.documents.select("doc_id", "text")
+    ).mapInPandas(tokenize, "doc_id bigint, word string")
 
 
 @query(
@@ -145,11 +147,12 @@ def a8_dataflow_counters(spark, sf_dir):
     them, and the totals come back as rows the oracle recomputes in SQL.
     Counter traffic is O(tasks), not O(records) — accumulators merge
     per-task dicts on the driver."""
+    from mrjob_spark.queries.dataflow_queries import _doc_lines
+
     t = Tables(spark, sf_dir)
-    lines = t.documents.select("text").rdd.map(
-        lambda r: (None, r.text.replace("\n", " "))
+    runner = MRWordCountWithCounters().make_runner(
+        spark, input_rdd=_doc_lines(t)
     )
-    runner = MRWordCountWithCounters().make_runner(spark, input_rdd=lines)
     runner.run()
     counters = runner.counters()
     runner.__exit__()  # drop the persisted output RDD; only counters matter
