@@ -766,6 +766,9 @@ def l5_text_classifier(spark, sf_dir):
     both engines produce bit-identical scores and the argmax can't flip."""
     t = Tables(spark, sf_dir)
     docs = t.documents
+    # NOTE: no input widen here — tokenization is cheap (no hashing) and
+    # each aggregation's own exchange supplies the parallelism; a
+    # repartition before the explode benched 25% slower at sf0.1.
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
     )
