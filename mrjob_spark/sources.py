@@ -110,3 +110,37 @@ def cat_output(
     if fmt == "text":
         return spark.read.text(path)
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    *,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered, optionally sorted) table write — the
+    co-located-join layout.
+
+    Both sides of a recurring join written with the same ``buckets`` /
+    ``bucket_cols`` join WITHOUT any exchange: each task reads matching
+    bucket files from both tables, so the shuffle is paid once at write
+    time instead of on every query. At 100 TB this is the difference
+    between re-shuffling the fact table per query and never shuffling it;
+    aggregations on the bucket key skip their exchange the same way.
+    ``sort_cols`` additionally pre-sorts within buckets (shuffle-free
+    sort-merge join). ``path`` makes the table external (data at ``path``,
+    metadata in the session catalog); bucketing metadata lives in the
+    catalog, which is why this is ``saveAsTable``, not ``save``.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

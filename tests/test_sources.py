@@ -8,6 +8,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mrjob_spark.operators.partitioning import (
     partition_audit,
@@ -108,3 +109,62 @@ def test_stdin_source(spark, monkeypatch):
     with SparkJobRunner(MRWordFreqCount(), spark=spark, input_paths=["-"]) as r:
         got = dict(r.output_pairs().collect())
     assert got == {"hello": 2, "world": 1, "spark": 1}
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The co-located-join contract: two tables bucketed identically on the
+    join key sort-merge-join with ZERO exchanges — the shuffle was paid at
+    write time. This is the plan property that makes recurring fact-dim
+    joins affordable at scale."""
+    from mrjob_spark.sources import write_bucketed_table
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "lv", F.col("k") * 2
+    )
+    right = spark.range(0, 1000, 3).withColumnRenamed("id", "k").withColumn(
+        "rv", F.col("k") + 1
+    )
+    write_bucketed_table(
+        left, spark, "bt_left", buckets=4, bucket_cols=["k"],
+        sort_cols=["k"], path=str(tmp_path / "bt_left"),
+    )
+    write_bucketed_table(
+        right, spark, "bt_right", buckets=4, bucket_cols=["k"],
+        sort_cols=["k"], path=str(tmp_path / "bt_right"),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bt_left").join(spark.table("bt_right"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # and the values are right
+            assert joined.count() == 334  # ceil(1000/3)
+            got = {(r["k"], r["lv"], r["rv"]) for r in joined.collect()}
+            assert (0, 0, 1) in got and (999, 1998, 1000) in got
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_bucketed_aggregation_skips_exchange(spark, tmp_path):
+    from mrjob_spark.sources import write_bucketed_table
+
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 50).select(
+        "k", F.col("id").alias("v")
+    )
+    write_bucketed_table(
+        df, spark, "bt_agg", buckets=4, bucket_cols=["k"],
+        path=str(tmp_path / "bt_agg"),
+    )
+    try:
+        agg = spark.table("bt_agg").groupBy("k").sum("v")
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_agg")
