@@ -120,3 +120,43 @@ def st6_stateful_running_totals(spark, sf_dir):
     t = Tables(spark, sf_dir)
     out = stateful_running_totals(t.events, "event_type", "value")
     return out.select("event_type", "n", rnd(F.col("total"), 2).alias("total"))
+
+
+@query(
+    "st7_stream_enrich_window",
+    sql="""
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS wstart,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           (floor((CAST(sum(CAST((e.value) AS DECIMAL(38,6))) AS DOUBLE))
+                  * 100 + 0.5) / 100) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def st7_stream_enrich_window(spark, sf_dir):
+    """Stream-static enrichment + tumbling window: every event pipeline's
+    dimension-lookup step. The customer dim is broadcast so the event
+    stream is never shuffled for the join (its only exchange is the
+    windowed aggregation's own); in streaming execution the static side is
+    re-read each micro-batch, picking up dim updates live. The oracle runs
+    the identical join+window relationally; tests/test_streaming.py replays
+    the same plan through real micro-batches."""
+    from mrjob_spark.streaming import stream_static_enrich, tumbling_window_agg
+
+    t = Tables(spark, sf_dir)
+    dim = t.customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream_static_enrich(t.events, dim, on="user_id")
+    return tumbling_window_agg(
+        enriched,
+        "ts",
+        "1 hour",
+        ["segment"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(dsum("value"), 2).alias("sum_value"),
+        ],
+    )

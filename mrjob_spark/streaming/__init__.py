@@ -22,6 +22,7 @@ from mrjob_spark.streaming.ops import (
     sliding_window_agg,
     stateful_running_totals,
     stream_dedup,
+    stream_static_enrich,
     tumbling_window_agg,
     with_watermark,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "stateful_running_totals",
     "with_watermark",
     "stream_dedup",
+    "stream_static_enrich",
     "read_stream_parquet",
     "run_available_now",
     "write_stream_parquet",

@@ -195,3 +195,23 @@ def stream_dedup(
             list(keys)
         )
     return df.dropDuplicates(list(keys))
+
+
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on,
+    *,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join (the dimension-lookup step of every
+    event pipeline). Structured Streaming re-evaluates the static side per
+    micro-batch, so a dimension update is picked up on the next trigger
+    without restarting the query; with ``broadcast=True`` (the default —
+    dims are small by definition) the stream side is never shuffled and
+    enrichment stays a map-side operation at any event rate. The same
+    builder runs unchanged over a batch DataFrame, which is how the oracle
+    verifies it."""
+    d = F.broadcast(dim_df) if broadcast else dim_df
+    return stream_df.join(d, on=on, how=how)

@@ -267,3 +267,28 @@ def test_stateful_running_totals_batch_twin(spark, events_batch):
     got = stateful_running_totals(events_batch, "event_type", "value")
     assert got.columns == ["event_type", "n", "total"]
     assert got.count() == events_batch.select("event_type").distinct().count()
+
+
+def test_stream_static_enrich_equals_batch(spark, events_stream, events_batch, sf_dir):
+    from mrjob_spark.catalog import load_table
+    from mrjob_spark.streaming import stream_static_enrich
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+    ]
+
+    def build(src):
+        return tumbling_window_agg(
+            stream_static_enrich(src, dim, on="user_id"),
+            "ts", "1 hour", ["segment"], aggs,
+        )
+
+    got = run_available_now(build(events_stream), output_mode="update")
+    want = build(events_batch)
+    cols = ["wstart", "segment", "n", "sv"]
+    assert _rows(got, cols) == _rows(want, cols)
