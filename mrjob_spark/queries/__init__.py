@@ -136,6 +136,7 @@ _DRIVER_PRIORITY = [
     "mr_next_word_stats",
     "l8_decontaminate",
     "st7_stream_enrich_window",
+    "l4_bpe_token_count",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",

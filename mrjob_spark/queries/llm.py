@@ -892,3 +892,43 @@ def l8_decontaminate(spark, sf_dir):
             .alias("contaminated"),
         )
     )
+
+
+#: GPT-2-style pre-tokenizer regex, reduced to the dialect-portable subset
+#: (leading-space-attached letter runs, digit runs, punctuation runs).
+#: Alternation order matters and is leftmost-first in BOTH Java regex and
+#: RE2, so Spark and DuckDB segment identically.
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "l4_bpe_token_count",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+               AS n_ws_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def l4_bpe_token_count(spark, sf_dir):
+    """Token counting two ways (SURVEY L4): whitespace tokens and a BPE-ish
+    pre-tokenizer segmentation (the GPT-2 pattern family: space-attached
+    letter runs / digit runs / punctuation runs). Per-row regex count with
+    zero shuffles — the cheapest possible cost estimate for sequence-length
+    budgeting before real tokenization."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
