@@ -756,30 +756,38 @@ def l5_text_classifier(spark, sf_dir):
     ``mrjob/examples/mr_text_classifier.py:141-160`` pipeline re-expressed
     relationally: train per-(lang, term) add-one-smoothed log-likelihoods
     over the corpus, then score every document against every language and
-    take the argmax. Scale shape: the exploded token stream is shuffled
-    twice (model + doc-term counts); the trained model, language totals,
-    priors, vocab size, and corpus count are all tiny and broadcast, so
-    scoring is a map-side join over the doc-term stream followed by one
-    grouped sum. Cross-engine float determinism: each per-token log term
-    accumulates in DECIMAL(38,6) (order-independent — see
-    functions/rounding.py), and the prior is rounded to the same grid, so
-    both engines produce bit-identical scores and the argmax can't flip."""
+    take the argmax. Scale shape: the exploded token stream is aggregated
+    ONCE (into per-(doc, lang, term) counts); the model, language totals,
+    and vocab size all derive from that small intermediate, and priors /
+    corpus count come from the unexploded table — so the big stream pays a
+    single shuffle, and scoring is a map-side broadcast join over it
+    followed by one grouped sum. Cross-engine float determinism: each
+    per-token log term accumulates in DECIMAL(38,6) (order-independent —
+    see functions/rounding.py), and the prior is rounded to the same grid,
+    so both engines produce bit-identical scores and the argmax can't
+    flip."""
     t = Tables(spark, sf_dir)
     docs = t.documents
     # NOTE: no input widen here — tokenization is cheap (no hashing) and
-    # each aggregation's own exchange supplies the parallelism; a
+    # the aggregation's own exchange supplies the parallelism; a
     # repartition before the explode benched 25% slower at sf0.1.
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
     )
-    model = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c_tl"))
-    lang_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
-    prior = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    vocab = tok.agg(F.countDistinct("term").alias("v"))
-    corpus = docs.agg(F.count(F.lit(1)).alias("n"))
-    doc_terms = tok.groupBy("doc_id", "term").agg(
+    # lang is constant per doc, so carrying it through the doc-term count
+    # is free — and every training aggregate then derives from this one
+    # (already shuffled, far smaller) intermediate instead of re-exploding
+    # the corpus per consumer.
+    doc_terms = tok.groupBy("doc_id", "lang", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    model = doc_terms.groupBy("lang", "term").agg(F.sum("tf").alias("c_tl"))
+    lang_tot = model.groupBy("lang").agg(F.sum("c_tl").alias("c_l"))
+    prior = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = model.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    corpus = docs.agg(F.count(F.lit(1)).alias("n"))
 
     langs = (
         F.broadcast(prior)
@@ -792,9 +800,10 @@ def l5_text_classifier(spark, sf_dir):
         / (F.col("c_l") + F.col("v"))
     )
     scored = (
-        doc_terms.crossJoin(langs)
+        doc_terms.withColumnRenamed("lang", "actual_lang")
+        .crossJoin(langs)
         .join(F.broadcast(model), ["lang", "term"], "left")
-        .groupBy("doc_id", "lang", "n_docs", "n", "c_l", "v")
+        .groupBy("doc_id", "actual_lang", "lang", "n_docs", "n", "c_l", "v")
         .agg(
             (
                 rnd(F.log(F.col("n_docs").cast("double") / F.col("n")), 6)
@@ -807,16 +816,15 @@ def l5_text_classifier(spark, sf_dir):
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
     )
-    pred = (
-        scored.select("doc_id", "lang", "score")
+    return (
+        scored.select("doc_id", "actual_lang", "lang", "score")
         .withColumn("rk", rk)
         .where(F.col("rk") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"))
-    )
-    return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .select("doc_id", "lang", "pred_lang")
+        .select(
+            "doc_id",
+            F.col("actual_lang").alias("lang"),
+            F.col("lang").alias("pred_lang"),
+        )
     )
 
 
