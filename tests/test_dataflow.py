@@ -662,3 +662,49 @@ def test_lib_json_protocol_variants_roundtrip():
         line = p.write(*pair)
         assert p.read(line) == pair
         assert base.read(line) == pair  # cross-library byte compat
+
+
+# ---------------------------------------------------------------------------
+# failure paths (the reference's tests/mr_boom.py probe): user-code
+# exceptions must propagate out of both runners with the original message
+# ---------------------------------------------------------------------------
+
+
+def _make_boom():
+    # defined inside a function so cloudpickle serializes the class by
+    # value (test modules aren't importable on executors)
+    class MRBoom(SparkMRJob):
+        """Mapper raises on a marked record (cf. reference tests/mr_boom.py)."""
+
+        def mapper(self, key, value):
+            if value == "boom":
+                raise ValueError("planted failure: boom record")
+            yield key, value
+
+    return MRBoom
+
+
+def test_user_exception_propagates_from_spark_runner(spark):
+    rdd = spark.sparkContext.parallelize(
+        [(None, "ok"), (None, "boom"), (None, "fine")], 2
+    )
+    import py4j.protocol
+
+    with pytest.raises(Exception) as exc_info:
+        with _make_boom()().make_runner(spark, input_rdd=rdd) as r:
+            list(r.cat_output())
+    # the planted message must survive into the driver-side error (PySpark
+    # wraps worker tracebacks; Py4J errors carry it in the Java exception)
+    err = exc_info.value
+    text = str(err)
+    if isinstance(err, py4j.protocol.Py4JJavaError):
+        text = str(err.java_exception)
+    assert "planted failure: boom record" in text
+
+
+def test_user_exception_propagates_from_inline_runner():
+    with pytest.raises(ValueError, match="planted failure: boom record"):
+        with _make_boom()().make_inline_runner(
+            input_pairs=[(None, "ok"), (None, "boom")]
+        ) as r:
+            r.run()
