@@ -137,6 +137,7 @@ _DRIVER_PRIORITY = [
     "l8_decontaminate",
     "st7_stream_enrich_window",
     "l4_bpe_token_count",
+    "sql1_ansi_interface",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",

@@ -838,3 +838,30 @@ def q5_local_supplier_volume(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+_ANSI_SQL_PORTABLE = """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           (floor((CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE))
+                  * 100 + 0.5) / 100) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql1_ansi_interface", sql=_ANSI_SQL_PORTABLE)
+def sql1_ansi_interface(spark, sf_dir):
+    """The pure-SQL entry point: fixture tables registered as temp views,
+    the query submitted as an ANSI string through ``spark.sql`` — and the
+    SAME string is the DuckDB oracle, so this proves the engine's SQL
+    dialect surface (join, group, decimal-exact aggregation, the portable
+    rounding expression) is genuinely ANSI-portable, not DataFrame-only.
+    Catalyst plans it identically to the DataFrame formulation (broadcast
+    customer join into one grouped aggregate)."""
+    from mrjob_spark.catalog import register_temp_views
+
+    # touch Tables first so session conf (nanosAsLong etc.) is applied
+    Tables(spark, sf_dir)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_ANSI_SQL_PORTABLE)
