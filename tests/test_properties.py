@@ -185,3 +185,44 @@ def test_wordcount_combiner_is_transparent(spark, lines):
     with MRWithout().make_runner(spark, input_rdd=rdd) as r2:
         b = dict(r2.cat_output())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# dsum order-independence: the foundation of every cross-engine float
+# aggregate (classifier scores, windowed sums). Exact decimal accumulation
+# must be bit-identical under any partitioning; plain double sum is not
+# guaranteed to be (that's WHY dsum exists).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=60,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsum_bit_identical_across_partitionings(spark, xs):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mrjob_spark.functions.rounding import dsum
+
+    df = spark.createDataFrame([(float(x),) for x in xs], ["v"])
+    got = {
+        df.repartition(n).agg(dsum("v").alias("s")).collect()[0]["s"]
+        for n in (1, 3, 7)
+    }
+    assert len(got) == 1, f"dsum varied with partitioning: {got}"
+    # and it equals exact decimal accumulation done in plain Python
+    q = Decimal("0.000001")
+    want = float(
+        sum(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP) for x in xs)
+    )
+    assert got == {want}
