@@ -400,6 +400,10 @@ def l6_media_features(spark, sf_dir):
     from mrjob_spark.operators.multimodal import featurize_media
 
     t = Tables(spark, sf_dir)
+    # NOTE: no widen before the Arrow boundary here — these payloads are
+    # tiny (~150 B) so header sniffing is cheap and the repartition benched
+    # 1.5x slower; real media (MBs per row) would want
+    # parallelize_narrow_scan like the hashing-heavy operators do.
     payload = t.documents.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
