@@ -237,3 +237,21 @@ class MRNextWordStats(SparkMRJob):
                 word, count = data
                 pct = math.floor((100.0 * count / total) * 1000000 + 0.5) / 1000000
                 yield (prev_word, word), (total, count, pct)
+
+
+class MRFirstOrderDates(SparkMRJob):
+    """O5 head-per-group through the dataflow engine: SORT_VALUES delivers
+    each key's values ascending and the reducer consumes only the head of
+    the lazy iterator (``itertools.islice``) — the
+    ``mrjob/examples/mr_phone_to_url.py:107-116`` cap idiom and
+    ``mr_log_sampler.py:100-113``'s early ``break``. Correct at any group
+    size ONLY because reducer value iterators stream (never materialize);
+    tests/test_dataflow.py::test_lazy_reducer_values_stream pins that.
+    """
+
+    SORT_VALUES = True
+
+    def reducer(self, key, values):
+        import itertools
+
+        yield key, ",".join(itertools.islice(values, 3))

@@ -213,3 +213,41 @@ def mr_next_word_stats(spark, sf_dir):
     return runner.to_dataframe(
         schema, row_fn=lambda k, v: (k[0], k[1], v[0], v[1], v[2])
     )
+
+
+@query(
+    "o5_dataflow_head_per_group",
+    sql="""
+    SELECT o_custkey, string_agg(d, ',' ORDER BY d) AS dates FROM (
+        SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS d,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3 GROUP BY o_custkey
+    """,
+)
+def o5_dataflow_head_per_group(spark, sf_dir):
+    """O5 in dataflow form: first three order dates per customer. The
+    reducer islices the SORT_VALUES-sorted lazy value stream; the oracle
+    states the same thing as a row_number window. (Date ties at the cut
+    are value-identical, so the first-3 multiset is deterministic even
+    though row_number's choice among equal dates is not.)"""
+    from mrjob_spark.dataflow.examples import MRFirstOrderDates
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    t = Tables(spark, sf_dir)
+    pairs = parallelize_narrow_scan(
+        t.orders.select("o_custkey", "o_orderdate")
+    ).rdd.map(
+        lambda r: (r.o_custkey, r.o_orderdate.strftime("%Y-%m-%d %H:%M:%S"))
+    )
+    runner = MRFirstOrderDates().make_runner(spark, input_rdd=pairs)
+    schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("dates", T.StringType()),
+        ]
+    )
+    return runner.to_dataframe(schema, row_fn=lambda k, v: (int(k), v))
