@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Measured head-to-head vs the reference implementation (BASELINE.md §7).
+
+Runs the SAME workloads through (a) the reference's own runners — imported
+from ``$MRJOB_REFERENCE_PATH`` (default ``/root/reference``), executed, not
+copied — and (b) this engine's dataflow port and relational twin, on
+identical input text, and prints one JSON line. The reference publishes no
+benchmark numbers (SURVEY §6), so this is the only apples-to-apples
+single-node throughput comparison available.
+
+Workloads:
+
+* ``wordcount`` — ``mr_word_freq_count.py``: mapper + combiner + reducer.
+* ``next_word_stats`` — ``mr_next_word_stats.py``: two chained steps,
+  combiner, SORT_VALUES secondary sort, stateful streaming reducer — the
+  reference's own showcase of its shuffle machinery.
+
+Reference runners: ``inline`` (single-process, no serialization between
+steps beyond protocols) and ``local`` (multiprocessing + external sort —
+the closest the reference gets to using all cores on one machine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REFERENCE = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_lines(tmpdir: str) -> str:
+    import duckdb
+
+    path = os.path.join(tmpdir, "docs.txt")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT replace(text, chr(10), ' ') FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    with open(path, "w") as fh:
+        for (t,) in rows:
+            fh.write(t + "\n")
+    return path
+
+
+def _time_reference(job_cls, runner: str, path: str) -> tuple[float, int]:
+    t0 = time.monotonic()
+    job = job_cls(args=["-r", runner, path])
+    with job.make_runner() as r:
+        r.run()
+        n = sum(1 for _ in job.parse_output(r.cat_output()))
+    return time.monotonic() - t0, n
+
+
+def _time_ours_dataflow(spark, job, input_rdd) -> tuple[float, int]:
+    # collect_output matches the reference's parse_output (full driver
+    # materialization of a small result), one job instead of one per
+    # output partition
+    t0 = time.monotonic()
+    with job.make_runner(spark, input_rdd=input_rdd) as r:
+        n = len(r.collect_output())
+    return time.monotonic() - t0, n
+
+
+def main() -> int:
+    if not os.path.isdir(REFERENCE):
+        print(json.dumps({"error": f"reference not found at {REFERENCE}"}))
+        return 0
+
+    import tempfile
+
+    sys.path.insert(0, REFERENCE)
+    from mrjob.examples.mr_next_word_stats import MRNextWordStats as RefNWS
+    from mrjob.examples.mr_word_freq_count import MRWordFreqCount as RefWC
+
+    from mrjob_spark.dataflow.examples import (
+        MRNextWordStats as OurNWS,
+        MRWordFreqCount as OurWC,
+    )
+    from mrjob_spark.session import get_spark
+
+    results: dict[str, dict[str, float]] = {}
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = _export_lines(tmpdir)
+
+        spark = get_spark(
+            app_name="compare_reference",
+            master=f"local[{CPUS}]",
+            shuffle_partitions=CPUS,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        lines = spark.sparkContext.textFile(path, CPUS).map(lambda l: (None, l))
+        # warm the JVM so ours isn't charged session startup either
+        _time_ours_dataflow(spark, OurWC(), lines)
+
+        for name, ref_cls, our_cls in (
+            ("wordcount", RefWC, OurWC),
+            ("next_word_stats", RefNWS, OurNWS),
+        ):
+            row: dict[str, float] = {}
+            for runner in ("inline", "local"):
+                sec, n = _time_reference(ref_cls, runner, path)
+                row[f"reference_{runner}_sec"] = round(sec, 2)
+                row["n_output_rows"] = n
+            sec, n = _time_ours_dataflow(spark, our_cls(), lines)
+            row["ours_dataflow_sec"] = round(sec, 2)
+            row["ours_n_output_rows"] = n
+            results[name] = row
+
+    print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "workloads": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -708,3 +708,12 @@ def test_user_exception_propagates_from_inline_runner():
             input_pairs=[(None, "ok"), (None, "boom")]
         ) as r:
             r.run()
+
+
+def test_collect_output_matches_cat_output(spark):
+    rdd = spark.sparkContext.parallelize(
+        [(None, "a b a"), (None, "b c")], 2
+    )
+    with MRWordFreqCount().make_runner(spark, input_rdd=rdd) as r:
+        assert sorted(r.collect_output()) == sorted(r.cat_output())
+        assert dict(r.collect_output()) == {"a": 2, "b": 2, "c": 1}
