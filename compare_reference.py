@@ -49,8 +49,11 @@ def _export_lines(tmpdir: str) -> str:
 
 
 def _time_reference(job_cls, runner: str, path: str) -> tuple[float, int]:
+    args = ["-r", runner, path]
+    if runner == "spark":
+        args = ["-r", "spark", "--spark-master", f"local[{CPUS}]", path]
     t0 = time.monotonic()
-    job = job_cls(args=["-r", runner, path])
+    job = job_cls(args=args)
     with job.make_runner() as r:
         r.run()
         n = sum(1 for _ in job.parse_output(r.cat_output()))
@@ -103,10 +106,20 @@ def main() -> int:
             ("next_word_stats", RefNWS, OurNWS),
         ):
             row: dict[str, float] = {}
-            for runner in ("inline", "local"):
-                sec, n = _time_reference(ref_cls, runner, path)
-                row[f"reference_{runner}_sec"] = round(sec, 2)
-                row["n_output_rows"] = n
+            # the reference's own Spark path: a fresh spark-submit per job
+            # (mrjob/bin.py:784-871 — session reuse is impossible by
+            # design, so JVM startup is part of its cost). Known failure:
+            # its harness crashes on tuple keys under SORT_VALUES
+            # (JSON round-trips them to unhashable lists), so
+            # next_word_stats records the error instead of a time.
+            for runner in ("inline", "local", "spark"):
+                try:
+                    sec, n = _time_reference(ref_cls, runner, path)
+                    row[f"reference_{runner}_sec"] = round(sec, 2)
+                    row["n_output_rows"] = n
+                except Exception as exc:
+                    row[f"reference_{runner}_sec"] = None
+                    row[f"reference_{runner}_error"] = type(exc).__name__
             sec, n = _time_ours_dataflow(spark, our_cls(), lines)
             row["ours_dataflow_sec"] = round(sec, 2)
             row["ours_n_output_rows"] = n
