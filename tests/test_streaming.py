@@ -292,3 +292,38 @@ def test_stream_static_enrich_equals_batch(spark, events_stream, events_batch, s
     want = build(events_batch)
     cols = ["wstart", "segment", "n", "sv"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from mrjob_spark.catalog import load_table
+    from mrjob_spark.streaming import stream_stream_join
+
+    def sides(src):
+        clicks = src.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        purchases = src.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        return clicks, purchases
+
+    # batch twin (no watermark needed)
+    bc, bp = sides(load_table(spark, sf_dir, "events"))
+    want = stream_stream_join(
+        bc, bp, key="user_id", left_ts="ts", right_ts="ts",
+        within="30 minutes",
+    ).select("click_id", "purchase_id")
+
+    # real micro-batch execution: two streaming readers over the same
+    # file, watermarks on both sides (required for state eviction; inner
+    # joins emit matches immediately so availableNow drains everything)
+    sc_, sp_ = sides(read_stream_parquet(spark, EVENTS.format(sf=sf_dir)))
+    got = run_available_now(
+        stream_stream_join(
+            sc_, sp_, key="user_id", left_ts="ts", right_ts="ts",
+            within="30 minutes", watermark="1 hour",
+        ).select("click_id", "purchase_id"),
+        output_mode="append",
+    )
+    cols = ["click_id", "purchase_id"]
+    assert _rows(got, cols) == _rows(want, cols)
