@@ -196,4 +196,4 @@ def st8_stream_stream_join(spark, sf_dir):
         clicks, purchases, key="user_id",
         left_ts="ts", right_ts="ts", within="30 minutes",
     )
-    return joined.select("click_id", "purchase_id", clicks["user_id"])
+    return joined.select("click_id", "purchase_id", "user_id")

@@ -238,17 +238,27 @@ def stream_stream_join(
     an INTERVAL (e.g. ``'30 minutes'``). The same builder runs over batch
     frames, which is how the oracle checks it.
     """
+    # rename key + timestamp on each side BEFORE the join so every
+    # reference below is by unique name — dataset-attribute references
+    # (l[key] == r[key]) trip Spark's ambiguous-self-join check when both
+    # sides derive from the same source, the common case (events vs events)
     lt, rt = f"__l_{left_ts}", f"__r_{right_ts}"
-    l = left.withColumnRenamed(left_ts, lt)
-    r = right.withColumnRenamed(right_ts, rt)
+    lk, rk = f"__l_{key}", f"__r_{key}"
+    l = left.withColumnRenamed(left_ts, lt).withColumnRenamed(key, lk)
+    r = right.withColumnRenamed(right_ts, rt).withColumnRenamed(key, rk)
     if watermark:
         l = l.withWatermark(lt, watermark)
         r = r.withWatermark(rt, watermark)
     cond = (
-        (l[key] == r[key])
+        (F.col(lk) == F.col(rk))
         & (F.col(rt) >= F.col(lt))
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
     )
-    joined = l.join(r, cond, how)
-    # re-expose the timestamp columns under caller-visible names
-    return joined
+    # collapse the two key columns into one (coalesce covers outer joins,
+    # where one side's key is null on unmatched rows); the timestamps stay
+    # exposed as __l_<ts>/__r_<ts> for callers that need both
+    return (
+        l.join(r, cond, how)
+        .withColumn(key, F.coalesce(F.col(lk), F.col(rk)))
+        .drop(lk, rk)
+    )

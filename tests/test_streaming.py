@@ -327,3 +327,51 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     )
     cols = ["click_id", "purchase_id"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer stream-stream semantics: an unmatched left row may only emit
+    (with nulls) once the watermark guarantees no matching right row can
+    still arrive. A far-future flush row advances the watermark to force
+    that emission deterministically."""
+    from mrjob_spark.streaming import stream_stream_join
+
+    lsrc = str(tmp_path / "clicks")
+    rsrc = str(tmp_path / "purchases")
+    # u1 clicks and never purchases; u2 clicks and purchases 10 min later
+    _write_events(spark, lsrc, [(_t(0), "u1", 1.0), (_t(0), "u2", 2.0)])
+    _write_events(spark, rsrc, [(_t(10), "u2", 9.0)])
+
+    clicks = read_stream_parquet(spark, lsrc).select(
+        F.col("key"), F.col("ts"), F.col("value").alias("click_v")
+    )
+    purchases = read_stream_parquet(spark, rsrc).select(
+        F.col("key"), F.col("ts"), F.col("value").alias("purchase_v")
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="key", left_ts="ts", right_ts="ts",
+        within="30 minutes", watermark="10 minutes", how="left_outer",
+    ).select("key", "click_v", "purchase_v")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sso_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {r["key"]: r for r in spark.table("sso_test").collect()}
+        # matched pair emits promptly; unmatched u1 must still be held back
+        assert "u2" in mid and mid["u2"]["purchase_v"] == 9.0
+        assert "u1" not in mid
+        # advance both watermarks far past u1's join window
+        _write_events(spark, lsrc, [(_t(100000), "flushL", 0.0)])
+        _write_events(spark, rsrc, [(_t(100000), "flushR", 0.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["key"]: r for r in spark.table("sso_test").collect()}
+    assert out["u1"]["purchase_v"] is None  # emitted with nulls post-watermark
+    assert out["u2"]["purchase_v"] == 9.0
