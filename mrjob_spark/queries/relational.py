@@ -865,3 +865,52 @@ def sql1_ansi_interface(spark, sf_dir):
     Tables(spark, sf_dir)
     register_temp_views(spark, sf_dir)
     return spark.sql(_ANSI_SQL_PORTABLE)
+
+
+@query(
+    "q18_large_volume_customer",
+    sql="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customer): an aggregated HAVING
+    subquery feeding a semi-join back into the fact table, then a second
+    aggregation over the joined result. The planner pattern this proves:
+    the subquery aggregates lineitem ONCE with map-side partial agg, its
+    (small) surviving key set semi-joins the fact scan, and the customer
+    dimension rides a broadcast. Quantities accumulate in DECIMAL(38,6)
+    so the HAVING cut and the output sums are bit-identical across
+    engines — a double sum near the threshold could otherwise flip rows
+    in or out of the result."""
+    t = Tables(spark, sf_dir)
+    lineitem, orders, customer = t.lineitem, t.orders, t.customer
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )

@@ -136,3 +136,13 @@ def test_ngrams_single_shuffle(spark):
     # exchange is the count's own aggregation shuffle
     plan = _plan(spark, "l4_ngrams")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q18_semi_joins_subquery_and_broadcasts_customer(spark):
+    # the HAVING subquery's surviving keys must reach orders as a
+    # semi/existence join (never materializing the IN as a full join),
+    # and the customer dim must broadcast
+    plan = _plan(spark, "q18_large_volume_customer")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
