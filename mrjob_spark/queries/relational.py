@@ -914,3 +914,30 @@ def q18_large_volume_customer(spark, sf_dir):
         )
         .agg(dsum("l_quantity").alias("total_qty"))
     )
+
+
+_CORRELATED_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT 1.5 * (CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6)))
+                           AS DOUBLE) / count(*))
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@query("sql2_correlated_subquery", sql=_CORRELATED_SQL)
+def sql2_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — each order compared against 1.5x its
+    own customer's average price. Catalyst decorrelates this into one
+    aggregate of orders joined back to orders (no per-row re-execution,
+    no nested loop — the plan test pins it); DuckDB runs the IDENTICAL
+    string as the oracle. The per-customer average accumulates in
+    DECIMAL(38,6) so the comparison threshold is bit-identical across
+    engines — a plain double avg could flip boundary rows."""
+    from mrjob_spark.catalog import register_temp_views
+
+    Tables(spark, sf_dir)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)

@@ -146,3 +146,12 @@ def test_q18_semi_joins_subquery_and_broadcasts_customer(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan or "ExistenceJoin" in plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # the per-row scalar subquery must rewrite to one aggregate joined
+    # back — a nested-loop re-execution per outer row would be quadratic
+    plan = _plan(spark, "sql2_correlated_subquery")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
