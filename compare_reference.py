@@ -125,6 +125,31 @@ def main() -> int:
             row["ours_n_output_rows"] = n
             results[name] = row
 
+        # the relational twin of wordcount (what a user migrating OFF the
+        # MRJob API would write): same tokens, Catalyst plan, one pass
+        from pyspark.sql import functions as F
+
+        def rel_wordcount():
+            return (
+                spark.read.text(path)
+                .select(
+                    F.explode(
+                        F.split(F.lower(F.col("value")), "[^a-z]+")
+                    ).alias("w")
+                )
+                .where(F.col("w") != "")
+                .groupBy("w")
+                .count()
+            )
+
+        rel_wordcount().collect()  # warmup (codegen compile), as above
+        t0 = time.monotonic()
+        n_rel = len(rel_wordcount().collect())
+        results["wordcount"]["ours_relational_sec"] = round(
+            time.monotonic() - t0, 2
+        )
+        results["wordcount"]["ours_relational_rows"] = n_rel
+
     print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "workloads": results}))
     return 0
 
