@@ -142,6 +142,7 @@ _DRIVER_PRIORITY = [
     "st8_stream_stream_join",
     "q18_large_volume_customer",
     "sql2_correlated_subquery",
+    "st8_stream_stream_left_outer",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",

@@ -197,3 +197,37 @@ def st8_stream_stream_join(spark, sf_dir):
         left_ts="ts", right_ts="ts", within="30 minutes",
     )
     return joined.select("click_id", "purchase_id", "user_id")
+
+
+@query(
+    "st8_stream_stream_left_outer",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def st8_stream_stream_left_outer(spark, sf_dir):
+    """The outer variant of st8: every click, matched or not — unmatched
+    ones carry a null purchase. In streaming execution these null-extended
+    rows may only emit after the watermark passes the click's join window
+    (Spark must prove no match can still arrive), which
+    tests/test_streaming.py pins with a controlled watermark advance; the
+    batch twin here is the plain LEFT JOIN the oracle restates."""
+    from mrjob_spark.streaming import stream_stream_join
+
+    t = Tables(spark, sf_dir)
+    clicks = t.events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id",
+        left_ts="ts", right_ts="ts", within="30 minutes", how="left_outer",
+    )
+    return joined.select("click_id", "purchase_id", "user_id")
