@@ -143,6 +143,7 @@ _DRIVER_PRIORITY = [
     "q18_large_volume_customer",
     "sql2_correlated_subquery",
     "st8_stream_stream_left_outer",
+    "s7_orc_roundtrip",
     # changed in round 3 (localCheckpoint intermediates / CC rewrite) —
     # keep inside the window so the driver re-verifies the new plans
     "l2_minhash_lsh_pairs",

@@ -271,3 +271,35 @@ def s1_s2_gzip_text_scan(spark, sf_dir):
         ]
     )
     return runner.to_dataframe(schema)
+
+
+@query(
+    "s7_orc_roundtrip",
+    sql="""
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(min(p_size) AS BIGINT) AS min_size,
+           CAST(max(p_size) AS BIGINT) AS max_size,
+           (floor((CAST(sum(CAST((p_retailprice) AS DECIMAL(38,6)))
+                        AS DOUBLE)) * 100 + 0.5) / 100) AS sum_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def s7_orc_roundtrip(spark, sf_dir):
+    """S7 ORC: part → ORC (the other columnar format a Spark shop meets in
+    the wild — Hive-era warehouses) → aggregate. Columnar, predicate-
+    pushdown-capable, and schema'd on disk, so unlike csv/json no explicit
+    re-read schema is needed. The oracle reads the parquet original: a
+    hash match proves lossless ORC serde including doubles."""
+    from mrjob_spark.functions.rounding import dsum, rnd
+
+    t = Tables(spark, sf_dir)
+    part = t.part
+    path = _scratch(sf_dir, "part_orc")
+    write_table(part, path, fmt="orc", max_output_files=2)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+        rnd(dsum("p_retailprice"), 2).alias("sum_price"),
+    )
