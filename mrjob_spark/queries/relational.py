@@ -941,3 +941,146 @@ def sql2_correlated_subquery(spark, sf_dir):
     Tables(spark, sf_dir)
     register_temp_views(spark, sf_dir)
     return spark.sql(_CORRELATED_SQL)
+
+
+@query(
+    "q7_volume_shipping",
+    sql="""
+    SELECT supp_nation, cust_nation, l_year,
+           (floor((CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """Composite workload: TPC-H Q7 shape — bilateral trade volume between
+    two nations by year. The disjunctive nation-pair predicate is the
+    planner trap: evaluated post-join it forces full fact-fact joins first.
+    Here both dimension sides are pre-filtered to the two nations (broadcast
+    semi-reduction), so supplier and customer shrink BEFORE the fact joins,
+    and the disjunction collapses to ``supp_nation != cust_nation`` over a
+    two-value domain. At 100 TB the join graph's facts arrive pre-pruned by
+    the only selective predicate available."""
+    t = Tables(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        t.nation.where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        t.nation.where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = t.supplier.join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+    cust = t.customer.join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+    li = t.lineitem.where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    return (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    sql="""
+    SELECT c_custkey, c_name, n_name,
+           (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """Composite workload: TPC-H Q10 shape — lost-revenue ranking of
+    customers who returned goods in one quarter. The returnflag filter is
+    on the fact, the date window on orders; both are written pre-join so
+    they reach the scans. nation broadcasts; top-20 compiles to
+    TakeOrderedAndProject (no global sort of the aggregate). Tiebreak on
+    c_custkey makes the LIMIT row set deterministic."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t.lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    sql="""
+    SELECT (floor((100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                       AS DECIMAL(38,6))) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS DOUBLE)) * 10000 + 0.5) / 10000) AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """Composite workload: TPC-H Q14 shape — promo share of one month's
+    revenue: a conditional aggregate over a fact-dim join reduced to a
+    single row. The month filter prunes lineitem at the scan; part joins
+    broadcast (it carries only p_partkey/p_type after pruning). Both sums
+    accumulate in DECIMAL(38,6) before the division so the ratio is
+    bit-identical across engines."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            rnd(
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / dsum(vol),
+                4,
+            ).alias("promo_pct")
+        )
+    )

@@ -155,3 +155,30 @@ def test_correlated_subquery_decorrelates(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_q7_nation_pair_disjunction_collapses_to_equi_joins(spark):
+    # the bilateral nation-pair predicate must arrive as pre-filtered
+    # broadcast dims + an inequality filter, never a BNLJ over the
+    # disjunction; the shipdate range must push into the lineitem scan
+    plan = _plan(spark, "q7_volume_shipping")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_q10_takes_ordered_and_broadcasts_nation(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # returnflag filter reaches the lineitem scan
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_q14_single_row_aggregate_broadcasts_part(spark):
+    # part joins broadcast; the only exchange is the 1-row final agg's
+    plan = _plan(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
