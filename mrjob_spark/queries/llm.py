@@ -944,3 +944,208 @@ def l4_bpe_token_count(spark, sf_dir):
         .alias("n_ws_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 LLM-pipeline additions: span-level dedup, repetition-quality
+# signals, vocabulary building, and redaction plumbing (SURVEY.md §2.11
+# L2/L4/L5/L8 extensions).
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 10  # tokens per span (stride == width: disjoint spans)
+
+
+@query(
+    "l2_span_dedup",
+    sql=f"""
+    WITH spans AS (
+        SELECT DISTINCT doc_id,
+               md5(unnest(list_transform(
+                   range(CAST(ceil(len(toks) / {_SPAN_W}.0) AS BIGINT)),
+                   j -> array_to_string(
+                       toks[(j * {_SPAN_W} + 1):(j * {_SPAN_W} + {_SPAN_W})], ' ')
+               ))) AS span_h
+        FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    hot AS (
+        SELECT span_h FROM spans GROUP BY span_h
+        HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN h.span_h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_spans
+    FROM spans s LEFT JOIN hot h ON s.span_h = h.span_h
+    GROUP BY s.doc_id
+    """,
+)
+def l2_span_dedup(spark, sf_dir):
+    """Span-level (sub-document) duplication audit — the paragraph-dedup
+    shape on a corpus without paragraph breaks: each document is cut into
+    disjoint 10-token spans in-row (no shuffle to build spans), spans are
+    md5-keyed so the shuffle carries 16-byte keys instead of raw text, and
+    a span is "duplicated" when it appears in more than one document. Per
+    doc: span count + duplicated-span count, the signal used to strip
+    boilerplate or drop mostly-copied documents. Scale shape: one explode →
+    distinct (map-side partial) → count-distinct-docs per span → broadcast-
+    size hot-set joined back. The hot set (spans in >1 doc) is the only
+    re-joined artifact, and it shrinks as the corpus grows cleaner."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_spans = F.ceil(F.size(toks) / F.lit(float(_SPAN_W))).cast("int")
+    spans = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda j: F.array_join(F.slice(toks, j * _SPAN_W + 1, _SPAN_W), " "),
+        )
+    )
+    per_doc = (
+        t.documents.select("doc_id", F.explode(spans).alias("span"))
+        .select("doc_id", F.md5("span").alias("span_h"))
+        .distinct()
+    )
+    hot = (
+        per_doc.groupBy("span_h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .select("span_h")
+    )
+    return (
+        per_doc.join(hot.withColumn("is_dup", F.lit(1)), "span_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+    )
+
+
+@query(
+    "l5_repetition_filter",
+    sql=f"""
+    WITH pc AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS m
+        FROM pc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           {sql_rnd('CAST(m AS DOUBLE) / n_tokens')} AS top_share,
+           CASE WHEN CAST(m AS DOUBLE) / n_tokens > 0.12
+                     OR CAST(n_distinct AS DOUBLE) / n_tokens < 0.35
+                THEN 'repetitive' ELSE 'ok' END AS verdict
+    FROM per_doc
+    """,
+)
+def l5_repetition_filter(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher repetition rules'
+    shape): per-document top-token share and distinct-token ratio, with a
+    verdict column instead of a dropped row so the reject histogram stays
+    auditable. Two aggregations, both with map-side partial agg: (doc_id,
+    token) counts, then per-doc max/sum/count — the first shuffle's key
+    cardinality is bounded by per-doc vocabulary, not corpus size."""
+    t = Tables(spark, sf_dir)
+    pc = (
+        t.documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = pc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("m"),
+    )
+    top_share = F.col("m").cast("double") / F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        rnd(top_share).alias("top_share"),
+        F.when((top_share > 0.12) | (distinct_ratio < 0.35), "repetitive")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+
+
+@query(
+    "l4_vocab_coverage",
+    sql=f"""
+    WITH agg AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest({sql_tokens('text')}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS rnk,
+               sum(cnt) OVER (ORDER BY cnt DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER () AS total
+        FROM agg
+    )
+    SELECT tok, rnk, cnt,
+           {sql_rnd('CAST(cum AS DOUBLE) / total')} AS cum_share
+    FROM ranked WHERE rnk <= 50
+    """,
+)
+def l4_vocab_coverage(spark, sf_dir):
+    """Vocabulary building with coverage: global token counts ranked by
+    frequency with each rank's cumulative share of the token stream — the
+    curve that picks a vocab size. The corpus-wide count shuffles once with
+    partial agg; the ranking window then runs over VOCAB rows (bounded,
+    ≪ corpus), so the single-partition global window is over thousands of
+    rows regardless of input scale. Tiebreak on token keeps rank/cum_share
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    agg = (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return (
+        agg.select(
+            "tok",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "cnt",
+            rnd(
+                F.sum("cnt").over(wcum).cast("double") / F.sum("cnt").over(wall)
+            ).alias("cum_share"),
+        )
+        .where(F.col("rnk") <= 50)
+    )
+
+
+_MASK_RE = r"\b(customer|supplier|order)\b"
+
+
+@query(
+    "l8_token_mask",
+    sql=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_MASK_RE}')) AS n_masked,
+           md5(regexp_replace(text, '{_MASK_RE}', '[MASK]', 'g')) AS masked_md5
+    FROM documents
+    """,
+)
+def l8_token_mask(spark, sf_dir):
+    """Redaction / PII-scrub plumbing: blocklisted terms are replaced with
+    a mask token by a word-boundary regex (the pattern is kept to the
+    Java-regex ∩ RE2 dialect so the oracle scrubs identically), emitting
+    the per-doc redaction count and an md5 of the scrubbed text — the
+    audit pair a scrubbing pass must produce. Pure per-row JVM column math:
+    no shuffle, no Python, safe at any scale; a real PII pass swaps the
+    pattern, not the plan."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_MASK_RE), 0)).alias("n_masked"),
+        F.md5(F.regexp_replace("text", _MASK_RE, "[MASK]")).alias("masked_md5"),
+    )

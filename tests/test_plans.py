@@ -182,3 +182,37 @@ def test_q14_single_row_aggregate_broadcasts_part(spark):
     plan = _plan(spark, "q14_promo_revenue")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_mask_is_shuffle_free(spark):
+    # redaction is pure per-row column math: any Exchange is a regression
+    plan = _plan(spark, "l8_token_mask")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_repetition_filter_two_partial_aggs_no_join(spark):
+    # (doc_id, tok) counts then per-doc stats: two hash exchanges, both
+    # fed by partial aggregates, and no join anywhere
+    plan = _plan(spark, "l5_repetition_filter")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_vocab_coverage_windows_over_vocab_not_corpus(spark):
+    # corpus-wide count shuffles once; the global ranking window runs on
+    # the aggregated vocab (bounded), i.e. exactly one SinglePartition
+    # exchange AFTER the aggregation
+    plan = _plan(spark, "l4_vocab_coverage")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_span_dedup_hot_set_broadcasts_back(spark):
+    # the >1-doc span set must join back broadcast (it is corpus-clean
+    # small); raw spans never join raw spans
+    plan = _plan(spark, "l2_span_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
