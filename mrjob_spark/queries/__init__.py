@@ -117,9 +117,13 @@ _DRIVER_PRIORITY = [
     "mr_wordcount",
     "mr_most_used_word",
     # green in r1 but displaced out of the r2 window
-    "l3_knn_bucketed",
     "l3_knn_lsh",
-    "l4_token_stats",
+    # new in round 4: the two most novel execution paths get window slots
+    # (the remaining round-4 queries sit just past the window and rotate in
+    # next round; l3_knn_bucketed / l4_token_stats gave up their slots —
+    # both r1-green with unchanged plans)
+    "st9_foreachbatch_sink",
+    "l2_span_dedup",
     # new in round 3
     "s6_hadoop_input_format",
     "x6_spark_step",

@@ -231,3 +231,65 @@ def st8_stream_stream_left_outer(spark, sf_dir):
         left_ts="ts", right_ts="ts", within="30 minutes", how="left_outer",
     )
     return joined.select("click_id", "purchase_id", "user_id")
+
+
+@query(
+    "st9_foreachbatch_sink",
+    sql="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart, event_type,
+           count(*) AS n,
+           (floor((CAST(sum(CAST((value) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st9_foreachbatch_sink(spark, sf_dir):
+    """ST-foreachBatch: a REAL streaming run, not a batch twin — the events
+    fixture is replayed through readStream → 15-min tumbling aggregation →
+    ``foreachBatch`` with the idempotent batch-partition-overwrite sink
+    (streaming/io.py), then the sink directory is read back and reduced to
+    the highest-batch version per group. The oracle is plain batch SQL over
+    the same rows, so a hash match proves the streamed, checkpointed,
+    replay-safe path produces exactly the batch answer.
+    tests/test_streaming.py additionally replays a batch twice to prove the
+    overwrite is duplicate-free."""
+    import os
+    import shutil
+
+    from mrjob_spark.functions.rounding import dsum, rnd
+    from mrjob_spark.streaming.io import foreach_batch_overwrite, read_stream_parquet
+    from mrjob_spark.streaming.ops import tumbling_window_agg
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/mrjob_spark_streaming/{tag}/st9"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    events = read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_window_agg(
+        events,
+        "ts",
+        "15 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), rnd(dsum("value"), 2).alias("sum_value")],
+    )
+    q = (
+        agg.writeStream.foreachBatch(foreach_batch_overwrite(out))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    latest = F.max_by(F.struct("n", "sum_value"), "batch_id").alias("v")
+    return (
+        back.groupBy("wstart", "event_type")
+        .agg(latest)
+        .select(
+            "wstart",
+            "event_type",
+            F.col("v.n").alias("n"),
+            F.col("v.sum_value").alias("sum_value"),
+        )
+    )

@@ -96,3 +96,28 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_overwrite(path: str, partition_col: str = "batch_id"):
+    """Idempotent ``foreachBatch`` sink: the exactly-once file-output
+    pattern for when the built-in checkpointed parquet sink isn't enough
+    (per-batch post-processing, MERGE-style upserts, multiple sinks).
+
+    Each micro-batch lands in its own ``batch_id=N`` partition with DYNAMIC
+    partition overwrite, so a replayed batch — Structured Streaming
+    re-delivers the whole batch after a failure between foreachBatch and
+    offset commit — overwrites its own partition instead of appending
+    duplicates. Consumers read the directory and take the highest
+    ``batch_id`` version per key.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(partition_col, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return write_batch

@@ -375,3 +375,26 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     out = {r["key"]: r for r in spark.table("sso_test").collect()}
     assert out["u1"]["purchase_v"] is None  # emitted with nulls post-watermark
     assert out["u2"]["purchase_v"] == 9.0
+
+
+def test_foreach_batch_overwrite_replay_is_duplicate_free(spark, tmp_path):
+    """Re-delivering the SAME batch id (what Structured Streaming does after
+    a failure between foreachBatch and offset commit) must overwrite that
+    batch's partition, not append; other batches' partitions survive."""
+    from mrjob_spark.streaming.io import foreach_batch_overwrite
+
+    out = str(tmp_path / "sink")
+    write = foreach_batch_overwrite(out)
+
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    b1 = spark.createDataFrame([("c", 3)], "k string, v int")
+    write(b0, 0)
+    write(b1, 1)
+    # replay batch 0 (retry with recomputed — possibly different — content)
+    write(spark.createDataFrame([("a", 1), ("b", 5)], "k string, v int"), 0)
+
+    rows = {
+        (r["k"], r["batch_id"]): r["v"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {("a", 0): 1, ("b", 0): 5, ("c", 1): 3}
