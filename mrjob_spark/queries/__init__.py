@@ -155,6 +155,23 @@ _DRIVER_PRIORITY = [
 ]
 
 
+#: Round-4 additions that do NOT fit the current 50-entry driver window
+#: (46 never-checked + 2 changed-plan re-verifies + 2 new already fill it).
+#: Listing them here is an explicit acknowledgment, enforced by
+#: tests/test_registry.py: a query may sit beyond the window ONLY if it was
+#: driver-green before or is queued here — so displacement is always a
+#: choice, never an accident (VERDICT r2 "what's wrong" #1). Rotate these
+#: into _DRIVER_PRIORITY next round, when this round's 46 go green.
+_ROTATION_QUEUE = [
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "l5_repetition_filter",
+    "l4_vocab_coverage",
+    "l8_token_mask",
+]
+
+
 #: Registration (module) order, preserved before the driver-priority
 #: reorder. bench.py iterates THIS order so per-query timings stay
 #: position-comparable with BASELINE.md §4, which was recorded in module

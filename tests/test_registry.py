@@ -41,11 +41,23 @@ def test_no_unverified_query_hides_beyond_the_window():
     seen = _driver_checked_names()
     if not seen:  # fresh clone without correctness files
         return
-    hidden = [n for n in names[WINDOW:] if n not in seen]
+    hidden = [
+        n for n in names[WINDOW:] if n not in seen and n not in q._ROTATION_QUEUE
+    ]
     assert hidden == [], (
         f"never-driver-checked queries outside the 50-entry window: {hidden}"
-        " — add them to _DRIVER_PRIORITY"
+        " — add them to _DRIVER_PRIORITY, or acknowledge the displacement"
+        " explicitly in _ROTATION_QUEUE"
     )
+
+
+def test_rotation_queue_is_not_a_dumping_ground():
+    # the queue exists to acknowledge overflow when the window is FULL of
+    # never-checked work — it must stay small and disjoint from the window
+    names = list(q.REGISTRY)
+    assert len(q._ROTATION_QUEUE) <= 10
+    in_window = [n for n in q._ROTATION_QUEUE if n in names[:WINDOW]]
+    assert in_window == [], f"queued names already inside the window: {in_window}"
 
 
 def test_oracle_sql_types_and_column_alias_discipline():
