@@ -969,7 +969,7 @@ _SPAN_W = 10  # tokens per span (stride == width: disjoint spans)
     ),
     hot AS (
         SELECT span_h FROM spans GROUP BY span_h
-        HAVING count(DISTINCT doc_id) > 1
+        HAVING count(*) > 1
     )
     SELECT s.doc_id,
            count(*) AS n_spans,
@@ -1003,9 +1003,12 @@ def l2_span_dedup(spark, sf_dir):
         .select("doc_id", F.md5("span").alias("span_h"))
         .distinct()
     )
+    # per_doc is distinct on (doc_id, span_h), so a plain count IS the
+    # distinct-doc count — count(*) keeps the partial-agg path and avoids
+    # countDistinct's expand + second shuffle
     hot = (
         per_doc.groupBy("span_h")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .agg(F.count("*").alias("ndocs"))
         .where(F.col("ndocs") > 1)
         .select("span_h")
     )
