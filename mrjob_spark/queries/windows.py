@@ -320,13 +320,17 @@ def st3_sessionization(spark, sf_dir):
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # interval arithmetic, not cast-to-double: TIMESTAMP_NTZ (what Spark 4
+    # infers for tz-less parquet timestamps) refuses numeric casts, and
+    # ts - lag(ts) > INTERVAL is the oracle SQL's own formulation
+    prev = F.lag("ts").over(w)
+    gap_over = (F.col("ts") - prev) > F.expr("INTERVAL '30' MINUTE")
     flagged = t.events.select(
         "user_id",
         "ts",
         "event_id",
         "value",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+        F.when(prev.isNull() | gap_over, 1).otherwise(0).alias("new_session"),
     )
     numbered = flagged.withColumn("session_seq", F.sum("new_session").over(w_run))
     return numbered.groupBy("user_id", "session_seq").agg(

@@ -44,6 +44,12 @@ def read_stream_parquet(
     df = reader.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # watermarks/event-time require TIMESTAMP (LTZ); Spark 4 infers NTZ
+        # for tz-less parquet timestamps. Session tz is pinned UTC
+        # (session.py), so this cast is a deterministic relabel, and both
+        # types collect to the same naive UTC wall clock for comparisons.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
