@@ -116,8 +116,9 @@ _DRIVER_PRIORITY = [
     "l7_quality_profile",
     "mr_wordcount",
     "mr_most_used_word",
-    # green in r1 but displaced out of the r2 window
-    "l3_knn_lsh",
+    # q7 was queued past the window; r1-green l3_knn_lsh (rows-only, plan
+    # unchanged) gave up its slot so one more never-checked query fits
+    "q7_volume_shipping",
     # new in round 4: the two most novel execution paths get window slots
     # (the remaining round-4 queries sit just past the window and rotate in
     # next round; l3_knn_bucketed / l4_token_stats gave up their slots —
@@ -163,7 +164,6 @@ _DRIVER_PRIORITY = [
 #: choice, never an accident (VERDICT r2 "what's wrong" #1). Rotate these
 #: into _DRIVER_PRIORITY next round, when this round's 46 go green.
 _ROTATION_QUEUE = [
-    "q7_volume_shipping",
     "q10_returned_items",
     "q14_promo_revenue",
     "l5_repetition_filter",
