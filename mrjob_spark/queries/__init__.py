@@ -79,6 +79,7 @@ from mrjob_spark.queries import dataflow_queries  # noqa: E402,F401
 from mrjob_spark.queries import streaming_queries  # noqa: E402,F401
 from mrjob_spark.queries import io_queries  # noqa: E402,F401
 from mrjob_spark.queries import udf_queries  # noqa: E402,F401
+from mrjob_spark.queries import composites  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -169,6 +170,16 @@ _ROTATION_QUEUE = [
     "l5_repetition_filter",
     "l4_vocab_coverage",
     "l8_token_mask",
+    # round-5 composites (queries/composites.py): the q-series completions
+    # feasible on this schema (no partsupp / commit-receipt dates / phone)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_join",
+    "q22_sales_opportunity",
 ]
 
 

@@ -1,0 +1,406 @@
+"""Composite TPC-H-shape workloads, part 2 (rounds up the q-series).
+
+The fixture schema lacks ``partsupp`` and the commit/receipt-date and
+shipmode/container columns, so each query here is the *shape* of its TPC-H
+namesake adapted to the columns that exist — the planner pattern each one
+exercises (noted per query) is the point, not benchmark-kit fidelity.
+
+Like the q3/q5/q7/q10/q14/q18 composites in ``relational.py``: every filter
+is written pre-join so it reaches the parquet scan, fixed-cardinality dims
+carry explicit ``broadcast()`` hints, float aggregates accumulate in
+DECIMAL(38,6) (order-independent, engine-identical) via ``dsum``/``davg``,
+and outputs round through the portable ``rnd`` helper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrjob_spark.functions.rounding import davg, dsum, rnd
+from mrjob_spark.queries import Tables, query
+
+
+@query(
+    "q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — priority-bucket counts of one quarter's orders that
+    have at least one matching lineitem (returnflag stands in for the
+    missing commit/receipt dates). The planner pattern: EXISTS compiles to
+    a LEFT SEMI join, so each order is emitted at most once with no
+    post-join dedup, and both the date window and the flag filter sit
+    below the join where the scans prune them. At 100 TB the semi-join's
+    build side is lineitem *after* its filter — never the raw fact."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    returned = t.lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT (floor((CAST(sum(CAST((l_extendedprice * l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — the pure-scan revenue forecast: three conjunctive
+    predicates, no join, one output row. The whole query must collapse to
+    a single pass over pruned row groups: every predicate reaches
+    PushedFilters, only four columns are read, and the aggregate is
+    partial+final with a one-row shuffle. This is the query where scan
+    efficiency IS the query — at 100 TB anything short of full pushdown
+    multiplies bytes read."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(dsum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    sql="""
+    SELECT o_year,
+           (floor((CAST(sum(CAST(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)) * 1000000 + 0.5) / 1000000) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+          AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — one supplier nation's share of a region's promo
+    market by year: an eight-table join (nation twice) reduced to a ratio
+    of two conditional sums. The planner pattern: the region filter prunes
+    customers through two broadcast dims BEFORE the fact joins, the
+    p_type filter shrinks part before it touches lineitem, and the
+    supplier-nation name arrives via a second broadcast of nation under a
+    different key — no post-join disjunction, no re-aggregation. Both
+    sums accumulate in DECIMAL(38,6) so the share is bit-identical."""
+    t = Tables(spark, sf_dir)
+    asia_cust_nations = F.broadcast(
+        t.nation.join(
+            F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = F.broadcast(
+        t.nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+        )
+    )
+    promo_parts = F.broadcast(
+        t.part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    orders = t.orders.where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_cust_nations, F.col("c_nationkey") == F.col("cn_key"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            rnd(
+                dsum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / dsum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    sql="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — the distribution of order counts per customer,
+    zero-order customers included. The planner pattern: the priority
+    predicate lives in the JOIN CONDITION, not a WHERE (a WHERE would
+    silently turn the outer join inner and drop the zero bucket), and the
+    two-level aggregate's first level counts the nullable join-side key so
+    unmatched customers count 0. Both aggregations are partial+final; the
+    second one's key space (distinct counts) is tiny."""
+    t = Tables(spark, sf_dir)
+    joined = t.customer.join(
+        t.orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    sql="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — the supplier(s) with the maximum quarterly
+    revenue. The planner pattern: lineitem is scanned and aggregated
+    exactly ONCE; the max arrives as a global window over the
+    already-aggregated revenue table (bounded: one row per supplier in
+    the quarter, never fact-sized), instead of a second aggregate branch
+    that would re-scan the fact — Spark does not reuse the identical
+    subtree (no ReusedExchange, verified), so the naive two-branch
+    formulation pays the quarter's scan twice. Revenue is rounded to
+    cents BEFORE max/equality — on decimal-exact sums both engines hold
+    bit-identical doubles, making float equality safe (ties all surface,
+    deterministically)."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    return (
+        revenue.withColumn(
+            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    sql="""
+    SELECT (floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0) * 100 + 0.5) / 100) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS t_partkey,
+               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity)) AS qty_thresh
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+        GROUP BY l_partkey
+    ) t ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_thresh
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — revenue that would vanish without small-quantity
+    orders of one brand: each lineitem compared against 20% of ITS part's
+    average quantity. The planner pattern: the correlated subquery is
+    decorrelated into one per-partkey aggregate joined back, and — the
+    scale-critical step — the brand filter semi-reduces lineitem BEFORE
+    the threshold aggregate, so the per-key average is computed only over
+    the ~1/25 of the fact that can survive (per-partkey averages are
+    unchanged by the restriction; the oracle SQL applies the same
+    reduction). Thresholds come from decimal-exact sums so the strict
+    inequality can't flip boundary rows between engines."""
+    t = Tables(spark, sf_dir)
+    brand_parts = F.broadcast(
+        t.part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    li_brand = t.lineitem.join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = (
+        li_brand.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * davg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        li_brand.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(rnd(dsum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    sql="""
+    SELECT (floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape — an OR of brand/size/quantity conjunctions spanning
+    both join sides. The planner trap: evaluated only post-join, the
+    disjunction forces the full fact-dim join first. The fix is writing
+    the per-side weakenings explicitly — brand IN (…) AND size ≤ 35 on
+    part, quantity BETWEEN 1 AND 30 on lineitem — so both scans prune
+    (they are implied by the disjunction, and Spark's constraint
+    propagation does not derive them across a join). The exact disjunction
+    then runs as the residual filter on the (broadcast) join output."""
+    t = Tables(spark, sf_dir)
+    part = F.broadcast(
+        t.part.where(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 35)
+        ).select("p_partkey", "p_brand", "p_size")
+    )
+    li = t.lineitem.where(F.col("l_quantity").between(1, 30)).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    case = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(case)
+        .agg(
+            rnd(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    sql="""
+    WITH avg_bal AS (
+        SELECT (CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(c_acctbal)) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT right(c_name, 2) AS cntrycode,
+           count(*) AS numcust,
+           (floor((CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderdate >= DATE '1999-01-01')
+    GROUP BY right(c_name, 2)
+    """,
+)
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape — above-average-balance customers with no recent
+    urgent orders, bucketed by a name-derived code (the fixture has no
+    phone column, and every customer has SOME order, so the anti-join
+    side carries the selective predicate that makes it non-trivial).
+    Three planner patterns in one query: an uncorrelated scalar aggregate
+    delivered as a one-row broadcast (not recomputed per row), NOT EXISTS
+    compiled to a LEFT ANTI join whose build side is orders AFTER its
+    filters (priority + date prune at the scan), and the final aggregate
+    keyed on a derived expression. The average is a decimal-exact
+    sum/count so the balance cut is engine-identical."""
+    t = Tables(spark, sf_dir)
+    avg_bal = (
+        t.customer.where(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("a"))
+    )
+    return (
+        t.customer.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(
+            t.orders.where(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderdate") >= "1999-01-01")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.expr("right(c_name, 2)").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            rnd(dsum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -208,6 +208,75 @@ def test_vocab_coverage_windows_over_vocab_not_corpus(spark):
     assert plan.count("Exchange SinglePartition") == 1
 
 
+def test_q4_exists_compiles_to_semi_join_with_pushed_filters(spark):
+    # EXISTS must become a semi join (one output row per order, no dedup),
+    # with the date window and returnflag both reaching their scans
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert plan.count("PushedFilters: [") >= 2
+    assert "PushedFilters: []" not in plan
+
+
+def test_q6_is_one_pruned_scan_with_partial_agg(spark):
+    # the pure-scan aggregate: no join, all three predicates pushed, only
+    # the four referenced columns read, one single-row final exchange
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "Join" not in plan
+    assert "PushedFilters: []" not in plan
+    assert plan.count("Exchange") == 1
+    assert "l_tax" not in plan  # column pruning: untouched columns absent
+
+
+def test_q8_eight_table_join_stays_broadcast_no_fact_shuffle(spark):
+    # every dim rides a broadcast; the only hash exchange belongs to the
+    # final year aggregate, so the fact never shuffles for a join
+    plan = _plan(spark, "q8_market_share")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q13_outer_join_keeps_zero_bucket_condition_in_join(spark):
+    # the priority predicate must stay in the join condition — a WHERE
+    # would drop zero-order customers and silently turn the join inner
+    plan = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q15_scans_lineitem_once(spark):
+    # the max must come from a window over the aggregated revenue table,
+    # not a second aggregate branch re-scanning the fact
+    plan = _plan(spark, "q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q17_threshold_join_copartitions_no_cartesian(spark):
+    # the decorrelated per-partkey threshold joins back on the same key
+    # its aggregate shuffled on — co-partitioned, never nested-loop
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_weakenings_reach_both_scans(spark):
+    # the hand-derived per-side implications of the OR must prune both
+    # scans; the disjunction itself stays a residual on a broadcast join
+    plan = _plan(spark, "q19_disjunctive_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("PushedFilters: [") >= 2
+    assert "PushedFilters: []" not in plan
+
+
+def test_q22_anti_join_builds_on_filtered_orders(spark):
+    # NOT EXISTS → LEFT ANTI with the priority+date filters pushed into
+    # the orders scan; the scalar average arrives as a one-row broadcast
+    plan = _plan(spark, "q22_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "PushedFilters: []" not in plan
+
+
 def test_span_dedup_hot_set_broadcasts_back(spark):
     # the >1-doc span set must join back broadcast (it is corpus-clean
     # small); raw spans never join raw spans
