@@ -180,6 +180,8 @@ _ROTATION_QUEUE = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_join",
     "q22_sales_opportunity",
+    "l8_global_shuffle",
+    "a11_exact_percentiles",
 ]
 
 

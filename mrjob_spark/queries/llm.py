@@ -1152,3 +1152,48 @@ def l8_token_mask(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit(_MASK_RE), 0)).alias("n_masked"),
         F.md5(F.regexp_replace("text", _MASK_RE, "[MASK]")).alias("masked_md5"),
     )
+
+
+@query(
+    "l8_global_shuffle",
+    sql="""
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15)) AS BIGINT) AS h,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15)) AS BIGINT) % 32 AS shard
+        FROM documents
+    ) keyed
+    """,
+)
+def l8_global_shuffle(spark, sf_dir):
+    """Reproducible global shuffle + sharding — the step that randomizes
+    example order before training shards are written. Each document gets a
+    pure-function shuffle key (md5 of its id under a salt), a shard
+    assignment (key mod n_shards), and its position within the shard
+    (rank by key). Hash-ordered, not ``orderBy(rand())``: the permutation
+    is identical across engines, runs, partitionings, and task retries,
+    and re-running with a new salt is a fresh permutation. Scale shape:
+    one hash-exchange on shard, then each shard sorts independently
+    inside its own task — the per-shard ``row_number`` never funnels the
+    corpus through a single partition, and n_shards scales with the
+    cluster (32 here, thousands at 100 TB), exactly the layout a shard
+    writer needs (``partitionBy(shard)`` + in-file order = pos)."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    h = hex_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        t.documents.select(
+            "doc_id", h.alias("h"), F.pmod(h, F.lit(32)).alias("shard")
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            F.col("h"),
+        )
+        .drop("h")
+    )

@@ -278,6 +278,35 @@ def a10_approx_count_distinct(spark, sf_dir):
     )
 
 
+@query(
+    "a11_exact_percentiles",
+    sql="""
+    SELECT event_type,
+           (floor((quantile_cont(value, 0.25)) * 1000000 + 0.5) / 1000000) AS p25,
+           (floor((quantile_cont(value, 0.50)) * 1000000 + 0.5) / 1000000) AS p50,
+           (floor((quantile_cont(value, 0.90)) * 1000000 + 0.5) / 1000000) AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a11_exact_percentiles(spark, sf_dir):
+    """A11 (EXT): exact linearly-interpolated percentiles per group —
+    Spark's ``percentile`` matches ANSI ``quantile_cont``/
+    ``percentile_cont`` semantics, so the values oracle-check exactly
+    (both engines sort the same doubles and interpolate the same two
+    neighbors). Scale note: exact percentiles require the per-group value
+    sets at one place — the group-keyed shuffle is intrinsic and the keys
+    here are low-cardinality, which is precisely why the sketch-based
+    ``a10``/``percentile_approx`` path exists as the 100 TB default; this
+    query is the labeled exact baseline for bounded groups."""
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        rnd(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        rnd(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O: sort / limit / top-k / sampling
 # ---------------------------------------------------------------------------

@@ -277,6 +277,16 @@ def test_q22_anti_join_builds_on_filtered_orders(spark):
     assert "PushedFilters: []" not in plan
 
 
+def test_global_shuffle_never_funnels_to_one_partition(spark):
+    # the per-shard row_number must run shard-parallel: one hash exchange
+    # on shard, and no SinglePartition exchange anywhere — a global-window
+    # formulation would funnel the corpus through one task
+    plan = _plan(spark, "l8_global_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_span_dedup_hot_set_broadcasts_back(spark):
     # the >1-doc span set must join back broadcast (it is corpus-clean
     # small); raw spans never join raw spans
