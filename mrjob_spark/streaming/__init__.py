@@ -21,6 +21,7 @@ from mrjob_spark.streaming.ops import (
     session_window_agg,
     sliding_window_agg,
     stateful_running_totals,
+    transform_with_state_stats,
     stream_dedup,
     stream_static_enrich,
     stream_stream_join,
@@ -38,6 +39,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "stateful_running_totals",
+    "transform_with_state_stats",
     "with_watermark",
     "stream_dedup",
     "stream_static_enrich",

@@ -398,3 +398,87 @@ def test_foreach_batch_overwrite_replay_is_duplicate_free(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows == {("a", 0): 1, ("b", 0): 5, ("c", 1): 3}
+
+
+try:
+    import importlib.util as _ilu
+
+    _HAS_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no 'google' namespace package at all
+    _HAS_PROTOBUF = False
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="pyspark transformWithState needs protobuf")
+def test_transform_with_state_across_microbatches(spark, tmp_path):
+    """transformWithStateInPandas keeps the ValueState across micro-batches:
+    batch 2's rows accumulate onto batch 1's state, not a fresh one."""
+    from mrjob_spark.streaming import transform_with_state_stats
+
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(_t(0), "a", 1.0), (_t(1), "b", 2.0)])
+
+    sdf = read_stream_parquet(spark, src)
+    stats = transform_with_state_stats(sdf, "key", "value")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["key"]: (r["n"], r["total_cents"], r["mx"])
+            for r in spark.table("tws_stats").collect()
+        }
+        _write_events(spark, src, [(_t(2), "a", 10.5), (_t(3), "a", 100.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert first == {"a": (1, 100, 1.0), "b": (1, 200, 2.0)}
+    latest = {}
+    for r in spark.table("tws_stats").collect():
+        n, cents, mx = latest.get(r["key"], (0, 0, None))
+        if r["n"] > n:
+            latest[r["key"]] = (r["n"], r["total_cents"], r["mx"])
+    # key 'a' saw 3 rows: 1.0 + 10.5 + 100.0 = 111.5 → 11150 cents, max 100
+    assert latest["a"] == (3, 11150, 100.0)
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="pyspark transformWithState needs protobuf")
+def test_transform_with_state_batch_runs_real_processor(spark, events_batch):
+    """In batch mode the same StatefulProcessor executes per key over the
+    complete input — its output must equal the grouped aggregate."""
+    from mrjob_spark.streaming import transform_with_state_stats
+
+    got = {
+        r["event_type"]: (r["n"], r["total_cents"], r["mx"])
+        for r in transform_with_state_stats(
+            events_batch, "event_type", "value"
+        ).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["total_cents"], r["mx"])
+        for r in events_batch.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_transform_with_state_gates_cleanly_without_protobuf(spark, events_batch):
+    """Where protobuf is missing the operator must fail at BUILD time with
+    a clear ImportError, not a mid-job executor crash."""
+    if _HAS_PROTOBUF:
+        pytest.skip("protobuf present: the real tests above cover this")
+    from mrjob_spark.streaming import transform_with_state_stats
+
+    with pytest.raises(ImportError, match="protobuf"):
+        transform_with_state_stats(events_batch, "event_type", "value")
