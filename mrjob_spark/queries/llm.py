@@ -981,14 +981,27 @@ _SPAN_W = 10  # tokens per span (stride == width: disjoint spans)
 def l2_span_dedup(spark, sf_dir):
     """Span-level (sub-document) duplication audit — the paragraph-dedup
     shape on a corpus without paragraph breaks: each document is cut into
-    disjoint 10-token spans in-row (no shuffle to build spans), spans are
-    md5-keyed so the shuffle carries 16-byte keys instead of raw text, and
-    a span is "duplicated" when it appears in more than one document. Per
+    disjoint 10-token spans in-row (no shuffle to build spans), span hashes
+    are deduped in-row too (``array_distinct`` before the explode — the
+    DISTINCT costs zero shuffles), so the exploded stream is already unique
+    on (doc_id, span_h) and carries 16-byte keys instead of raw text. A
+    span is "duplicated" when it appears in more than one document. Per
     doc: span count + duplicated-span count, the signal used to strip
-    boilerplate or drop mostly-copied documents. Scale shape: one explode →
-    distinct (map-side partial) → count-distinct-docs per span → broadcast-
-    size hot-set joined back. The hot set (spans in >1 doc) is the only
-    re-joined artifact, and it shrinks as the corpus grows cleaner."""
+    boilerplate or drop mostly-copied documents.
+
+    Scale shape — single corpus scan, two shuffles: explode → per-span doc
+    count as a window over span_h → per-doc aggregate. The previous
+    formulation computed the exploded span set TWICE (once for a hot-span
+    aggregate, once for the join back — Spark does not reuse the identical
+    subtree), re-tokenizing the corpus both times; measured 5.0 → 1.9 s at
+    sf0.1. Tradeoff, stated: the window funnels each span's rows through
+    one task, so an ultra-hot boilerplate span (10^8 docs) makes one fat —
+    narrow-row, spill-bounded — window partition, where the join-back form
+    stayed partial-agg skew-proof; production corpora cap such spans
+    upstream (the Jaccard DF-cutoff pattern), and below that regime the
+    single-scan form strictly dominates."""
+    from pyspark.sql.window import Window
+
     t = Tables(spark, sf_dir)
     toks = tokens(F.col("text"))
     n_spans = F.ceil(F.size(toks) / F.lit(float(_SPAN_W))).cast("int")
@@ -998,26 +1011,18 @@ def l2_span_dedup(spark, sf_dir):
             lambda j: F.array_join(F.slice(toks, j * _SPAN_W + 1, _SPAN_W), " "),
         )
     )
-    per_doc = (
-        t.documents.select("doc_id", F.explode(spans).alias("span"))
-        .select("doc_id", F.md5("span").alias("span_h"))
-        .distinct()
+    per_doc = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(spans, F.md5))).alias("span_h"),
     )
-    # per_doc is distinct on (doc_id, span_h), so a plain count IS the
-    # distinct-doc count — count(*) keeps the partial-agg path and avoids
-    # countDistinct's expand + second shuffle
-    hot = (
-        per_doc.groupBy("span_h")
-        .agg(F.count("*").alias("ndocs"))
-        .where(F.col("ndocs") > 1)
-        .select("span_h")
-    )
+    # per_doc is unique on (doc_id, span_h) by construction, so the plain
+    # count over the span_h window IS the distinct-doc count
     return (
-        per_doc.join(hot.withColumn("is_dup", F.lit(1)), "span_h", "left")
+        per_doc.withColumn("ndocs", F.count("*").over(Window.partitionBy("span_h")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup_spans"),
         )
     )
 

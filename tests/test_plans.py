@@ -287,11 +287,12 @@ def test_global_shuffle_never_funnels_to_one_partition(spark):
     assert "EvalPython" not in plan
 
 
-def test_span_dedup_hot_set_broadcasts_back(spark):
-    # the >1-doc span set must join back broadcast (it is corpus-clean
-    # small); raw spans never join raw spans
+def test_span_dedup_single_scan_no_join(spark):
+    # one corpus scan (the in-row array_distinct + window form — the
+    # two-branch hot-set join re-tokenized the corpus twice), no join,
+    # and exactly two hash exchanges: span_h window, doc_id aggregate
     plan = _plan(spark, "l2_span_dedup")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
     assert "EvalPython" not in plan
