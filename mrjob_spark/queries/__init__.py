@@ -182,6 +182,7 @@ _ROTATION_QUEUE = [
     "q22_sales_opportunity",
     "l8_global_shuffle",
     "a11_exact_percentiles",
+    "l8_pipeline_end_to_end",
 ]
 
 

@@ -21,6 +21,7 @@ from mrjob_spark.functions.hashing import (
 )
 from mrjob_spark.functions.text import (
     STOPWORDS,
+    normalize_text,
     sql_normalize_text,
     sql_tokens,
     tokens,
@@ -1201,4 +1202,109 @@ def l8_global_shuffle(spark, sf_dir):
             F.col("h"),
         )
         .drop("h")
+    )
+
+
+_PIPELINE_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len({sql_tokens('text')}) AS n_tokens,
+               CASE WHEN len({sql_tokens('text')}) = 0 THEN 0.0
+                    ELSE CAST(length(array_to_string({sql_tokens('text')}, ''))
+                              AS DOUBLE) / len({sql_tokens('text')}) END
+                   AS avg_tok_len,
+               CASE WHEN length(text) = 0 THEN 1.0
+                    ELSE 1.0 - CAST(length(array_to_string(
+                              regexp_extract_all(lower(text), '[a-z0-9 ]'), ''))
+                              AS DOUBLE) / length(text) END AS symbol_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, source, text, n_tokens FROM scored
+        WHERE n_tokens >= 5 AND avg_tok_len >= 2.0 AND avg_tok_len <= 12.0
+          AND symbol_ratio <= 0.4
+    ),
+    winners AS (
+        SELECT min(doc_id) AS doc_id
+        FROM kept GROUP BY md5({sql_normalize_text('text')})
+    ),
+    mixed AS (
+        SELECT k.doc_id, k.source, k.n_tokens
+        FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+        WHERE {sql_hex_hash32("concat(CAST(k.doc_id AS VARCHAR), ':mix')")} % 10000
+              < {sql_hex_hash32("k.source")} % 9000 + 1000
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM mixed
+    )
+"""
+
+
+@query("l8_pipeline_end_to_end", sql=_PIPELINE_SQL)
+def l8_pipeline_end_to_end(spark, sf_dir):
+    """The capstone: the whole training-set assembly pipeline — quality
+    filter → normalized exact-dedup → mixture sampling → sequence packing
+    — composed as ONE lazy plan, the way a production run would chain the
+    l8 stages (each also registered standalone). The whole pipeline is a
+    SINGLE corpus scan (pinned in test_plans.py): quality gates and the
+    mixture hash-keep are per-row predicates fused into the scan, and the
+    dedup winner is a min-over-window on the normalization hash rather
+    than an aggregate-plus-join-back — the diamond form would scan and
+    re-tokenize the corpus twice (Spark does not reuse identical
+    subtrees; same finding as q15/span-dedup). Deterministic end-to-end
+    (hash-based keeps, min-id winners, id-ordered packing), so the
+    four-stage composition is oracle-checked as one query — correctness
+    of the composition, not just the parts. Scale: one scan + the
+    norm-hash window shuffle (groups = copies of one document, tiny) +
+    the per-source packing window; nothing quadratic, no Python."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    avg_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.length(F.concat_ws("", toks)).cast("double") / n_tokens
+    )
+    alnum = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9 ]"), 0)
+    symbol_ratio = F.when(F.length("text") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.length(F.concat_ws("", alnum)).cast("double") / F.length("text")
+    )
+    kept = (
+        t.documents.select(
+            "doc_id", "source", "text", n_tokens.alias("n_tokens"),
+            avg_tok_len.alias("avg_tok_len"), symbol_ratio.alias("symbol_ratio"),
+        )
+        .where(
+            (F.col("n_tokens") >= 5)
+            & F.col("avg_tok_len").between(2.0, 12.0)
+            & (F.col("symbol_ratio") <= 0.4)
+        )
+    )
+    u = F.pmod(
+        hex_hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        F.lit(10_000),
+    )
+    keep_bp = F.pmod(hex_hash32(F.col("source")), F.lit(9_000)) + F.lit(1_000)
+    wdup = Window.partitionBy(F.md5(normalize_text(F.col("text"))))
+    mixed = (
+        kept.withColumn("w_doc_id", F.min("doc_id").over(wdup))
+        .where(F.col("doc_id") == F.col("w_doc_id"))
+        .where(u < keep_bp)
+        .select("doc_id", "source", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return mixed.select(
+        "doc_id", "source", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 2048.0).cast("long").alias("pack_id"),
     )

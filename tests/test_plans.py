@@ -277,6 +277,16 @@ def test_q22_anti_join_builds_on_filtered_orders(spark):
     assert "PushedFilters: []" not in plan
 
 
+def test_pipeline_end_to_end_is_single_scan(spark):
+    # the four-stage composition must stay ONE corpus scan: per-row gates
+    # fuse into the scan, dedup is a window (not an aggregate joined back,
+    # which would re-tokenize the corpus), packing is the source window
+    plan = _plan(spark, "l8_pipeline_end_to_end")
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_global_shuffle_never_funnels_to_one_partition(spark):
     # the per-shard row_number must run shard-parallel: one hash exchange
     # on shard, and no SinglePartition exchange anywhere — a global-window
