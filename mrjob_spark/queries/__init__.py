@@ -183,6 +183,7 @@ _ROTATION_QUEUE = [
     "l8_global_shuffle",
     "a11_exact_percentiles",
     "l8_pipeline_end_to_end",
+    "sql3_portable_windows",
 ]
 
 

@@ -1113,3 +1113,30 @@ def q14_promo_revenue(spark, sf_dir):
             ).alias("promo_pct")
         )
     )
+
+
+_PORTABLE_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           (floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE)) * 100 + 0.5) / 100) AS running_spend
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@query("sql3_portable_windows", sql=_PORTABLE_WINDOW_SQL)
+def sql3_portable_windows(spark, sf_dir):
+    """Third pure-SQL entry point: window functions through ``spark.sql``
+    with the IDENTICAL string as the DuckDB oracle — named WINDOW clause,
+    ranking + running decimal-exact frame aggregate, deterministic
+    (date, orderkey) ordering. With sql1 (join/group) and sql2
+    (correlated subquery) this pins that the ANSI surface extends to
+    analytic functions, not just relational core."""
+    from mrjob_spark.catalog import register_temp_views
+
+    Tables(spark, sf_dir)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_WINDOW_SQL)
