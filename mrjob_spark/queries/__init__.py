@@ -157,13 +157,15 @@ _DRIVER_PRIORITY = [
 ]
 
 
-#: Round-4 additions that do NOT fit the current 50-entry driver window
+#: Round-4/5 additions that do NOT fit the current 50-entry driver window
 #: (46 never-checked + 2 changed-plan re-verifies + 2 new already fill it).
 #: Listing them here is an explicit acknowledgment, enforced by
 #: tests/test_registry.py: a query may sit beyond the window ONLY if it was
 #: driver-green before or is queued here — so displacement is always a
 #: choice, never an accident (VERDICT r2 "what's wrong" #1). Rotate these
-#: into _DRIVER_PRIORITY next round, when this round's 46 go green.
+#: into _DRIVER_PRIORITY next round, when this round's 46 go green —
+#: ordering suggestion: the capstone (l8_pipeline_end_to_end) and the
+#: q-series first, they prove the most composition per slot.
 _ROTATION_QUEUE = [
     "q10_returned_items",
     "q14_promo_revenue",
