@@ -226,3 +226,92 @@ def test_dsum_bit_identical_across_partitionings(spark, xs):
         sum(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP) for x in xs)
     )
     assert got == {want}
+
+
+# ---------------------------------------------------------------------------
+# Composite-query semantics, driven through the REAL registered queries over
+# synthetic parquet fixtures (the q-functions only see an sf_dir path, so
+# hypothesis can feed them arbitrary tiny worlds).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),
+                  st.sampled_from(["1-URGENT", "5-LOW"])),
+        min_size=0, max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_q13_outer_join_counts_zero_order_customers(spark, tmp_path_factory, orders):
+    """q13's priority predicate lives in the JOIN CONDITION: customers with
+    only urgent (or no) orders must land in the c_count=0 bucket, exactly
+    as a plain-Python computation says — a WHERE would drop them."""
+    from collections import Counter
+
+    from mrjob_spark.queries import REGISTRY
+
+    d = tmp_path_factory.mktemp("q13")
+    custkeys = list(range(6))
+    spark.createDataFrame(
+        [(c, f"Customer#{c}") for c in custkeys], "c_custkey long, c_name string"
+    ).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [(i, c, p) for i, (c, p) in enumerate(orders)],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.parquet(str(d / "orders.parquet"))
+
+    per_cust = Counter(c for c, p in orders if p != "1-URGENT")
+    want = Counter(per_cust.get(c, 0) for c in custkeys)
+
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in REGISTRY["q13_customer_distribution"].fn(spark, str(d)).collect()
+    }
+    assert got == dict(want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=1, max_value=50)),
+        min_size=1, max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_q15_all_tied_max_suppliers_surface(spark, tmp_path_factory, items):
+    """q15 keeps EVERY supplier whose (rounded) revenue equals the max —
+    ties must all surface, deterministically, per plain-Python truth."""
+    from collections import defaultdict
+
+    from mrjob_spark.queries import REGISTRY
+
+    d = tmp_path_factory.mktemp("q15")
+    import datetime as dt
+
+    ship = dt.datetime(1996, 2, 1)
+    spark.createDataFrame(
+        [(s, ship, float(p), 0.0) for s, p in items],
+        "l_suppkey long, l_shipdate timestamp_ntz, l_extendedprice double, l_discount double",
+    ).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(s, f"Supplier#{s}") for s in range(5)], "s_suppkey long, s_name string"
+    ).write.parquet(str(d / "supplier.parquet"))
+
+    totals = defaultdict(float)
+    for s, p in items:
+        totals[s] += float(p)
+    mx = max(totals.values())
+    want = {s for s, t in totals.items() if t == mx}
+
+    rows = REGISTRY["q15_top_supplier"].fn(spark, str(d)).collect()
+    assert {r["s_suppkey"] for r in rows} == want
+    assert all(r["total_revenue"] == mx for r in rows)
