@@ -173,3 +173,59 @@ def bucketed_range_frame(
     out = both.select("*", *[mk(w) for mk in agg_exprs])
     agg_names = [c for c in out.columns if c not in both.columns]
     return out.filter(F.col("__is_target") == 1).select(*df.columns, *agg_names)
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    bucket_width: float,
+    out_col: str = "cum",
+) -> DataFrame:
+    """``sum(value) OVER (PARTITION BY p ORDER BY o ROWS UNBOUNDED
+    PRECEDING)`` without single-tasking each partition key — the skew-proof
+    twin of the running-sum window behind sequence packing (a per-source
+    stream at 100 TB is exactly the low-cardinality-key trap the W1/W4
+    twins above solve for ranking and range frames).
+
+    Same recipe: sub-bucket each key by ``order_col`` range (the bucket
+    index is monotone in the ordering, so cross-bucket order is free),
+    run the local running sum inside (key, bucket) partitions, and add the
+    broadcast per-(key, bucket) prefix totals — ``offset + local_cum`` IS
+    the global running sum, bit-for-bit for integer/decimal values.
+
+    Requires ``order_col`` values unique per key (packing orders by a
+    unique id; general ties would need the tuple-ordering treatment used
+    by ``bucketed_ranking``).
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(float(bucket_width)))
+    data = df.withColumn("__bucket", bucket)
+
+    w_local = (
+        Window.partitionBy(partition_col, "__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = data.withColumn("__lcum", F.sum(value_col).over(w_local))
+
+    w_cum = (
+        Window.partitionBy(partition_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        data.groupBy(partition_col, "__bucket")
+        .agg(F.sum(value_col).alias("__btot"))
+        .select(
+            partition_col,
+            "__bucket",
+            F.coalesce(F.sum("__btot").over(w_cum), F.lit(0)).alias("__off"),
+        )
+    )
+
+    return (
+        local.join(F.broadcast(offsets), on=[partition_col, "__bucket"], how="inner")
+        .withColumn(out_col, F.col("__off") + F.col("__lcum"))
+        .drop("__bucket", "__lcum", "__off")
+    )

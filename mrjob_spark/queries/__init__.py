@@ -186,6 +186,7 @@ _ROTATION_QUEUE = [
     "a11_exact_percentiles",
     "l8_pipeline_end_to_end",
     "sql3_portable_windows",
+    "l8_sequence_packing_scalable",
 ]
 
 

@@ -507,10 +507,7 @@ def l8_quality_filter(spark, sf_dir):
 
 _PACK_BUDGET = 2048
 
-
-@query(
-    "l8_sequence_packing",
-    sql=f"""
+_PACKING_SQL = f"""
     SELECT doc_id, source, n_tokens,
            CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
     FROM (
@@ -520,7 +517,12 @@ _PACK_BUDGET = 2048
         FROM (SELECT doc_id, source, len({sql_tokens('text')}) AS n_tokens
               FROM documents)
     )
-    """,
+"""
+
+
+@query(
+    "l8_sequence_packing",
+    sql=_PACKING_SQL,
 )
 def l8_sequence_packing(spark, sf_dir):
     """Token-budget sequence packing: documents are assigned to fixed-size
@@ -1307,4 +1309,34 @@ def l8_pipeline_end_to_end(spark, sf_dir):
     return mixed.select(
         "doc_id", "source", "n_tokens",
         F.floor((cum - F.col("n_tokens")) / 2048.0).cast("long").alias("pack_id"),
+    )
+
+
+@query("l8_sequence_packing_scalable", sql=_PACKING_SQL)
+def l8_sequence_packing_scalable(spark, sf_dir):
+    """Skew-proof twin of ``l8_sequence_packing``: the per-source running
+    token sum computed two-phase (``bucketed_running_sum``,
+    operators/scalable_windows.py) — doc_id-range sub-buckets sort in
+    parallel, broadcast per-bucket prefix totals reconcile the global sum
+    — instead of one task per source. Same oracle SQL as the naive form:
+    the driver's hash match proves the two-phase plan is value-identical.
+    This closes the gap SCALE.md §2 noted for packing: sources are FEW by
+    nature, so the naive per-source window is the textbook
+    low-cardinality-key straggler at 100 TB."""
+    from mrjob_spark.operators.scalable_windows import bucketed_running_sum
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    cum = bucketed_running_sum(
+        docs, "source", "doc_id", "n_tokens", bucket_width=64.0
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / float(_PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
     )

@@ -277,6 +277,15 @@ def test_q22_anti_join_builds_on_filtered_orders(spark):
     assert "PushedFilters: []" not in plan
 
 
+def test_scalable_packing_windows_on_subbuckets(spark):
+    # the running sum must run inside (source, __bucket) partitions with
+    # the prefix offsets broadcast back — never one window task per source
+    plan = _plan(spark, "l8_sequence_packing_scalable")
+    assert "__bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_pipeline_end_to_end_is_single_scan(spark):
     # the four-stage composition must stay ONE corpus scan: per-row gates
     # fuse into the scan, dedup is a window (not an aggregate joined back,
