@@ -315,3 +315,42 @@ def test_q15_all_tied_max_suppliers_surface(spark, tmp_path_factory, items):
     rows = REGISTRY["q15_top_supplier"].fn(spark, str(d)).collect()
     assert {r["s_suppkey"] for r in rows} == want
     assert all(r["total_revenue"] == mx for r in rows)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),   # source key
+                  st.integers(min_value=0, max_value=500), # order id
+                  st.integers(min_value=0, max_value=100)),# value
+        min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.sampled_from([1.0, 7.0, 64.0, 1000.0]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucketed_running_sum_matches_naive_window(spark, rows, width):
+    """The two-phase running sum must equal the textbook window bit-for-bit
+    for any bucket width — including width 1 (one row per bucket) and a
+    width larger than the whole domain (one bucket per key)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mrjob_spark.operators.scalable_windows import bucketed_running_sum
+
+    df = spark.createDataFrame(rows, "k long, o long, v long")
+    naive_w = (
+        Window.partitionBy("k").orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r["k"], r["o"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(naive_w)).collect()
+    }
+    got = {
+        (r["k"], r["o"]): r["cum"]
+        for r in bucketed_running_sum(df, "k", "o", "v", bucket_width=width).collect()
+    }
+    assert got == naive
