@@ -187,6 +187,7 @@ _ROTATION_QUEUE = [
     "l8_pipeline_end_to_end",
     "sql3_portable_windows",
     "l8_sequence_packing_scalable",
+    "a9_grouping_sets",
 ]
 
 

@@ -1140,3 +1140,34 @@ def sql3_portable_windows(spark, sf_dir):
     Tables(spark, sf_dir)
     register_temp_views(spark, sf_dir)
     return spark.sql(_PORTABLE_WINDOW_SQL)
+
+
+@query(
+    "a9_grouping_sets",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           (floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * 100 + 0.5) / 100) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def a9_grouping_sets(spark, sf_dir):
+    """A9 completed: arbitrary GROUPING SETS through the native
+    ``DataFrame.groupingSets`` API (Spark 4) — rollup and cube are its
+    fixed special cases, this is the general form (two one-dimension
+    marginals plus the grand total in ONE pass). Catalyst plans it as a
+    single Expand + hash aggregate: the scan happens once however many
+    sets are requested, which is the whole point versus unioning three
+    aggregates at 100 TB."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(dsum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
