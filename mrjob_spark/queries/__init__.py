@@ -188,6 +188,7 @@ _ROTATION_QUEUE = [
     "sql3_portable_windows",
     "l8_sequence_packing_scalable",
     "a9_grouping_sets",
+    "u2_except_all",
 ]
 
 

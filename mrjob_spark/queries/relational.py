@@ -617,6 +617,30 @@ def u2_except(spark, sf_dir):
     )
 
 
+@query(
+    "u2_except_all",
+    sql="""
+    SELECT l_returnflag AS flag FROM lineitem
+    EXCEPT ALL
+    SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def u2_except_all(spark, sf_dir):
+    """U2 bag semantics: EXCEPT ALL subtracts MULTIPLICITIES (each 'F' row
+    cancels one occurrence of its flag), where DISTINCT except would
+    collapse to at most three rows — a genuinely different operator, not a
+    flag on the same one. Spark plans ``exceptAll`` as a generate-over-
+    counts rewrite (sum of +1/-1 per side, then replicate), so the shuffle
+    carries one row per distinct value per partition, not per input row —
+    the same partial-agg shape as any groupBy at 100 TB."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(F.col("l_returnflag").alias("flag")).exceptAll(
+        t.lineitem.where(F.col("l_linestatus") == "F").select(
+            F.col("l_returnflag").alias("flag")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # F: scalar function families
 # ---------------------------------------------------------------------------
