@@ -239,6 +239,45 @@ class MRNextWordStats(SparkMRJob):
                 yield (prev_word, word), (total, count, pct)
 
 
+class MRNextWordStatsCounted(MRNextWordStats):
+    """A8×O3 interaction probe: the SORT_VALUES showcase job with counters
+    incremented in BOTH the first-step mapper and the second-step stateful
+    reducer — the combination the reference exercises together
+    (``tests/spark/test_harness.py:457-504``: counters surface from a
+    multi-step run whose reducer depends on value order). The
+    ``pct_micros`` counter accumulates each emitted percentage in integer
+    micro-units, so the counter total is an exact checksum OVER the
+    sorted-stream computation itself: it can only come out right if every
+    group saw its ``'A: total'`` record first."""
+
+    def m_find_words(self, _, line):
+        self.increment_counter("stats", "lines")
+        prev = None
+        for word in WORD_RE.findall(line.lower()):
+            if prev is not None:
+                self.increment_counter("stats", "pairs")
+                yield (prev, "*"), 1
+                yield (prev, word), 1
+            prev = word
+
+    def r_stats(self, prev_word, values):
+        import math
+
+        self.increment_counter("output", "groups")
+        total = None
+        for tag, data in values:
+            if tag == "A: total":
+                total = data
+            else:
+                word, count = data
+                micros = int(
+                    math.floor((100.0 * count / total) * 1000000 + 0.5)
+                )
+                self.increment_counter("output", "rows")
+                self.increment_counter("output", "pct_micros", micros)
+                yield (prev_word, word), (total, count, micros / 1000000)
+
+
 class MRFirstOrderDates(SparkMRJob):
     """O5 head-per-group through the dataflow engine: SORT_VALUES delivers
     each key's values ascending and the reducer consumes only the head of

@@ -519,7 +519,27 @@ class SparkJobRunner:
         """Execute the composed plan. Writes ``part-*`` files when
         ``output_dir`` is set; otherwise persists the result in memory for
         :meth:`cat_output`. Either way this is the action that makes
-        counters observable."""
+        counters observable.
+
+        On failure, a concise "Probable cause of failure" summary —
+        extracted from the Python traceback buried in Spark's Java error
+        text, the reference's ``mrjob/logs/errors.py:25-212`` behavior —
+        is attached to the exception as a note; the raw error is left
+        intact underneath."""
+        try:
+            return self._run()
+        except Exception as e:
+            from mrjob_spark.dataflow.errors import explain_failure
+
+            try:
+                e.add_note(
+                    "\nProbable cause of failure:\n\n" + explain_failure(e)
+                )
+            except Exception:
+                pass  # never let explanation failure mask the real error
+            raise
+
+    def _run(self):
         pairs = self.output_pairs()
 
         if self.output_dir:

@@ -198,6 +198,15 @@ def bucketed_running_sum(
     Requires ``order_col`` values unique per key (packing orders by a
     unique id; general ties would need the tuple-ordering treatment used
     by ``bucketed_ranking``).
+
+    ``bucket_width`` trades parallelism for metadata size exactly like
+    ``bucketed_ranking``: the broadcast offsets table has one row per
+    (key, bucket), i.e. ~``order_range / bucket_width`` rows per key. A
+    FIXED width therefore grows the broadcast linearly with the corpus —
+    at 10^10 rows a width of 64 is a 10^8-row "broadcast". Callers must
+    scale width with corpus size (a fixed TARGET BUCKET COUNT, width =
+    order_range / target) so keys x buckets stays broadcast-small at any
+    scale; ``l8_sequence_packing_scalable`` derives it that way.
     """
     bucket = F.floor(F.col(order_col) / F.lit(float(bucket_width)))
     data = df.withColumn("__bucket", bucket)

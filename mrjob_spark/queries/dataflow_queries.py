@@ -216,6 +216,77 @@ def mr_next_word_stats(spark, sf_dir):
 
 
 @query(
+    "a8_o3_counters_sorted",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS pos
+        FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT word AS prev_word,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS word
+        FROM tok
+    ), pc AS (
+        SELECT prev_word, word, count(*) AS cnt
+        FROM pairs WHERE word IS NOT NULL GROUP BY prev_word, word
+    ), tot AS (
+        SELECT prev_word, CAST(sum(cnt) AS BIGINT) AS total
+        FROM pc GROUP BY prev_word
+    )
+    SELECT 'stats' AS grp, 'lines' AS counter,
+           CAST(count(*) AS BIGINT) AS amount FROM documents
+    UNION ALL
+    SELECT 'stats', 'pairs', CAST(count(*) AS BIGINT)
+    FROM pairs WHERE word IS NOT NULL
+    UNION ALL
+    SELECT 'output', 'groups', CAST(count(*) AS BIGINT) FROM tot
+    UNION ALL
+    SELECT 'output', 'rows', CAST(count(*) AS BIGINT) FROM pc
+    UNION ALL
+    SELECT 'output', 'pct_micros',
+           CAST(sum(floor((100.0 * pc.cnt / tot.total) * 1000000 + 0.5))
+                AS BIGINT)
+    FROM pc JOIN tot ON tot.prev_word = pc.prev_word
+    """,
+)
+def a8_o3_counters_sorted(spark, sf_dir):
+    """A8×O3 combined (r3 verdict #6): counters incremented in both the
+    mapper and the ORDER-DEPENDENT second-step reducer of the SORT_VALUES
+    showcase job, surfaced as oracle-checked rows. ``pct_micros`` is an
+    integer checksum over every percentage the streaming reducer emits —
+    it matches SQL only if each group's total arrived before its stats
+    records (encoded-byte value order), so this one query pins the
+    counter side channel AND the secondary-sort contract interacting in
+    a single multi-step run (the reference exercises them together,
+    ``tests/spark/test_harness.py:457-504``). Counter traffic stays
+    O(tasks): per-task dicts merge on the driver."""
+    from mrjob_spark.dataflow.examples import MRNextWordStatsCounted
+
+    t = Tables(spark, sf_dir)
+    runner = MRNextWordStatsCounted().make_runner(
+        spark, input_rdd=_doc_lines(t)
+    )
+    runner.run()
+    counters = runner.counters()
+    runner.__exit__()  # drop the persisted output RDD; counters carry it
+    rows = [
+        (grp, name, int(amount))
+        for grp, inner in sorted(counters.items())
+        for name, amount in sorted(inner.items())
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("counter", T.StringType()),
+            T.StructField("amount", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
     "o5_dataflow_head_per_group",
     sql="""
     SELECT o_custkey, string_agg(d, ',' ORDER BY d) AS dates FROM (

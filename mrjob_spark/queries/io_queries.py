@@ -72,6 +72,49 @@ def s7_json_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s9_compressed_sink",
+    sql="""
+    SELECT c_mktsegment, count(*) AS n_cust,
+           min(c_name) AS first_name,
+           (floor((CAST(sum(CAST((c_acctbal) AS DECIMAL(38,6))) AS DOUBLE))
+                  * 100 + 0.5) / 100) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s9_compressed_sink(spark, sf_dir):
+    """S9 compressed sink (r3 verdict #5): customer → gzip CSV → read back
+    → aggregate. The reference compresses streaming output the same way
+    (``mrjob/spark/runner.py:446-454`` hands the codec to Hadoop's output
+    format; here the DataFrame writer's ``compression`` option does).
+    The query VERIFIES the codec actually engaged — every part file must
+    carry the ``.gz`` suffix — before re-reading, so a silent fallback to
+    plain text can't masquerade as a pass. Hash match vs the
+    parquet-reading oracle proves write→compress→decompress→read is
+    lossless. Scale note: gzip parts are unsplittable on re-read (one
+    task per file), the deliberate trade for network/storage cost —
+    splittable codecs swap in via the same option."""
+    import glob
+    import os
+
+    t = Tables(spark, sf_dir)
+    customer = t.customer
+    path = _scratch(sf_dir, "customer_csv_gz")
+    write_table(
+        customer, path, fmt="csv", compression="gzip", max_output_files=2
+    )
+    parts = glob.glob(os.path.join(path, "part-*"))
+    bad = [p for p in parts if not p.endswith(".csv.gz")]
+    if not parts or bad:
+        raise AssertionError(f"gzip codec did not engage: {bad or 'no parts'}")
+    back = read_csv(spark, path, schema=customer.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.min("c_name").alias("first_name"),
+        rnd(dsum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
     "o1_o2_partition_layout",
     sql="""
     SELECT CAST(8 AS BIGINT) AS n_partitions,

@@ -507,6 +507,13 @@ def l8_quality_filter(spark, sf_dir):
 
 _PACK_BUDGET = 2048
 
+#: Target sub-bucket count per source for the scalable packing twin: the
+#: broadcast offsets table is bounded by sources x this, independent of
+#: corpus size (width scales instead — see l8_sequence_packing_scalable).
+#: 4096 buckets ≈ full parallelism on thousands of cores while keeping the
+#: offsets broadcast in the kilobyte-to-megabyte range.
+_PACK_TARGET_BUCKETS = 4096
+
 _PACKING_SQL = f"""
     SELECT doc_id, source, n_tokens,
            CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
@@ -976,7 +983,8 @@ _SPAN_W = 10  # tokens per span (stride == width: disjoint spans)
     )
     SELECT s.doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN h.span_h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_spans
+           CAST(sum(CASE WHEN h.span_h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans
     FROM spans s LEFT JOIN hot h ON s.span_h = h.span_h
     GROUP BY s.doc_id
     """,
@@ -1000,33 +1008,60 @@ def l2_span_dedup(spark, sf_dir):
     sf0.1. Tradeoff, stated: the window funnels each span's rows through
     one task, so an ultra-hot boilerplate span (10^8 docs) makes one fat —
     narrow-row, spill-bounded — window partition, where the join-back form
-    stayed partial-agg skew-proof; production corpora cap such spans
-    upstream (the Jaccard DF-cutoff pattern), and below that regime the
-    single-scan form strictly dominates."""
-    from pyspark.sql.window import Window
+    stayed partial-agg skew-proof. For corpora in that regime the
+    ``max_span_df`` switch (operators/dedup.py:span_dedup, exercised by
+    ``l2_span_dedup_capped``) swaps in the skew-proof capped plan; below
+    it the single-scan window form strictly dominates."""
+    from mrjob_spark.operators.dedup import span_dedup
 
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    n_spans = F.ceil(F.size(toks) / F.lit(float(_SPAN_W))).cast("int")
-    spans = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda j: F.array_join(F.slice(toks, j * _SPAN_W + 1, _SPAN_W), " "),
-        )
+    return span_dedup(t.documents, "doc_id", "text", span_w=_SPAN_W)
+
+
+_SPAN_DF_CAP = 3  # chosen to actually trigger at sf0.01 (max span DF ~6)
+
+
+@query(
+    "l2_span_dedup_capped",
+    sql=f"""
+    WITH spans AS (
+        SELECT DISTINCT doc_id,
+               md5(unnest(list_transform(
+                   range(CAST(ceil(len(toks) / {_SPAN_W}.0) AS BIGINT)),
+                   j -> array_to_string(
+                       toks[(j * {_SPAN_W} + 1):(j * {_SPAN_W} + {_SPAN_W})], ' ')
+               ))) AS span_h
+        FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    hot AS (
+        SELECT span_h FROM spans GROUP BY span_h
+        HAVING count(*) >= 2 AND count(*) <= {_SPAN_DF_CAP}
     )
-    per_doc = t.documents.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(spans, F.md5))).alias("span_h"),
-    )
-    # per_doc is unique on (doc_id, span_h) by construction, so the plain
-    # count over the span_h window IS the distinct-doc count
-    return (
-        per_doc.withColumn("ndocs", F.count("*").over(Window.partitionBy("span_h")))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup_spans"),
-        )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN h.span_h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans
+    FROM spans s LEFT JOIN hot h ON s.span_h = h.span_h
+    GROUP BY s.doc_id
+    """,
+)
+def l2_span_dedup_capped(spark, sf_dir):
+    """Skew-proof twin of ``l2_span_dedup`` (r3 verdict #7): the hot-span
+    caveat turned into a mechanism. Spans with document frequency above
+    ``max_span_df`` are boilerplate by definition and excluded from the
+    dup signal (the Jaccard DF-cutoff pattern); the plan replaces the
+    span_h window with a hash-aggregated frequency table joined back —
+    a hot span is one partial-agg counter cell, never a single sorted
+    window partition — and both the count and the join probe reuse ONE
+    explicit repartition of the exploded spans, so the corpus is
+    tokenized once (AQE exchange reuse). The cap is set low enough that
+    the driver's differential actually exercises the exclusion path at
+    sf0.01, not just the degenerate cap=∞ case."""
+    from mrjob_spark.operators.dedup import span_dedup
+
+    t = Tables(spark, sf_dir)
+    return span_dedup(
+        t.documents, "doc_id", "text", span_w=_SPAN_W, max_span_df=_SPAN_DF_CAP
     )
 
 
@@ -1039,7 +1074,8 @@ def l2_span_dedup(spark, sf_dir):
         GROUP BY doc_id, tok
     ),
     per_doc AS (
-        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS m
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct, max(c) AS m
         FROM pc GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_distinct,
@@ -1105,11 +1141,19 @@ def l5_repetition_filter(spark, sf_dir):
 def l4_vocab_coverage(spark, sf_dir):
     """Vocabulary building with coverage: global token counts ranked by
     frequency with each rank's cumulative share of the token stream — the
-    curve that picks a vocab size. The corpus-wide count shuffles once with
-    partial agg; the ranking window then runs over VOCAB rows (bounded,
-    ≪ corpus), so the single-partition global window is over thousands of
-    rows regardless of input scale. Tiebreak on token keeps rank/cum_share
-    deterministic across engines."""
+    curve that picks a vocab size. Scale shape (r3 verdict fix): web-scale
+    distinct vocab is 10^8-10^9 rows (typos/URLs/IDs), so ranking it
+    through one unpartitioned window is a funnel. Instead: top-50 via
+    ``orderBy().limit(50)`` — TakeOrderedAndProject, a per-partition
+    top-N that never globally sorts — and the corpus token total as a
+    one-row scalar aggregate broadcast back (the q22 pattern). Both
+    branches hang off the same token-count aggregate, so its shuffle is
+    computed once and reused (ReusedExchange, pinned in test_plans). The
+    cumulative sum then runs over exactly 50 rows; its window is keyed on
+    the (constant-valued, non-foldable) broadcast total column because one
+    partition of 50 rows IS the plan — a foldable literal key would be
+    optimized away back into the unpartitioned-window warning. Tiebreak
+    on token keeps rank/cum_share deterministic across engines."""
     from pyspark.sql import Window
 
     t = Tables(spark, sf_dir)
@@ -1118,19 +1162,17 @@ def l4_vocab_coverage(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    top50 = agg.orderBy(F.col("cnt").desc(), "tok").limit(50)
+    total = agg.agg(F.sum("cnt").cast("double").alias("_total"))
+    w = Window.partitionBy("_total").orderBy(F.col("cnt").desc(), "tok")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    return (
-        agg.select(
-            "tok",
-            F.row_number().over(w).cast("long").alias("rnk"),
-            "cnt",
-            rnd(
-                F.sum("cnt").over(wcum).cast("double") / F.sum("cnt").over(wall)
-            ).alias("cum_share"),
-        )
-        .where(F.col("rnk") <= 50)
+    return top50.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "cnt",
+        rnd(F.sum("cnt").over(wcum).cast("double") / F.col("_total")).alias(
+            "cum_share"
+        ),
     )
 
 
@@ -1157,7 +1199,9 @@ def l8_token_mask(spark, sf_dir):
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_MASK_RE), 0)).alias("n_masked"),
+        F.size(F.regexp_extract_all("text", F.lit(_MASK_RE), 0))
+        .cast("long")
+        .alias("n_masked"),
         F.md5(F.regexp_replace("text", _MASK_RE, "[MASK]")).alias("masked_md5"),
     )
 
@@ -1322,15 +1366,25 @@ def l8_sequence_packing_scalable(spark, sf_dir):
     the driver's hash match proves the two-phase plan is value-identical.
     This closes the gap SCALE.md §2 noted for packing: sources are FEW by
     nature, so the naive per-source window is the textbook
-    low-cardinality-key straggler at 100 TB."""
+    low-cardinality-key straggler at 100 TB.
+
+    Bucket sizing (r3 advice): width is DERIVED from the doc_id range so
+    the bucket COUNT is bounded (≤ _PACK_TARGET_BUCKETS per source) — a
+    hardcoded width would grow the broadcast offsets table linearly with
+    the corpus and blow the broadcast/driver limits the twin exists to
+    avoid. The range comes from a metadata-cheap min/max scalar aggregate
+    (parquet column statistics), one tiny pre-job — the same
+    stats-before-plan move AQE itself makes."""
     from mrjob_spark.operators.scalable_windows import bucketed_running_sum
 
     t = Tables(spark, sf_dir)
     docs = t.documents.select(
         "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
+    lo, hi = t.documents.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(64.0, (hi - lo + 1) / float(_PACK_TARGET_BUCKETS))
     cum = bucketed_running_sum(
-        docs, "source", "doc_id", "n_tokens", bucket_width=64.0
+        docs, "source", "doc_id", "n_tokens", bucket_width=width
     )
     return cum.select(
         "doc_id",

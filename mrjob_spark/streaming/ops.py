@@ -325,13 +325,26 @@ def transform_with_state_stats(
 
     if not df.isStreaming:
         # batch mode: make sure the StateStoreCoordinator endpoint exists
-        # (idempotent; normally created by the first streaming query)
+        # (idempotent; normally created by the first streaming query).
+        # forDriver(env, conf) is an INTERNAL JVM API whose signature is
+        # Spark-version-specific (2-arg form pinned against Spark 4.1);
+        # fail loudly and diagnosably if it drifts rather than letting
+        # executors die later with RpcEndpointNotFoundException.
         spark = df.sparkSession
         jvm = spark._jvm
-        jvm.org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef.forDriver(
-            jvm.org.apache.spark.SparkEnv.get(),
-            spark._jsparkSession.sessionState().conf(),
-        )
+        try:
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef.forDriver(
+                jvm.org.apache.spark.SparkEnv.get(),
+                spark._jsparkSession.sessionState().conf(),
+            )
+        except Exception as e:  # py4j signature/lookup errors
+            raise RuntimeError(
+                "StateStoreCoordinatorRef.forDriver(env, conf) failed — this "
+                "internal batch-mode bootstrap is pinned against Spark 4.1 "
+                f"(running {spark.version}); the signature likely changed in "
+                "this Spark version. Run the stateful operator as a real "
+                "streaming query, or update the bootstrap."
+            ) from e
 
     out_schema = f"{key_col} string, n bigint, total_cents bigint, mx double"
 
@@ -349,7 +362,9 @@ def transform_with_state_stats(
             for pdf in rows:
                 v = pdf[value_col].astype(float)
                 n += len(pdf)
-                cents += int(np.floor(v * 100.0 + 0.5).sum())
+                # accumulate as int64, not a float64 sum cast afterwards:
+                # a float sum silently loses exactness past 2^53 cents
+                cents += int(np.floor(v * 100.0 + 0.5).astype(np.int64).sum())
                 batch_max = float(v.max()) if len(v) else None
                 if batch_max is not None:
                     mx = batch_max if mx is None else max(mx, batch_max)

@@ -710,6 +710,63 @@ def test_user_exception_propagates_from_inline_runner():
             r.run()
 
 
+def test_explain_failure_gives_concise_cause_for_failing_mapper(spark):
+    """r3 verdict #8: the raw Spark error for a failing mapper is hundreds
+    of Java lines; explain_failure must reduce it to the planted exception
+    line plus the user frame (mrjob/logs/errors.py:25-212 parity), and
+    run() must attach that as an exception note."""
+    from mrjob_spark.dataflow.errors import explain_failure
+
+    rdd = spark.sparkContext.parallelize([(None, "ok"), (None, "boom")], 2)
+    with pytest.raises(Exception) as exc_info:
+        with _make_boom()().make_runner(spark, input_rdd=rdd) as r:
+            r.run()
+    cause = explain_failure(exc_info.value)
+    assert "ValueError: planted failure: boom record" in cause
+    assert "in mapper" in cause  # deepest USER frame, not pyspark plumbing
+    assert len(cause.splitlines()) <= 5, cause  # concise, not a log dump
+    notes = getattr(exc_info.value, "__notes__", [])
+    assert any("Probable cause of failure" in n for n in notes)
+    assert any("planted failure: boom record" in n for n in notes)
+
+
+def test_extract_probable_cause_prefers_user_traceback():
+    from mrjob_spark.dataflow.errors import extract_probable_cause
+
+    text = "\n".join(
+        [
+            "org.apache.spark.SparkException: Job aborted due to stage failure:",
+            "Traceback (most recent call last):",
+            '  File "/opt/pyspark/worker.py", line 1000, in main',
+            "    process()",
+            "RuntimeError: framework wrapper",
+            "junk java frames ...",
+            "Traceback (most recent call last):",
+            '  File "/opt/pyspark/worker.py", line 1000, in main',
+            "    process()",
+            '  File "/home/me/my_job.py", line 12, in mapper',
+            "    raise ValueError('bad record')",
+            "ValueError: bad record",
+            "\tat org.apache.spark.scheduler.DAGScheduler...",
+        ]
+    )
+    cause = extract_probable_cause(text)
+    assert cause is not None
+    assert cause.startswith("ValueError: bad record")
+    assert "line 12 of /home/me/my_job.py, in mapper" in cause
+
+
+def test_extract_probable_cause_none_without_traceback():
+    from mrjob_spark.dataflow.errors import (
+        explain_failure,
+        extract_probable_cause,
+    )
+
+    assert extract_probable_cause("pure java OOM, no python") is None
+    # fallback still yields something useful
+    assert "boom" in explain_failure(ValueError("boom"))
+
+
 def test_collect_output_matches_cat_output(spark):
     rdd = spark.sparkContext.parallelize(
         [(None, "a b a"), (None, "b c")], 2

@@ -156,6 +156,50 @@ def test_jaccard_pairs_df_cap_bounds_candidates(spark):
     assert len(got) > 0
 
 
+def test_span_dedup_capped_matches_window_form_when_cap_high(spark):
+    """Property (r3 verdict #7): with max_span_df at or above the corpus's
+    max span frequency, the skew-proof capped plan is value-identical to
+    the single-scan window plan."""
+    from mrjob_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"w{i}" for i in range(10))  # one full 10-token span
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{boiler} unique{i} tail{i} end{i}") for i in range(7)]
+        + [Row(doc_id=100 + i, text=f"alone{i} solo{i}") for i in range(3)]
+    )
+    naive = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dedup(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dedup(docs, "doc_id", "text", max_span_df=1000).collect()
+    }
+    assert naive == capped
+    assert any(v[1] > 0 for v in naive.values())  # the boiler span IS shared
+
+
+def test_span_dedup_cap_excludes_boilerplate_spans(spark):
+    """With the cap below a hot span's document frequency, that span is
+    boilerplate by definition and drops out of the dup signal, while
+    ordinary duplicated spans still count."""
+    from mrjob_spark.operators.dedup import span_dedup
+
+    hot = " ".join(f"h{i}" for i in range(10))  # df=6 span
+    warm = " ".join(f"p{i}" for i in range(10))  # df=2 span
+    rows = [Row(doc_id=i, text=f"{hot} only{i}") for i in range(6)]
+    rows += [Row(doc_id=10 + i, text=f"{warm} mid{i}") for i in range(2)]
+    docs = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in span_dedup(docs, "doc_id", "text", max_span_df=3).collect()
+    }
+    for i in range(6):
+        assert got[i] == 0, "hot span (df=6 > cap) must not count as dup"
+    for i in range(2):
+        assert got[10 + i] == 1, "warm span (df=2 <= cap) must still count"
+
+
 def test_asof_join_picks_latest_at_or_before(spark):
     left = spark.createDataFrame(
         [Row(ev=1, key=1, t=10), Row(ev=2, key=1, t=25), Row(ev=3, key=2, t=5)]

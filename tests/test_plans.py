@@ -199,13 +199,22 @@ def test_repetition_filter_two_partial_aggs_no_join(spark):
     assert "Join" not in plan
 
 
-def test_vocab_coverage_windows_over_vocab_not_corpus(spark):
-    # corpus-wide count shuffles once; the global ranking window runs on
-    # the aggregated vocab (bounded), i.e. exactly one SinglePartition
-    # exchange AFTER the aggregation
-    plan = _plan(spark, "l4_vocab_coverage")
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("Exchange SinglePartition") == 1
+def test_vocab_coverage_topn_no_global_window_funnel(spark):
+    # r3 verdict fix: web-scale vocab must NOT be ranked through one
+    # unpartitioned window. Top-50 compiles to TakeOrderedAndProject
+    # (per-partition top-N), the corpus total is a broadcast scalar, the
+    # token-count shuffle feeding both branches is computed once (AQE
+    # stage reuse — only visible in the final adaptive plan), and the
+    # only window runs post-limit over ≤50 rows keyed on the constant
+    # broadcast-total column — never an empty partition spec (a foldable
+    # literal key would be optimized away back into the global funnel)
+    df = REGISTRY["l4_vocab_coverage"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "ReusedExchange" in final
+    assert "windowspecdefinition(_total#" in plan  # partition spec present
 
 
 def test_q4_exists_compiles_to_semi_join_with_pushed_filters(spark):
@@ -229,7 +238,11 @@ def test_q6_is_one_pruned_scan_with_partial_agg(spark):
 
 def test_q8_eight_table_join_stays_broadcast_no_fact_shuffle(spark):
     # every dim rides a broadcast; the only hash exchange belongs to the
-    # final year aggregate, so the fact never shuffles for a join
+    # final year aggregate, so the fact never shuffles for a join.
+    # FIXTURE-SCALE pin: customer/orders/supplier broadcast here by size
+    # estimation only — at 100 TB those joins become exchanges by
+    # necessity (see the q8 docstring); this guards the dims + the
+    # filters-before-joins ordering, not a universal no-shuffle claim
     plan = _plan(spark, "q8_market_share")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -243,12 +256,18 @@ def test_q13_outer_join_keeps_zero_bucket_condition_in_join(spark):
     assert "LeftOuter" in plan
 
 
-def test_q15_scans_lineitem_once(spark):
-    # the max must come from a window over the aggregated revenue table,
-    # not a second aggregate branch re-scanning the fact
-    plan = _plan(spark, "q15_top_supplier")
-    assert plan.count("lineitem.parquet") == 1
-    assert "Window" in plan
+def test_q15_scans_lineitem_once_no_window(spark):
+    # r3 verdict fix: the max arrives as a one-row broadcast scalar, the
+    # revenue shuffle feeding both branches is computed once (AQE stage
+    # reuse → one lineitem scan in the final plan), and no unpartitioned
+    # WindowExec funnels the per-supplier aggregate through one task
+    df = REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("lineitem.parquet") == 1
+    assert "Window" not in final
 
 
 def test_q17_threshold_join_copartitions_no_cartesian(spark):
@@ -275,6 +294,19 @@ def test_q22_anti_join_builds_on_filtered_orders(spark):
     plan = _plan(spark, "q22_sales_opportunity")
     assert "LeftAnti" in plan
     assert "PushedFilters: []" not in plan
+
+
+def test_span_dedup_capped_single_scan_no_window(spark):
+    # the skew-proof twin must replace the span_h window with a hash-agg
+    # + join-back whose two branches REUSE one exchange: one corpus scan,
+    # a hot span is a partial-agg counter cell, never a window partition
+    df = REGISTRY["l2_span_dedup_capped"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("documents.parquet") == 1
+    assert "Window" not in final
 
 
 def test_scalable_packing_windows_on_subbuckets(spark):

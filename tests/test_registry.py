@@ -17,7 +17,11 @@ WINDOW = 50
 
 def _driver_checked_names() -> set[str]:
     seen: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fname in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         path = os.path.join(REPO, fname)
         if os.path.exists(path):
             seen |= set(json.load(open(path)))
