@@ -11,7 +11,7 @@ import re
 
 from mrjob_spark.dataflow.job import SparkMRJob
 from mrjob_spark.dataflow.protocols import RawValueProtocol
-from mrjob_spark.dataflow.step import MRStep, SparkStep
+from mrjob_spark.dataflow.step import INPUT, OUTPUT, JarStep, MRStep, SparkStep
 
 #: ASCII-word tokenizer shared by the wordcount-family jobs; chosen because
 #: it has an exact DuckDB equivalent (``regexp_extract_all(lower(x),
@@ -237,6 +237,47 @@ class MRNextWordStats(SparkMRJob):
                 word, count = data
                 pct = math.floor((100.0 * count / total) * 1000000 + 0.5) / 1000000
                 yield (prev_word, word), (total, count, pct)
+
+
+class MRWordFreqJarUpper(SparkMRJob):
+    """X7 probe (``mrjob/examples/mr_jar_step_example.py`` shape): a
+    streaming wordcount chained into a :class:`JarStep` running REAL
+    arbitrary JVM code (uppercase every INTERNAL-encoded line), chained
+    into a reducer that re-aggregates by the now-uppercased keys — so
+    the jar's effect is observable through a subsequent shuffle, proving
+    the jar boundary carries the protocol stream both ways."""
+
+    def __init__(self, jar_path: str):
+        super().__init__()
+        self.jar_path = jar_path
+
+    def steps(self):
+        return [
+            MRStep(
+                mapper=self.m_words,
+                combiner=self.c_sum,
+                reducer=self.r_sum,
+            ),
+            JarStep(
+                jar=self.jar_path,
+                main_class="UpperCaseLines",
+                args=[INPUT, OUTPUT],
+            ),
+            MRStep(reducer=self.r_resum),
+        ]
+
+    def m_words(self, _, line):
+        for word in WORD_RE.findall(line.lower()):
+            yield word, 1
+
+    def c_sum(self, word, counts):
+        yield word, sum(counts)
+
+    def r_sum(self, word, counts):
+        yield word, sum(counts)
+
+    def r_resum(self, word, counts):
+        yield word, sum(counts)
 
 
 class MRNextWordStatsCounted(MRNextWordStats):

@@ -124,6 +124,46 @@ class MRStep:
         return d
 
 
+#: JarStep arg-interpolation sentinels (``mrjob/step.py:30-46``): replaced
+#: at run time with the step's input path(s) / output directory.
+INPUT = "<input>"
+OUTPUT = "<output>"
+
+
+@dataclass
+class JarStep:
+    """X7 JVM jar step (``mrjob/step.py:421-460``): run a custom jar
+    between streaming steps, with :data:`INPUT` / :data:`OUTPUT` sentinels
+    in ``args`` interpolated to the step's input path(s) and a fresh
+    output directory (``mrjob/runner.py:971-990``).
+
+    Contract mirrored from the reference: the jar reads files under
+    INPUT, writes its result files into OUTPUT (which must not exist yet
+    — the FileOutputFormat convention), and line-oriented content flows
+    between streaming steps through ``INTERNAL_PROTOCOL`` encoding.
+    ``jobconf`` entries become ``-D`` JVM system properties. A note on
+    parity: the reference's local/inline sim runners refuse jar steps
+    outright (Hadoop-cluster only); here the jar runs as a driver-side
+    JVM process over materialized step IO — the local-mode analogue of
+    Hadoop's between-step HDFS barrier, and an explicit, documented break
+    in the otherwise-lazy plan."""
+
+    jar: str
+    args: list = field(default_factory=list)
+    main_class: Optional[str] = None
+    jobconf: dict = field(default_factory=dict)
+
+    def description(self, step_num: int = 0) -> dict:
+        d = {"type": "jar", "jar": self.jar, "step_num": step_num}
+        if self.main_class:
+            d["main_class"] = self.main_class
+        if self.args:
+            d["args"] = list(self.args)
+        if self.jobconf:
+            d["jobconf"] = dict(self.jobconf)
+        return d
+
+
 @dataclass
 class SparkStep:
     """Free-form Spark escape hatch (X6, ``mrjob/job.py:478-493``): the

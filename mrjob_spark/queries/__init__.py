@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = [
     "s9_compressed_sink",
     "a8_o3_counters_sorted",
     "l2_span_dedup_capped",
+    "x7_jar_step",
 ]
 
 

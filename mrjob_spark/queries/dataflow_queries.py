@@ -148,6 +148,46 @@ def x6_spark_step(spark, sf_dir):
 
 
 @query(
+    "x7_jar_step",
+    sql=f"""
+    SELECT upper(word) AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_WORDS_SQL}) GROUP BY upper(word)
+    """,
+)
+def x7_jar_step(spark, sf_dir):
+    """X7 JVM jar step — the last SURVEY §2 row, previously scoped out:
+    wordcount → a REAL jar (compiled from embedded Java source on first
+    use, cached) uppercasing the INTERNAL-encoded stream as a driver-side
+    JVM process → a reducer re-aggregating on the uppercased keys. The
+    oracle twin states the same thing relationally (upper() is injective
+    on lowercase tokens, so counts survive). Parity note: the reference
+    executes jar steps ONLY on its Hadoop cluster runner
+    (``mrjob/step.py:421-460``, ``mrjob/runner.py:971-990``); its own
+    local/inline runners refuse them, so a driver-side subprocess over
+    materialized step IO is strictly more than local-mode parity. The
+    materialization is an explicit barrier, like Hadoop's between-step
+    HDFS writes."""
+    from mrjob_spark.dataflow.examples import MRWordFreqJarUpper
+    from mrjob_spark.dataflow.jartools import (
+        UPPERCASE_LINES_JAVA,
+        compile_jar,
+    )
+
+    t = Tables(spark, sf_dir)
+    jar = compile_jar(UPPERCASE_LINES_JAVA, "UpperCaseLines")
+    runner = MRWordFreqJarUpper(jar).make_runner(
+        spark, input_rdd=_doc_lines(t)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return runner.to_dataframe(schema)
+
+
+@query(
     "x5_dataflow_pipe_grep",
     sql="""
     SELECT replace(text, chr(10), ' ') AS line FROM documents

@@ -710,6 +710,54 @@ def test_user_exception_propagates_from_inline_runner():
             r.run()
 
 
+def test_jar_step_runs_real_jvm_process_between_steps(spark):
+    """X7: a jar compiled from Java source runs between two streaming
+    steps, INPUT/OUTPUT interpolated, its effect visible through the
+    following shuffle (uppercased keys re-aggregate)."""
+    from mrjob_spark.dataflow.examples import MRWordFreqJarUpper
+    from mrjob_spark.dataflow.jartools import (
+        UPPERCASE_LINES_JAVA,
+        compile_jar,
+        have_jdk,
+    )
+
+    if not have_jdk():
+        pytest.skip("no JDK (javac/jar) on PATH")
+    jar = compile_jar(UPPERCASE_LINES_JAVA, "UpperCaseLines")
+    rdd = spark.sparkContext.parallelize(
+        [(None, "apple banana apple"), (None, "banana cherry")], 2
+    )
+    with MRWordFreqJarUpper(jar).make_runner(spark, input_rdd=rdd) as r:
+        got = dict(r.collect_output())
+    assert got == {"APPLE": 2, "BANANA": 2, "CHERRY": 1}
+    # step description surfaces the jar like the reference's (type 'jar')
+    descs = [s.description(i) for i, s in enumerate(MRWordFreqJarUpper(jar).steps())]
+    assert descs[1]["type"] == "jar" and descs[1]["main_class"] == "UpperCaseLines"
+
+
+def test_jar_step_failure_raises_with_stderr(spark):
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.jartools import have_jdk
+    from mrjob_spark.dataflow.step import INPUT, OUTPUT, JarStep, MRStep
+
+    if not have_jdk():
+        pytest.skip("no JDK (javac/jar) on PATH")
+
+    class MRBadJar(SparkMRJob):
+        def steps(self):
+            return [
+                MRStep(mapper=self.mapper),
+                JarStep(jar="/nonexistent.jar", args=[INPUT, OUTPUT]),
+            ]
+
+        def mapper(self, k, v):
+            yield k, v
+
+    rdd = spark.sparkContext.parallelize([(None, "x")], 1)
+    with pytest.raises(RuntimeError, match="jar step 1 failed"):
+        MRBadJar().make_runner(spark, input_rdd=rdd).run()
+
+
 def test_explain_failure_gives_concise_cause_for_failing_mapper(spark):
     """r3 verdict #8: the raw Spark error for a failing mapper is hundreds
     of Java lines; explain_failure must reduce it to the planted exception
