@@ -124,3 +124,15 @@ class HadoopFilesystem:
         self._jfs(src).copyToLocalFile(
             False, self._jpath(src), self._jpath(local_path), True
         )
+
+    def retrying(self, retry_if=None, **retry_kwargs):
+        """This fs behind transparent retry-with-backoff on transient
+        errors (``mrjob/retry.py`` parity): object-store throttle/5xx and
+        connection blips repeat with exponential backoff instead of
+        failing job setup/teardown. Control-plane only — the data path
+        rides Spark's own task retry."""
+        from mrjob_spark.retry import RetryWrapper, is_transient_io_error
+
+        return RetryWrapper(
+            self, retry_if or is_transient_io_error, **retry_kwargs
+        )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from mrjob_spark.fs import HadoopFilesystem
 
 
@@ -60,3 +62,102 @@ def test_put_get_roundtrip(spark, tmp_path):
     back = tmp_path / "back.txt"
     fs.get(dest, str(back))
     assert back.read_text() == "round trip"
+
+
+# ---------------------------------------------------------------------------
+# retry-with-backoff (mrjob/retry.py parity)
+# ---------------------------------------------------------------------------
+
+
+def test_retry_call_backs_off_then_succeeds():
+    from mrjob_spark.retry import retry_call
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise IOError("connection reset by peer")
+        return "done"
+
+    got = retry_call(
+        flaky,
+        retry_if=lambda e: "connection reset" in str(e),
+        backoff=1.0,
+        multiplier=2.0,
+        max_backoff=3.0,
+        sleep=sleeps.append,
+    )
+    assert got == "done"
+    assert calls["n"] == 4
+    # exponential backoff, capped by max_backoff
+    assert sleeps == [1.0, 2.0, 3.0]
+
+
+def test_retry_call_raises_non_retriable_immediately():
+    from mrjob_spark.retry import retry_call
+
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        raise ValueError("logic error, not transient")
+
+    with pytest.raises(ValueError):
+        retry_call(boom, retry_if=lambda e: False, sleep=lambda s: None)
+    assert calls["n"] == 1
+
+
+def test_retry_call_exhausts_max_tries():
+    from mrjob_spark.retry import retry_call
+
+    calls = {"n": 0}
+
+    def always():
+        calls["n"] += 1
+        raise IOError("503 slow down")
+
+    with pytest.raises(IOError):
+        retry_call(
+            always,
+            retry_if=lambda e: True,
+            max_tries=3,
+            backoff=0.1,
+            sleep=lambda s: None,
+        )
+    assert calls["n"] == 3
+
+
+def test_retry_wrapper_proxies_and_retries():
+    from mrjob_spark.retry import RetryWrapper
+
+    class Client:
+        label = "plain attribute"
+
+        def __init__(self):
+            self.n = 0
+
+        def fetch(self):
+            self.n += 1
+            if self.n < 3:
+                raise IOError("throttled: please slow down")
+            return self.n
+
+    wrapped = RetryWrapper(
+        Client(),
+        retry_if=lambda e: "slow down" in str(e),
+        backoff=0.1,
+        sleep=lambda s: None,
+    )
+    assert wrapped.label == "plain attribute"  # non-callables untouched
+    assert wrapped.fetch() == 3
+
+
+def test_fs_retrying_facade_works(spark, tmp_path):
+    fs = HadoopFilesystem(spark).retrying(backoff=0.1, sleep=lambda s: None)
+    p = str(tmp_path / "x.txt")
+    assert not fs.exists(p)
+    (tmp_path / "x.txt").write_text("hello")
+    assert fs.exists(p)
+    assert fs.du(p) == 5
