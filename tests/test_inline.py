@@ -125,3 +125,33 @@ def test_inline_init_final_hooks():
         out = dict(r.cat_output())
     # inline = ONE task, so hooks run once (vs once per partition on Spark)
     assert out == {"init": 1, "data": 2, "final": 1}
+
+
+def test_inline_jar_step_matches_spark_runner(spark):
+    """X7 differential: the inline runner executes a jar-bearing chain
+    with the same result as the Spark runner (the reference's inline
+    runner refuses jar steps; ours runs them, keeping inline a faithful
+    dev twin)."""
+    import pytest
+
+    from mrjob_spark.dataflow.examples import MRWordFreqJarUpper
+    from mrjob_spark.dataflow.jartools import (
+        UPPERCASE_LINES_JAVA,
+        compile_jar,
+        have_jdk,
+    )
+
+    if not have_jdk():
+        pytest.skip("no JDK (javac/jar) on PATH")
+    jar = compile_jar(UPPERCASE_LINES_JAVA, "UpperCaseLines")
+    pairs = [(None, "apple banana apple"), (None, "banana cherry")]
+
+    with MRWordFreqJarUpper(jar).make_inline_runner(input_pairs=pairs) as r:
+        r.run()
+        inline_out = dict(r.cat_output())
+
+    rdd = spark.sparkContext.parallelize(pairs, 2)
+    with MRWordFreqJarUpper(jar).make_runner(spark, input_rdd=rdd) as r:
+        spark_out = dict(r.collect_output())
+
+    assert inline_out == spark_out == {"APPLE": 2, "BANANA": 2, "CHERRY": 1}
