@@ -27,7 +27,14 @@ import os
 import subprocess
 from typing import Iterator, Optional
 
-from mrjob_spark.dataflow.step import INPUT, OUTPUT, JarStep, MRStep, SparkStep
+from mrjob_spark.dataflow.step import (
+    GENERIC_ARGS,
+    INPUT,
+    OUTPUT,
+    JarStep,
+    MRStep,
+    SparkStep,
+)
 
 
 class _DictCounterSink:
@@ -142,13 +149,20 @@ class InlineJobRunner:
                     fh.write(write(k, v) + b"\n")
             in_arg = in_dir
 
-        args = [
-            str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
-            for a in step.args
-        ]
+        props = [f"-D{k}={v}" for k, v in step.jobconf.items()]
+        args, generic_spliced = [], False
+        for a in step.args:
+            if a == GENERIC_ARGS:
+                args.extend(props)
+                generic_spliced = True
+            else:
+                args.append(
+                    str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
+                )
         java = shutil.which("java") or "java"
         cmd = [java]
-        cmd += [f"-D{k}={v}" for k, v in step.jobconf.items()]
+        if not generic_spliced:
+            cmd += props
         if step.main_class:
             cmd += ["-cp", step.jar, step.main_class]
         else:

@@ -32,7 +32,14 @@ from typing import Iterable, Iterator, Optional
 
 from pyspark.accumulators import AccumulatorParam
 
-from mrjob_spark.dataflow.step import INPUT, OUTPUT, JarStep, MRStep, SparkStep
+from mrjob_spark.dataflow.step import (
+    GENERIC_ARGS,
+    INPUT,
+    OUTPUT,
+    JarStep,
+    MRStep,
+    SparkStep,
+)
 
 #: Hadoop codec classes for the compressed sink (S9;
 #: cf. mrjob/spark/runner.py:446-454).
@@ -543,15 +550,22 @@ class SparkJobRunner:
             ).saveAsTextFile(in_dir)
             in_arg = in_dir
 
-        args = [
-            str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
-            for a in step.args
-        ]
+        props = [f"-D{k}={v}" for k, v in step.jobconf.items()]
+        args, generic_spliced = [], False
+        for a in step.args:
+            if a == GENERIC_ARGS:
+                args.extend(props)  # program args at the sentinel position
+                generic_spliced = True
+            else:
+                args.append(
+                    str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
+                )
         java = os.path.join(os.environ.get("JAVA_HOME", ""), "bin", "java")
         if not os.path.exists(java):
             java = shutil.which("java") or "java"
         cmd = [java]
-        cmd += [f"-D{k}={v}" for k, v in step.jobconf.items()]
+        if not generic_spliced:
+            cmd += props  # JVM system properties otherwise
         if step.main_class:
             cmd += ["-cp", step.jar, step.main_class]
         else:

@@ -126,8 +126,12 @@ class MRStep:
 
 #: JarStep arg-interpolation sentinels (``mrjob/step.py:30-46``): replaced
 #: at run time with the step's input path(s) / output directory.
+#: GENERIC_ARGS expands to the ``-Dkey=value`` property list derived from
+#: ``jobconf`` at that position in ``args`` (when absent, the properties
+#: are passed as JVM ``-D`` flags before the main class instead).
 INPUT = "<input>"
 OUTPUT = "<output>"
+GENERIC_ARGS = "<generic_args>"
 
 
 @dataclass

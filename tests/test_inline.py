@@ -155,3 +155,63 @@ def test_inline_jar_step_matches_spark_runner(spark):
         spark_out = dict(r.collect_output())
 
     assert inline_out == spark_out == {"APPLE": 2, "BANANA": 2, "CHERRY": 1}
+
+
+def test_jar_step_generic_args_splice():
+    """GENERIC_ARGS expands to the -D property list at its position in
+    args (program args); without it the properties ride as JVM flags."""
+    import pytest
+
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.jartools import compile_jar, have_jdk
+    from mrjob_spark.dataflow.step import (
+        GENERIC_ARGS,
+        INPUT,
+        OUTPUT,
+        JarStep,
+    )
+
+    if not have_jdk():
+        pytest.skip("no JDK (javac/jar) on PATH")
+
+    # a jar that echoes its argv, one per line, into OUTPUT/part-00000
+    src = """
+import java.io.*;
+import java.nio.file.*;
+
+public class EchoArgs {
+    public static void main(String[] args) throws IOException {
+        Path out = Paths.get(args[args.length - 1]);
+        Files.createDirectories(out);
+        try (BufferedWriter w =
+                Files.newBufferedWriter(out.resolve("part-00000"))) {
+            for (String a : args) { w.write(a); w.newLine(); }
+        }
+    }
+}
+"""
+    jar = compile_jar(src, "EchoArgs")
+
+    class MRJarEcho(SparkMRJob):
+        from mrjob_spark.dataflow.protocols import RawValueProtocol
+
+        INTERNAL_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+
+        def steps(self):
+            return [
+                JarStep(
+                    jar=jar,
+                    main_class="EchoArgs",
+                    args=[GENERIC_ARGS, INPUT, OUTPUT],
+                    jobconf={"my.prop": "42"},
+                )
+            ]
+
+    with MRJarEcho().make_inline_runner(
+        input_pairs=[(None, "x")]
+    ) as r:
+        r.run()
+        lines = [v for _, v in r.cat_output()]
+    assert lines[0] == "-Dmy.prop=42"  # spliced as a program arg
+    assert len(lines) == 3
