@@ -354,3 +354,71 @@ def test_bucketed_running_sum_matches_naive_window(spark, rows, width):
         for r in bucketed_running_sum(df, "k", "o", "v", bucket_width=width).collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# span dedup: the capped (hash-agg + join-back) plan must agree with an
+# independent Python reference for ANY corpus and cap
+# ---------------------------------------------------------------------------
+
+
+def _span_dedup_reference(docs, span_w, cap):
+    """Independent per-doc (n_spans, n_dup_spans) using plain Python."""
+    import hashlib
+    import re
+
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        spans = {
+            hashlib.md5(
+                " ".join(toks[j * span_w : (j + 1) * span_w]).encode()
+            ).hexdigest()
+            for j in range((len(toks) + span_w - 1) // span_w)
+        }
+        per_doc[doc_id] = spans
+    df_count: dict = {}
+    for spans in per_doc.values():
+        for h in spans:
+            df_count[h] = df_count.get(h, 0) + 1
+    return {
+        doc_id: (
+            len(spans),
+            sum(1 for h in spans if 2 <= df_count[h] <= cap),
+        )
+        for doc_id, spans in per_doc.items()
+    }
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    cap=st.integers(min_value=2, max_value=12),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_dedup_capped_matches_python_reference(spark, texts, cap):
+    from pyspark.sql import Row
+
+    from mrjob_spark.operators.dedup import span_dedup
+
+    span_w = 3  # small spans so short random docs produce collisions
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dedup(
+            df, "doc_id", "text", span_w=span_w, max_span_df=cap
+        ).collect()
+    }
+    assert got == _span_dedup_reference(docs, span_w, cap)
