@@ -1351,7 +1351,9 @@ def l8_pipeline_end_to_end(spark, sf_dir):
     )
     cum = F.sum("n_tokens").over(w)
     return mixed.select(
-        "doc_id", "source", "n_tokens",
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor((cum - F.col("n_tokens")) / 2048.0).cast("long").alias("pack_id"),
     )
 
@@ -1389,7 +1391,7 @@ def l8_sequence_packing_scalable(spark, sf_dir):
     return cum.select(
         "doc_id",
         "source",
-        "n_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor((F.col("cum") - F.col("n_tokens")) / float(_PACK_BUDGET))
         .cast("long")
         .alias("pack_id"),
