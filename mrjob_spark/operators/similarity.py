@@ -160,3 +160,62 @@ def hyperplane_lsh_topk(
         vec_col=vec_col,
         query_id_col=query_id_col,
     )
+
+
+def two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    coarse_k: int = 20,
+    coarse_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval: cheap cosine over the first ``coarse_dims``
+    dimensions selects ``coarse_k`` candidates per query, then the exact
+    full-dimension cosine re-ranks just those (the matryoshka /
+    coarse-quantizer refinement pattern every production ANN stack uses).
+
+    ONE corpus scan: the candidate rows carry their full vectors through
+    the coarse top-k window, so the re-rank is in-row column math over
+    coarse_k × queries rows — no second scan, no join back. At scale the
+    exact-score work drops by corpus/coarse_k while the coarse pass does
+    coarse_dims/dim of the full-scoring flops; both rankings round scores
+    (portable grid) and tie-break on neighbor id, so the result is
+    deterministic across engines and retries.
+    """
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = parallelize_narrow_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    )
+    coarse = rnd(
+        cosine_similarity(
+            F.slice(F.col("__qvec"), 1, coarse_dims),
+            F.slice(F.col(vec_col), 1, coarse_dims),
+        ),
+        6,
+    )
+    scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id")).select(
+        query_id_col, "neighbor_id", "__qvec", F.col(vec_col), coarse.alias("coarse_cos")
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("coarse_cos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("__crn", F.row_number().over(wc))
+        .where(F.col("__crn") <= coarse_k)
+    )
+    exact = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
+    we = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(query_id_col, "neighbor_id", exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= k)
+    )

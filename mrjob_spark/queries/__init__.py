@@ -124,6 +124,10 @@ _DRIVER_PRIORITY = [
     "a8_o3_counters_sorted",
     "l2_span_dedup_capped",
     "x7_jar_step",
+    "l3_kmeans_assign",
+    "l3_embedding_quantize",
+    "l3_knn_two_stage",
+    "l4_bigram_lm",
 ]
 
 

@@ -43,6 +43,7 @@ from mrjob_spark.operators.similarity import (
     brute_force_topk,
     bucketed_topk,
     hyperplane_lsh_topk,
+    two_stage_topk,
 )
 from mrjob_spark.queries import Tables, query
 
@@ -1395,4 +1396,248 @@ def l8_sequence_packing_scalable(spark, sf_dir):
         F.floor((F.col("cum") - F.col("n_tokens")) / float(_PACK_BUDGET))
         .cast("long")
         .alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: embedding index construction + n-gram LM
+# ---------------------------------------------------------------------------
+
+_KMEANS_SQL = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cluster, qv AS cv FROM q WHERE vec_id < 8
+    ), d0 AS (
+        SELECT vec_id, cluster, CAST(sum((a - b) * (a - b)) AS BIGINT) AS dist
+        FROM (SELECT q.vec_id, c.cluster, unnest(q.qv) AS a, unnest(c.cv) AS b
+              FROM q CROSS JOIN c0 c) z
+        GROUP BY vec_id, cluster
+    ), a0 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d0) zz
+        WHERE rn = 1
+    ), c1 AS (
+        SELECT cluster, pos,
+               CAST(floor(CAST(sum(a) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+        FROM (SELECT a0.cluster, unnest(q.qv) AS a,
+                     generate_subscripts(q.qv, 1) AS pos
+              FROM q JOIN a0 USING (vec_id)) z
+        GROUP BY cluster, pos
+    ), d1 AS (
+        SELECT vec_id, cluster, CAST(sum((a - v) * (a - v)) AS BIGINT) AS dist
+        FROM (SELECT q.vec_id, c1.cluster, c1.v, q.qv[c1.pos] AS a
+              FROM q CROSS JOIN c1) z
+        GROUP BY vec_id, cluster
+    )
+    SELECT vec_id, cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1) zz
+    WHERE rn = 1
+"""
+
+
+@query("l3_kmeans_assign", sql=_KMEANS_SQL)
+def l3_kmeans_assign(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, one update round) over the
+    embeddings — the IVF *training* step that produces the buckets
+    ``l3_knn_bucketed`` searches. Fixed-point int64 vectors make every
+    distance an exact integer and every centroid update an exact
+    integer-sum + portable rounding, so the full
+    assign → update → re-assign cycle is bit-identical between Spark and
+    the SQL oracle — an oracle-checked k-means, which float arithmetic
+    cannot give you (operators/clustering.py has the full argument).
+    Scale: per round ONE corpus scan + a k×dim partial aggregation;
+    centroids (k×dim, constant) live on the driver and broadcast back."""
+    t = Tables(spark, sf_dir)
+    from mrjob_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(t.embeddings, k=8, iters=1)
+
+
+_QUANT_SQL = f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+               list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x)), 'max') AS maxabs
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               CASE WHEN maxabs > 0 THEN maxabs / 127 ELSE 1.0 END AS scale,
+               list_transform(dv,
+                   x -> CAST(floor(x / (CASE WHEN maxabs > 0
+                                             THEN maxabs / 127
+                                             ELSE 1.0 END) + 0.5) AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           {sql_rnd('scale', 9)} AS scale_r,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+                AS BIGINT) AS q_sumsq,
+           CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+    FROM q
+"""
+
+
+@query("l3_embedding_quantize", sql=_QUANT_SQL)
+def l3_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (scale = max|x|/127) — the
+    4× memory compression step before embeddings go into an ANN index.
+    Entirely JVM-side array math, one scan, zero shuffles. The audit
+    columns are chosen to be *exact*: the quantized codes are integers,
+    so their sum / sum-of-squares / min / max compare bit-for-bit against
+    the oracle with no float-accumulation-order caveat (the scale itself
+    is one rounded double). |code| ≤ 127 by construction: x/scale lands
+    in [-127, 127] and floor(·+0.5) cannot leave it."""
+    t = Tables(spark, sf_dir)
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = parallelize_narrow_scan(
+        t.embeddings.select("vec_id", dv.alias("dv"))
+    ).withColumn("maxabs", F.array_max(F.transform(F.col("dv"), F.abs)))
+    scale = F.when(F.col("maxabs") > 0, F.col("maxabs") / F.lit(127)).otherwise(
+        F.lit(1.0)
+    )
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("dv"), lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+        ).alias("qv"),
+        scale.alias("scale"),
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        rnd(F.col("scale"), 9).alias("scale_r"),
+        F.aggregate(F.col("qv"), zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("qv"), zero, lambda a, x: a + x * x).alias("q_sumsq"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
+
+
+_TWO_STAGE_SQL = f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+    ), qs AS (
+        SELECT vec_id, dv FROM c WHERE vec_id < 10
+    ), coarse AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.dv AS qdv, c.dv AS cdv,
+               {sql_rnd('list_cosine_similarity(q.dv[1:16], c.dv[1:16])', 6)}
+                   AS coarse_cos
+        FROM qs q JOIN c ON q.vec_id <> c.vec_id
+    ), cand AS (
+        SELECT query_id, neighbor_id, qdv, cdv FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY coarse_cos DESC,
+                                                  neighbor_id) AS crn
+            FROM coarse) z
+        WHERE crn <= 20
+    ), exact AS (
+        SELECT query_id, neighbor_id,
+               {sql_rnd('list_cosine_similarity(qdv, cdv)', 6)} AS cosine
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM exact) z
+    WHERE rank <= 5
+"""
+
+
+@query("l3_knn_two_stage", sql=_TWO_STAGE_SQL)
+def l3_knn_two_stage(spark, sf_dir):
+    """Two-stage exact-over-candidates retrieval: coarse cosine on the
+    first 16 of 64 dimensions picks 20 candidates per query, the full
+    64-dim cosine re-ranks only those — the matryoshka / coarse-quantizer
+    refinement pattern. Single corpus scan; candidates carry their
+    vectors through the coarse top-k window so the re-rank is in-row
+    (operators/similarity.py two_stage_topk)."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    res = two_stage_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, coarse_k=20, coarse_dims=16
+    )
+    return res.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+    WITH tok AS (
+        SELECT {sql_tokens('text')} AS toks FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                     i -> toks[i + 1])) AS w2
+        FROM tok
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           {sql_rnd('CAST(c AS DOUBLE) / t', 6)} AS p,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT w1, w2, c, sum(c) OVER (PARTITION BY w1) AS t,
+                 row_number() OVER (PARTITION BY w1
+                                    ORDER BY c DESC, w2) AS rn
+          FROM cnt) z
+    WHERE rn <= 3
+"""
+
+
+@query("l4_bigram_lm", sql=_BIGRAM_LM_SQL)
+def l4_bigram_lm(spark, sf_dir):
+    """Bigram language-model table: P(w2 | w1) with the top-3 successors
+    per word — the relational twin of the reference's SORT_VALUES
+    showcase (``mrjob/examples/mr_next_word_stats.py:28-95``, ported as
+    the dataflow query ``mr_next_word_stats``): what that job needs
+    tagged values and a secondary sort for is two aggregations and a
+    window here. Scale: bigram extraction is in-row (zip_with over two
+    shifted slices, one explode), the count is map-side combinable, and
+    the window partitions by w1 over the *counts* table — partition size
+    is the successor vocabulary of one word (≤ |vocab|, corpus-
+    independent), not the corpus."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    cnt = (
+        t.documents.select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy("w1")
+    wr = Window.partitionBy("w1").orderBy(F.col("c").desc(), "w2")
+    return (
+        cnt.withColumn("t", F.sum("c").over(wt))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            rnd(F.col("c").cast("double") / F.col("t"), 6).alias("p"),
+            "rank",
+        )
     )

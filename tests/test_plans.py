@@ -347,3 +347,47 @@ def test_span_dedup_single_scan_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "EvalPython" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids_no_window(spark):
+    # the per-round assignment must be: broadcast k-row centroid table,
+    # in-row integer distances, partial-aggregable min(struct) — never a
+    # shuffled join on the corpus and never a per-vector ranking window
+    plan = _plan(spark, "l3_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quantize_is_one_scan_zero_shuffle(spark):
+    # int8 quantization is pure per-row array math: one pruned scan, no
+    # aggregation exchange, no join, nothing leaves the JVM
+    plan = _plan(spark, "l3_embedding_quantize")
+    assert plan.count("embeddings.parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_two_stage_knn_single_corpus_scan_carries_vectors(spark):
+    # the re-rank must happen in-row on the candidate set (vectors carried
+    # through the coarse top-k window), not via a second corpus join;
+    # embeddings appears twice: corpus + the broadcast 10-query side
+    plan = _plan(spark, "l3_knn_two_stage")
+    assert plan.count("embeddings.parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # coarse prune then exact rerank: exactly the two ranking windows
+    assert plan.count("RunningWindowFunction") <= 2
+
+
+def test_bigram_lm_windows_over_counts_not_corpus(spark):
+    # bigram extraction is in-row (zip_with over shifted slices): one
+    # corpus scan, and the w1 windows run over the aggregated counts
+    # table (vocab-bounded partitions), never over exploded corpus rows
+    plan = _plan(spark, "l4_bigram_lm")
+    assert plan.count("documents.parquet") == 1
+    assert "EvalPython" not in plan
+    # counts aggregate exchange + w1 window exchange, nothing more
+    assert plan.count("Exchange hashpartitioning") == 2

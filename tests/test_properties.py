@@ -422,3 +422,76 @@ def test_span_dedup_capped_matches_python_reference(spark, texts, cap):
         ).collect()
     }
     assert got == _span_dedup_reference(docs, span_w, cap)
+
+
+# ---------------------------------------------------------------------------
+# k-means: the broadcast-centroid Spark loop must agree with an independent
+# Python Lloyd's implementation for ANY vectors, k, and iteration count —
+# including rounds beyond the single update the SQL oracle checks
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_reference(vecs, k, iters, scale=1000):
+    """Independent fixed-point Lloyd's: returns {vec_id: (cluster, dist)}."""
+    import math
+
+    q = {
+        i: [math.floor(x * scale + 0.5) for x in v] for i, v in vecs
+    }
+    centroids = {i: list(q[i]) for i in sorted(q)[:k]}
+
+    def assign(cents):
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cv)), c)
+                for c, cv in cents.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for _ in range(iters):
+        asg = assign(centroids)
+        sums: dict = {}
+        for i, (c, _d) in asg.items():
+            acc = sums.setdefault(c, [[0] * len(q[i]), 0])
+            acc[0] = [a + b for a, b in zip(acc[0], q[i])]
+            acc[1] += 1
+            sums[c] = acc
+        centroids = {
+            c: [math.floor(s / n + 0.5) for s in sv] for c, (sv, n) in sums.items()
+        }
+    return assign(centroids)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=4,
+        max_size=12,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmeans_assign_matches_python_reference(spark, vecs, k, iters):
+    from pyspark.sql import Row
+
+    from mrjob_spark.operators.clustering import kmeans_assign
+
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(df, k=k, iters=iters).collect()
+    }
+    want = _kmeans_reference(list(enumerate(vecs)), k, iters)
+    assert got == want
