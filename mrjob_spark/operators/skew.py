@@ -12,9 +12,10 @@ order of preference:
 3. **Explicit salting (this module)**: for what neither handles — skewed
    equi-joins that must hash-join (AQE skew splitting doesn't apply to
    broadcast-ineligible hash joins), skewed ``groupBy`` with
-   NON-ALGEBRAIC aggregates (``collect_list``/``collect_set`` have no
-   map-side partial form, so every value of a hot key lands on one task),
-   and stream-stream joins where AQE never runs.
+   NON-ALGEBRAIC aggregates whose per-key RESULT outgrows one task
+   (``collect_set`` partially aggregates map-side, but the hot key's
+   merged set is still built in a single task — the memory wall, see
+   ``salted_collect_set``), and stream-stream joins where AQE never runs.
 
 Salts are DETERMINISTIC (hash of a caller-named unique column, never
 ``rand()``): task retries must re-produce the same salt or exactly-once
@@ -78,13 +79,21 @@ def salted_collect_set(
 ) -> DataFrame:
     """``groupBy(key).agg(collect_set(value))`` that survives a hot key.
 
-    ``collect_set`` has no map-side partial form — every row of a hot key
-    is shuffled to ONE task under the naive plan. Phase 1 collects within
-    (key, salt-of-value) groups — the hot key's values spread over n_salts
-    tasks; phase 2 flattens the n_salts partial sets per key. The phase-2
-    input is one row per (key, salt): bounded by n_salts x distinct keys,
-    independent of row skew. Values themselves salt the hash, so the salt
-    needs no extra unique column.
+    What this buys — measured, not assumed (tools/skew_stress.py): Spark's
+    ObjectHashAggregate DOES partial-aggregate ``collect_set`` map-side
+    (partial sets per partition, deduped before the exchange), so row-count
+    skew alone doesn't break the naive plan, and at moderate set sizes the
+    naive form is *faster* (2.9 s vs 9.2 s here at a 4M-distinct hot set —
+    the salted form pays a second shuffle). The naive plan's real limit is
+    MEMORY: the hot key's final merged set is still assembled in ONE task,
+    so a set that approaches task memory (billions of distinct values at
+    100 TB) OOMs regardless of partial aggregation. Salting bounds the
+    per-task set to 1/n_salts of the key's distinct values: phase 1
+    collects within (key, salt-of-value) groups, phase 2 flattens the
+    n_salts partial sets per key from one row per (key, salt). Use it when
+    the hot set itself is too big for a task, not as a latency tweak.
+    Values themselves salt the hash, so the salt needs no extra unique
+    column.
     """
     phase1 = (
         df.select(

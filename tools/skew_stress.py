@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Adversarial skew stress: measure the scalable twins against the naive
+window/aggregate forms on data built to break them.
+
+SCALE.md argues the two-phase operators (operators/scalable_windows.py,
+operators/skew.py) remove the one-task-per-hot-key funnel; this harness
+MEASURES it instead of arguing it. It synthesizes a corpus where one key
+owns most rows (the 100 TB regime where "partition by language" puts 40%
+of the web in one task), runs naive vs scalable forms, verifies the
+outputs agree (full-value checksum, not row counts), and prints a JSON
+line per case.
+
+Usage::
+
+    python tools/skew_stress.py [--rows 4000000] [--hot-frac 0.75]
+                                [--keys 64] [--out results.json]
+
+The checksum compares sum(rn * h(id)), etc., over ALL rows — any single
+disagreeing rank flips it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mrjob_spark.session import get_spark
+
+
+def _noop(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 2)
+
+
+def _checksum(df, expr) -> int:
+    return df.agg(F.sum(expr).cast("decimal(38,0)").alias("c")).first()["c"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--hot-frac", type=float, default=0.75)
+    ap.add_argument("--keys", type=int, default=64)
+    ap.add_argument("--val-card", type=int, default=100_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="skew_stress", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = "/tmp/skew_stress_input.parquet"
+    hot_n = int(args.rows * args.hot_frac)
+    # deterministic synthetic rows: id unique, key hot for the first
+    # hot_frac of ids, v a wrapping value with ties, val_card distinct values
+    base = spark.range(args.rows).select(
+        F.col("id"),
+        F.when(F.col("id") < hot_n, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % args.keys).cast("string")))
+        .alias("key"),
+        (F.col("id") * 2654435761 % 1_000_003).cast("double").alias("v"),
+        (F.col("id") % args.val_card).alias("val"),
+    )
+    base.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    print(
+        f"[skew] {args.rows} rows, hot key = {hot_n} rows "
+        f"({100 * args.hot_frac:.0f}%), {args.keys} cold keys",
+        file=sys.stderr,
+    )
+
+    results = {}
+    # checksum terms go through decimal(38,0): rank × crc32 sums blow past
+    # int64 at a few million rows
+    idh = F.crc32(F.col("id").cast("string")).cast("decimal(38,0)")
+
+    # -- 1. ranking window ---------------------------------------------------
+    from mrjob_spark.operators.scalable_windows import bucketed_ranking
+
+    w = Window.partitionBy("key").orderBy(F.col("v").desc(), F.col("id"))
+    naive_rank = df.select(
+        "key", "id", F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"), F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    scal_rank = bucketed_ranking(
+        df.select("key", "id", "v"), "key", "v", "id", bucket_width=1000.0
+    )
+    t_naive = _noop(naive_rank)
+    t_scal = _noop(scal_rank)
+    chk = (
+        F.col("rn").cast("decimal(38,0)") * idh
+        + F.col("rnk")
+        + F.col("drnk")
+        + F.col("quartile")
+    )
+    same = _checksum(naive_rank, chk) == _checksum(scal_rank, chk)
+    results["ranking_window"] = {
+        "naive_sec": t_naive, "scalable_sec": t_scal, "values_match": same,
+    }
+    print(f"[skew] ranking: naive {t_naive}s scalable {t_scal}s match={same}",
+          file=sys.stderr)
+
+    # -- 2. running sum ------------------------------------------------------
+    from mrjob_spark.operators.scalable_windows import bucketed_running_sum
+
+    wr = (
+        Window.partitionBy("key").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive_cum = df.select("key", "id", "val", F.sum("val").over(wr).alias("cum"))
+    scal_cum = bucketed_running_sum(
+        df.select("key", "id", "val"), "key", "id", "val",
+        bucket_width=float(max(args.rows // 256, 1)),
+    )
+    t_naive = _noop(naive_cum)
+    t_scal = _noop(scal_cum)
+    cum_chk = F.col("cum").cast("decimal(38,0)") * idh
+    same = _checksum(naive_cum, cum_chk) == _checksum(scal_cum, cum_chk)
+    results["running_sum"] = {
+        "naive_sec": t_naive, "scalable_sec": t_scal, "values_match": same,
+    }
+    print(f"[skew] running sum: naive {t_naive}s scalable {t_scal}s match={same}",
+          file=sys.stderr)
+
+    # -- 3. non-algebraic aggregate (collect_set) ----------------------------
+    from mrjob_spark.operators.skew import salted_collect_set
+
+    naive_set = df.groupBy("key").agg(F.collect_set("val").alias("val_set"))
+    scal_set = salted_collect_set(df, "key", "val", n_salts=32)
+    t_naive = _noop(naive_set)
+    t_scal = _noop(scal_set)
+    set_chk = F.aggregate(
+        F.col("val_set"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda a, x: a + (x * x).cast("decimal(38,0)"),
+    ) + F.size("val_set")
+    same = _checksum(naive_set, set_chk) == _checksum(scal_set, set_chk)
+    results["collect_set"] = {
+        "naive_sec": t_naive, "scalable_sec": t_scal, "values_match": same,
+    }
+    print(f"[skew] collect_set: naive {t_naive}s scalable {t_scal}s match={same}",
+          file=sys.stderr)
+
+    line = json.dumps({"rows": args.rows, "hot_frac": args.hot_frac, **results})
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
