@@ -65,6 +65,8 @@ class InlineJobRunner:
         input_paths: Optional[list] = None,
         input_pairs=None,
         output_dir: Optional[str] = None,
+        jobconf: Optional[dict] = None,
+        cmdenv: Optional[dict] = None,
     ):
         if input_paths is not None and input_pairs is not None:
             raise ValueError("pass input_paths or input_pairs, not both")
@@ -72,9 +74,26 @@ class InlineJobRunner:
         self.input_paths = list(input_paths or [])
         self.input_pairs = input_pairs
         self.output_dir = output_dir
+        # same env derivation as SparkJobRunner._task_env so cmd substeps
+        # behave identically under both runners (differential tests rely
+        # on it): job + step jobconf as Hadoop-style vars, cmdenv on top
+        merged = dict(job.JOBCONF)
+        for step in job.steps():
+            merged.update(getattr(step, "jobconf", {}) or {})
+        merged.update(jobconf or {})
+        self._jobconf = merged
+        self._cmdenv = dict(cmdenv or {})
         self._counters = _DictCounterSink()
         job._counter_acc = self._counters
         self._output: Optional[list] = None
+
+    def _task_env(self) -> dict:
+        env = dict(os.environ)
+        env.update(
+            {str(k).replace(".", "_"): str(v) for k, v in self._jobconf.items()}
+        )
+        env.update(self._cmdenv)
+        return env
 
     # -- input ----------------------------------------------------------
 
@@ -285,7 +304,8 @@ class InlineJobRunner:
 
         payload = b"".join(write(*kv) + b"\n" for kv in pairs)
         proc = subprocess.run(
-            cmd, shell=True, input=payload, stdout=subprocess.PIPE, check=False
+            cmd, shell=True, input=payload, stdout=subprocess.PIPE,
+            check=False, env=self._task_env(),
         )
         return [
             read(line)

@@ -266,6 +266,19 @@ class SparkMRJob:
             "--jobconf", action="append", default=[], metavar="KEY=VALUE",
             help="jobconf knob, repeatable (mapreduce.job.reduces, ...)",
         )
+        parser.add_argument(
+            "--cmdenv", action="append", default=[], metavar="KEY=VALUE",
+            help="env var for *_cmd/*_pre_filter subprocesses, repeatable",
+        )
+        parser.add_argument(
+            "-c", "--conf-path", action="append", default=None,
+            help="mrjob.conf to load, repeatable — later files win "
+                 "(default: $MRJOB_CONF, ~/.mrjob.conf, /etc/mrjob.conf)",
+        )
+        parser.add_argument(
+            "--no-conf", action="store_true",
+            help="skip config files entirely",
+        )
         parser.add_argument("--max-output-files", type=int, default=None)
         parser.add_argument("--compression", choices=("gzip", "bzip2"),
                             default=None)
@@ -279,8 +292,9 @@ class SparkMRJob:
         parser.add_argument("--dir", action="append", default=[],
                             help="ship a directory whole (repeatable)")
         parser.add_argument(
-            "--spark-master",
-            default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"),
+            "--spark-master", default=None,
+            help="(default: $SPARK_GRAFT_MASTER, conf spark_master, "
+                 "local[*])",
         )
         parser.add_argument(
             "-r", "--runner", choices=("spark", "inline"), default="spark",
@@ -302,15 +316,57 @@ class SparkMRJob:
         opts = self.arg_parser().parse_args(args)
         self.options = opts
 
-        # CLI upload args extend the class-level lists (instance-local)
-        self.FILES = list(self.FILES) + list(opts.file)
-        self.ARCHIVES = list(self.ARCHIVES) + list(opts.archive)
-        self.DIRS = list(self.DIRS) + list(opts.dir)
+        # mrjob.conf opts sit UNDER everything explicit: CLI switch > job
+        # class attribute > config file (mrjob/conf.py precedence)
+        from mrjob_spark.dataflow.conf import combine_jobconfs, load_runner_opts
+
+        conf = (
+            {}
+            if opts.no_conf
+            else load_runner_opts(opts.runner, conf_paths=opts.conf_path)
+        )
+
+        def _kv_pairs(items):
+            out = {}
+            for item in items:
+                key, _, value = item.partition("=")
+                out[key] = value
+            return out
+
+        jobconf = combine_jobconfs(conf.get("jobconf"), _kv_pairs(opts.jobconf))
+        cmdenv = dict(conf.get("cmdenv") or {})
+        cmdenv.update(_kv_pairs(opts.cmdenv))
+
+        # conf + CLI upload args extend the class-level lists
+        # (instance-local); mrjob spells them upload_files/... in configs
+        self.FILES = (
+            list(self.FILES)
+            + list(conf.get("upload_files") or conf.get("files") or [])
+            + list(opts.file)
+        )
+        self.ARCHIVES = (
+            list(self.ARCHIVES)
+            + list(conf.get("upload_archives") or conf.get("archives") or [])
+            + list(opts.archive)
+        )
+        self.DIRS = (
+            list(self.DIRS)
+            + list(conf.get("upload_dirs") or conf.get("dirs") or [])
+            + list(opts.dir)
+        )
+
+        def _opt(name, cli_value, default=None):
+            if cli_value is not None and cli_value is not False:
+                return cli_value
+            conf_value = conf.get(name)
+            return default if conf_value is None else conf_value
 
         if opts.runner == "inline":
             runner = self.make_inline_runner(
                 input_paths=list(opts.input) or ["-"],
                 output_dir=opts.output_dir,
+                jobconf=jobconf,
+                cmdenv=cmdenv,
             )
             runner.run()
             cat = opts.cat_output
@@ -328,24 +384,30 @@ class SparkMRJob:
             from mrjob_spark.session import get_spark
 
             spark = get_spark(
-                app_name=type(self).__name__, master=opts.spark_master
+                app_name=type(self).__name__,
+                master=_opt(
+                    "spark_master",
+                    opts.spark_master
+                    or os.environ.get("SPARK_GRAFT_MASTER"),
+                    "local[*]",
+                ),
             )
-
-        jobconf = {}
-        for item in opts.jobconf:
-            key, _, value = item.partition("=")
-            jobconf[key] = value
 
         runner = self.make_runner(
             spark,
             input_paths=list(opts.input) or ["-"],
             output_dir=opts.output_dir,
-            num_reducers=opts.num_reducers,
-            max_output_files=opts.max_output_files,
-            compression=opts.compression,
-            partition_output_by_key=opts.partition_output_by_key,
-            emulate_map_input_file=opts.emulate_map_input_file,
+            num_reducers=_opt("num_reducers", opts.num_reducers),
+            max_output_files=_opt("max_output_files", opts.max_output_files),
+            compression=_opt("compression", opts.compression),
+            partition_output_by_key=_opt(
+                "partition_output_by_key", opts.partition_output_by_key, False
+            ),
+            emulate_map_input_file=_opt(
+                "emulate_map_input_file", opts.emulate_map_input_file, False
+            ),
             jobconf=jobconf,
+            cmdenv=cmdenv,
         )
         with runner:
             runner.run()

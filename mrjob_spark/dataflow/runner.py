@@ -101,6 +101,10 @@ class SparkJobRunner:
         ``mrjob/spark/harness.py:306-325``).
     :param jobconf: extra jobconf knobs merged over the job's own (the
         CLI's repeated ``--jobconf KEY=VALUE``).
+    :param cmdenv: environment variables for ``*_cmd``/``*_pre_filter``
+        task subprocesses, on top of the jobconf-derived vars (the
+        reference's ``cmdenv`` runner opt; typically set via mrjob.conf —
+        dataflow/conf.py).
     :param partition_func: ``f(key_bytes) -> int`` shuffle partitioner
         override (O1 in full); precedence: this kwarg > ``job.PARTITIONER``
         > crc32. Must be importable/picklable and deterministic across
@@ -120,6 +124,7 @@ class SparkJobRunner:
         partition_output_by_key: bool = False,
         emulate_map_input_file: bool = False,
         jobconf: Optional[dict] = None,
+        cmdenv: Optional[dict] = None,
         partition_func=None,
     ):
         if input_paths is not None and input_rdd is not None:
@@ -144,6 +149,7 @@ class SparkJobRunner:
             merged.update(getattr(step, "jobconf", {}) or {})
         merged.update(jobconf or {})
         self._jobconf = merged
+        self._cmdenv = dict(cmdenv or {})
         if num_reducers is None and "mapreduce.job.reduces" in merged:
             num_reducers = int(merged["mapreduce.job.reduces"])
         self.num_reducers = num_reducers
@@ -164,6 +170,14 @@ class SparkJobRunner:
 
         self._output_pairs = None
         self._ran = False
+
+    def _task_env(self) -> dict:
+        """Env for task subprocesses: Hadoop-style jobconf vars (dots to
+        underscores, ``mrjob/sim.py:320-402``) with ``cmdenv`` entries on
+        top (``mrjob/bin.py``'s cmdenv semantics: explicit wins)."""
+        env = _jobconf_env(self._jobconf)
+        env.update(self._cmdenv)
+        return env
 
     @staticmethod
     def _tar_dir(path: str) -> str:
@@ -265,7 +279,7 @@ class SparkJobRunner:
         job = self.job
         enc = job.INTERNAL_PROTOCOL().encode_sort_key
         sort_values = bool(job.SORT_VALUES)
-        env = _jobconf_env(self._jobconf)
+        env = self._task_env()
         raw_input_step = step_num == 0 and (
             self.input_rdd is None and self.input_paths
         )
@@ -332,7 +346,7 @@ class SparkJobRunner:
             # step-0 pre-filters see raw input lines (mrjob/job.py:353-363);
             # later steps see internal-protocol-encoded lines
             rdd = self._pipe_pairs(
-                rdd, step.mapper_pre_filter, _jobconf_env(self._jobconf),
+                rdd, step.mapper_pre_filter, self._task_env(),
                 raw_lines=(step_num == 0 and self.input_rdd is None),
                 filter_only=True, step_num=step_num,
             )
@@ -509,14 +523,21 @@ class SparkJobRunner:
             read = internal.read
 
         lines = rdd.map(lambda kv: write(*kv).decode("utf-8", "replace"))
-        piped = lines.pipe(cmd, env=env)
+        # Always through a shell, like the reference (mrjob/bin.py:236-245
+        # builds `sh -ex -c` pipelines): bare rdd.pipe only shlex-splits,
+        # which would silently break `cmd1 | cmd2` pipelines and $VAR
+        # references that work on every mrjob runner (and on the inline
+        # runner here, whose subprocess.run(shell=True) uses sh already).
+        import shlex
+
+        piped = lines.pipe("/bin/sh -c " + shlex.quote(cmd), env=env)
         return piped.map(lambda line: read(line.encode("utf-8")))
 
     def _pipe_filter(self, rdd, cmd: str, step_num: int):
         """Shell predicate in front of a substep (``mrjob/job.py:353-363``):
         lines that survive the command continue as pairs."""
         return self._pipe_pairs(
-            rdd, cmd, _jobconf_env(self._jobconf),
+            rdd, cmd, self._task_env(),
             raw_lines=False, filter_only=True, step_num=step_num,
         )
 
