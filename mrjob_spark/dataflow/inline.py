@@ -67,6 +67,7 @@ class InlineJobRunner:
         output_dir: Optional[str] = None,
         jobconf: Optional[dict] = None,
         cmdenv: Optional[dict] = None,
+        setup: Optional[list] = None,
     ):
         if input_paths is not None and input_pairs is not None:
             raise ValueError("pass input_paths or input_pairs, not both")
@@ -83,6 +84,7 @@ class InlineJobRunner:
         merged.update(jobconf or {})
         self._jobconf = merged
         self._cmdenv = dict(cmdenv or {})
+        self._setup = list(setup or [])
         self._counters = _DictCounterSink()
         job._counter_acc = self._counters
         self._output: Optional[list] = None
@@ -303,8 +305,9 @@ class InlineJobRunner:
             read = internal.read
 
         payload = b"".join(write(*kv) + b"\n" for kv in pairs)
+        full_cmd = "; ".join([*self._setup, cmd])
         proc = subprocess.run(
-            cmd, shell=True, input=payload, stdout=subprocess.PIPE,
+            full_cmd, shell=True, input=payload, stdout=subprocess.PIPE,
             check=False, env=self._task_env(),
         )
         return [

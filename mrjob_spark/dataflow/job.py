@@ -271,6 +271,11 @@ class SparkMRJob:
             help="env var for *_cmd/*_pre_filter subprocesses, repeatable",
         )
         parser.add_argument(
+            "--setup", action="append", default=[], metavar="CMD",
+            help="shell line run before each *_cmd/*_pre_filter subprocess "
+                 "(repeatable; conf setup lines run first)",
+        )
+        parser.add_argument(
             "-c", "--conf-path", action="append", default=None,
             help="mrjob.conf to load, repeatable — later files win "
                  "(default: $MRJOB_CONF, ~/.mrjob.conf, /etc/mrjob.conf)",
@@ -336,6 +341,7 @@ class SparkMRJob:
         jobconf = combine_jobconfs(conf.get("jobconf"), _kv_pairs(opts.jobconf))
         cmdenv = dict(conf.get("cmdenv") or {})
         cmdenv.update(_kv_pairs(opts.cmdenv))
+        setup = list(conf.get("setup") or []) + list(opts.setup)
 
         # conf + CLI upload args extend the class-level lists
         # (instance-local); mrjob spells them upload_files/... in configs
@@ -367,6 +373,7 @@ class SparkMRJob:
                 output_dir=opts.output_dir,
                 jobconf=jobconf,
                 cmdenv=cmdenv,
+                setup=setup,
             )
             runner.run()
             cat = opts.cat_output
@@ -408,6 +415,7 @@ class SparkMRJob:
             ),
             jobconf=jobconf,
             cmdenv=cmdenv,
+            setup=setup,
         )
         with runner:
             runner.run()

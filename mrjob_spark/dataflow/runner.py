@@ -105,6 +105,11 @@ class SparkJobRunner:
         task subprocesses, on top of the jobconf-derived vars (the
         reference's ``cmdenv`` runner opt; typically set via mrjob.conf —
         dataflow/conf.py).
+    :param setup: shell lines run before each ``*_cmd``/``*_pre_filter``
+        subprocess, in the same shell (so ``export``s are visible to the
+        command) — the reference's ``setup`` opt (``mrjob/bin.py:545-653``)
+        scoped to shell substeps; Python substeps execute in-process and
+        need no shell setup.
     :param partition_func: ``f(key_bytes) -> int`` shuffle partitioner
         override (O1 in full); precedence: this kwarg > ``job.PARTITIONER``
         > crc32. Must be importable/picklable and deterministic across
@@ -125,6 +130,7 @@ class SparkJobRunner:
         emulate_map_input_file: bool = False,
         jobconf: Optional[dict] = None,
         cmdenv: Optional[dict] = None,
+        setup: Optional[list] = None,
         partition_func=None,
     ):
         if input_paths is not None and input_rdd is not None:
@@ -150,6 +156,7 @@ class SparkJobRunner:
         merged.update(jobconf or {})
         self._jobconf = merged
         self._cmdenv = dict(cmdenv or {})
+        self._setup = list(setup or [])
         if num_reducers is None and "mapreduce.job.reduces" in merged:
             num_reducers = int(merged["mapreduce.job.reduces"])
         self.num_reducers = num_reducers
@@ -530,7 +537,8 @@ class SparkJobRunner:
         # runner here, whose subprocess.run(shell=True) uses sh already).
         import shlex
 
-        piped = lines.pipe("/bin/sh -c " + shlex.quote(cmd), env=env)
+        full_cmd = "; ".join([*self._setup, cmd])
+        piped = lines.pipe("/bin/sh -c " + shlex.quote(full_cmd), env=env)
         return piped.map(lambda line: read(line.encode("utf-8")))
 
     def _pipe_filter(self, rdd, cmd: str, step_num: int):

@@ -285,3 +285,29 @@ def test_conf_jobconf_reaches_task_env(tmp_path):
                                str(tmp_path / "out"), "--no-cat-output"])
     got = [v for _, v in runner.cat_output()]
     assert got == ["tagged line"]
+
+
+def test_setup_lines_precede_cmd_in_same_shell(tmp_path, capsys):
+    # an `export` from a conf setup line must be visible to the command —
+    # same-shell semantics (the reference's setup wrapper, bin.py:545-653)
+    conf = _write(
+        tmp_path, "job.conf",
+        'runners:\n  inline:\n    setup:\n      - export NEEDLE=keep\n',
+    )
+    inp = _write(tmp_path, "input.txt", "alpha keep\nbeta drop\n")
+    job = _MREnvGrep()
+    job.execute(args=[inp, "-r", "inline", "-c", conf])
+    out = capsys.readouterr().out
+    assert sorted(line for line in out.splitlines() if line) == ["alpha keep"]
+
+
+def test_setup_lines_on_spark_pipe(tmp_path, capsys, spark):
+    inp = _write(tmp_path, "input.txt", "alpha keep\nbeta drop\n")
+    job = _MREnvGrep()
+    job.execute(
+        args=[inp, "-r", "spark", "--no-conf", "--setup",
+              "export NEEDLE=keep"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert sorted(line for line in out.splitlines() if line) == ["alpha keep"]
