@@ -128,6 +128,7 @@ _DRIVER_PRIORITY = [
     "l3_embedding_quantize",
     "l3_knn_two_stage",
     "l4_bigram_lm",
+    "st10_stream_pipeline",
 ]
 
 

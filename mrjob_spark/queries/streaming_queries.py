@@ -293,3 +293,82 @@ def st9_foreachbatch_sink(spark, sf_dir):
             F.col("v.sum_value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "st10_stream_pipeline",
+    sql="""
+    SELECT time_bucket(INTERVAL '30 minutes', e.ts) AS wstart,
+           c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n,
+           (floor((CAST(sum(CAST((e.value) AS DECIMAL(38,6))) AS DOUBLE))
+                  * 100 + 0.5) / 100) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def st10_stream_pipeline(spark, sf_dir):
+    """ST capstone: the full streaming ingest pipeline REALLY streamed —
+    readStream → watermark + ``dropDuplicatesWithinWatermark`` on the
+    event id (the exactly-once guard every at-least-once delivery needs;
+    a no-op on clean data by design) → broadcast dimension enrichment →
+    30-minute tumbling aggregation → ``foreachBatch`` idempotent
+    batch-partition-overwrite sink, read back as highest-batch-wins.
+    TWO chained stateful operators (dedup state + window state) run in
+    one streamed query — the composition Spark only supports with
+    watermarks on both, which this pins in CI. The oracle is the plain
+    batch join+window SQL: a hash match proves the streamed, chained-
+    stateful, checkpointed path produces exactly the batch answer.
+    State at 100 TB/day: dedup state is bounded by the watermark horizon,
+    window state by (dims × open windows); the enrich join is map-side
+    (broadcast), so the stream shuffles once — for its own aggregation."""
+    import shutil
+
+    from mrjob_spark.streaming.io import (
+        foreach_batch_overwrite,
+        read_stream_parquet,
+    )
+    from mrjob_spark.streaming.ops import stream_dedup, stream_static_enrich
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
+    base = f"/tmp/mrjob_spark_streaming/{tag}/st10"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    t = Tables(spark, sf_dir)
+    events = read_stream_parquet(spark, f"{sf_dir}/events.parquet")
+    deduped = stream_dedup(events, ["event_id"], ts_col="ts", watermark="1 hour")
+    dim = t.customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream_static_enrich(deduped, dim, on="user_id")
+    agg = tumbling_window_agg(
+        enriched,
+        "ts",
+        "30 minutes",
+        ["segment", "event_type"],
+        [F.count(F.lit(1)).alias("n"), rnd(dsum("value"), 2).alias("sum_value")],
+    )
+    q = (
+        agg.writeStream.foreachBatch(foreach_batch_overwrite(out))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    latest = F.max_by(F.struct("n", "sum_value"), "batch_id").alias("v")
+    return (
+        back.groupBy("wstart", "segment", "event_type")
+        .agg(latest)
+        .select(
+            "wstart",
+            "segment",
+            "event_type",
+            F.col("v.n").alias("n"),
+            F.col("v.sum_value").alias("sum_value"),
+        )
+    )
