@@ -129,6 +129,7 @@ _DRIVER_PRIORITY = [
     "l3_knn_two_stage",
     "l4_bigram_lm",
     "st10_stream_pipeline",
+    "s13_bucketed_join",
 ]
 
 

@@ -346,3 +346,65 @@ def s7_orc_roundtrip(spark, sf_dir):
         F.max("p_size").cast("long").alias("max_size"),
         rnd(dsum("p_retailprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "s13_bucketed_join",
+    sql="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+           (floor((CAST(sum(CAST((o.o_totalprice) AS DECIMAL(38,6)))
+                   AS DOUBLE)) * 100 + 0.5) / 100) AS sum_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def s13_bucketed_join(spark, sf_dir):
+    """Bucketed-layout co-located join (the recurring-big-big-join answer
+    at 100 TB): orders and customer are written hash-clustered into the
+    SAME bucket layout on the customer key (``write_bucketed_table``,
+    sources.py), then joined and aggregated — and because bucketing
+    metadata lives in the catalog, the join plans with ZERO exchanges on
+    either side (pinned in test_plans.py): every task reads matching
+    bucket files from both tables. The shuffle is paid once at write time
+    instead of on every query; an aggregation keyed on the bucket column
+    skips its exchange the same way. The oracle runs the identical
+    join+agg relationally over the original tables, proving the bucketed
+    round-trip loses nothing."""
+    import os
+
+    from mrjob_spark.sources import write_bucketed_table
+
+    t = Tables(spark, sf_dir)
+    tag = "".join(
+        ch for ch in (os.path.basename(os.path.normpath(sf_dir)) or "sf")
+        if ch.isalnum()
+    )
+    o_name, c_name = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    write_bucketed_table(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        spark,
+        o_name,
+        buckets=8,
+        bucket_cols=["o_custkey"],
+        sort_cols=["o_custkey"],
+        path=_scratch(sf_dir, "bkt_orders"),
+    )
+    write_bucketed_table(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        spark,
+        c_name,
+        buckets=8,
+        bucket_cols=["c_custkey"],
+        sort_cols=["c_custkey"],
+        path=_scratch(sf_dir, "bkt_customer"),
+    )
+    orders = spark.table(o_name)
+    customer = spark.table(c_name)
+    joined = orders.join(
+        customer.hint("merge"),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(dsum("o_totalprice"), 2).alias("sum_price"),
+    )

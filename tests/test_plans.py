@@ -391,3 +391,20 @@ def test_bigram_lm_windows_over_counts_not_corpus(spark):
     assert "EvalPython" not in plan
     # counts aggregate exchange + w1 window exchange, nothing more
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bucketed_join_runs_without_join_exchange(spark):
+    # the registry's bucketed-join query must join straight off the bucket
+    # files: both scans Bucketed, SortMergeJoin with no exchange under it —
+    # the shuffle was paid at write time (write_bucketed_table). The ONE
+    # allowed exchange is the final aggregation's own (keyed on
+    # c_mktsegment, not the bucket column).
+    df = REGISTRY["s13_bucketed_join"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in final
+    assert final.count("Exchange") <= 2  # agg shuffle + its AQE read
+    assert "Exchange hashpartitioning(o_custkey" not in final
+    assert "Exchange hashpartitioning(c_custkey" not in final
