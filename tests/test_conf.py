@@ -311,3 +311,74 @@ def test_setup_lines_on_spark_pipe(tmp_path, capsys, spark):
     )
     out = capsys.readouterr().out
     assert sorted(line for line in out.splitlines() if line) == ["alpha keep"]
+
+
+# ---------------------------------------------------------------------------
+# differential: our combiners vs the reference's own mrjob.conf functions
+# (imported from the read-only reference checkout, like compare_reference.py)
+# ---------------------------------------------------------------------------
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_conf():
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from mrjob import conf as ref_conf
+    except ImportError:
+        pytest.skip("reference mrjob not importable")
+    return ref_conf
+
+
+scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-99, 99), st.text(max_size=8)
+)
+dicts = st.dictionaries(st.text(min_size=1, max_size=6), scalars, max_size=5)
+envs = st.dictionaries(
+    st.sampled_from(["PATH", "PYTHONPATH", "FOO", "BAR", "X"]),
+    st.text(min_size=1, max_size=8),
+    max_size=4,
+)
+lists = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.integers(-9, 9), st.text(max_size=6)), max_size=4),
+    st.text(max_size=6),
+)
+
+
+@given(st.lists(st.one_of(st.none(), dicts), max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_combine_dicts_matches_reference(ds):
+    assert combine_opts.__module__  # module imported
+    from mrjob_spark.dataflow.conf import combine_dicts
+
+    assert combine_dicts(*ds) == _ref_conf().combine_dicts(*ds)
+
+
+@given(st.lists(st.one_of(st.none(), envs), max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_combine_envs_matches_reference(es):
+    from mrjob_spark.dataflow.conf import combine_envs as mine
+
+    assert mine(*es) == _ref_conf().combine_envs(*es)
+
+
+@given(st.lists(lists, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_combine_lists_matches_reference(ls):
+    from mrjob_spark.dataflow.conf import combine_lists as mine
+
+    assert mine(*ls) == _ref_conf().combine_lists(*ls)
+
+
+@given(st.lists(scalars, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_combine_values_matches_reference(vs):
+    from mrjob_spark.dataflow.conf import combine_values as mine
+
+    assert mine(*vs) == _ref_conf().combine_values(*vs)
