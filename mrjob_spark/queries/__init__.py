@@ -130,6 +130,7 @@ _DRIVER_PRIORITY = [
     "l4_bigram_lm",
     "st10_stream_pipeline",
     "s13_bucketed_join",
+    "l5_lm_perplexity",
 ]
 
 

@@ -11,7 +11,7 @@ wordcount (``mr_word_freq_count.py``) and most-used-word
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from mrjob_spark.functions.rounding import dsum, rnd, sql_dsum, sql_rnd
+from mrjob_spark.functions.rounding import davg, dsum, rnd, sql_davg, sql_dsum, sql_rnd
 
 from mrjob_spark.functions.hashing import (
     hex_hash32,
@@ -1640,4 +1640,82 @@ def l4_bigram_lm(spark, sf_dir):
             rnd(F.col("c").cast("double") / F.col("t"), 6).alias("p"),
             "rank",
         )
+    )
+
+
+_LM_SCORE_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                     i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                     i -> toks[i + 1])) AS w2
+        FROM tok
+    ), cnt AS (
+        SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+    ), model AS (
+        SELECT w1, w2,
+               CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY w1) AS p
+        FROM cnt
+    ), s AS (
+        SELECT doc_id, {sql_rnd('ln(p)', 6)} AS logp
+        FROM bg JOIN model USING (w1, w2)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           {sql_rnd(sql_davg('logp'), 6)} AS avg_logp,
+           CASE WHEN {sql_rnd(sql_davg('logp'), 6)} < -3.5
+                THEN 'surprising' ELSE 'fluent' END AS verdict
+    FROM s GROUP BY doc_id
+"""
+
+
+@query("l5_lm_perplexity", sql=_LM_SCORE_SQL)
+def l5_lm_perplexity(spark, sf_dir):
+    """LM-based quality scoring (the CCNet / perplexity-filter idea in its
+    self-contained form): train a bigram LM on the corpus, score every
+    document by its mean log P(w2|w1) under that model, and classify the
+    tails — low mean log-prob means the document's word sequences are
+    atypical for the corpus (boilerplate, garbled text, wrong language).
+
+    One plan, three shuffles, everything JVM-side: bigram extraction is
+    in-row (zip_with over shifted slices), the model is a map-side-
+    combinable count + a window over the vocab-bounded counts table
+    (successor-set partitions, never the corpus — the l4_bigram_lm
+    argument), and scoring joins the corpus bigram stream to the model on
+    (w1, w2), a plain equi-join whose build side is |vocab-pairs|-bounded.
+    Cross-engine determinism: log-probs are rounded to the portable grid
+    (the f2 precedent: ln under rnd6 is bit-stable across engines here)
+    and summed in DECIMAL(38,6) (order-independent), so the per-doc mean
+    is exact."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = t.documents.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    model = cnt.select(
+        "w1",
+        "w2",
+        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("w1"))).alias(
+            "p"
+        ),
+    )
+    scored = bg.join(model, ["w1", "w2"]).select(
+        "doc_id", rnd(F.log(F.col("p")), 6).alias("logp")
+    )
+    avg_logp = rnd(davg("logp"), 6)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg_logp.alias("avg_logp"),
+        F.when(avg_logp < -3.5, "surprising").otherwise("fluent").alias("verdict"),
     )
