@@ -378,8 +378,13 @@ def test_two_stage_knn_single_corpus_scan_carries_vectors(spark):
     assert plan.count("embeddings.parquet") == 2
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
-    # coarse prune then exact rerank: exactly the two ranking windows
+    # coarse prune then exact rerank: exactly the two ranking windows,
+    # and the coarse top-20 must run as a PARTIAL (map-side) group limit —
+    # each scan partition keeps <= 20 rows per query BEFORE the exchange,
+    # so the per-query window partition is bounded by 20 x n_partitions,
+    # never the corpus (the funnel the two-stage form must not have)
     assert plan.count("RunningWindowFunction") <= 2
+    assert "row_number(), 20, Partial" in plan
 
 
 def test_bigram_lm_windows_over_counts_not_corpus(spark):
