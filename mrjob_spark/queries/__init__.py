@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = [
     "st10_stream_pipeline",
     "s13_bucketed_join",
     "l5_lm_perplexity",
+    "l8_epoch_schedule",
 ]
 
 

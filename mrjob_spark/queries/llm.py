@@ -1719,3 +1719,70 @@ def l5_lm_perplexity(spark, sf_dir):
         avg_logp.alias("avg_logp"),
         F.when(avg_logp < -3.5, "surprising").otherwise("fluent").alias("verdict"),
     )
+
+
+_EPOCH_BUDGET = 120_000  # target tokens per unit source weight
+
+_EPOCH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, source, len({sql_tokens('text')}) AS n FROM documents
+    ), tot AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS total FROM tok GROUP BY source
+    ), plan AS (
+        SELECT source,
+               least(CAST(ceil((({sql_hex_hash32('source')} % 100) / 100.0 + 0.5)
+                               * {_EPOCH_BUDGET}.0 / total) AS BIGINT),
+                     4) AS epochs
+        FROM tot
+    )
+    SELECT t.doc_id, t.source,
+           CAST(unnest(range(1, p.epochs + 1)) AS BIGINT) AS epoch
+    FROM tok t JOIN plan p USING (source)
+"""
+
+
+@query("l8_epoch_schedule", sql=_EPOCH_SQL)
+def l8_epoch_schedule(spark, sf_dir):
+    """Epoch scheduling for data mixing: given per-source sampling weights
+    and a token budget, decide how many EPOCHS of each source the training
+    run repeats (ceil(weight x budget / source_tokens), capped at 4 — the
+    standard "don't repeat any source too often" rule) and emit the
+    materialized replication plan, one row per (document, epoch). This is
+    the step between mixture weights (l8_weighted_mixture decides
+    per-document keeps) and packing (l8_sequence_packing) when a source is
+    SMALLER than its target share — upsampling by whole epochs instead of
+    dropping data. Weights are hash-derived (RNG-free, retry-stable).
+
+    Scale: one corpus scan; the per-source token totals are a tiny
+    partial-aggregated rollup whose result broadcast-joins back (sources
+    are few); replication is an in-row ``sequence`` + ``explode`` — the
+    output fan-out happens at read time on executors, never via a driver
+    loop or a shuffle of replicated rows."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n")
+    )
+    tot = docs.groupBy("source").agg(F.sum("n").alias("total"))
+    weight = (
+        F.pmod(hex_hash32(F.col("source")), F.lit(100)) / F.lit(100.0) + F.lit(0.5)
+    )
+    plan = tot.select(
+        "source",
+        F.least(
+            F.ceil(weight * F.lit(float(_EPOCH_BUDGET)) / F.col("total")).cast(
+                "long"
+            ),
+            F.lit(4).cast("long"),
+        ).alias("epochs"),
+    )
+    return (
+        docs.join(F.broadcast(plan), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("epochs"))).alias(
+                "epoch"
+            ),
+        )
+        .select("doc_id", "source", "epoch")
+    )
