@@ -152,6 +152,35 @@ def main() -> int:
     print(f"[skew] collect_set: naive {t_naive}s scalable {t_scal}s match={same}",
           file=sys.stderr)
 
+    # -- 4. skewed sort-merge join: AQE skew-split on vs off -----------------
+    # right side: unique join keys incl. the hot one, too big to broadcast
+    right = spark.range(args.keys + 1).select(
+        F.when(F.col("id") == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") - 1).cast("string")))
+        .alias("key"),
+        (F.col("id") * 7 % 1000).alias("dim_val"),
+    )
+    joined = (
+        df.join(right.hint("shuffle_merge"), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dim_val").alias("s"))
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    t_off = _noop(joined)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # make the splitter see this workload's skew, not the global defaults
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    t_on = _noop(joined)
+    jchk = F.col("n").cast("decimal(38,0)") * F.crc32("key").cast("decimal(38,0)") + F.col("s")
+    same = _checksum(joined, jchk) is not None  # single plan; values equal by def
+    results["skewed_smj_aqe"] = {
+        "aqe_skew_off_sec": t_off, "aqe_skew_on_sec": t_on, "ran": same,
+    }
+    print(f"[skew] skewed SMJ: AQE-off {t_off}s AQE-on {t_on}s", file=sys.stderr)
+
     line = json.dumps({"rows": args.rows, "hot_frac": args.hot_frac, **results})
     print(line)
     if args.out:
