@@ -284,6 +284,12 @@ class SparkMRJob:
             "--no-conf", action="store_true",
             help="skip config files entirely",
         )
+        parser.add_argument(
+            "--steps", action="store_true",
+            help="print the job's step descriptions as JSON and exit "
+                 "(the reference's --steps introspection, "
+                 "mrjob/job.py:914-930)",
+        )
         parser.add_argument("--max-output-files", type=int, default=None)
         parser.add_argument("--compression", choices=("gzip", "bzip2"),
                             default=None)
@@ -320,6 +326,16 @@ class SparkMRJob:
         """
         opts = self.arg_parser().parse_args(args)
         self.options = opts
+
+        if opts.steps:
+            import json
+
+            print(
+                json.dumps(
+                    [s.description(i) for i, s in enumerate(self.steps())]
+                )
+            )
+            return None
 
         # mrjob.conf opts sit UNDER everything explicit: CLI switch > job
         # class attribute > config file (mrjob/conf.py precedence)

@@ -822,3 +822,17 @@ def test_collect_output_matches_cat_output(spark):
     with MRWordFreqCount().make_runner(spark, input_rdd=rdd) as r:
         assert sorted(r.collect_output()) == sorted(r.cat_output())
         assert dict(r.collect_output()) == {"a": 2, "b": 2, "c": 1}
+
+
+def test_steps_flag_prints_descriptions_and_exits(capsys):
+    # the reference's --steps introspection (mrjob/job.py:914-930): runners
+    # call it to learn the step graph without executing anything
+    import json
+
+    from mrjob_spark.dataflow.examples import MRNextWordStats
+
+    result = MRNextWordStats().execute(args=["--steps"])
+    assert result is None  # no runner was built
+    desc = json.loads(capsys.readouterr().out)
+    assert isinstance(desc, list) and len(desc) >= 2
+    assert all(d.get("type") for d in desc)
