@@ -245,6 +245,22 @@ class SparkJobRunner:
                 lambda row: (row.path, read(row.value.encode("utf-8")))
             )
 
+        in_fmt = getattr(self.job, "HADOOP_INPUT_FORMAT", None)
+        if in_fmt:
+            # S6 on the dataflow path: the job names a Hadoop InputFormat
+            # class (mrjob/job.py:1313-1322 passes it to -inputformat);
+            # Hadoop streaming then feeds tasks the VALUES as lines, so the
+            # keys are dropped and values decode with INPUT_PROTOCOL —
+            # exactly what the reference harness does
+            # (mrjob/spark/harness.py:242-252).
+            pair = sc.newAPIHadoopFile(
+                ",".join(self.input_paths),
+                inputFormatClass=in_fmt,
+                keyClass="org.apache.hadoop.io.LongWritable",
+                valueClass="org.apache.hadoop.io.Text",
+            )
+            return pair.map(lambda kv: read(str(kv[1]).encode("utf-8")))
+
         # S3: '-' means stdin; the driver drains it once and parallelizes
         # (mrjob/runner.py:1069-1088 dumps stdin to a temp file the same way).
         paths = [p for p in self.input_paths if p != "-"]
@@ -648,7 +664,29 @@ class SparkJobRunner:
             if self.max_output_files:
                 lines = lines.coalesce(self.max_output_files)
 
-            if self.partition_output_by_key:
+            out_fmt = getattr(self.job, "HADOOP_OUTPUT_FORMAT", None)
+            if out_fmt:
+                # S10 generalized: the job names a Hadoop OutputFormat
+                # (mrjob/job.py:1324-1342, -outputformat). Streaming hands
+                # the format (key, value) Text pairs split on the encoded
+                # line's first tab — reproduce that contract so
+                # TextOutputFormat round-trips through OUTPUT_PROTOCOL and
+                # key-routing formats (the nicknack family) see real keys.
+                def _kv(kv):
+                    line = write(*kv).decode("utf-8", "replace")
+                    k, sep, v = line.partition("\t")
+                    return (k, v) if sep else (line, "")
+
+                kv_rdd = pairs.map(_kv)
+                if self.max_output_files:
+                    kv_rdd = kv_rdd.coalesce(self.max_output_files)
+                kv_rdd.saveAsNewAPIHadoopFile(
+                    self.output_dir,
+                    out_fmt,
+                    keyClass="org.apache.hadoop.io.Text",
+                    valueClass="org.apache.hadoop.io.Text",
+                )
+            elif self.partition_output_by_key:
                 # S10: key=<k>/part-* layout via the DataFrame writer.
                 df = pairs.map(
                     lambda kv: (str(kv[0]), write(None, kv[1]).decode("utf-8", "replace"))

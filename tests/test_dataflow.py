@@ -836,3 +836,35 @@ def test_steps_flag_prints_descriptions_and_exits(capsys):
     desc = json.loads(capsys.readouterr().out)
     assert isinstance(desc, list) and len(desc) >= 2
     assert all(d.get("type") for d in desc)
+
+
+def test_hadoop_input_and_output_format_job_attrs(spark, tmp_path):
+    # S6/S10 on the dataflow path: HADOOP_INPUT_FORMAT reads values
+    # through newAPIHadoopFile (keys dropped, like Hadoop streaming);
+    # HADOOP_OUTPUT_FORMAT writes tab-split (key, value) Text pairs
+    # through saveAsNewAPIHadoopFile. TextInput/TextOutput must round-trip
+    # identically to the plain text path.
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana apple\nbanana apple cherry\n")
+
+    class MRHadoopFmt(MRWordFreqCount):
+        HADOOP_INPUT_FORMAT = (
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat"
+        )
+        HADOOP_OUTPUT_FORMAT = (
+            "org.apache.hadoop.mapreduce.lib.output.TextOutputFormat"
+        )
+
+    out = str(tmp_path / "out")
+    runner = MRHadoopFmt().make_runner(
+        spark, input_paths=[str(inp)], output_dir=out
+    )
+    runner.run()
+    got = dict(runner.cat_output())
+
+    plain = MRWordFreqCount().make_runner(spark, input_paths=[str(inp)])
+    plain.run()
+    assert got == dict(plain.cat_output())
+    assert got["apple"] == 3
