@@ -240,7 +240,24 @@ class SparkMRJob:
         """Hook for subclasses to add custom options (the reference's
         ``configure_args``/``add_passthru_arg``, ``mrjob/job.py:1080-1179``).
         Parsed values land on ``self.options`` before ``steps()`` is read,
-        so substeps may close over them."""
+        so substeps may close over them. Both styles work: call
+        ``parser.add_argument(...)`` directly, or the reference's
+        ``self.add_passthru_arg(...)`` / ``self.add_file_arg(...)``."""
+
+    def add_passthru_arg(self, *args, **kwargs):
+        """Reference-style custom option (``mrjob/job.py:1080-1129``);
+        valid inside :meth:`configure_args`."""
+        return self._parser.add_argument(*args, **kwargs)
+
+    def add_file_arg(self, *args, **kwargs):
+        """Custom option whose value is a FILE shipped to every task
+        (``mrjob/job.py:1131-1179`` — "e.g. a SQLite DB"). The file is
+        added to the distributed cache and the parsed option value is
+        rewritten to the task-visible name; resolve it inside any substep
+        with ``self.file_path(self.options.<dest>)``."""
+        action = self._parser.add_argument(*args, **kwargs)
+        self._file_arg_dests.append(action.dest)
+        return action
 
     def arg_parser(self) -> argparse.ArgumentParser:
         parser = argparse.ArgumentParser(
@@ -312,6 +329,8 @@ class SparkMRJob:
             help="inline = single-process, no Spark (dev/test; "
                  "mrjob/inline.py:60-120)",
         )
+        self._parser = parser
+        self._file_arg_dests: list = []
         self.configure_args(parser)
         return parser
 
@@ -326,6 +345,15 @@ class SparkMRJob:
         """
         opts = self.arg_parser().parse_args(args)
         self.options = opts
+
+        # file args: upload the named file, rewrite the option to the
+        # task-visible name (mrjob/job.py:1131-1179's contract; tasks
+        # resolve it with self.file_path(...))
+        for dest in self._file_arg_dests:
+            value = getattr(opts, dest, None)
+            if value:
+                self.FILES = list(self.FILES) + [value]
+                setattr(opts, dest, os.path.basename(value))
 
         if opts.steps:
             import json

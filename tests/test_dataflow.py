@@ -868,3 +868,43 @@ def test_hadoop_input_and_output_format_job_attrs(spark, tmp_path):
     plain.run()
     assert got == dict(plain.cat_output())
     assert got["apple"] == 3
+
+
+def test_add_file_arg_ships_file_and_rewrites_option(spark, tmp_path, capsys):
+    # the reference's add_file_arg contract (mrjob/job.py:1131-1179): the
+    # option's value is a file uploaded to every task, and the parsed
+    # value is rewritten to the task-visible name — the stop-words side
+    # file of mr_most_used_word, via the CLI
+    from mrjob_spark.dataflow import RawValueProtocol, SparkMRJob
+
+    class MRStopFiltered(SparkMRJob):
+        INPUT_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+
+        def configure_args(self, parser):
+            self.add_file_arg("--stop-words-file")
+
+        def mapper_init(self):
+            with open(self.file_path(self.options.stop_words_file)) as fh:
+                self.stop = set(fh.read().split())
+
+        def mapper(self, _, line):
+            for w in line.split():
+                if w not in self.stop:
+                    yield None, w
+
+    stop = tmp_path / "stop.txt"
+    stop.write_text("the a\n")
+    inp = tmp_path / "in.txt"
+    inp.write_text("the quick a fox\n")
+
+    job = MRStopFiltered()
+    job.execute(
+        args=[str(inp), "--no-conf", "--stop-words-file", str(stop)],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert sorted(line for line in out.splitlines() if line) == [
+        "fox", "quick"
+    ]
+    assert job.options.stop_words_file == "stop.txt"
