@@ -108,6 +108,16 @@ class InlineJobRunner:
             # handled by _run_step; deliver (path, None) markers
             return [(p, None) for p in self._expand_paths()]
         pairs = []
+        if "-" in self.input_paths:
+            # '-' = stdin; sandbox() replaces job.stdin for tests
+            import sys
+
+            fh = getattr(self.job, "stdin", None)
+            data = fh.read() if fh is not None else sys.stdin.buffer.read()
+            if isinstance(data, str):
+                data = data.encode("utf-8")
+            for line in data.splitlines():
+                pairs.append(read(line.rstrip(b"\r\n")))
         for path in self._expand_paths():
             opener = gzip.open if path.endswith(".gz") else open
             with opener(path, "rb") as fh:
@@ -118,6 +128,8 @@ class InlineJobRunner:
     def _expand_paths(self) -> list:
         out = []
         for p in self.input_paths:
+            if p == "-":  # stdin, handled by _source_pairs
+                continue
             matches = sorted(_glob.glob(p))
             out.extend(matches if matches else [p])
         return out

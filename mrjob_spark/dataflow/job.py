@@ -186,6 +186,72 @@ class SparkMRJob:
         channel, so this is a no-op hook kept for API compatibility."""
 
     # ------------------------------------------------------------------
+    # testing surface (mrjob/job.py:798-894, 1597-1656 and
+    # docs/guides/testing.rst — what a switching user's unit tests call)
+    # ------------------------------------------------------------------
+
+    def sandbox(self, stdin=None, stdout=None, stderr=None):
+        """Redirect the job's stdio for tests (``mrjob/job.py:1597-1656``):
+        ``stdin`` feeds a ``'-'`` input path on either runner, ``stdout``
+        captures the cat-output stream. Returns ``self`` for chaining."""
+        import io
+
+        self.stdin = stdin if stdin is not None else io.BytesIO()
+        self.stdout = stdout if stdout is not None else io.BytesIO()
+        self.stderr = stderr if stderr is not None else io.BytesIO()
+        return self
+
+    def _mrstep(self, step_num: int) -> MRStep:
+        steps = self.steps()
+        step = steps[step_num]
+        if not isinstance(step, MRStep):
+            raise TypeError(f"step {step_num} is not an MRStep")
+        return step
+
+    def map_pairs(self, pairs, step_num: int = 0):
+        """One map task's worth of pairs through ``mapper_init`` →
+        ``mapper`` → ``mapper_final`` (``mrjob/job.py:798-835``); yields
+        ``(key, value)`` pairs. The unit-test entry point for a single
+        mapper substep."""
+        step = self._mrstep(step_num)
+        if step.mapper_init:
+            yield from step.mapper_init() or ()
+        mapper = step.mapper
+        if mapper is None and not step.has_reducer and not step.has_combiner:
+            raise ValueError(f"no mapper in step {step_num}")
+        for key, value in pairs:
+            yield from (mapper(key, value) or ()) if mapper else ((key, value),)
+        if step.mapper_final:
+            yield from step.mapper_final() or ()
+
+    def combine_pairs(self, pairs, step_num: int = 0):
+        """One combine task (``mrjob/job.py:837-851``). ``pairs`` must
+        arrive key-grouped (sorted), as after a shuffle."""
+        yield from self._grouped_pairs(pairs, "combiner", step_num)
+
+    def reduce_pairs(self, pairs, step_num: int = 0):
+        """One reduce task (``mrjob/job.py:853-867``). ``pairs`` must
+        arrive key-grouped (sorted), as after a shuffle; each key's values
+        reach the reducer as a LAZY iterator."""
+        yield from self._grouped_pairs(pairs, "reducer", step_num)
+
+    def _grouped_pairs(self, pairs, kind: str, step_num: int):
+        import itertools
+
+        step = self._mrstep(step_num)
+        fn = getattr(step, kind)
+        if fn is None:
+            raise ValueError(f"no {kind} in step {step_num}")
+        init = getattr(step, f"{kind}_init")
+        final = getattr(step, f"{kind}_final")
+        if init:
+            yield from init() or ()
+        for key, group in itertools.groupby(pairs, lambda kv: kv[0]):
+            yield from fn(key, (v for _, v in group)) or ()
+        if final:
+            yield from final() or ()
+
+    # ------------------------------------------------------------------
     # runner
     # ------------------------------------------------------------------
 
@@ -425,7 +491,7 @@ class SparkMRJob:
                 cat = not opts.output_dir
             if cat:
                 write = self.OUTPUT_PROTOCOL().write
-                out = sys.stdout.buffer
+                out = getattr(self, "stdout", None) or sys.stdout.buffer
                 for key, value in runner.cat_output():
                     out.write(write(key, value) + b"\n")
                 out.flush()
@@ -468,7 +534,7 @@ class SparkMRJob:
                 cat = not opts.output_dir
             if cat:
                 write = self.OUTPUT_PROTOCOL().write
-                out = sys.stdout.buffer
+                out = getattr(self, "stdout", None) or sys.stdout.buffer
                 for key, value in runner.cat_output():
                     out.write(write(key, value) + b"\n")
                 out.flush()

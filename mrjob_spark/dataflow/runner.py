@@ -268,8 +268,13 @@ class SparkJobRunner:
         if len(paths) < len(self.input_paths):
             import sys
 
+            # sandbox() replaces job.stdin for tests (mrjob/job.py:1597-1656)
+            fh = getattr(self.job, "stdin", None)
+            data = fh.read() if fh is not None else sys.stdin.buffer.read()
+            if isinstance(data, str):
+                data = data.encode("utf-8")
             stdin_lines = [
-                line.rstrip("\n") for line in sys.stdin.buffer.read().decode("utf-8").splitlines()
+                line.rstrip("\n") for line in data.decode("utf-8").splitlines()
             ]
             stdin_rdd = sc.parallelize(stdin_lines or [], 1)
 

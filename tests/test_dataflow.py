@@ -908,3 +908,43 @@ def test_add_file_arg_ships_file_and_rewrites_option(spark, tmp_path, capsys):
         "fox", "quick"
     ]
     assert job.options.stop_words_file == "stop.txt"
+
+
+def test_sandbox_and_pair_methods_testing_surface(spark):
+    # the reference's documented testing idioms (docs/guides/testing.rst,
+    # mrjob/job.py:798-894, 1597-1656): single-substep unit calls via
+    # map_pairs/reduce_pairs, and a sandboxed stdin-to-stdout run
+    import io
+
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    job = MRWordFreqCount()
+    # one mapper call's worth of pairs
+    mapped = list(job.map_pairs([(None, "apple banana apple")]))
+    assert sorted(mapped) == [("apple", 1), ("apple", 1), ("banana", 1)]
+    # reducer over key-grouped pairs; values arrive as a lazy iterator
+    reduced = list(job.reduce_pairs([("apple", 2), ("apple", 1), ("b", 1)]))
+    assert sorted(reduced) == [("apple", 3), ("b", 1)]
+
+    # sandboxed end-to-end: stdin feeds '-', stdout captures output
+    job2 = MRWordFreqCount().sandbox(
+        stdin=io.BytesIO(b"apple banana\nbanana apple apple\n")
+    )
+    job2.execute(args=["-", "-r", "inline", "--no-conf"])
+    out = job2.stdout.getvalue().decode("utf-8")
+    got = dict(
+        (k.strip('"'), int(v))
+        for k, v in (line.split("\t") for line in out.splitlines() if line)
+    )
+    assert got == {"apple": 3, "banana": 2}
+
+
+def test_sandbox_spark_runner_stdin(spark):
+    import io
+
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    job = MRWordFreqCount().sandbox(stdin=io.BytesIO(b"apple apple\n"))
+    runner = job.make_runner(spark, input_paths=["-"])
+    runner.run()
+    assert dict(runner.cat_output()) == {"apple": 2}
