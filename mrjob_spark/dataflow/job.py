@@ -201,6 +201,24 @@ class SparkMRJob:
         self.stderr = stderr if stderr is not None else io.BytesIO()
         return self
 
+    def parse_output(self, chunks):
+        """Decode OUTPUT_PROTOCOL bytes into ``(key, value)`` pairs
+        (``mrjob/job.py:634-646``) — the reference idiom
+        ``job.parse_output(runner.cat_output())`` for byte streams.
+        (:meth:`SparkJobRunner.cat_output` already yields decoded pairs;
+        this exists for code that reads raw part files or sandboxed
+        stdout.)"""
+        read = self.OUTPUT_PROTOCOL().read
+        buf = b""
+        for chunk in chunks:
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for line in lines:
+                if line:
+                    yield read(line)
+        if buf:
+            yield read(buf)
+
     def _mrstep(self, step_num: int) -> MRStep:
         steps = self.steps()
         step = steps[step_num]

@@ -948,3 +948,16 @@ def test_sandbox_spark_runner_stdin(spark):
     runner = job.make_runner(spark, input_paths=["-"])
     runner.run()
     assert dict(runner.cat_output()) == {"apple": 2}
+
+
+def test_parse_output_decodes_byte_chunks():
+    # mrjob/job.py:634-646: job.parse_output over raw output bytes,
+    # including lines split across chunk boundaries
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    job = MRWordFreqCount()
+    payload = b'"apple"\t3\n"banana"\t2\n'
+    for chunks in ([payload], [payload[:9], payload[9:]]):
+        assert dict(job.parse_output(iter(chunks))) == {
+            "apple": 3, "banana": 2,
+        }
