@@ -97,6 +97,14 @@ class InlineJobRunner:
         env.update(self._cmdenv)
         return env
 
+    # context-manager contract, like SparkJobRunner / the reference's
+    # `with job.make_runner() as runner:` (mrjob/runner.py:671-677)
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
     # -- input ----------------------------------------------------------
 
     def _source_pairs(self, steps) -> list:

@@ -88,10 +88,14 @@ class SparkMRJob:
     DIRS: list = []
     PARTITIONER = None
 
-    def __init__(self):
+    def __init__(self, args=None):
         # Counter sink; the runner swaps in a Spark accumulator before
         # compiling the plan (cf. mrjob/spark/harness.py:202-229).
         self._counter_acc = None
+        #: CLI args given at construction (the reference's ``MRJob(args)``
+        #: pattern, ``mrjob/job.py:89-136``) — consumed by the no-argument
+        #: :meth:`make_runner` / :meth:`execute` forms.
+        self._cli_args = list(args) if args is not None else None
 
     # ------------------------------------------------------------------
     # overridable substeps (single-step jobs)
@@ -273,16 +277,35 @@ class SparkMRJob:
     # runner
     # ------------------------------------------------------------------
 
-    def make_runner(self, spark, **kwargs):
-        """Build a :class:`SparkJobRunner` for this job.
+    def make_runner(self, spark=None, **kwargs):
+        """Build a runner for this job.
 
-        :param spark: an active ``SparkSession``.
-        :param kwargs: see :class:`SparkJobRunner` (``input_paths``,
-            ``input_rdd``, ``output_dir``, ``num_reducers``, ...).
+        Two forms, matching both this engine's API and the reference's:
+
+        * ``job.make_runner(spark, input_paths=[...], ...)`` — explicit
+          :class:`SparkJobRunner` construction (kwargs: ``input_paths``,
+          ``input_rdd``, ``output_dir``, ``num_reducers``, ...).
+        * ``MRJob([args...]).make_runner()`` — the reference's canonical
+          programmatic pattern (``mrjob/job.py:689-736``): the runner is
+          assembled from the argv the job was constructed with, conf files
+          included; ``-r inline`` needs no Spark at all, ``-r spark``
+          builds a session on ``--spark-master``.
         """
         from mrjob_spark.dataflow.runner import SparkJobRunner
 
-        return SparkJobRunner(self, spark, **kwargs)
+        if spark is not None:
+            return SparkJobRunner(self, spark, **kwargs)
+        if kwargs:
+            raise ValueError(
+                "pass an active SparkSession as the first argument when "
+                "giving runner kwargs"
+            )
+        if self._cli_args is None:
+            raise ValueError(
+                "no-argument make_runner() needs CLI args at construction: "
+                "MRMyJob(['-r', 'inline', 'input.txt']).make_runner()"
+            )
+        return self._build_runner(self._load_options(None))
 
     def make_inline_runner(self, **kwargs):
         """Build an :class:`InlineJobRunner` — single-process, zero-Spark
@@ -418,26 +441,32 @@ class SparkMRJob:
         self.configure_args(parser)
         return parser
 
-    def execute(self, args=None, spark=None):
-        """Parse argv, run the job, and stream output like the reference's
-        ``run_job`` (``mrjob/job.py:611-645``): part files under ``-o``,
-        OUTPUT_PROTOCOL lines on stdout otherwise.
-
-        :param args: argv list (default ``sys.argv[1:]``).
-        :param spark: reuse an existing ``SparkSession`` (tests); default
-            builds one on ``--spark-master``.
-        """
+    def _load_options(self, args=None):
+        """Parse argv into ``self.options``, applying the file-arg rewrite
+        (``mrjob/job.py:1131-1179``: the file joins the distributed cache
+        and the option value becomes its task-visible name)."""
+        if args is None:
+            args = self._cli_args
         opts = self.arg_parser().parse_args(args)
         self.options = opts
-
-        # file args: upload the named file, rewrite the option to the
-        # task-visible name (mrjob/job.py:1131-1179's contract; tasks
-        # resolve it with self.file_path(...))
         for dest in self._file_arg_dests:
             value = getattr(opts, dest, None)
             if value:
                 self.FILES = list(self.FILES) + [value]
                 setattr(opts, dest, os.path.basename(value))
+        return opts
+
+    def execute(self, args=None, spark=None):
+        """Parse argv, run the job, and stream output like the reference's
+        ``run_job`` (``mrjob/job.py:611-645``): part files under ``-o``,
+        OUTPUT_PROTOCOL lines on stdout otherwise.
+
+        :param args: argv list (default: the args the job was constructed
+            with, else ``sys.argv[1:]``).
+        :param spark: reuse an existing ``SparkSession`` (tests); default
+            builds one on ``--spark-master``.
+        """
+        opts = self._load_options(args)
 
         if opts.steps:
             import json
@@ -449,8 +478,24 @@ class SparkMRJob:
             )
             return None
 
-        # mrjob.conf opts sit UNDER everything explicit: CLI switch > job
-        # class attribute > config file (mrjob/conf.py precedence)
+        runner = self._build_runner(opts, spark=spark)
+        with runner:
+            runner.run()
+            cat = opts.cat_output
+            if cat is None:
+                cat = not opts.output_dir
+            if cat:
+                write = self.OUTPUT_PROTOCOL().write
+                out = getattr(self, "stdout", None) or sys.stdout.buffer
+                for key, value in runner.cat_output():
+                    out.write(write(key, value) + b"\n")
+                out.flush()
+        return runner
+
+    def _build_runner(self, opts, spark=None):
+        """Assemble the runner ``opts`` describe, without running it.
+        mrjob.conf opts sit UNDER everything explicit: CLI switch > job
+        class attribute > config file (mrjob/conf.py precedence)."""
         from mrjob_spark.dataflow.conf import combine_jobconfs, load_runner_opts
 
         conf = (
@@ -496,24 +541,13 @@ class SparkMRJob:
             return default if conf_value is None else conf_value
 
         if opts.runner == "inline":
-            runner = self.make_inline_runner(
+            return self.make_inline_runner(
                 input_paths=list(opts.input) or ["-"],
                 output_dir=opts.output_dir,
                 jobconf=jobconf,
                 cmdenv=cmdenv,
                 setup=setup,
             )
-            runner.run()
-            cat = opts.cat_output
-            if cat is None:
-                cat = not opts.output_dir
-            if cat:
-                write = self.OUTPUT_PROTOCOL().write
-                out = getattr(self, "stdout", None) or sys.stdout.buffer
-                for key, value in runner.cat_output():
-                    out.write(write(key, value) + b"\n")
-                out.flush()
-            return runner
 
         if spark is None:
             from mrjob_spark.session import get_spark
@@ -545,17 +579,6 @@ class SparkMRJob:
             cmdenv=cmdenv,
             setup=setup,
         )
-        with runner:
-            runner.run()
-            cat = opts.cat_output
-            if cat is None:
-                cat = not opts.output_dir
-            if cat:
-                write = self.OUTPUT_PROTOCOL().write
-                out = getattr(self, "stdout", None) or sys.stdout.buffer
-                for key, value in runner.cat_output():
-                    out.write(write(key, value) + b"\n")
-                out.flush()
         return runner
 
     @classmethod

@@ -961,3 +961,18 @@ def test_parse_output_decodes_byte_chunks():
         assert dict(job.parse_output(iter(chunks))) == {
             "apple": 3, "banana": 2,
         }
+
+
+def test_reference_programmatic_pattern(tmp_path):
+    # the reference's canonical programmatic API (mrjob/job.py:89-99,
+    # 689-736): construct with argv, make_runner() with no arguments,
+    # run inside a with-block, read output — zero Spark for -r inline
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana\napple\n")
+
+    job = MRWordFreqCount(["-r", "inline", "--no-conf", str(inp)])
+    with job.make_runner() as runner:
+        runner.run()
+        assert dict(runner.cat_output()) == {"apple": 2, "banana": 1}
