@@ -762,6 +762,15 @@ class SparkJobRunner:
         )
 
     # context manager: unpersist cached output on exit
+    @property
+    def fs(self) -> "HadoopFilesystem":
+        """Driver-side filesystem facade, the reference's ``runner.fs``
+        (``mrjob/runner.py`` exposes a composite fs; here one Hadoop-conf
+        facade covers every scheme the session can reach)."""
+        from mrjob_spark.fs import HadoopFilesystem
+
+        return HadoopFilesystem(self.spark)
+
     def __enter__(self):
         return self
 

@@ -161,3 +161,15 @@ def test_fs_retrying_facade_works(spark, tmp_path):
     (tmp_path / "x.txt").write_text("hello")
     assert fs.exists(p)
     assert fs.du(p) == 5
+
+
+def test_runner_fs_property(spark, tmp_path):
+    # the reference's runner.fs surface (mrjob/runner.py): driver-side
+    # filesystem helpers hanging off the runner
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b\n")
+    runner = MRWordFreqCount().make_runner(spark, input_paths=[str(inp)])
+    assert runner.fs.exists(str(inp))
+    assert not runner.fs.exists(str(tmp_path / "nope"))
