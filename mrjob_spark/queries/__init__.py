@@ -89,10 +89,14 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # (VERDICT r3 "what's missing" #2); all r3-window rows are green except
 # l2_span_dedup (oracle dtype, fixed this round). So round 4 leads with
 # those 20 — capstone and q-series first, they prove the most composition
-# per slot — plus the l2_span_dedup re-verify and this round's new
-# queries. r1-r3-green stalwarts fill the remaining slots in registration
-# order. Names listed here but not (yet) registered are ignored, so the
-# list can lead the code.
+# per slot — then the l2_span_dedup re-verify and the 16 queries ADDED in
+# round 4 (jar step, counters x SORT_VALUES, capped span dedup, gzip sink,
+# k-means/quantize/two-stage/bigram-LM/perplexity/epoch-schedule,
+# streaming capstone, bucketed join). That totals 37 priority slots;
+# r1-r3-green stalwarts fill the remaining 13 in registration order.
+# Every entry was verified against the sf0.01 oracle locally this round
+# (tools/driver_sim.py, arrow dtype-strict). Names listed here but not
+# (yet) registered are ignored, so the list can lead the code.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [

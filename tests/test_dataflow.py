@@ -976,3 +976,12 @@ def test_reference_programmatic_pattern(tmp_path):
     with job.make_runner() as runner:
         runner.run()
         assert dict(runner.cat_output()) == {"apple": 2, "banana": 1}
+
+
+def test_combine_pairs_testing_surface():
+    # combiner twin of reduce_pairs over key-grouped input
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+
+    job = MRWordFreqCount()
+    got = sorted(job.combine_pairs([("a", 1), ("a", 1), ("b", 1)]))
+    assert got == [("a", 2), ("b", 1)]
