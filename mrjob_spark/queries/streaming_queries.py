@@ -260,7 +260,9 @@ def st9_foreachbatch_sink(spark, sf_dir):
     from mrjob_spark.streaming.ops import tumbling_window_agg
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = f"/tmp/mrjob_spark_streaming/{tag}/st9"
+    # PID-scoped scratch: a concurrent process (bench, driver, a second
+    # test run) must never share a checkpoint dir mid-flight
+    base = f"/tmp/mrjob_spark_streaming/{tag}/st9_{os.getpid()}"
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
 
@@ -322,6 +324,7 @@ def st10_stream_pipeline(spark, sf_dir):
     State at 100 TB/day: dedup state is bounded by the watermark horizon,
     window state by (dims × open windows); the enrich join is map-side
     (broadcast), so the stream shuffles once — for its own aggregation."""
+    import os
     import shutil
 
     from mrjob_spark.streaming.io import (
@@ -331,7 +334,7 @@ def st10_stream_pipeline(spark, sf_dir):
     from mrjob_spark.streaming.ops import stream_dedup, stream_static_enrich
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] or "sf"
-    base = f"/tmp/mrjob_spark_streaming/{tag}/st10"
+    base = f"/tmp/mrjob_spark_streaming/{tag}/st10_{os.getpid()}"
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
 
