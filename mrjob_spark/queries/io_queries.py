@@ -20,8 +20,10 @@ from mrjob_spark.sources import cat_output, read_csv, read_json, write_table
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    # PID-scoped: concurrent processes (bench beside a driver run) must
+    # not overwrite each other's live roundtrip directories
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/mrjob_spark_io/{tag}/{name}"
+    return f"/tmp/mrjob_spark_io/{tag}/{os.getpid()}/{name}"
 
 
 @query(
