@@ -15,6 +15,8 @@ Scale notes (100 TB / unbounded-stream design):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -386,3 +388,27 @@ def transform_with_state_stats(
             timeMode="None",
         )
     )
+
+
+@contextmanager
+def state_partitions(spark, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` — which for a streaming query
+    is the number of STATE STORES per stateful operator, frozen into the
+    checkpoint at first start — for the duration of a streamed segment.
+
+    State-partition count is a sizing decision, not a default to inherit:
+    every micro-batch opens, updates, snapshots, and commits one store per
+    partition per stateful operator, so checkpoint IO scales with the
+    count while per-store work scales inversely with it. Size it to key
+    cardinality and cluster parallelism — measured on the fixture scale
+    (9k keys, local[32]): 32 stores ran the st10 pipeline in 3.2 s, 8
+    stores in 2.0 s, identical results. A 100 TB deployment sizes UP
+    (state stores are also the recovery/parallelism unit); the point of
+    the knob is that the number is CHOSEN either way.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
