@@ -482,3 +482,19 @@ def test_transform_with_state_gates_cleanly_without_protobuf(spark, events_batch
 
     with pytest.raises(ImportError, match="protobuf"):
         transform_with_state_stats(events_batch, "event_type", "value")
+
+
+def test_state_partitions_restores_session_setting(spark):
+    from mrjob_spark.streaming.ops import state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # and on error paths
+    try:
+        with state_partitions(spark, 5):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
