@@ -441,6 +441,25 @@ class SparkMRJob:
         self.configure_args(parser)
         return parser
 
+    def _log_counters(self, runner) -> None:
+        """Print the run's counters to stderr in the reference's format
+        (``mrjob/logs/counters.py:19-33``: "Counters: N", then sorted
+        groups and name=value lines) — the after-run visibility every
+        mrjob CLI user expects."""
+        counters = runner.counters()
+        n = sum(len(g) for g in counters.values())
+        if not n:
+            return
+        err = getattr(self, "stderr", None) or sys.stderr.buffer
+        lines = [f"Counters: {n}"]
+        for group in sorted(counters):
+            if counters[group]:
+                lines.append(f"\t{group}")
+                for name in sorted(counters[group]):
+                    lines.append(f"\t\t{name}={counters[group][name]}")
+        err.write(("\n".join(lines) + "\n").encode("utf-8"))
+        err.flush()
+
     def _load_options(self, args=None):
         """Parse argv into ``self.options``, applying the file-arg rewrite
         (``mrjob/job.py:1131-1179``: the file joins the distributed cache
@@ -481,6 +500,7 @@ class SparkMRJob:
         runner = self._build_runner(opts, spark=spark)
         with runner:
             runner.run()
+            self._log_counters(runner)
             cat = opts.cat_output
             if cat is None:
                 cat = not opts.output_dir

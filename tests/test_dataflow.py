@@ -985,3 +985,19 @@ def test_combine_pairs_testing_surface():
     job = MRWordFreqCount()
     got = sorted(job.combine_pairs([("a", 1), ("a", 1), ("b", 1)]))
     assert got == [("a", 2), ("b", 1)]
+
+
+def test_cli_logs_counters_to_stderr(tmp_path):
+    # the reference prints "Counters: N" + sorted group/name=value lines
+    # after each run (mrjob/logs/counters.py:19-33)
+    import io
+
+    from mrjob_spark.dataflow.examples import MRWordCountWithCounters
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("one two\nthree\n")
+    job = MRWordCountWithCounters().sandbox()
+    job.execute(args=[str(inp), "-r", "inline", "--no-conf"])
+    err = job.stderr.getvalue().decode("utf-8")
+    assert err.startswith("Counters: ")
+    assert "=" in err
