@@ -409,6 +409,11 @@ class SparkMRJob:
             help="skip config files entirely",
         )
         parser.add_argument(
+            "--step-output-dir", default=None,
+            help="materialize each non-final step's output under "
+                 "<dir>/000N/ (debugging; forces per-step barriers)",
+        )
+        parser.add_argument(
             "--steps", action="store_true",
             help="print the job's step descriptions as JSON and exit "
                  "(the reference's --steps introspection, "
@@ -598,6 +603,7 @@ class SparkMRJob:
             jobconf=jobconf,
             cmdenv=cmdenv,
             setup=setup,
+            step_output_dir=opts.step_output_dir,
         )
         return runner
 

@@ -105,6 +105,12 @@ class SparkJobRunner:
         task subprocesses, on top of the jobconf-derived vars (the
         reference's ``cmdenv`` runner opt; typically set via mrjob.conf —
         dataflow/conf.py).
+    :param step_output_dir: materialize every non-final step's output as
+        INTERNAL_PROTOCOL text under ``<dir>/000N/`` (the reference's
+        ``--step-output-dir`` debugging aid, mrjob-opt step_output_dir).
+        This is an explicit barrier with true Hadoop semantics — each next
+        step re-reads the materialized files — trading the fused lazy plan
+        for inspectable intermediates.
     :param setup: shell lines run before each ``*_cmd``/``*_pre_filter``
         subprocess, in the same shell (so ``export``s are visible to the
         command) — the reference's ``setup`` opt (``mrjob/bin.py:545-653``)
@@ -131,6 +137,7 @@ class SparkJobRunner:
         jobconf: Optional[dict] = None,
         cmdenv: Optional[dict] = None,
         setup: Optional[list] = None,
+        step_output_dir: Optional[str] = None,
         partition_func=None,
     ):
         if input_paths is not None and input_rdd is not None:
@@ -157,6 +164,7 @@ class SparkJobRunner:
         self._jobconf = merged
         self._cmdenv = dict(cmdenv or {})
         self._setup = list(setup or [])
+        self.step_output_dir = step_output_dir
         if num_reducers is None and "mapreduce.job.reduces" in merged:
             num_reducers = int(merged["mapreduce.job.reduces"])
         self.num_reducers = num_reducers
@@ -300,8 +308,25 @@ class SparkJobRunner:
                     rdd = self._compile_step(step, step_num, rdd)
                 else:
                     raise TypeError(f"unknown step type: {type(step)!r}")
+                if self.step_output_dir and step_num < len(steps) - 1:
+                    rdd = self._materialize_step(rdd, step_num)
             self._output_pairs = rdd
         return self._output_pairs
+
+    def _materialize_step(self, rdd, step_num: int):
+        """step_output_dir barrier: write this step's pairs as
+        INTERNAL_PROTOCOL text under ``000N/`` and hand the NEXT step the
+        re-read — Hadoop's between-step materialization made explicit
+        (mrjob-opt ``step_output_dir``: "useful for debugging")."""
+        proto = self.job.INTERNAL_PROTOCOL()
+        write, read = proto.write, proto.read
+        out_dir = os.path.join(self.step_output_dir, f"{step_num:04d}")
+        rdd.map(lambda kv: write(*kv).decode("utf-8", "replace")).saveAsTextFile(
+            out_dir
+        )
+        return self.spark.sparkContext.textFile(out_dir).map(
+            lambda line: read(line.encode("utf-8"))
+        )
 
     def _compile_step(self, step: MRStep, step_num: int, rdd):
         job = self.job

@@ -1001,3 +1001,37 @@ def test_cli_logs_counters_to_stderr(tmp_path):
     err = job.stderr.getvalue().decode("utf-8")
     assert err.startswith("Counters: ")
     assert "=" in err
+
+
+def test_step_output_dir_materializes_intermediates(spark, tmp_path):
+    # the reference's --step-output-dir (configs-all-runners.rst): every
+    # non-final step's output lands under 000N/ as INTERNAL_PROTOCOL
+    # lines, and the final answer is unchanged by the barriers
+    import os
+
+    from mrjob_spark.dataflow.examples import MRMostUsedWord
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana apple\nbanana apple\n")
+
+    sod = str(tmp_path / "steps")
+    runner = MRMostUsedWord().make_runner(
+        spark, input_paths=[str(inp)], step_output_dir=sod
+    )
+    runner.run()
+    got = list(runner.cat_output())
+
+    plain = MRMostUsedWord().make_runner(spark, input_paths=[str(inp)])
+    plain.run()
+    # compare ENCODED output: the materialization round-trips pairs
+    # through INTERNAL_PROTOCOL JSON (tuples become lists), exactly like
+    # the reference's between-step encoding — the bytes are what matter
+    enc = MRMostUsedWord.OUTPUT_PROTOCOL().write
+    assert [enc(*kv) for kv in got] == [
+        enc(*kv) for kv in plain.cat_output()
+    ]
+
+    step0 = os.path.join(sod, "0000")
+    assert os.path.isdir(step0)
+    assert any(f.startswith("part-") for f in os.listdir(step0))
+    assert not os.path.isdir(os.path.join(sod, "0001"))  # final not dumped
