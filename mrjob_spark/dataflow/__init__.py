@@ -33,7 +33,15 @@ Scale notes (100 TB design target):
 """
 
 from mrjob_spark.dataflow.job import SparkMRJob  # noqa: F401
-from mrjob_spark.dataflow.step import MRStep, SparkStep  # noqa: F401
+from mrjob_spark.dataflow.step import (  # noqa: F401
+    GENERIC_ARGS,
+    INPUT,
+    OUTPUT,
+    JarStep,
+    MRStep,
+    SparkScriptStep,
+    SparkStep,
+)
 from mrjob_spark.dataflow.runner import SparkJobRunner  # noqa: F401
 from mrjob_spark.dataflow.inline import InlineJobRunner  # noqa: F401
 from mrjob_spark.dataflow.protocols import (  # noqa: F401

@@ -33,6 +33,7 @@ from mrjob_spark.dataflow.step import (
     OUTPUT,
     JarStep,
     MRStep,
+    SparkScriptStep,
     SparkStep,
 )
 
@@ -154,6 +155,8 @@ class InlineJobRunner:
                 )
             if isinstance(step, JarStep):
                 pairs = self._run_jar_step(step, step_num, pairs)
+            elif isinstance(step, SparkScriptStep):
+                pairs = self._run_spark_script_step(step, step_num, pairs)
             else:
                 pairs = self._run_step(step, step_num, pairs)
         self._output = pairs
@@ -165,6 +168,65 @@ class InlineJobRunner:
                 for k, v in pairs:
                     fh.write(write(k, v) + b"\n")
         return self
+
+    def _run_spark_script_step(
+        self, step: SparkScriptStep, step_num: int, pairs: list
+    ) -> list:
+        """X6 script form inline: run the external pyspark script via
+        spark-submit over temp-file IO — same contract as the Spark
+        runner, differentially tested, so a script-bearing job debugs
+        under -r inline like any other."""
+        import shutil
+        import subprocess
+        import tempfile
+
+        scratch = tempfile.mkdtemp(
+            prefix=f"mrjob_spark_inline_script_{step_num}_"
+        )
+        out_dir = os.path.join(scratch, "output")  # must NOT exist yet
+
+        if step_num == 0 and self.input_paths:
+            in_arg = ",".join(p for p in self.input_paths if p != "-")
+        else:
+            write = self.job.INTERNAL_PROTOCOL().write
+            in_dir = os.path.join(scratch, "input")
+            os.makedirs(in_dir)
+            with open(os.path.join(in_dir, "part-00000"), "wb") as fh:
+                for k, v in pairs:
+                    fh.write(write(k, v) + b"\n")
+            in_arg = in_dir
+
+        args = [
+            str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
+            for a in step.args
+        ]
+        submit = shutil.which("spark-submit") or os.path.join(
+            os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+        )
+        cmd = [submit]
+        spark_args = [str(a) for a in step.spark_args]
+        if "--master" not in spark_args:
+            cmd += ["--master", "local[2]"]
+        cmd += spark_args
+        for k, v in step.jobconf.items():
+            cmd += ["--conf", f"{k}={v}"]
+        cmd += [step.script] + args
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"spark script step {step_num} failed (rc={proc.returncode}): "
+                f"{' '.join(cmd)}\n{proc.stderr[-2000:]}"
+            )
+
+        read = self.job.INTERNAL_PROTOCOL().read
+        out = []
+        for name in sorted(os.listdir(out_dir)):
+            if name.startswith(("_", ".")):
+                continue
+            with open(os.path.join(out_dir, name), "rb") as fh:
+                for line in fh:
+                    out.append(read(line.rstrip(b"\r\n")))
+        return out
 
     def _run_jar_step(self, step: JarStep, step_num: int, pairs: list) -> list:
         """X7 inline: the same driver-side JVM subprocess contract as the

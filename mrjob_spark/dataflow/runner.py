@@ -38,6 +38,7 @@ from mrjob_spark.dataflow.step import (
     OUTPUT,
     JarStep,
     MRStep,
+    SparkScriptStep,
     SparkStep,
 )
 
@@ -304,6 +305,8 @@ class SparkJobRunner:
                     rdd = step.spark(self.spark, rdd)
                 elif isinstance(step, JarStep):
                     rdd = self._run_jar_step(step, step_num, rdd)
+                elif isinstance(step, SparkScriptStep):
+                    rdd = self._run_spark_script_step(step, step_num, rdd)
                 elif isinstance(step, MRStep):
                     rdd = self._compile_step(step, step_num, rdd)
                 else:
@@ -594,6 +597,55 @@ class SparkJobRunner:
             rdd, cmd, self._task_env(),
             raw_lines=False, filter_only=True, step_num=step_num,
         )
+
+    def _run_spark_script_step(self, step: SparkScriptStep, step_num: int, rdd):
+        """X6 external-script form (``mrjob/step.py:517-571``): run a
+        standalone pyspark script via ``spark-submit`` over materialized
+        step IO — same barrier semantics and INPUT/OUTPUT interpolation
+        as the jar step, with ``jobconf`` as ``--conf`` pairs and
+        ``spark_args`` passed through. The child app runs on the same
+        master as this session unless spark_args overrides it."""
+        import shutil
+        import subprocess
+
+        scratch = tempfile.mkdtemp(prefix=f"mrjob_spark_script_{step_num}_")
+        out_dir = os.path.join(scratch, "output")  # must NOT exist yet
+
+        if step_num == 0 and self.input_rdd is None and self.input_paths:
+            in_arg = ",".join(p for p in self.input_paths if p != "-")
+        else:
+            write = self.job.INTERNAL_PROTOCOL().write
+            in_dir = os.path.join(scratch, "input")
+            rdd.map(
+                lambda kv: write(*kv).decode("utf-8", "replace")
+            ).saveAsTextFile(in_dir)
+            in_arg = in_dir
+
+        args = [
+            str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
+            for a in step.args
+        ]
+        submit = shutil.which("spark-submit") or os.path.join(
+            os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+        )
+        cmd = [submit]
+        spark_args = [str(a) for a in step.spark_args]
+        if "--master" not in spark_args:
+            cmd += ["--master", self.spark.conf.get("spark.master", "local[2]")]
+        cmd += spark_args
+        for k, v in step.jobconf.items():
+            cmd += ["--conf", f"{k}={v}"]
+        cmd += [step.script] + args
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"spark script step {step_num} failed (rc={proc.returncode}): "
+                f"{' '.join(cmd)}\n{proc.stderr[-2000:]}"
+            )
+
+        read = self.job.INTERNAL_PROTOCOL().read
+        lines = self.spark.sparkContext.textFile(out_dir)
+        return lines.map(lambda line: read(line.encode("utf-8")))
 
     def _run_jar_step(self, step: JarStep, step_num: int, rdd):
         """X7 JVM jar step (``mrjob/step.py:421-460``;

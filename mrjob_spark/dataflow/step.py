@@ -169,6 +169,34 @@ class JarStep:
 
 
 @dataclass
+class SparkScriptStep:
+    """X6 external-script form (``mrjob/step.py:517-571``): a standalone
+    pyspark script run through ``spark-submit``, with :data:`INPUT` /
+    :data:`OUTPUT` sentinels in ``args`` interpolated exactly like
+    :class:`JarStep`. The script reads line files under INPUT, writes its
+    result files into OUTPUT (which must not exist yet), and the runner
+    bridges both ends through the step protocols. ``spark_args`` pass
+    straight to spark-submit (``['--executor-memory', '2G']``);
+    ``jobconf`` entries become ``--conf k=v`` pairs."""
+
+    script: str
+    args: list = field(default_factory=list)
+    jobconf: dict = field(default_factory=dict)
+    spark_args: list = field(default_factory=list)
+
+    def description(self, step_num: int = 0) -> dict:
+        d = {"type": "spark_script", "script": self.script,
+             "step_num": step_num}
+        if self.args:
+            d["args"] = list(self.args)
+        if self.jobconf:
+            d["jobconf"] = dict(self.jobconf)
+        if self.spark_args:
+            d["spark_args"] = list(self.spark_args)
+        return d
+
+
+@dataclass
 class SparkStep:
     """Free-form Spark escape hatch (X6, ``mrjob/job.py:478-493``): the
     function receives ``(spark, input_rdd)`` — where ``input_rdd`` is the

@@ -1035,3 +1035,54 @@ def test_step_output_dir_materializes_intermediates(spark, tmp_path):
     assert os.path.isdir(step0)
     assert any(f.startswith("part-") for f in os.listdir(step0))
     assert not os.path.isdir(os.path.join(sod, "0001"))  # final not dumped
+
+
+def test_spark_script_step_runs_external_script(spark, tmp_path):
+    # X6 SparkScriptStep (mrjob/step.py:517-571): a standalone pyspark
+    # script chained after a streaming step via spark-submit, INPUT/OUTPUT
+    # interpolated — wordcount, then the script uppercases the words
+    import textwrap
+
+    from mrjob_spark.dataflow import (
+        INPUT,
+        OUTPUT,
+        MRStep,
+        SparkMRJob,
+        SparkScriptStep,
+    )
+
+    script = tmp_path / "upper.py"
+    script.write_text(textwrap.dedent("""
+        import sys
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+        inp, out = sys.argv[1], sys.argv[2]
+        (spark.sparkContext.textFile(inp)
+            .map(lambda line: line.upper())
+            .saveAsTextFile(out))
+        spark.stop()
+    """))
+
+    class MRWordsUpper(SparkMRJob):
+        def steps(self):
+            return [
+                MRStep(mapper=self.m, reducer=self.r),
+                SparkScriptStep(
+                    script=str(script), args=[INPUT, OUTPUT]
+                ),
+            ]
+
+        def m(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def r(self, w, counts):
+            yield w, sum(counts)
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana apple\n")
+    runner = MRWordsUpper().make_runner(spark, input_paths=[str(inp)])
+    runner.run()
+    got = dict(runner.cat_output())
+    assert got == {"APPLE": 2, "BANANA": 1}

@@ -215,3 +215,52 @@ public class EchoArgs {
         lines = [v for _, v in r.cat_output()]
     assert lines[0] == "-Dmy.prop=42"  # spliced as a program arg
     assert len(lines) == 3
+
+
+def test_spark_script_step_inline_matches_spark(spark, tmp_path):
+    # differential: the external-script step produces identical output
+    # under the inline and Spark runners
+    import textwrap
+
+    from mrjob_spark.dataflow import (
+        INPUT,
+        OUTPUT,
+        MRStep,
+        SparkMRJob,
+        SparkScriptStep,
+    )
+
+    script = tmp_path / "upper.py"
+    script.write_text(textwrap.dedent("""
+        import sys
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+        (spark.sparkContext.textFile(sys.argv[1])
+            .map(lambda line: line.upper())
+            .saveAsTextFile(sys.argv[2]))
+        spark.stop()
+    """))
+
+    class MRWordsUpper(SparkMRJob):
+        def steps(self):
+            return [
+                MRStep(mapper=self.m, reducer=self.r),
+                SparkScriptStep(script=str(script), args=[INPUT, OUTPUT]),
+            ]
+
+        def m(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def r(self, w, counts):
+            yield w, sum(counts)
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana apple\n")
+
+    inline = MRWordsUpper().make_inline_runner(input_paths=[str(inp)])
+    inline.run()
+    spark_runner = MRWordsUpper().make_runner(spark, input_paths=[str(inp)])
+    spark_runner.run()
+    assert sorted(inline.cat_output()) == sorted(spark_runner.cat_output())
