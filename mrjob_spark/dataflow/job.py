@@ -332,12 +332,24 @@ class SparkMRJob:
 
         return os.path.join(SparkFiles.getRootDirectory(), name)
 
-    @staticmethod
-    def file_path(name: str) -> str:
-        """Task-side path of a ``FILES`` entry (``SparkFiles.get``)."""
-        from pyspark import SparkFiles
+    def file_path(self, name: str) -> str:
+        """Task-side path of a ``FILES`` entry: the Spark-distributed copy
+        (``SparkFiles.get``) when one exists, else the original driver-side
+        path from ``FILES`` with a matching basename — which is what makes
+        file args work identically under the inline runner (single
+        process, no distributed cache to resolve against)."""
+        try:
+            from pyspark import SparkFiles
 
-        return SparkFiles.get(name)
+            p = SparkFiles.get(name)
+            if os.path.exists(p):
+                return p
+        except Exception:
+            pass
+        for f in self.FILES:
+            if os.path.basename(f) == name:
+                return f
+        return name
 
     # ------------------------------------------------------------------
     # command line (mrjob/job.py:601-687: `python my_job.py <input...>`)

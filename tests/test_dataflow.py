@@ -909,6 +909,18 @@ def test_add_file_arg_ships_file_and_rewrites_option(spark, tmp_path, capsys):
     ]
     assert job.options.stop_words_file == "stop.txt"
 
+    # and identically under the inline runner (file_path falls back to
+    # the FILES entry's original path — no distributed cache in-process)
+    job2 = MRStopFiltered()
+    job2.execute(
+        args=[str(inp), "-r", "inline", "--no-conf",
+              "--stop-words-file", str(stop)],
+    )
+    out2 = capsys.readouterr().out
+    assert sorted(line for line in out2.splitlines() if line) == [
+        "fox", "quick"
+    ]
+
 
 def test_sandbox_and_pair_methods_testing_surface(spark):
     # the reference's documented testing idioms (docs/guides/testing.rst,
