@@ -335,3 +335,132 @@ class MRFirstOrderDates(SparkMRJob):
         import itertools
 
         yield key, ",".join(itertools.islice(values, 3))
+
+
+def _nb_tokens(text: str) -> list:
+    """The same tokenization as functions/text.py ``tokens`` (split on
+    ``[^a-z0-9']+``, drop empties) so the dataflow pipeline and the
+    relational ``l5_text_classifier`` see identical term streams."""
+    return [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+
+
+class MRTrainNaiveBayes(SparkMRJob):
+    """Train-side of the classic two-job deployment pattern the reference's
+    ``mr_text_classifier.py`` teaches: a batch job aggregates the
+    naive-Bayes statistics and writes a model file; a second job ships the
+    model to every task via a FILE ARG and scores a stream against it.
+
+    Input lines: ``doc_id<TAB>lang<TAB>text``. Output (JSON pairs): tagged
+    model rows — ``["tl", lang, term] -> count``, ``["lt", lang] -> token
+    total``, ``["prior", lang] -> doc count``, ``["corpus"] -> n docs``,
+    ``["vocab"] -> distinct terms`` — everything
+    :class:`MRScoreNaiveBayes` needs for add-one-smoothed scoring.
+
+    Two steps: S1 counts per tagged key (map-side combinable); S2 folds
+    the per-term vocab markers into the single distinct-vocab count while
+    passing every other row through — the tagged-key global-aggregate
+    idiom of ``mrjob/examples/mr_next_word_stats.py:60-95``.
+    """
+
+    INPUT_PROTOCOL = RawValueProtocol
+
+    def steps(self):
+        return [
+            MRStep(
+                mapper=self.m_count,
+                combiner=self.c_sum,
+                reducer=self.c_sum,
+            ),
+            MRStep(mapper=self.m_fold_vocab, reducer=self.c_sum),
+        ]
+
+    def m_count(self, _, line):
+        doc_id, lang, text = line.split("\t", 2)
+        terms = _nb_tokens(text)
+        yield ["prior", lang], 1
+        yield ["corpus"], 1
+        for t in terms:
+            yield ["tl", lang, t], 1
+            yield ["lt", lang], 1
+            yield ["v", t], 1
+
+    def c_sum(self, key, counts):
+        yield key, sum(counts)
+
+    def m_fold_vocab(self, key, count):
+        if key[0] == "v":
+            yield ["vocab"], 1
+        else:
+            yield key, count
+
+
+class MRScoreNaiveBayes(SparkMRJob):
+    """Score-side of the two-job pattern: the trained model arrives as a
+    FILE ARG (``--model``, the ``add_file_arg`` contract —
+    ``mrjob/job.py:1131-1179``), ``mapper_init`` loads it once per task,
+    and every document scores map-side with zero shuffles — the
+    broadcast-join idiom in its MapReduce form
+    (``mrjob/examples/mr_most_used_word.py:33-58``).
+
+    Input lines: ``doc_id<TAB>lang<TAB>text``; output pairs:
+    ``doc_id -> [true_lang, predicted_lang]``. The arithmetic replicates
+    the relational ``l5_text_classifier`` bit for bit: each per-term log
+    term is ``tf * ln((c_tl + 1) / (c_l + V))`` cast to DECIMAL(38,6)
+    (half-up) and summed exactly; the prior rounds through the portable
+    ``floor(x*1e6+0.5)/1e6`` grid; ties break on the lexically smallest
+    language — so the dataflow pipeline's argmax and the Spark/DuckDB
+    one cannot diverge (asserted differentially in test_dataflow.py).
+    """
+
+    INPUT_PROTOCOL = RawValueProtocol
+
+    def configure_args(self, parser):
+        self.add_file_arg("--model")
+
+    def mapper_init(self):
+        import json
+
+        self.tl = {}
+        self.lt = {}
+        self.prior = {}
+        self.n_docs = 0
+        self.vocab = 0
+        with open(self.file_path(self.options.model)) as fh:
+            for line in fh:
+                key, value = line.rstrip("\n").split("\t")
+                key, value = json.loads(key), json.loads(value)
+                tag = key[0]
+                if tag == "tl":
+                    self.tl[(key[1], key[2])] = value
+                elif tag == "lt":
+                    self.lt[key[1]] = value
+                elif tag == "prior":
+                    self.prior[key[1]] = value
+                elif tag == "corpus":
+                    self.n_docs = value
+                elif tag == "vocab":
+                    self.vocab = value
+
+    def mapper(self, _, line):
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        doc_id, lang, text = line.split("\t", 2)
+        tf = Counter(_nb_tokens(text))
+        best = None
+        for cand in sorted(self.prior):
+            prior = math.floor(
+                math.log(self.prior[cand] / self.n_docs) * 1e6 + 0.5
+            ) / 1e6
+            denom = self.lt[cand] + self.vocab
+            acc = Decimal(0)
+            for term, n in tf.items():
+                ll = n * math.log((self.tl.get((cand, term), 0) + 1.0) / denom)
+                acc += Decimal(ll).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            score = prior + float(acc)
+            if best is None or score > best[0]:
+                best = (score, cand)
+        yield int(doc_id), [lang, best[1]]

@@ -1098,3 +1098,53 @@ def test_spark_script_step_runs_external_script(spark, tmp_path):
     runner.run()
     got = dict(runner.cat_output())
     assert got == {"APPLE": 2, "BANANA": 1}
+
+
+def test_two_job_naive_bayes_matches_relational_classifier(spark, tmp_path):
+    # the reference's flagship example shape (mr_text_classifier.py) as a
+    # real two-job deployment: train writes a model file, score ships it
+    # via a file arg and classifies map-side. Differential gate: the
+    # pipeline's predictions must equal l5_text_classifier's (the
+    # oracle-checked relational form) document for document.
+    import duckdb
+
+    from mrjob_spark.dataflow.examples import (
+        MRScoreNaiveBayes,
+        MRTrainNaiveBayes,
+    )
+    from mrjob_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    inp = tmp_path / "docs.tsv"
+    inp.write_text(
+        "".join(f"{d}\t{l}\t{t}\n" for d, l, t in rows)
+    )
+
+    model_dir = tmp_path / "model"
+    MRTrainNaiveBayes().execute(
+        args=[str(inp), "-r", "inline", "--no-conf",
+              "-o", str(model_dir), "--no-cat-output"]
+    )
+    model = model_dir / "part-00000"
+    assert model.exists()
+
+    scorer = MRScoreNaiveBayes()
+    runner = scorer.execute(
+        args=[str(inp), "-r", "inline", "--no-conf",
+              "--model", str(model), "--no-cat-output",
+              "-o", str(tmp_path / "scored")]
+    )
+    got = {
+        doc_id: pred for doc_id, (true_lang, pred) in runner.cat_output()
+    }
+
+    want = {
+        r["doc_id"]: r["pred_lang"]
+        for r in REGISTRY["l5_text_classifier"].fn(spark, sf).collect()
+    }
+    assert len(got) == len(want) == len(rows)
+    assert got == want
