@@ -136,6 +136,7 @@ _DRIVER_PRIORITY = [
     "s13_bucketed_join",
     "l5_lm_perplexity",
     "l8_epoch_schedule",
+    "mr_text_classifier",
 ]
 
 

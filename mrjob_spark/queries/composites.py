@@ -416,3 +416,69 @@ def q22_sales_opportunity(spark, sf_dir):
             rnd(dsum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# registered after llm.py (queries/__init__ import order), so the
+# relational classifier's oracle SQL is reusable verbatim — one spec,
+# two engines
+from pyspark.sql import types as T  # noqa: E402
+from mrjob_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_CLASSIFIER_SQL = _REG["l5_text_classifier"].sql
+
+
+@query("mr_text_classifier", sql=_CLASSIFIER_SQL)
+def mr_text_classifier(spark, sf_dir):
+    """The reference's flagship example (``mr_text_classifier.py``) run as
+    a REAL two-job dataflow deployment inside one checked query: the train
+    job aggregates naive-Bayes statistics through the MR engine (tagged
+    keys, combiners) and writes a model file; the scoring job ships that
+    file to every task as a file arg, loads it in ``mapper_init``, and
+    classifies map-side. Shares the relational ``l5_text_classifier``'s
+    oracle SQL verbatim — the driver's hash match proves an entire
+    MapReduce train→side-file→score pipeline agrees with the Spark/DuckDB
+    relational form document for document (the scoring math replicates
+    the same portable rounding; see MRScoreNaiveBayes). Scale: training
+    is one combiner-compressed shuffle; scoring is zero-shuffle map-side
+    against the broadcast model — the same plan shape as the relational
+    twin, expressed in the other engine."""
+    import os
+
+    from mrjob_spark.dataflow.examples import (
+        MRScoreNaiveBayes,
+        MRTrainNaiveBayes,
+    )
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    t = Tables(spark, sf_dir)
+    docs = parallelize_narrow_scan(
+        t.documents.select("doc_id", "lang", "text")
+    ).rdd.map(
+        lambda r: (
+            None,
+            f"{r.doc_id}\t{r.lang}\t"
+            + r.text.replace("\n", " ").replace("\t", " "),
+        )
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    model_dir = f"/tmp/mrjob_spark_nb/{tag}/{os.getpid()}/model"
+    import shutil
+
+    shutil.rmtree(model_dir, ignore_errors=True)
+    MRTrainNaiveBayes().make_runner(
+        spark, input_rdd=docs, output_dir=model_dir, max_output_files=1
+    ).run()
+    model_file = os.path.join(model_dir, "part-00000")
+
+    scorer = MRScoreNaiveBayes()
+    scorer._load_options(["--no-conf", "--model", model_file])
+    runner = scorer.make_runner(spark, input_rdd=docs)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("pred_lang", T.StringType()),
+        ]
+    )
+    return runner.to_dataframe(schema, row_fn=lambda k, v: (k, v[0], v[1]))

@@ -362,3 +362,4 @@ def o5_dataflow_head_per_group(spark, sf_dir):
         ]
     )
     return runner.to_dataframe(schema, row_fn=lambda k, v: (int(k), v))
+
