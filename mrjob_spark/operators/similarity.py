@@ -6,9 +6,11 @@ Three tiers:
   the corpus; one pass, no shuffle of the corpus.
 * :func:`bucketed_topk` — exact-within-bucket (IVF pattern with precomputed
   coarse assignment): compare only within the query's bucket.
-* :func:`hyperplane_lsh_topk` — random-hyperplane LSH: deterministic
-  pseudo-random planes derived from md5, sign-bit bucket, search within
-  bucket. The scale path when no precomputed clustering exists.
+* :func:`hyperplane_lsh_topk` — random-hyperplane LSH with OR-amplification:
+  deterministic pseudo-random planes derived from md5, ``n_tables``
+  independent sign-bucket tables, candidates = union of per-table co-bucket
+  matches, exact re-rank. The scale path when no precomputed clustering
+  exists.
 
 All vector math is JVM-side (zip_with/aggregate) in double precision.
 """
@@ -133,32 +135,100 @@ def add_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket.cast("int"))
 
 
+def add_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_buckets",
+) -> DataFrame:
+    """Append an array of ``n_tables`` table-tagged sign-bucket ids.
+
+    Table ``t`` uses plane indices ``t*n_planes .. (t+1)*n_planes-1`` from
+    the same md5-derived plane stream as :func:`add_lsh_bucket` (table 0
+    with the same n_planes reproduces the single-table bucket bits), and
+    its bucket id carries ``t`` in the high bits so ids never collide
+    across tables. Pure column math, no RNG state, no UDF.
+    """
+    buckets = []
+    for t in range(n_tables):
+        bucket = F.lit(t << n_planes)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(dim, t * n_planes + p)])
+            dp = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dp >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        buckets.append(bucket.cast("int"))
+    return df.withColumn(out_col, F.array(*buckets))
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: search only the query's LSH sign-bucket.
+    """Approximate top-k via OR-amplified hyperplane LSH.
 
-    Recall/cost trade-off is controlled by ``n_planes`` (2^n_planes
-    buckets). At 100 TB the bucket column becomes the shuffle/bucketing key
-    and candidate volume per query drops exponentially with n_planes.
+    Candidates are the union over ``n_tables`` independent hash tables of
+    the query's co-bucket rows; per-candidate recall for a neighbor with
+    per-bit collision probability p (= 1 - theta/pi) is
+    ``1 - (1 - p^n_planes)^n_tables`` — a single table (the previous
+    design) has recall p^n_planes, which for moderate-similarity corpora
+    (cosine ~0.3, p ~0.6) is a few percent; eight 4-bit tables lift it to
+    ~60-80% while still scanning only ~n_tables/2^n_planes of the corpus
+    per query.
+
+    Plan shape: both sides posexplode their bucket arrays, the per-table
+    equi-join on the tagged bucket id produces candidates, cosine is
+    computed per (table-)match, and a (query, neighbor) min-agg dedupes the
+    union before the top-k window. At 100 TB the exploded bucket id is the
+    shuffle/bucketing key; candidate volume per query drops exponentially
+    with n_planes and the dedupe shuffles only (ids, cosine) triples.
     """
-    c = add_lsh_bucket(corpus, dim, n_planes, vec_col)
-    q = add_lsh_bucket(queries, dim, n_planes, vec_col)
-    return bucketed_topk(
-        c,
-        q,
-        k,
-        bucket_col="lsh_bucket",
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    c = parallelize_narrow_scan(
+        add_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            F.explode("lsh_buckets").alias("__bkt"),
+        )
+    )
+    q = add_lsh_buckets(queries, dim, n_planes, n_tables, vec_col).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode("lsh_buckets").alias("__qbkt"),
+    )
+    sim = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__bkt") == F.col("__qbkt"))
+            & (F.col(query_id_col) != F.col("neighbor_id")),
+        )
+        .select(query_id_col, "neighbor_id", sim.alias("cosine"))
+        # a pair found in several tables appears once; cosine is
+        # deterministic so min == the value
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.min("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
 
 

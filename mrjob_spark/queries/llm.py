@@ -210,15 +210,48 @@ def l3_knn_bucketed(spark, sf_dir):
     )
 
 
-@query("l3_knn_lsh", sql=None)  # approximate, engine-specific planes: rows-only
+@query(
+    "l3_knn_lsh",
+    sql="""
+    SELECT vec_id AS query_id, TRUE AS recall_ge_floor
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def l3_knn_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (recall tested against brute force in
-    tests/test_operators.py; rows-only check here)."""
+    """OR-amplified hyperplane-LSH ANN, driver-checked via a recall-floor
+    tolerance oracle (VERDICT r4 task 1): the random planes are
+    engine-specific so the neighbor set itself has no DuckDB twin, but the
+    per-query recall against the exact brute-force top-5 is a deterministic
+    number (md5 planes, fixed fixtures) — emit ``recall >= 0.2`` as a
+    boolean the oracle states as literal TRUE. Measured recall at
+    sf0.001/0.01/0.1 is 0.4-1.0 per query (mean 0.72-0.76), so a broken
+    sketch — not noise — is what flips the hash. The brute-force pass here
+    is the audit harness, not the production operator."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings
-    res = hyperplane_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
-    return res.select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = hyperplane_lsh_topk(emb, q, k=5, dim=64).select(
+        "query_id", F.col("neighbor_id").alias("__lsh_neighbor")
+    )
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["__lsh_neighbor"]),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("__n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("__n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0))
+                / F.col("__n_exact")
+                >= F.lit(0.2)
+            ).alias("recall_ge_floor"),
+        )
     )
 
 

@@ -267,14 +267,36 @@ def a9_cube(spark, sf_dir):
     )
 
 
-@query("a10_approx_count_distinct", sql=None)  # sketch-based: rows-only check
+@query(
+    "a10_approx_count_distinct",
+    sql="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a10_approx_count_distinct(spark, sf_dir):
-    """A10: HLL++ sketch — no DuckDB oracle (different sketch algorithms
-    produce different estimates); the driver records a rows-only check. The
-    point at 100 TB: count-distinct without a giant exact-distinct shuffle."""
+    """A10: HLL++ sketch, driver-checked via a tolerance oracle (VERDICT r4
+    task 1): different engines' sketches give different estimates, so the
+    estimate itself has no DuckDB twin — instead emit the exact
+    ``count(DISTINCT)`` plus a Spark-computed ``|approx-exact|/exact <= 5%``
+    boolean the oracle states as literal TRUE (measured relative error at
+    rsd=0.01 is 0.5-0.7% across sf0.001-0.1, so only a broken sketch flips
+    the hash). The exact count here is the audit harness; the 100 TB
+    production path is the sketch alone — count-distinct without the giant
+    exact-distinct shuffle."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.01)
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
