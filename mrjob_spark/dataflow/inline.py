@@ -35,6 +35,7 @@ from mrjob_spark.dataflow.step import (
     MRStep,
     SparkScriptStep,
     SparkStep,
+    spool_stdin,
 )
 
 
@@ -67,6 +68,7 @@ class InlineJobRunner:
         input_pairs=None,
         output_dir: Optional[str] = None,
         jobconf: Optional[dict] = None,
+        conf_jobconf: Optional[dict] = None,
         cmdenv: Optional[dict] = None,
         setup: Optional[list] = None,
     ):
@@ -78,8 +80,10 @@ class InlineJobRunner:
         self.output_dir = output_dir
         # same env derivation as SparkJobRunner._task_env so cmd substeps
         # behave identically under both runners (differential tests rely
-        # on it): job + step jobconf as Hadoop-style vars, cmdenv on top
-        merged = dict(job.JOBCONF)
+        # on it): conf-file jobconf under job + step jobconf as
+        # Hadoop-style vars, cmdenv on top
+        merged = dict(conf_jobconf or {})
+        merged.update(job.JOBCONF)
         for step in job.steps():
             merged.update(getattr(step, "jobconf", {}) or {})
         merged.update(jobconf or {})
@@ -117,16 +121,6 @@ class InlineJobRunner:
             # handled by _run_step; deliver (path, None) markers
             return [(p, None) for p in self._expand_paths()]
         pairs = []
-        if "-" in self.input_paths:
-            # '-' = stdin; sandbox() replaces job.stdin for tests
-            import sys
-
-            fh = getattr(self.job, "stdin", None)
-            data = fh.read() if fh is not None else sys.stdin.buffer.read()
-            if isinstance(data, str):
-                data = data.encode("utf-8")
-            for line in data.splitlines():
-                pairs.append(read(line.rstrip(b"\r\n")))
         for path in self._expand_paths():
             opener = gzip.open if path.endswith(".gz") else open
             with opener(path, "rb") as fh:
@@ -137,7 +131,7 @@ class InlineJobRunner:
     def _expand_paths(self) -> list:
         out = []
         for p in self.input_paths:
-            if p == "-":  # stdin, handled by _source_pairs
+            if p == "-":  # stdin; run() spools it to a file before this
                 continue
             matches = sorted(_glob.glob(p))
             out.extend(matches if matches else [p])
@@ -147,6 +141,10 @@ class InlineJobRunner:
 
     def run(self) -> "InlineJobRunner":
         steps = self.job.steps()
+        # '-' becomes a spooled temp file up front, so mapper_raw markers
+        # and a step-0 SparkScriptStep/JarStep (which consume paths, not
+        # pairs) see stdin data instead of silently dropping it
+        self.input_paths = spool_stdin(self.job, self.input_paths)
         pairs = self._source_pairs(steps)
         for step_num, step in enumerate(steps):
             if isinstance(step, SparkStep):

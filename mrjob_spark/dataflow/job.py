@@ -485,10 +485,14 @@ class SparkMRJob:
             args = self._cli_args
         opts = self.arg_parser().parse_args(args)
         self.options = opts
+        # collected separately (merged into self.FILES by _build_runner) so
+        # that parsing twice — execute() after make_runner(), say — never
+        # ships the same file twice
+        self._file_arg_files = []
         for dest in self._file_arg_dests:
             value = getattr(opts, dest, None)
             if value:
-                self.FILES = list(self.FILES) + [value]
+                self._file_arg_files.append(value)
                 setattr(opts, dest, os.path.basename(value))
         return opts
 
@@ -533,7 +537,11 @@ class SparkMRJob:
         """Assemble the runner ``opts`` describe, without running it.
         mrjob.conf opts sit UNDER everything explicit: CLI switch > job
         class attribute > config file (mrjob/conf.py precedence)."""
-        from mrjob_spark.dataflow.conf import combine_jobconfs, load_runner_opts
+        from mrjob_spark.dataflow.conf import (
+            combine_envs,
+            combine_jobconfs,
+            load_runner_opts,
+        )
 
         conf = (
             {}
@@ -548,25 +556,33 @@ class SparkMRJob:
                 out[key] = value
             return out
 
-        jobconf = combine_jobconfs(conf.get("jobconf"), _kv_pairs(opts.jobconf))
-        cmdenv = dict(conf.get("cmdenv") or {})
-        cmdenv.update(_kv_pairs(opts.cmdenv))
+        # conf-file jobconf travels separately so the runner can seat it
+        # UNDER the class JOBCONF (precedence: CLI > class attr > conf file,
+        # mrjob/conf.py); the jobconf kwarg stays CLI-only
+        conf_jobconf = combine_jobconfs(conf.get("jobconf"))
+        jobconf = combine_jobconfs(_kv_pairs(opts.jobconf))
+        # combine_envs, not dict.update: a CLI *PATH value must PREPEND to
+        # the conf value with ':' like conf-file layering does
+        cmdenv = combine_envs(conf.get("cmdenv"), _kv_pairs(opts.cmdenv))
         setup = list(conf.get("setup") or []) + list(opts.setup)
 
-        # conf + CLI upload args extend the class-level lists
-        # (instance-local); mrjob spells them upload_files/... in configs
+        # conf + CLI + file-arg uploads extend the class-level lists.
+        # Recomputed from the CLASS attributes each call so that building a
+        # runner twice from one job instance never ships duplicates.
+        cls = type(self)
         self.FILES = (
-            list(self.FILES)
+            list(cls.FILES)
             + list(conf.get("upload_files") or conf.get("files") or [])
             + list(opts.file)
+            + list(getattr(self, "_file_arg_files", []) or [])
         )
         self.ARCHIVES = (
-            list(self.ARCHIVES)
+            list(cls.ARCHIVES)
             + list(conf.get("upload_archives") or conf.get("archives") or [])
             + list(opts.archive)
         )
         self.DIRS = (
-            list(self.DIRS)
+            list(cls.DIRS)
             + list(conf.get("upload_dirs") or conf.get("dirs") or [])
             + list(opts.dir)
         )
@@ -582,6 +598,7 @@ class SparkMRJob:
                 input_paths=list(opts.input) or ["-"],
                 output_dir=opts.output_dir,
                 jobconf=jobconf,
+                conf_jobconf=conf_jobconf,
                 cmdenv=cmdenv,
                 setup=setup,
             )
@@ -613,6 +630,7 @@ class SparkMRJob:
                 "emulate_map_input_file", opts.emulate_map_input_file, False
             ),
             jobconf=jobconf,
+            conf_jobconf=conf_jobconf,
             cmdenv=cmdenv,
             setup=setup,
             step_output_dir=opts.step_output_dir,

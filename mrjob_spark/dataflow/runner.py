@@ -40,6 +40,7 @@ from mrjob_spark.dataflow.step import (
     MRStep,
     SparkScriptStep,
     SparkStep,
+    spool_stdin,
 )
 
 #: Hadoop codec classes for the compressed sink (S9;
@@ -136,6 +137,7 @@ class SparkJobRunner:
         partition_output_by_key: bool = False,
         emulate_map_input_file: bool = False,
         jobconf: Optional[dict] = None,
+        conf_jobconf: Optional[dict] = None,
         cmdenv: Optional[dict] = None,
         setup: Optional[list] = None,
         step_output_dir: Optional[str] = None,
@@ -158,7 +160,10 @@ class SparkJobRunner:
             else (getattr(job, "PARTITIONER", None) or _hash_bytes)
         )
 
-        merged = dict(job.JOBCONF)
+        # precedence (mrjob/conf.py): conf file < class JOBCONF < per-step
+        # jobconf < the jobconf kwarg (CLI --jobconf / explicit caller)
+        merged = dict(conf_jobconf or {})
+        merged.update(job.JOBCONF)
         for step in job.steps():
             merged.update(getattr(step, "jobconf", {}) or {})
         merged.update(jobconf or {})
@@ -270,35 +275,20 @@ class SparkJobRunner:
             )
             return pair.map(lambda kv: read(str(kv[1]).encode("utf-8")))
 
-        # S3: '-' means stdin; the driver drains it once and parallelizes
-        # (mrjob/runner.py:1069-1088 dumps stdin to a temp file the same way).
-        paths = [p for p in self.input_paths if p != "-"]
-        stdin_rdd = None
-        if len(paths) < len(self.input_paths):
-            import sys
-
-            # sandbox() replaces job.stdin for tests (mrjob/job.py:1597-1656)
-            fh = getattr(self.job, "stdin", None)
-            data = fh.read() if fh is not None else sys.stdin.buffer.read()
-            if isinstance(data, str):
-                data = data.encode("utf-8")
-            stdin_lines = [
-                line.rstrip("\n") for line in data.decode("utf-8").splitlines()
-            ]
-            stdin_rdd = sc.parallelize(stdin_lines or [], 1)
-
         # S1/S2: plain text lines; Spark decompresses .gz/.bz2 by extension.
-        lines = sc.textFile(",".join(paths)) if paths else None
-        if lines is not None and stdin_rdd is not None:
-            lines = lines.union(stdin_rdd)
-        elif lines is None:
-            lines = stdin_rdd
+        # S3 ('-' = stdin) never reaches here: output_pairs spools stdin to
+        # a temp file first (mrjob/runner.py:1069-1088 does the same), so
+        # every first-step shape — text, mapper_raw, Hadoop input format,
+        # jar/script step 0 — reads it like any other path.
+        lines = sc.textFile(",".join(self.input_paths))
         return lines.map(lambda line: read(line.encode("utf-8")))
 
     def output_pairs(self):
         """The composed (lazy) final pair RDD for the whole step chain."""
         if self._output_pairs is None:
             steps = self.job.steps()
+            if self.input_rdd is None:
+                self.input_paths = spool_stdin(self.job, self.input_paths)
             rdd = self._source_rdd(steps)
             for step_num, step in enumerate(steps):
                 if isinstance(step, SparkStep):

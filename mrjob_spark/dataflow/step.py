@@ -208,3 +208,39 @@ class SparkStep:
 
     def description(self, step_num: int = 0) -> dict:
         return {"type": "spark", "step_num": step_num}
+
+
+def spool_stdin(job, input_paths: list) -> list:
+    """Replace ``'-'`` entries with a temp file holding stdin's contents.
+
+    The reference dumps stdin to a local file before any step runs
+    (``mrjob/runner.py:1069-1088``) so that path-consuming first steps —
+    ``mapper_raw``, :class:`JarStep`, :class:`SparkScriptStep`, Hadoop
+    input formats — see a real file instead of silently reading nothing.
+    Both runners call this once up front; ``sandbox()``-replaced
+    ``job.stdin`` is honored, stdin is read exactly once even if ``'-'``
+    repeats, and the returned list is a copy.
+    """
+    if "-" not in input_paths:
+        return list(input_paths)
+    import sys
+    import tempfile
+
+    fh = getattr(job, "stdin", None)
+    data = fh.read() if fh is not None else sys.stdin.buffer.read()
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    tmp = tempfile.NamedTemporaryFile(
+        prefix="mrjob_spark_stdin_", suffix=".txt", delete=False
+    )
+    tmp.write(data)
+    tmp.close()
+    out, seen = [], False
+    for p in input_paths:
+        if p == "-":
+            if not seen:
+                out.append(tmp.name)
+                seen = True
+        else:
+            out.append(p)
+    return out

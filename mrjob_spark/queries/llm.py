@@ -1443,7 +1443,11 @@ _KMEANS_SQL = f"""
                               x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
         FROM embeddings
     ), c0 AS (
-        SELECT vec_id AS cluster, qv AS cv FROM q WHERE vec_id < 8
+        -- seed rule = the k SMALLEST vec_ids, exactly as the Spark side's
+        -- orderBy(vec_id).limit(k) encodes it (operators/clustering.py) —
+        -- NOT `vec_id < 8`, which only coincides on 0-based contiguous ids
+        SELECT vec_id AS cluster, qv AS cv FROM q
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 8)
     ), d0 AS (
         SELECT vec_id, cluster, CAST(sum((a - b) * (a - b)) AS BIGINT) AS dist
         FROM (SELECT q.vec_id, c.cluster, unnest(q.qv) AS a, unnest(c.cv) AS b

@@ -313,6 +313,99 @@ def test_setup_lines_on_spark_pipe(tmp_path, capsys, spark):
     assert sorted(line for line in out.splitlines() if line) == ["alpha keep"]
 
 
+def test_class_jobconf_beats_conf_file_but_not_cli(tmp_path):
+    # precedence: CLI --jobconf > class JOBCONF > conf file (mrjob/conf.py);
+    # a key set in both the class and the conf file must resolve to the
+    # CLASS value (this used to invert)
+    from mrjob_spark.dataflow import RawValueProtocol, SparkMRJob
+
+    class MRMarked(SparkMRJob):
+        INPUT_PROTOCOL = RawValueProtocol
+        INTERNAL_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+        JOBCONF = {"my.marker": "classval"}
+
+        def __init__(self):
+            super().__init__()
+            self.mapper_cmd = 'sed "s/^/$my_marker /"'
+
+    conf = _write(
+        tmp_path, "job.conf",
+        'runners:\n  inline:\n    jobconf:\n      my.marker: "confval"\n',
+    )
+    inp = _write(tmp_path, "input.txt", "line\n")
+
+    runner = MRMarked().execute(
+        args=[inp, "-r", "inline", "-c", conf, "-o",
+              str(tmp_path / "o1"), "--no-cat-output"])
+    assert [v for _, v in runner.cat_output()] == ["classval line"]
+
+    runner = MRMarked().execute(
+        args=[inp, "-r", "inline", "-c", conf, "--jobconf",
+              "my.marker=clival", "-o", str(tmp_path / "o2"),
+              "--no-cat-output"])
+    assert [v for _, v in runner.cat_output()] == ["clival line"]
+
+
+def test_cli_path_cmdenv_prepends_to_conf_value(tmp_path):
+    # *PATH cmdenv vars combine with ':' between layers (combine_envs), so
+    # a CLI value PREPENDS to the conf value instead of replacing it
+    from mrjob_spark.dataflow import RawValueProtocol, SparkMRJob
+
+    class MRPathEcho(SparkMRJob):
+        INPUT_PROTOCOL = RawValueProtocol
+        INTERNAL_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+
+        def __init__(self):
+            super().__init__()
+            self.mapper_cmd = 'sed "s|^|$MYPATH |"'
+
+    conf = _write(
+        tmp_path, "job.conf",
+        'runners:\n  inline:\n    cmdenv:\n      MYPATH: /from/conf\n',
+    )
+    inp = _write(tmp_path, "input.txt", "line\n")
+    runner = MRPathEcho().execute(
+        args=[inp, "-r", "inline", "-c", conf, "--cmdenv",
+              "MYPATH=/from/cli", "-o", str(tmp_path / "out"),
+              "--no-cat-output"])
+    assert [v for _, v in runner.cat_output()] == ["/from/cli:/from/conf line"]
+
+
+def test_repeat_runner_builds_do_not_duplicate_uploads(tmp_path):
+    # building a runner twice from ONE job instance (execute() after
+    # make_runner(), or two execute() calls) must not ship the same
+    # FILES/file-arg entries twice — the lists are recomputed from the
+    # class attributes each build
+    from mrjob_spark.dataflow import RawValueProtocol, SparkMRJob
+
+    shipped = _write(tmp_path, "lookup.txt", "x\n")
+
+    class MRWithFile(SparkMRJob):
+        INPUT_PROTOCOL = RawValueProtocol
+        INTERNAL_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+        FILES = [shipped]
+
+        def configure_args(self, parser):
+            super().configure_args(parser)
+            self.add_file_arg("--lookup")
+
+        def mapper(self, key, value):
+            yield key, value
+
+    inp = _write(tmp_path, "input.txt", "line\n")
+    job = MRWithFile(
+        [inp, "-r", "inline", "--no-conf", "--lookup", shipped]
+    )
+    for _ in range(2):
+        with job.make_runner() as runner:
+            runner.run()
+    assert job.FILES.count(shipped) == 2  # class entry + file arg, once each
+    assert len(job.FILES) == 2
+
+
 # ---------------------------------------------------------------------------
 # differential: our combiners vs the reference's own mrjob.conf functions
 # (imported from the read-only reference checkout, like compare_reference.py)

@@ -962,6 +962,28 @@ def test_sandbox_spark_runner_stdin(spark):
     assert dict(runner.cat_output()) == {"apple": 2}
 
 
+def test_sandbox_stdin_reaches_mapper_raw(spark):
+    # '-' + mapper_raw: stdin is spooled to a temp file up front
+    # (spool_stdin), so path-consuming first steps see the data instead of
+    # silently processing no input — on BOTH runners
+    import io
+
+    class MRByteCount(SparkMRJob):
+        def mapper_raw(self, local_path, uri):
+            with open(local_path, "rb") as f:
+                yield "bytes", len(f.read())
+
+    job = MRByteCount().sandbox(stdin=io.BytesIO(b"hello world\n"))
+    runner = job.make_runner(spark, input_paths=["-"])
+    runner.run()
+    assert dict(runner.cat_output()) == {"bytes": 12}
+
+    job = MRByteCount().sandbox(stdin=io.BytesIO(b"hello world\n"))
+    with job.make_inline_runner(input_paths=["-"]) as r:
+        r.run()
+        assert dict(r.cat_output()) == {"bytes": 12}
+
+
 def test_parse_output_decodes_byte_chunks():
     # mrjob/job.py:634-646: job.parse_output over raw output bytes,
     # including lines split across chunk boundaries
