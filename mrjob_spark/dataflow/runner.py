@@ -27,6 +27,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import uuid
 import zlib
 from typing import Iterable, Iterator, Optional
 
@@ -78,6 +79,84 @@ def _jobconf_env(jobconf: dict) -> dict:
     return {str(k).replace(".", "_"): str(v) for k, v in jobconf.items()}
 
 
+#: setup scripts already applied in THIS Python worker process (keyed by
+#: content hash) — the in-process layer of the run-once guard below.
+_SETUP_APPLIED: set = set()
+
+
+def _ensure_task_setup(setup_lines: list, base_env: dict, nonce: str = "") -> None:
+    """Run ``setup`` before the first Python substep on this executor.
+
+    The reference wraps EVERY task — shell and Python alike — in the setup
+    shell script, serialized per node with flock (``mrjob/bin.py:545-653``),
+    so ``setup:`` can bootstrap a venv or download an asset that Python
+    mapper code relies on. Python substeps here run inside Spark's Python
+    worker, which can't be re-exec'd through a wrapper script, so the
+    equivalent contract is a prologue:
+
+    * the setup lines run in ``/bin/sh`` ONCE per node per distinct script
+      (side effects like downloads/venvs happen once, not per task), under
+      an flock'd lockfile exactly like the reference's wrapper;
+    * the shell's resulting environment is captured (``env -0``) and every
+      variable the script changed is replayed into the worker's
+      ``os.environ``, so ``export``s reach Python substep code the same
+      way they reach ``*_cmd`` subprocesses;
+    * each worker process applies the replay once (module-level guard) —
+      calls after the first are a set lookup.
+
+    Shell substeps are unaffected: they still get the lines prefixed in
+    their own subprocess shell (same-shell ``export`` semantics).
+    """
+    if not setup_lines:
+        return
+    import fcntl
+    import hashlib
+    import subprocess
+
+    # the nonce is fresh per runner instance, so "once per node" means once
+    # per JOB RUN per node (the reference re-runs its wrapper each job too),
+    # not once per machine lifetime
+    payload = (
+        "\n".join(setup_lines) + "\0" + repr(sorted(base_env.items()))
+        + "\0" + nonce
+    )
+    key = hashlib.md5(payload.encode("utf-8")).hexdigest()
+    if key in _SETUP_APPLIED:
+        return
+
+    tmp = tempfile.gettempdir()
+    lock_path = os.path.join(tmp, f"mrjob_spark_setup_{key}.lock")
+    env_path = os.path.join(tmp, f"mrjob_spark_setup_{key}.env")
+    run_env = dict(os.environ)
+    run_env.update({str(k): str(v) for k, v in base_env.items()})
+
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if not os.path.exists(env_path):
+                script = "\n".join(setup_lines) + f'\nenv -0 > "{env_path}.tmp"'
+                subprocess.run(
+                    ["/bin/sh", "-c", script], env=run_env, check=True
+                )
+                os.replace(env_path + ".tmp", env_path)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+    with open(env_path, "rb") as fh:
+        entries = fh.read().split(b"\0")
+    captured = {}
+    for item in entries:
+        if b"=" in item:
+            k, _, v = item.partition(b"=")
+            captured[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
+    for k, v in captured.items():
+        if k in ("_", "PWD", "SHLVL", "OLDPWD"):
+            continue
+        if run_env.get(k) != v:
+            os.environ[k] = v
+    _SETUP_APPLIED.add(key)
+
+
 class SparkJobRunner:
     """Execute a :class:`~mrjob_spark.dataflow.job.SparkMRJob` on Spark.
 
@@ -113,11 +192,13 @@ class SparkJobRunner:
         This is an explicit barrier with true Hadoop semantics — each next
         step re-reads the materialized files — trading the fused lazy plan
         for inspectable intermediates.
-    :param setup: shell lines run before each ``*_cmd``/``*_pre_filter``
-        subprocess, in the same shell (so ``export``s are visible to the
-        command) — the reference's ``setup`` opt (``mrjob/bin.py:545-653``)
-        scoped to shell substeps; Python substeps execute in-process and
-        need no shell setup.
+    :param setup: shell lines run before tasks — the reference's ``setup``
+        opt (``mrjob/bin.py:545-653``), which wraps shell AND Python tasks.
+        Shell substeps get the lines prefixed in their own subprocess shell
+        (``export``s visible to the command); Python substeps get the
+        flock'd once-per-node-per-run prologue with environment replay
+        (:func:`_ensure_task_setup`), so a ``setup:`` that bootstraps state
+        or exports variables reaches Python mapper/reducer code too.
     :param partition_func: ``f(key_bytes) -> int`` shuffle partitioner
         override (O1 in full); precedence: this kwarg > ``job.PARTITIONER``
         > crc32. Must be importable/picklable and deterministic across
@@ -170,6 +251,7 @@ class SparkJobRunner:
         self._jobconf = merged
         self._cmdenv = dict(cmdenv or {})
         self._setup = list(setup or [])
+        self._setup_nonce = uuid.uuid4().hex
         self.step_output_dir = step_output_dir
         if num_reducers is None and "mapreduce.job.reduces" in merged:
             num_reducers = int(merged["mapreduce.job.reduces"])
@@ -397,7 +479,18 @@ class SparkJobRunner:
                 filter_only=True, step_num=step_num,
             )
 
+        # setup prologue only when the step actually has Python substeps —
+        # shell substeps get the lines in their own subprocess shell
+        setup_lines = (
+            list(self._setup)
+            if (mapper or mapper_raw or mapper_init or mapper_final)
+            else []
+        )
+        task_env = self._task_env()
+        nonce = self._setup_nonce
+
         def map_partition(items: Iterable) -> Iterator:
+            _ensure_task_setup(setup_lines, task_env, nonce)
             if mapper_init:
                 yield from mapper_init() or ()
 
@@ -447,8 +540,12 @@ class SparkJobRunner:
         combiner = step.combiner
         combiner_init = step.combiner_init
         combiner_final = step.combiner_final
+        setup_lines = list(self._setup) if combiner else []
+        task_env = self._task_env()
+        nonce = self._setup_nonce
 
         def combine_pairs(pairs: list) -> list:
+            _ensure_task_setup(setup_lines, task_env, nonce)
             out = []
             if combiner_init:
                 out.extend(combiner_init() or ())
@@ -516,6 +613,13 @@ class SparkJobRunner:
         reducer = step.reducer
         reducer_init = step.reducer_init
         reducer_final = step.reducer_final
+        setup_lines = (
+            list(self._setup)
+            if (reducer or reducer_init or reducer_final)
+            else []
+        )
+        task_env = self._task_env()
+        nonce = self._setup_nonce
 
         if step.reducer_pre_filter:
             flat = reducer_ready.map(lambda kb_kv: kb_kv[1])
@@ -527,6 +631,7 @@ class SparkJobRunner:
             )
 
         def reduce_partition(items: Iterable) -> Iterator:
+            _ensure_task_setup(setup_lines, task_env, nonce)
             if reducer_init:
                 yield from reducer_init() or ()
 

@@ -313,6 +313,40 @@ def test_setup_lines_on_spark_pipe(tmp_path, capsys, spark):
     assert sorted(line for line in out.splitlines() if line) == ["alpha keep"]
 
 
+def test_setup_reaches_python_substeps(tmp_path, spark):
+    # the reference wraps Python tasks in the setup script too
+    # (mrjob/bin.py:545-653); here that contract is the flock'd
+    # once-per-node-per-run prologue: exports replay into the Python
+    # worker's os.environ, side effects run exactly once per job run
+    from mrjob_spark.dataflow import SparkMRJob
+
+    marker = tmp_path / "setup_ran.log"
+
+    class MREnvMapper(SparkMRJob):
+        def mapper(self, key, value):
+            yield os.environ.get("SETUP_TOKEN", "MISSING"), 1
+
+        def reducer(self, key, values):
+            yield key, sum(values)
+
+    inp = _write(tmp_path, "input.txt", "a\nb\nc\nd\n")
+    job = MREnvMapper()
+    with job.make_runner(
+        spark,
+        input_paths=[inp],
+        setup=[
+            f'echo ran >> "{marker}"',
+            "export SETUP_TOKEN=from-setup",
+        ],
+    ) as runner:
+        runner.run()
+        out = dict(runner.cat_output())
+    assert out == {"from-setup": 4}
+    # side effect ran once for this job run (flock + captured-env cache),
+    # not once per task/partition
+    assert marker.read_text().splitlines() == ["ran"]
+
+
 def test_class_jobconf_beats_conf_file_but_not_cli(tmp_path):
     # precedence: CLI --jobconf > class JOBCONF > conf file (mrjob/conf.py);
     # a key set in both the class and the conf file must resolve to the
