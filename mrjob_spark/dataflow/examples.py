@@ -11,7 +11,14 @@ import re
 
 from mrjob_spark.dataflow.job import SparkMRJob
 from mrjob_spark.dataflow.protocols import RawValueProtocol
-from mrjob_spark.dataflow.step import INPUT, OUTPUT, JarStep, MRStep, SparkStep
+from mrjob_spark.dataflow.step import (
+    INPUT,
+    OUTPUT,
+    JarStep,
+    MRStep,
+    SparkScriptStep,
+    SparkStep,
+)
 
 #: ASCII-word tokenizer shared by the wordcount-family jobs; chosen because
 #: it has an exact DuckDB equivalent (``regexp_extract_all(lower(x),
@@ -261,6 +268,62 @@ class MRWordFreqJarUpper(SparkMRJob):
             JarStep(
                 jar=self.jar_path,
                 main_class="UpperCaseLines",
+                args=[INPUT, OUTPUT],
+            ),
+            MRStep(reducer=self.r_resum),
+        ]
+
+    def m_words(self, _, line):
+        for word in WORD_RE.findall(line.lower()):
+            yield word, 1
+
+    def c_sum(self, word, counts):
+        yield word, sum(counts)
+
+    def r_sum(self, word, counts):
+        yield word, sum(counts)
+
+    def r_resum(self, word, counts):
+        yield word, sum(counts)
+
+
+#: Standalone pyspark script for :class:`MRWordFreqScriptUpper` — written
+#: to a scratch file by the caller and submitted via ``spark-submit``
+#: (``mrjob/step.py:517-571``'s SparkScriptStep contract: argv =
+#: interpolated INPUT/OUTPUT).
+UPPERCASE_LINES_PYSPARK = """\
+import sys
+
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.getOrCreate()
+inp, out = sys.argv[1], sys.argv[2]
+spark.sparkContext.textFile(inp).map(lambda s: s.upper()).saveAsTextFile(out)
+spark.stop()
+"""
+
+
+class MRWordFreqScriptUpper(SparkMRJob):
+    """X6 script-form probe, the :class:`MRWordFreqJarUpper` twin with a
+    :class:`SparkScriptStep` in the jar's place: wordcount, then an
+    EXTERNAL standalone pyspark script (its own ``spark-submit``
+    application) uppercasing every INTERNAL-encoded line, then a reducer
+    re-aggregating on the uppercased keys — the script boundary carries
+    the protocol stream both ways, observable through the final shuffle."""
+
+    def __init__(self, script_path: str):
+        super().__init__()
+        self.script_path = script_path
+
+    def steps(self):
+        return [
+            MRStep(
+                mapper=self.m_words,
+                combiner=self.c_sum,
+                reducer=self.r_sum,
+            ),
+            SparkScriptStep(
+                script=self.script_path,
                 args=[INPUT, OUTPUT],
             ),
             MRStep(reducer=self.r_resum),

@@ -485,15 +485,18 @@ class SparkMRJob:
             args = self._cli_args
         opts = self.arg_parser().parse_args(args)
         self.options = opts
-        # collected separately (merged into self.FILES by _build_runner) so
+        # collected separately AND recomputed from the class attribute so
         # that parsing twice — execute() after make_runner(), say — never
-        # ships the same file twice
+        # ships the same file twice; the direct-make_runner(spark, ...)
+        # path (no _build_runner) reads self.FILES, so it must be current
+        # here too
         self._file_arg_files = []
         for dest in self._file_arg_dests:
             value = getattr(opts, dest, None)
             if value:
                 self._file_arg_files.append(value)
                 setattr(opts, dest, os.path.basename(value))
+        self.FILES = list(type(self).FILES) + self._file_arg_files
         return opts
 
     def execute(self, args=None, spark=None):

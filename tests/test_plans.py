@@ -237,16 +237,17 @@ def test_q6_is_one_pruned_scan_with_partial_agg(spark):
 
 
 def test_q8_eight_table_join_stays_broadcast_no_fact_shuffle(spark):
-    # every dim rides a broadcast; the only hash exchange belongs to the
-    # final year aggregate, so the fact never shuffles for a join.
-    # FIXTURE-SCALE pin: customer/orders/supplier broadcast here by size
-    # estimation only — at 100 TB those joins become exchanges by
-    # necessity (see the q8 docstring); this guards the dims + the
-    # filters-before-joins ordering, not a universal no-shuffle claim
+    # every join rides an EXPLICIT broadcast hint (r5: chosen, not
+    # size-estimated — estimator drift can't flip this pin); the only hash
+    # exchange belongs to the final year aggregate, so the fact never
+    # shuffles for a join. The customer/orders/supplier hints are a
+    # FIXTURE-SCALE choice — at 100 TB those joins become exchanges by
+    # necessity (see the q8 docstring)
     plan = _plan(spark, "q8_market_share")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 7  # all eight tables, 7 joins
 
 
 def test_q13_outer_join_keeps_zero_bucket_condition_in_join(spark):
