@@ -201,6 +201,74 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     assert out == {"a": 1.0, "b": 2.0, "c": 3.0}
 
 
+def test_restart_from_checkpoint_converges_to_batch_answer(spark, tmp_path):
+    """Restart recovery — the one streaming failure mode st9/st10 don't
+    drive: the st10 pipeline shape (dedup → tumbling agg → idempotent
+    batch-partition-overwrite sink) is killed after processing part of the
+    input, then RESTARTED from the same checkpoint via a second
+    ``start()``. The restarted query must (a) not reprocess phase-1 files
+    (offsets recovered), (b) resume dedup AND window state (a cross-phase
+    duplicate is dropped, a window spanning both phases accumulates), and
+    (c) leave the sink equal to the one-shot batch answer."""
+    from mrjob_spark.streaming.io import foreach_batch_overwrite
+    from mrjob_spark.streaming.ops import stream_dedup, tumbling_window_agg
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: two events in window [0, 30), one in [30, 60)
+    phase1 = [(_t(0), "a", 1.0), (_t(5), "b", 2.0), (_t(31), "c", 4.0)]
+    # phase 2 (after the restart): a DUPLICATE key 'a' (dedup state must
+    # survive the restart to drop it) and another row in window [0, 30)
+    # (window state must survive to accumulate onto phase 1's rows)
+    phase2 = [(_t(2), "a", 99.0), (_t(10), "d", 8.0), (_t(32), "e", 16.0)]
+
+    def start_query():
+        sdf = read_stream_parquet(spark, src)
+        deduped = stream_dedup(sdf, ["key"], ts_col="ts", watermark="2 hours")
+        agg = tumbling_window_agg(
+            deduped, "ts", "30 minutes", [],
+            [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")],
+        )
+        return (
+            agg.writeStream.foreachBatch(foreach_batch_overwrite(out))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _write_events(spark, src, phase1)
+    q = start_query()
+    q.awaitTermination()  # "killed" mid-stream: phase-2 data not yet seen
+    batches_phase1 = {
+        r["batch_id"]
+        for r in spark.read.parquet(out).select("batch_id").collect()
+    }
+
+    _write_events(spark, src, phase2)
+    q = start_query()  # second start() on the SAME checkpoint
+    q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    # (a) phase-1 batches were not replayed: restart continued with new ids
+    new_batches = {
+        r["batch_id"] for r in back.select("batch_id").collect()
+    } - batches_phase1
+    assert new_batches and min(new_batches) > max(batches_phase1)
+
+    # highest-batch-wins readback, like st10's consumer contract
+    latest = F.max_by(F.struct("n", "total"), "batch_id").alias("v")
+    got = {
+        r["wstart"]: (r["v"]["n"], r["v"]["total"])
+        for r in back.groupBy("wstart").agg(latest).collect()
+    }
+    # (b)+(c): duplicate 'a' dropped across the restart, window [0,30)
+    # accumulated across both phases — exactly the batch answer
+    assert got == {_t(0): (3, 11.0), _t(30): (2, 20.0)}
+
+
 def test_stream_dedup_batch_twin(spark, events_batch):
     """Batch path of stream_dedup is plain dropDuplicates."""
     n_keys = events_batch.select("user_id", "event_type").distinct().count()
