@@ -84,59 +84,79 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-visibility ordering. The correctness driver differentially checks
-# the first 50 registry entries per round. Rounds 1-3 together covered the
-# whole r3 registry except the 20 queries that sat in the rotation queue
-# (VERDICT r3 "what's missing" #2); all r3-window rows are green except
-# l2_span_dedup (oracle dtype, fixed this round). So round 4 leads with
-# those 20 — capstone and q-series first, they prove the most composition
-# per slot — then the l2_span_dedup re-verify and the 16 queries ADDED in
-# round 4 (jar step, counters x SORT_VALUES, capped span dedup, gzip sink,
-# k-means/quantize/two-stage/bigram-LM/perplexity/epoch-schedule,
-# streaming capstone, bucketed join). That totals 37 priority slots;
-# r1-r3-green stalwarts fill the remaining 13 in registration order.
-# Every entry was verified against the sf0.01 oracle locally this round
-# (tools/driver_sim.py, arrow dtype-strict). Names listed here but not
+# the first 50 registry entries per round. As of round 4 every registered
+# query has been driver-green at least once (VERDICT r4), so the window's
+# job flips from first-time coverage to FRESHNESS (VERDICT r4 task 2):
+# lead with queries that are new/changed this round, then the queries
+# whose only green dates from rounds 1-2 — those were checked under the
+# pre-environment-shift runtime (BASELINE.md §8 documents engine-behavior
+# drift mid-history), making them the weakest greens on the board — then
+# fill with the r3-era greens that ride the dataflow runner code changed
+# this round. tests/test_registry.py enforces the staleness invariant from
+# the CORRECTNESS_r*.json files themselves. Names listed here but not
 # (yet) registered are ignored, so the list can lead the code.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-checked through round 3 (the r3 rotation queue)
-    "l8_pipeline_end_to_end",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_join",
-    "q22_sales_opportunity",
-    "l8_global_shuffle",
-    "l8_sequence_packing_scalable",
-    "l8_token_mask",
-    "l5_repetition_filter",
-    "l4_vocab_coverage",
-    "a11_exact_percentiles",
-    "a9_grouping_sets",
-    "u2_except_all",
-    "sql3_portable_windows",
-    # red in r3 (oracle HUGEINT dtype, CAST added this round) — re-verify
-    "l2_span_dedup",
-    # new in round 4
-    "s9_compressed_sink",
-    "a8_o3_counters_sorted",
-    "l2_span_dedup_capped",
-    "x7_jar_step",
+    # new or semantically changed in round 5: tolerance oracles (a10,
+    # knn_lsh + the multi-table LSH rewrite), the spark-script step query,
+    # the k-means seed-rule oracle fix, q8's explicit broadcast hints, and
+    # the classifier pipeline that rides the reworked file-arg plumbing
+    "a10_approx_count_distinct",
+    "l3_knn_lsh",
+    "x6_spark_script",
     "l3_kmeans_assign",
-    "l3_embedding_quantize",
-    "l3_knn_two_stage",
-    "l4_bigram_lm",
-    "st10_stream_pipeline",
-    "s13_bucketed_join",
-    "l5_lm_perplexity",
-    "l8_epoch_schedule",
+    "q8_market_share",
     "mr_text_classifier",
+    # last green in rounds 1-2 (pre-environment-shift runtime) — stalest
+    # greens first, in registration order
+    "j2_broadcast_star",
+    "j3_semi_join",
+    "j3_anti_join",
+    "j4_left_outer_join",
+    "j5_range_join",
+    "j7_star_join",
+    "u1_union",
+    "u2_intersect",
+    "u2_except",
+    "f1_string_funcs",
+    "f2_math_funcs",
+    "f3_conditional",
+    "f4_datetime",
+    "f5_array_funcs",
+    "f6_json",
+    "f7_hash_funcs",
+    "w1_ranking",
+    "w2_lag_lead",
+    "w3_running_total",
+    "w4_range_frame",
+    "w1_ranking_scalable",
+    "w4_range_frame_scalable",
+    "j6_asof_join",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_sessionization",
+    "l1_exact_dedup",
+    "l1_normalized_dedup",
+    "l2_simhash",
+    "l2_jaccard_pairs",
+    "l2_embedding_neardup",
+    "l3_knn_bruteforce",
+    "l3_knn_bucketed",
+    "l4_token_stats",
+    # r3-era greens that execute through dataflow/runner.py, which round 5
+    # changed (stdin spooling, setup prologue, jobconf precedence) — the
+    # freshest risk, filling the window to 50
+    "s1_s2_gzip_text_scan",
+    "s4_s5_file_attribution",
+    "x1_dataflow_wordcount",
+    "x5_dataflow_pipe_grep",
+    "a8_dataflow_counters",
+    "o3_dataflow_sorted_dates",
+    "o5_dataflow_head_per_group",
+    "x2_dataflow_most_used_word",
+    "mr_next_word_stats",
+    "x6_spark_step",
 ]
 
 

@@ -15,17 +15,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
+def _latest_checked_round() -> dict[str, int]:
+    """query name -> highest driver round whose CORRECTNESS file records it
+    (any row counts as 'checked'; the driver re-reports reds too)."""
+    import glob
+    import re
+
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name in json.load(open(path)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def _driver_checked_names() -> set[str]:
-    seen: set[str] = set()
-    for fname in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-    ):
-        path = os.path.join(REPO, fname)
-        if os.path.exists(path):
-            seen |= set(json.load(open(path)))
-    return seen
+    return set(_latest_checked_round())
 
 
 def test_every_priority_name_is_registered():
@@ -67,6 +75,29 @@ def test_rotation_queue_is_not_a_dumping_ground():
     assert len(q._ROTATION_QUEUE) <= 21
     in_window = [n for n in q._ROTATION_QUEUE if n in names[:WINDOW]]
     assert in_window == [], f"queued names already inside the window: {in_window}"
+
+
+def test_window_leads_with_stalest_greens():
+    # freshness policy (VERDICT r4 task 2): once every query has been
+    # driver-checked, the window's job is RE-verification — any query whose
+    # latest check is ≥3 rounds behind the newest CORRECTNESS file must be
+    # back inside the window (or explicitly queued). This self-updates:
+    # when the next round's file lands, the staleness horizon advances and
+    # this test forces the next reshuffle.
+    latest = _latest_checked_round()
+    if not latest:
+        return
+    horizon = max(latest.values()) - 2
+    names = list(q.REGISTRY)
+    stale_hidden = [
+        n
+        for n in names[WINDOW:]
+        if latest.get(n, 0) < horizon and n not in q._ROTATION_QUEUE
+    ]
+    assert stale_hidden == [], (
+        f"greens older than round {horizon} sit outside the 50-entry window:"
+        f" {stale_hidden} — lead _DRIVER_PRIORITY with them"
+    )
 
 
 def test_oracle_sql_types_and_column_alias_discipline():
