@@ -120,9 +120,24 @@ def minhash_lsh_pairs(
     text_col: str,
     threshold: float = 0.6,
     persist_shingles: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH banding for candidates, exact shingle
     Jaccard for verification. Returns (doc_a, doc_b, jaccard >= threshold).
+
+    ``max_bucket_size`` drops LSH buckets holding more than that many
+    documents from candidate generation. A bucket of B docs emits B²/2
+    candidate pairs, so one boilerplate/template family can dominate the
+    whole operator's cost: measured on the sf1 fixture family (50k docs,
+    hot buckets up to 3,363 docs), uncapped candidates grew 113× for 10×
+    docs — the pair OUTPUT is inherently quadratic in true-duplicate
+    cluster sizes, which no candidate scheme can emit in linear time.
+    Mega-buckets are exactly the populations exact/normalized dedup and
+    duplicate clustering (operators/graph.py) already handle at linear
+    cost, so the scale contract is: run exact dedup first, cap LSH buckets,
+    and let the cap bound per-bucket work. Docs in a dropped bucket can
+    still pair through any of their other ``NUM_BANDS - 1`` bands, so only
+    pairs whose EVERY colliding band is hot are lost.
 
     Shuffles: shingle distinct, signature groupBy, band self-join, candidate
     verification join — all on scalable keys. No cross join anywhere.
@@ -196,9 +211,9 @@ def minhash_lsh_pairs(
     # (measured ~3x total cost at sf0.1; persisting the signatures benched
     # even slower — cache materialization beat exchange reuse). Grouping by
     # bucket instead runs the pipeline once, and pair generation is in-row
-    # array math over each bucket's doc list. Bucket membership lists are
-    # small by construction (a big bucket means near-identical documents,
-    # where the PAIR volume is quadratic under either plan shape).
+    # array math over each bucket's doc list. PAIR volume is quadratic in
+    # bucket size under either plan shape — max_bucket_size is the guard
+    # (see docstring); uncapped, a hot template family owns the runtime.
     ids = F.array_sort(F.collect_list("doc_id"))
     pair_structs = F.flatten(
         F.transform(
@@ -209,11 +224,15 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    cand = (
+    buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(ids.alias("ids"))
         .where(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -299,8 +318,11 @@ def unpersist_intermediates(df: DataFrame) -> None:
             pass
 
 
-def sql_minhash_lsh_pairs(threshold: float = 0.6) -> str:
-    """DuckDB oracle mirroring :func:`minhash_lsh_pairs` exactly."""
+def sql_minhash_lsh_pairs(
+    threshold: float = 0.6, max_bucket_size: int | None = None
+) -> str:
+    """DuckDB oracle mirroring :func:`minhash_lsh_pairs` exactly
+    (including its ``max_bucket_size`` hot-bucket cutoff when set)."""
     h32 = sql_hex_hash32("substr(t, i, %d)" % SHINGLE_N)
     mins = ", ".join(
         f"min(({a} * h + {b}) % {MERSENNE_61}) AS m{i}"
@@ -316,6 +338,9 @@ def sql_minhash_lsh_pairs(threshold: float = 0.6) -> str:
         )
         for b in range(NUM_BANDS)
     )
+    cap_clause = (
+        f" AND count(*) <= {max_bucket_size}" if max_bucket_size is not None else ""
+    )
     return f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, {h32} AS h FROM (
@@ -327,11 +352,17 @@ def sql_minhash_lsh_pairs(threshold: float = 0.6) -> str:
         SELECT doc_id, {mins} FROM sh GROUP BY doc_id
     ), bands AS (
         {band_selects}
+    ), live_buckets AS (
+        SELECT band_idx, band_hash FROM bands
+        GROUP BY band_idx, band_hash
+        HAVING count(*) > 1{cap_clause}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
+        JOIN live_buckets lb
+          ON lb.band_idx = a.band_idx AND lb.band_hash = a.band_hash
     ), sizes AS (
         SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (

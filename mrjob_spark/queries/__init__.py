@@ -105,6 +105,7 @@ _DRIVER_PRIORITY = [
     "a10_approx_count_distinct",
     "l3_knn_lsh",
     "x6_spark_script",
+    "l2_minhash_lsh_capped",
     "l3_kmeans_assign",
     "q8_market_share",
     "mr_text_classifier",
@@ -156,7 +157,9 @@ _DRIVER_PRIORITY = [
     "o5_dataflow_head_per_group",
     "x2_dataflow_most_used_word",
     "mr_next_word_stats",
-    "x6_spark_step",
+    # x6_spark_step (r3-green) yielded its filler slot to the new
+    # l2_minhash_lsh_capped; its runner path is still in-window via
+    # x6_spark_script / the dataflow fillers above.
 ]
 
 

@@ -542,3 +542,38 @@ def x6_spark_script(spark, sf_dir):
         ]
     )
     return runner.to_dataframe(schema)
+
+
+# ---------------------------------------------------------------------------
+# L2 hot-bucket cap (round 5): the sf1 scaling run exposed uncapped LSH
+# candidate generation as the registry's one super-linear operator —
+# 10× docs → 113× candidate-pair slots on this data family (hot buckets
+# up to 3,363 docs; SCALE.md §10). The cap is the production guard.
+# Registered here, appended last, to keep bench positions comparable.
+# ---------------------------------------------------------------------------
+
+from mrjob_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    sql_minhash_lsh_pairs,
+)
+
+
+@query(
+    "l2_minhash_lsh_capped",
+    sql=sql_minhash_lsh_pairs(threshold=0.6, max_bucket_size=32),
+)
+def l2_minhash_lsh_capped(spark, sf_dir):
+    """L2 MinHash-LSH with the hot-bucket cutoff (``max_bucket_size=32``):
+    buckets holding more than 32 docs are dropped from candidate
+    generation, bounding per-bucket pair work at 32²/2 — the guard that
+    keeps LSH linear when a boilerplate/template family floods a bucket
+    (the same regime ``l2_span_dedup_capped`` guards for spans). Exact
+    Jaccard verification over the surviving candidates is unchanged, and
+    the oracle applies the identical cutoff (HAVING count(*) <= 32), so a
+    divergence in WHICH buckets are dropped flips the driver hash.
+    Reference parity: mrjob has no LSH; this is the scale path the
+    100 TB dedup contract requires (run exact dedup first, cap buckets)."""
+    t = Tables(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t.documents, "doc_id", "text", threshold=0.6, max_bucket_size=32
+    )

@@ -125,6 +125,43 @@ def test_minhash_lsh_finds_near_dupes(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_bucket_cap_drops_hot_family_keeps_rest(spark):
+    # 40 exact copies of one template flood every band bucket they touch
+    # (each bucket holds all 40); an unrelated near-dup pair lives in its
+    # own small buckets. Cap=8 must kill the template family's 780 pairs
+    # while leaving the small-bucket pair untouched.
+    template = "standard legal boilerplate disclaimer text " * 8
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [Row(doc_id=i, text=template) for i in range(100, 140)]
+    rows += [Row(doc_id=1, text=base), Row(doc_id=2, text=base + "suffix!")]
+    docs = spark.createDataFrame(rows)
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_bucket_size=8
+        ).collect()
+    }
+    assert (1, 2) in capped
+    assert all(a < 100 and b < 100 for a, b in capped), capped
+
+    # a cap at least as large as every bucket is a no-op vs uncapped
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    huge_cap = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_bucket_size=10_000
+        ).collect()
+    }
+    assert huge_cap == uncapped
+    assert (100, 101) in uncapped  # the family the cap removed is real
+
+
 def test_simhash_near_dupes_share_fingerprint_bits(spark):
     docs = spark.createDataFrame(
         [
