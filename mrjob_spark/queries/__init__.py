@@ -109,6 +109,15 @@ _DRIVER_PRIORITY = [
     "l3_kmeans_assign",
     "q8_market_share",
     "mr_text_classifier",
+    # new in round 5: the remaining TPC-H shapes (no partsupp in the
+    # fixture — lineitem bridges part↔supplier; see composites.py)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
     # last green in rounds 1-2 (pre-environment-shift runtime) — stalest
     # greens first, in registration order
     "j2_broadcast_star",
@@ -120,13 +129,6 @@ _DRIVER_PRIORITY = [
     "u1_union",
     "u2_intersect",
     "u2_except",
-    "f1_string_funcs",
-    "f2_math_funcs",
-    "f3_conditional",
-    "f4_datetime",
-    "f5_array_funcs",
-    "f6_json",
-    "f7_hash_funcs",
     "w1_ranking",
     "w2_lag_lead",
     "w3_running_total",
@@ -167,10 +169,20 @@ _DRIVER_PRIORITY = [
 #: here is an explicit acknowledgment, enforced by tests/test_registry.py:
 #: a query may sit beyond the window ONLY if it was driver-green before or
 #: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). Empty this round: every registered query
-#: is either in the priority list above or was driver-green in r1-r3 and
-#: fills the window / sits past it in registration order.
-_ROTATION_QUEUE: list[str] = []
+#: (VERDICT r2 "what's wrong" #1). This round: the seven new q-series
+#: composites displaced the f-series scalar-function re-verifications —
+#: the lowest-risk r2 greens (pure scalar expressions, no join/agg/window
+#: machinery, least exposed to the engine-behavior drift the freshness
+#: policy guards against). They lead the round-6 window.
+_ROTATION_QUEUE: list[str] = [
+    "f1_string_funcs",
+    "f2_math_funcs",
+    "f3_conditional",
+    "f4_datetime",
+    "f5_array_funcs",
+    "f6_json",
+    "f7_hash_funcs",
+]
 
 
 #: Registration (module) order, preserved before the driver-priority

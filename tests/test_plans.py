@@ -414,3 +414,96 @@ def test_bucketed_join_runs_without_join_exchange(spark):
     assert final.count("Exchange") <= 2  # agg shuffle + its AQE read
     assert "Exchange hashpartitioning(o_custkey" not in final
     assert "Exchange hashpartitioning(c_custkey" not in final
+
+
+# --- round 5: the remaining TPC-H shapes (composites.py part 2) ----------
+
+
+def test_q2_min_cost_decorrelates_with_one_fact_scan(spark):
+    # the correlated min-cost subquery decorrelates into a per-part
+    # aggregate joined back; both branches must hang off the SAME grouped
+    # exchange (AQE stage reuse -> one lineitem scan at runtime), with the
+    # region/part filters broadcast-reducing the bridge pre-aggregate
+    df = REGISTRY["q2_min_cost_supplier"].fn(spark, SF_DIR)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in final
+    assert final.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_q9_profit_star_filters_dims_before_fact(spark):
+    # the only selective filter (p_name LIKE) lives on part: it must
+    # reduce the dim before the fact join (broadcast), and the LIKE must
+    # reach the part scan as a pushed predicate
+    plan = _plan(spark, "q9_product_type_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_q11_threshold_reuses_value_aggregate(spark):
+    # the HAVING > (SELECT sum(...) * frac) scalar subquery must not
+    # rescan the fact: threshold and output both hang off the one
+    # per-part aggregate (ReusedExchange), the threshold arriving as a
+    # one-row broadcast (BNLJ on a single-row side, the q15/q22 idiom)
+    df = REGISTRY["q11_important_parts"].fn(spark, SF_DIR)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in final
+    assert final.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_q12_fact_fact_join_prunes_lineitem_side(spark):
+    # a genuine fact-to-fact join: the lineitem side must arrive filtered
+    # (returnflag + ship year pushed to its scan); the priority split is
+    # conditional sums after ONE join, not two joins
+    plan = _plan(spark, "q12_priority_class")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "PushedFilters: []" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_denylist_is_broadcast_anti_join(spark):
+    # NOT IN compiles to LEFT ANTI against the broadcast denylist; the
+    # part predicates broadcast-reduce the bridge before the distinct agg
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_stacked_aggregates_share_one_fact_scan(spark):
+    # Q20's nested-subquery tower: per-(part,supplier) quantities, per-part
+    # totals re-aggregated FROM that table, threshold join-back — all off
+    # one scan (ReusedExchange; the explicit isnotnull guards keep the
+    # subtrees canonically equal), qualifying suppliers applied LEFT SEMI
+    df = REGISTRY["q20_dominant_suppliers"].fn(spark, SF_DIR)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ReusedExchange" in final
+    assert final.count("lineitem.parquet") == 1
+    assert "LeftSemi" in final
+
+
+def test_q21_exists_pair_compiles_to_semi_and_anti(spark):
+    # EXISTS / NOT EXISTS against the same fact: one LEFT SEMI, one LEFT
+    # ANTI, each equi on the order key with the supplier inequality as a
+    # residual — never a per-row subquery, never a cartesian
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
