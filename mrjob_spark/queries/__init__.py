@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     "q16_supplier_part_counts",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
+    "l1_dedup_clusters_capped",
     # last green in rounds 1-2 (pre-environment-shift runtime) — stalest
     # greens first, in registration order
     "j2_broadcast_star",
@@ -126,9 +127,8 @@ _DRIVER_PRIORITY = [
     "j4_left_outer_join",
     "j5_range_join",
     "j7_star_join",
-    "u1_union",
     "u2_intersect",
-    "u2_except",
+    "u2_except",  # u1_union yields its slot to l1_dedup_clusters_capped
     "w1_ranking",
     "w2_lag_lead",
     "w3_running_total",
@@ -175,6 +175,7 @@ _DRIVER_PRIORITY = [
 #: machinery, least exposed to the engine-behavior drift the freshness
 #: policy guards against). They lead the round-6 window.
 _ROTATION_QUEUE: list[str] = [
+    "u1_union",  # displaced by l1_dedup_clusters_capped (plain unionByName)
     "f1_string_funcs",
     "f2_math_funcs",
     "f3_conditional",

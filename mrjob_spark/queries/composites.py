@@ -1008,3 +1008,43 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_CLUSTERS_CAPPED_SQL = """
+WITH RECURSIVE pairs AS ({lsh_sql}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach AS (
+    SELECT u AS node, u AS r FROM edges
+    UNION
+    SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u
+)
+SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+""".format(lsh_sql=sql_minhash_lsh_pairs(threshold=0.6, max_bucket_size=32))
+
+
+@query("l1_dedup_clusters_capped", sql=_CLUSTERS_CAPPED_SQL)
+def l1_dedup_clusters_capped(spark, sf_dir):
+    """Duplicate clusters over the CAPPED near-dup graph — the production
+    pairing of ``connected_components`` with the hot-bucket guard. The sf1
+    scaling run showed the uncapped cluster query inherits LSH's
+    boilerplate blowup wholesale (177 s at sf1 vs 3 s at sf0.1, ~57× for
+    10× docs — the pair *verification* over quadratically-many hot-bucket
+    candidates dominates, before clustering even starts), so the capped
+    edge set is what the 100 TB dedup contract actually runs on. Oracle:
+    the same WITH RECURSIVE closure over the identically-capped pair SQL —
+    a divergence in either the cap or the label propagation flips the
+    hash. The uncapped twin stays registered as the correctness
+    baseline."""
+    from mrjob_spark.operators.graph import connected_components
+
+    t = Tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t.documents, "doc_id", "text", threshold=0.6, max_bucket_size=32
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
