@@ -76,6 +76,33 @@ def _assign(qdf: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _assign_topn(qdf: DataFrame, centroids: DataFrame, probe: int) -> DataFrame:
+    """Top-``probe`` nearest centroids per vector (IVF multi-probe): the
+    k-row centroid table broadcasts, scores compute in-row, and the
+    per-vector top-n comes from ``sort_array(collect_list(...))`` over the
+    k bounded candidate structs — a partial-aggregable ObjectHashAggregate
+    (k structs per vector per partition), no window, no per-vector sort
+    stage. Ties break on (dist, cluster), matching the oracle's
+    ``ORDER BY dist, cluster``."""
+    scored = qdf.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.struct(
+            _sq_l2(F.col("qv"), F.col("cv")).alias("dist"),
+            F.col("cluster").alias("cluster"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.slice(F.sort_array(F.collect_list("dc")), 1, probe).alias("top"))
+        .select("vec_id", F.explode("top").alias("dc"))
+        .select(
+            "vec_id",
+            F.col("dc.cluster").alias("cluster"),
+            F.col("dc.dist").alias("dist"),
+        )
+    )
+
+
 def _centroids_df(spark: SparkSession, rows: list[tuple[int, list[int]]]) -> DataFrame:
     schema = StructType(
         [
@@ -93,8 +120,13 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = FIXED_POINT_SCALE,
+    probe: int = 1,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means; returns ``vec_id, cluster, dist``.
+
+    ``probe > 1`` returns the top-``probe`` nearest centroids per vector
+    under the FINAL centroids (IVF multi-probe — training rounds still
+    assign rn=1, standard Lloyd's), up to ``probe`` rows per vector.
 
     Init: the vectors with the ``k`` smallest ids (deterministic, no RNG —
     the same retry-stability argument as every hash-based keep decision in
@@ -147,6 +179,7 @@ def kmeans_assign(
             for c, dims in sorted(by_cluster.items())
         ]
 
-    return _assign(qdf, _centroids_df(spark, centroids)).select(
-        "vec_id", "cluster", "dist"
-    )
+    final = _centroids_df(spark, centroids)
+    if probe > 1:
+        return _assign_topn(qdf, final, probe)
+    return _assign(qdf, final).select("vec_id", "cluster", "dist")

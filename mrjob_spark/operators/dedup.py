@@ -655,11 +655,23 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     threshold: float = 0.4,
+    sub_split_dims: tuple[int, ...] = (),
 ) -> DataFrame:
     """Near-duplicate embedding pairs within a blocking bucket (here the
     precomputed cluster/label — the IVF pattern: compare only within the
     same coarse cell, which turns an O(n^2) cross join into a per-bucket
     join that parallelizes by bucket).
+
+    ``sub_split_dims`` (1-based vector indices) further splits every cell
+    by the sign pattern of those dimensions — deterministic axis-aligned
+    hyperplane LSH, multiplying cell count by up to 2^len(dims). USE ONLY
+    AT HIGH SIMILARITY THRESHOLDS: a hyperplane separates a true pair
+    with p = angle/pi per bit, so at cosine 0.4 (~66 deg) four bits keep
+    only (1 - 0.37)^4 ~ 0.16 of true pairs — measured 0.166 at sf1 on
+    the fixture, which is why the registered scale path is the k-means
+    re-cluster + multi-probe query (``l2_embedding_neardup_ivf``)
+    instead. At cosine >= 0.95 the same four bits keep >= 0.8 and the
+    split is a sound cell-count knob (SCALE.md §4).
 
     Norms are computed once per ROW before the join (n x d work) instead of
     once per PAIR inside it (pairs x 2d) — at b rows per bucket that saves
@@ -668,23 +680,32 @@ def embedding_neardup_pairs(
     from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
     df = parallelize_narrow_scan(df.select(id_col, bucket_col, vec_col))
-    normed = df.select(
+    cols = [
         F.col(id_col).alias("_id"),
         F.col(bucket_col).alias("_bucket"),
         F.col(vec_col).alias("_vec"),
         l2_norm(F.col(vec_col)).alias("_norm"),
-    )
+    ]
+    if sub_split_dims:
+        sub = F.lit(0)
+        for j, d in enumerate(sub_split_dims):
+            sub = sub + (
+                (F.element_at(F.col(vec_col), d) >= 0).cast("int") * (1 << j)
+            )
+        cols.insert(2, sub.alias("_subcell"))
+    normed = df.select(*cols)
     a = normed.alias("a")
     b = normed.alias("b")
     sim = dot(F.col("a._vec"), F.col("b._vec")) / (
         F.col("a._norm") * F.col("b._norm")
     )
+    cond = (F.col("a._bucket") == F.col("b._bucket")) & (
+        F.col("a._id") < F.col("b._id")
+    )
+    if sub_split_dims:
+        cond = cond & (F.col("a._subcell") == F.col("b._subcell"))
     return (
-        a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),

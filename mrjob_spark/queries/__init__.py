@@ -119,13 +119,14 @@ _DRIVER_PRIORITY = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "l1_dedup_clusters_capped",
+    "j5_range_join_bucketed",
+    "l2_embedding_neardup_ivf",
     # last green in rounds 1-2 (pre-environment-shift runtime) — stalest
     # greens first, in registration order
     "j2_broadcast_star",
     "j3_semi_join",
     "j3_anti_join",
     "j4_left_outer_join",
-    "j5_range_join",
     "j7_star_join",
     "u2_intersect",
     "u2_except",  # u1_union yields its slot to l1_dedup_clusters_capped
@@ -143,7 +144,6 @@ _DRIVER_PRIORITY = [
     "l1_normalized_dedup",
     "l2_simhash",
     "l2_jaccard_pairs",
-    "l2_embedding_neardup",
     "l3_knn_bruteforce",
     "l3_knn_bucketed",
     "l4_token_stats",
@@ -176,6 +176,10 @@ _DRIVER_PRIORITY = [
 #: policy guards against). They lead the round-6 window.
 _ROTATION_QUEUE: list[str] = [
     "u1_union",  # displaced by l1_dedup_clusters_capped (plain unionByName)
+    # displaced by their own round-5 scale twins, which re-verify the
+    # same oracle (j5 verbatim) / the same pipeline (neardup ivf)
+    "j5_range_join",
+    "l2_embedding_neardup",
     "f1_string_funcs",
     "f2_math_funcs",
     "f3_conditional",

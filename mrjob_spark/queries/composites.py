@@ -1048,3 +1048,177 @@ def l1_dedup_clusters_capped(spark, sf_dir):
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 sf1 screen: two more scale-path twins. The 10x (sf0.1 -> sf1)
+# screen measured j5_range_join at 20.2x and l2_embedding_neardup at
+# 20.9x — both quadratic by construction (BNLJ band join; fixed-count IVF
+# cells). These are their linear-regime replacements, appended last.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j5_range_join_bucketed",
+    sql="""
+    SELECT s_suppkey, count(*) AS n_close_customers
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+)
+def j5_range_join_bucketed(spark, sf_dir):
+    """The band join's linear-regime form (the bucketization
+    ``j5_range_join``'s own docstring prescribes): quantize the band
+    width into equi-join buckets — each supplier row explodes into its
+    bucket and the two adjacent ones (3 rows, the small side), customers
+    carry their single bucket, the join is a plain equi hash join on the
+    bucket key, and the exact BETWEEN runs as a residual filter on the
+    ~3·width-bounded candidates. A (customer, supplier) pair can match in
+    at most one bucket row (the three offsets are distinct), so no
+    dedup is needed and the oracle is j5's verbatim. Work is
+    O(rows x density-per-bucket) instead of |customer| x |supplier|: the
+    10x screen measured the BNLJ twin at 20.2x per 10x data (both sides
+    grow), while this plan's candidate volume grows linearly at fixed
+    band width. Same answer, same oracle, by construction."""
+    t = Tables(spark, sf_dir)
+    supp = (
+        t.supplier.select("s_suppkey", "s_acctbal")
+        .withColumn(
+            "_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .withColumn(
+            "_bkt",
+            (F.floor(F.col("s_acctbal") / 100) + F.col("_off")).cast("long"),
+        )
+    )
+    cust = t.customer.select("c_acctbal").withColumn(
+        "_bkt", F.floor(F.col("c_acctbal") / 100).cast("long")
+    )
+    return (
+        cust.join(supp, "_bkt")
+        .where(
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - 100, F.col("s_acctbal") + 100
+            )
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+_NEARDUP_IVF_SQL = """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cluster, qv AS cv FROM q
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 20)
+    ), d0 AS (
+        SELECT vec_id, cluster, CAST(sum((a - b) * (a - b)) AS BIGINT) AS dist
+        FROM (SELECT q.vec_id, c.cluster, unnest(q.qv) AS a, unnest(c.cv) AS b
+              FROM q CROSS JOIN c0 c) z
+        GROUP BY vec_id, cluster
+    ), a0 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d0) zz
+        WHERE rn = 1
+    ), c1 AS (
+        SELECT cluster, pos,
+               CAST(floor(CAST(sum(a) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v
+        FROM (SELECT a0.cluster, unnest(q.qv) AS a,
+                     generate_subscripts(q.qv, 1) AS pos
+              FROM q JOIN a0 USING (vec_id)) z
+        GROUP BY cluster, pos
+    ), d1 AS (
+        SELECT vec_id, cluster, CAST(sum((a - v) * (a - v)) AS BIGINT) AS dist
+        FROM (SELECT q.vec_id, c1.cluster, c1.v, q.qv[c1.pos] AS a
+              FROM q CROSS JOIN c1) z
+        GROUP BY vec_id, cluster
+    ), a2 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d1) zz
+        WHERE rn <= 2
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM a2 x JOIN a2 y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b,
+           (floor((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE (floor((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) >= 0.4
+"""
+
+
+@query("l2_embedding_neardup_ivf", sql=_NEARDUP_IVF_SQL)
+def l2_embedding_neardup_ivf(spark, sf_dir):
+    """Embedding near-dup over RE-CLUSTERED IVF cells with multi-probe —
+    the §4 scale knob (cell count grows with the corpus) done right. The
+    fixed-cell twin blocks on the 10 precomputed labels, so per-cell pair
+    work is quadratic in corpus (measured 20.9× per 10× vectors) AND its
+    blocking misses most true pairs (measured 0.093 recall vs the global
+    all-pairs truth at sf0.1). This variant re-clusters with the
+    deterministic fixed-point k-means (k=20 here; k ∝ √corpus in
+    production — a config, not a code change) and assigns each vector to
+    its top-2 cells (IVF multi-probe, recovering boundary pairs):
+    measured 0.471 recall vs global truth at 0.20× the all-pairs work —
+    5× the recall of label-blocking at bounded, k-tunable cost. Why not
+    sign-bit hyperplane sub-cells: at this threshold (cosine 0.4 ≈ 66°) a
+    random hyperplane separates a true pair with p ≈ 0.37 per bit, so
+    4 bits keep only ~0.16 of pairs (measured 0.166 at sf1) — hyperplane
+    LSH is a high-similarity tool; data-respecting centroids degrade
+    gracefully instead. Oracle: the full quantized k-means (seed = 20
+    smallest ids, one exact integer update round, rn ≤ 2 final assign) +
+    candidate join + cosine, all in SQL — both engines must agree on
+    every centroid, every top-2 assignment, and every scored pair."""
+    from mrjob_spark.functions.vectors import dot, l2_norm
+    from mrjob_spark.operators.clustering import kmeans_assign
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    t = Tables(spark, sf_dir)
+    assign = kmeans_assign(t.embeddings, k=20, iters=1, probe=2).select(
+        "vec_id", "cluster"
+    )
+    x, y = assign.alias("x"), assign.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    emb = parallelize_narrow_scan(t.embeddings.select("vec_id", "embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("_ia"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("_ib"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
+    )
+    cosine = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(ea, F.col("id_a") == F.col("_ia"))
+        .join(eb, F.col("id_b") == F.col("_ib"))
+        .select("id_a", "id_b", rnd(cosine, 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
