@@ -495,3 +495,79 @@ def test_kmeans_assign_matches_python_reference(spark, vecs, k, iters):
     }
     want = _kmeans_reference(list(enumerate(vecs)), k, iters)
     assert got == want
+
+
+def _kmeans_reference_topn(vecs, k, iters, probe, scale=1000):
+    """Top-``probe`` final assignment under the reference's final
+    centroids, ties on (dist, cluster) — the IVF multi-probe contract."""
+    import math
+
+    q = {i: [math.floor(x * scale + 0.5) for x in v] for i, v in vecs}
+    centroids = {i: list(q[i]) for i in sorted(q)[:k]}
+
+    def assign1(cents):
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cv)), c)
+                for c, cv in cents.items()
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(iters):
+        asg = assign1(centroids)
+        sums: dict = {}
+        for i, c in asg.items():
+            acc = sums.setdefault(c, [[0] * len(q[i]), 0])
+            acc[0] = [a + b for a, b in zip(acc[0], q[i])]
+            acc[1] += 1
+            sums[c] = acc
+        centroids = {
+            c: [math.floor(s / n + 0.5) for s in sv] for c, (sv, n) in sums.items()
+        }
+    out = {}
+    for i, v in q.items():
+        scored = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(v, cv)), c)
+            for c, cv in centroids.items()
+        )
+        out[i] = {(c, d) for d, c in scored[:probe]}
+    return out
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=5,
+        max_size=12,
+    ),
+    k=st.integers(min_value=3, max_value=4),
+    iters=st.integers(min_value=1, max_value=2),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmeans_probe2_matches_python_reference(spark, vecs, k, iters):
+    # the multi-probe (probe=2) path: per-vector top-2 rows must equal the
+    # reference's two nearest final centroids, including (dist, cluster)
+    # tie-breaks — the sort_array(collect_list) aggregate must never lose
+    # or reorder a candidate (empty clusters may leave < 2 cells total,
+    # in which case both engines emit the same reduced set)
+    from pyspark.sql import Row
+
+    from mrjob_spark.operators.clustering import kmeans_assign
+
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows)
+    got: dict = {}
+    for r in kmeans_assign(df, k=k, iters=iters, probe=2).collect():
+        got.setdefault(r["vec_id"], set()).add((r["cluster"], r["dist"]))
+    want = _kmeans_reference_topn(list(enumerate(vecs)), k, iters, probe=2)
+    assert got == want
