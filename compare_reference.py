@@ -80,12 +80,38 @@ def main() -> int:
     sys.path.insert(0, REFERENCE)
     from mrjob.examples.mr_next_word_stats import MRNextWordStats as RefNWS
     from mrjob.examples.mr_word_freq_count import MRWordFreqCount as RefWC
+    from mrjob.examples.mr_words_containing_u_freq_count import (
+        MRWordsContainingUFreqCount as RefU,
+    )
 
+    from mrjob_spark.dataflow import SparkMRJob
     from mrjob_spark.dataflow.examples import (
         MRNextWordStats as OurNWS,
         MRWordFreqCount as OurWC,
     )
     from mrjob_spark.session import get_spark
+
+    import re
+
+    u_word_re = re.compile(r"[\w']*u[\w']*", re.I)
+
+    class OurWordsContainingU(SparkMRJob):
+        """Parity twin of the reference's pre-filter example with ITS
+        exact tokenization (``[\\w']*u[\\w']*``, case-insensitive) so the
+        head-to-head compares identical semantics — the shell pre-filter
+        (P4) runs through ``/bin/sh`` on both engines."""
+
+        mapper_pre_filter = "grep -i u"
+
+        def mapper(self, _, line):
+            for word in u_word_re.findall(line):
+                yield word.lower(), 1
+
+        def combiner(self, word, counts):
+            yield word, sum(counts)
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
 
     results: dict[str, dict[str, float]] = {}
     with tempfile.TemporaryDirectory() as tmpdir:
@@ -104,6 +130,7 @@ def main() -> int:
         for name, ref_cls, our_cls in (
             ("wordcount", RefWC, OurWC),
             ("next_word_stats", RefNWS, OurNWS),
+            ("pre_filter_words", RefU, OurWordsContainingU),
         ):
             row: dict[str, float] = {}
             # the reference's own Spark path: a fresh spark-submit per job
