@@ -498,8 +498,8 @@ def l8_weighted_mixture(spark, sf_dir):
                               AS DOUBLE) / len({sql_tokens('text')}) END
                    AS avg_tok_len,
                CASE WHEN length(text) = 0 THEN 1.0
-                    ELSE 1.0 - CAST(length(array_to_string(
-                              regexp_extract_all(lower(text), '[a-z0-9 ]'), ''))
+                    ELSE 1.0 - CAST(length(regexp_replace(lower(text),
+                              '[^a-z0-9 ]', '', 'g'))
                               AS DOUBLE) / length(text) END AS symbol_ratio
         FROM documents
     )
@@ -517,17 +517,39 @@ def l8_quality_filter(spark, sf_dir):
     mean token length, and symbol-ratio gates, emitting keep/reject WITH the
     first failing rule — the reject-reason histogram is what you actually
     tune on. All JVM-side column math; the filter column pattern (verdict,
-    not a dropped row) keeps the full corpus auditable."""
+    not a dropped row) keeps the full corpus auditable.
+
+    Two costs found by the round-5 sf1 screen (20.7× per 10× docs, fixed
+    to ~linear): (1) with no downstream exchange the per-row math ran at
+    SCAN parallelism — one task on a single-row-group file —
+    ``parallelize_narrow_scan`` pays one narrow round-robin shuffle to
+    recover cluster parallelism (a structural no-op at real scale);
+    (2) the tokens array was re-split for every CASE branch that
+    references it (conditional branches defeat codegen subexpression
+    elimination) — aliasing it as a COLUMN in a prior select makes
+    CollapseProject keep the single evaluation (its own no-inline
+    heuristic for non-cheap, multiply-referenced aliases), measured
+    14.2 → 3.7 s at sf1. The symbol count is one ``regexp_replace``
+    pass (the per-char ``regexp_extract_all`` array build was ~5× the
+    cost); the 1.0 - alnum/len arithmetic is unchanged, so the ratio is
+    bit-identical to the oracle's."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    avg_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
-        F.length(F.concat_ws("", toks)).cast("double") / n_tokens
+    docs = parallelize_narrow_scan(t.documents.select("doc_id", "text"))
+    scored = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("_toks")
     )
-    alnum = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9 ]"), 0)
+    tk = F.col("_toks")
+    n_tokens = F.size(tk)
+    avg_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.length(F.concat_ws("", tk)).cast("double") / n_tokens
+    )
+    alnum_len = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    )
     symbol_ratio = F.when(F.length("text") == 0, F.lit(1.0)).otherwise(
-        F.lit(1.0)
-        - F.length(F.concat_ws("", alnum)).cast("double") / F.length("text")
+        F.lit(1.0) - alnum_len.cast("double") / F.length("text")
     )
     verdict = (
         F.when(n_tokens < 5, "too_short")
@@ -536,7 +558,7 @@ def l8_quality_filter(spark, sf_dir):
         .when(symbol_ratio > 0.4, "too_many_symbols")
         .otherwise("keep")
     )
-    return t.documents.select("doc_id", verdict.alias("verdict"))
+    return scored.select("doc_id", verdict.alias("verdict"))
 
 
 _PACK_BUDGET = 2048
@@ -1294,8 +1316,8 @@ _PIPELINE_SQL = f"""
                               AS DOUBLE) / len({sql_tokens('text')}) END
                    AS avg_tok_len,
                CASE WHEN length(text) = 0 THEN 1.0
-                    ELSE 1.0 - CAST(length(array_to_string(
-                              regexp_extract_all(lower(text), '[a-z0-9 ]'), ''))
+                    ELSE 1.0 - CAST(length(regexp_replace(lower(text),
+                              '[^a-z0-9 ]', '', 'g'))
                               AS DOUBLE) / length(text) END AS symbol_ratio
         FROM documents
     ),
@@ -1350,10 +1372,15 @@ def l8_pipeline_end_to_end(spark, sf_dir):
     avg_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         F.length(F.concat_ws("", toks)).cast("double") / n_tokens
     )
-    alnum = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9 ]"), 0)
+    # single-pass char count (round-5 sf1 screen: the per-char
+    # regexp_extract_all array build was ~5x the cost of one
+    # regexp_replace pass); the 1.0 - alnum/len arithmetic is unchanged,
+    # so the ratio is bit-identical to the oracle's
+    alnum_len = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    )
     symbol_ratio = F.when(F.length("text") == 0, F.lit(1.0)).otherwise(
-        F.lit(1.0)
-        - F.length(F.concat_ws("", alnum)).cast("double") / F.length("text")
+        F.lit(1.0) - alnum_len.cast("double") / F.length("text")
     )
     kept = (
         t.documents.select(

@@ -285,16 +285,27 @@ def a10_approx_count_distinct(spark, sf_dir):
     rsd=0.01 is 0.5-0.7% across sf0.001-0.1, so only a broken sketch flips
     the hash). The exact count here is the audit harness; the 100 TB
     production path is the sketch alone — count-distinct without the giant
-    exact-distinct shuffle."""
+    exact-distinct shuffle.
+
+    Plan shape (round-5 sf1 screen): mixing ``countDistinct`` with
+    ``approx_count_distinct`` in ONE aggregate forces the Expand-based
+    distinct rewrite, where every intermediate (group, key) row carries
+    its own rsd=0.01 HLL buffer — measured 54 s at sf1 vs 4.2 + 2.1 s
+    for the parts separately. Deduplicating (group, key) pairs FIRST
+    then aggregating is identical by construction: the exact count is
+    the pair count, and HLL is duplicate-insensitive, so the sketch over
+    deduped keys produces the same registers and the same estimate.
+    61 → 2.3 s at sf1, one distinct shuffle + one tiny agg."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    pairs = t.lineitem.select("l_returnflag", "l_partkey").distinct()
+    return pairs.groupBy("l_returnflag").agg(
+        F.count("l_partkey").alias("exact_parts"),
         (
             F.abs(
                 F.approx_count_distinct("l_partkey", 0.01)
-                - F.countDistinct("l_partkey")
+                - F.count("l_partkey")
             )
-            / F.countDistinct("l_partkey")
+            / F.count("l_partkey")
             <= F.lit(0.05)
         ).alias("within_5pct"),
     )
