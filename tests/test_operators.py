@@ -531,3 +531,41 @@ def test_parallelize_narrow_scan_noop_when_already_parallel(spark):
     # already >= defaultParallelism → returned untouched, no extra exchange
     widened = parallelize_narrow_scan(df)
     assert widened is df
+
+
+def test_embedding_neardup_sub_split_drops_only_sign_disagreeing_pairs(spark):
+    # sub_split_dims partitions each bucket by the sign pattern of the
+    # chosen dims: pairs agreeing on every chosen sign survive with
+    # identical cosines; pairs split by a chosen hyperplane disappear;
+    # nothing else changes
+    from pyspark.sql import Row
+
+    from mrjob_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        # same bucket, same sign on dim 1 -> kept under the split
+        Row(vec_id=1, label=0, embedding=[1.0, 0.5, 0.5, 0.5]),
+        Row(vec_id=2, label=0, embedding=[0.9, 0.5, 0.5, 0.5]),
+        # same bucket, high cosine, but OPPOSITE sign on dim 1 -> dropped
+        Row(vec_id=3, label=0, embedding=[-0.01, 1.0, 1.0, 1.0]),
+        Row(vec_id=4, label=0, embedding=[0.01, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(df, threshold=0.4).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, threshold=0.4, sub_split_dims=(1,)
+        ).collect()
+    }
+    assert (1, 2) in base and (3, 4) in base
+    assert (1, 2) in split and (3, 4) not in split
+    assert split[(1, 2)] == base[(1, 2)]
+    # every surviving pair is a base pair whose dim-1 signs agree
+    assert set(split) == {
+        (a, b) for (a, b) in base
+        if (rows[a - 1]["embedding"][0] >= 0) == (rows[b - 1]["embedding"][0] >= 0)
+    }
