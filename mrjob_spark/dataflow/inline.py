@@ -134,8 +134,57 @@ class InlineJobRunner:
             if p == "-":  # stdin; run() spools it to a file before this
                 continue
             matches = sorted(_glob.glob(p))
-            out.extend(matches if matches else [p])
+            # absolute so mapper_raw path markers survive the task-workdir
+            # chdir in run()
+            out.extend(
+                [os.path.abspath(m) for m in matches]
+                if matches
+                else [os.path.abspath(p)]
+            )
         return out
+
+    def _make_workdir(self) -> str | None:
+        """Mirror the reference's task working directory (mrjob/sim.py):
+        every FILES/DIRS entry appears under its basename (or ``#alias``)
+        via symlink, ARCHIVES unpack into a directory of that name, and
+        tasks run with this directory as cwd — so reference example code
+        like ``open('stop_words.txt')`` works unmodified (the idiom the
+        reference's own MRMostUsedWord uses; found by
+        tests/test_reference_differential.py). Returns None when the job
+        ships nothing, leaving cwd untouched."""
+        job = self.job
+        files = list(job.FILES) + list(getattr(job, "DIRS", []) or [])
+        archives = list(getattr(job, "ARCHIVES", []) or [])
+        if not files and not archives:
+            return None
+        import tarfile
+        import tempfile
+        import zipfile
+
+        wd = tempfile.mkdtemp(prefix="mrjob_spark_inline_wd_")
+        for entry in files:
+            path, _, alias = str(entry).partition("#")
+            name = alias or os.path.basename(path.rstrip("/"))
+            dest = os.path.join(wd, name)
+            if not os.path.exists(dest):
+                os.symlink(os.path.abspath(path), dest)
+        for entry in archives:
+            path, _, alias = str(entry).partition("#")
+            name = alias or os.path.basename(path)
+            dest = os.path.join(wd, name)
+            if os.path.exists(dest):
+                continue
+            if tarfile.is_tarfile(path):
+                os.makedirs(dest, exist_ok=True)
+                with tarfile.open(path) as tf:
+                    tf.extractall(dest)
+            elif zipfile.is_zipfile(path):
+                os.makedirs(dest, exist_ok=True)
+                with zipfile.ZipFile(path) as zf:
+                    zf.extractall(dest)
+            else:
+                os.symlink(os.path.abspath(path), dest)
+        return wd
 
     # -- execution ------------------------------------------------------
 
@@ -146,17 +195,25 @@ class InlineJobRunner:
         # pairs) see stdin data instead of silently dropping it
         self.input_paths = spool_stdin(self.job, self.input_paths)
         pairs = self._source_pairs(steps)
-        for step_num, step in enumerate(steps):
-            if isinstance(step, SparkStep):
-                raise NotImplementedError(
-                    "SparkStep requires the Spark runner (make_runner)"
-                )
-            if isinstance(step, JarStep):
-                pairs = self._run_jar_step(step, step_num, pairs)
-            elif isinstance(step, SparkScriptStep):
-                pairs = self._run_spark_script_step(step, step_num, pairs)
-            else:
-                pairs = self._run_step(step, step_num, pairs)
+        workdir = self._make_workdir()
+        launch_dir = os.getcwd()
+        try:
+            if workdir:
+                os.chdir(workdir)
+            for step_num, step in enumerate(steps):
+                if isinstance(step, SparkStep):
+                    raise NotImplementedError(
+                        "SparkStep requires the Spark runner (make_runner)"
+                    )
+                if isinstance(step, JarStep):
+                    pairs = self._run_jar_step(step, step_num, pairs)
+                elif isinstance(step, SparkScriptStep):
+                    pairs = self._run_spark_script_step(step, step_num, pairs)
+                else:
+                    pairs = self._run_step(step, step_num, pairs)
+        finally:
+            if workdir:
+                os.chdir(launch_dir)
         self._output = pairs
 
         if self.output_dir:

@@ -84,6 +84,32 @@ def _jobconf_env(jobconf: dict) -> dict:
 _SETUP_APPLIED: set = set()
 
 
+def _ensure_task_workdir(want: bool) -> None:
+    """Enter the task working directory when the job shipped uploads.
+
+    Reference tasks run in a scratch dir where every FILES/ARCHIVES/DIRS
+    entry appears under its basename (``mrjob/sim.py`` working-dir
+    mirror), so example code does ``open('stop_words.txt')`` with a bare
+    name — the documented side-file idiom. Spark's equivalent is the
+    SparkFiles root (where ``addFile``/``addArchive`` materialize
+    uploads), so when the job shipped anything the Python worker chdirs
+    there before user code runs. Worker processes are per-executor and
+    every task targets the same directory, so the sticky chdir is
+    consistent; jobs with no uploads keep the worker's default cwd.
+    (Found by tests/test_reference_differential.py: the reference's own
+    MRMostUsedWord example relies on this contract.)"""
+    if not want:
+        return
+    try:
+        from pyspark import SparkFiles
+
+        root = SparkFiles.getRootDirectory()
+        if os.path.isdir(root):
+            os.chdir(root)
+    except Exception:
+        pass
+
+
 def _ensure_task_setup(setup_lines: list, base_env: dict, nonce: str = "") -> None:
     """Run ``setup`` before the first Python substep on this executor.
 
@@ -262,6 +288,9 @@ class SparkJobRunner:
         )
         job._counter_acc = self._counter_acc
 
+        self._has_uploads = bool(
+            job.FILES or getattr(job, "ARCHIVES", None) or getattr(job, "DIRS", None)
+        )
         for path in job.FILES:
             spark.sparkContext.addFile(path)
         for path in getattr(job, "ARCHIVES", []) or []:
@@ -488,9 +517,11 @@ class SparkJobRunner:
         )
         task_env = self._task_env()
         nonce = self._setup_nonce
+        has_uploads = self._has_uploads
 
         def map_partition(items: Iterable) -> Iterator:
             _ensure_task_setup(setup_lines, task_env, nonce)
+            _ensure_task_workdir(has_uploads)
             if mapper_init:
                 yield from mapper_init() or ()
 
@@ -543,9 +574,11 @@ class SparkJobRunner:
         setup_lines = list(self._setup) if combiner else []
         task_env = self._task_env()
         nonce = self._setup_nonce
+        has_uploads = self._has_uploads
 
         def combine_pairs(pairs: list) -> list:
             _ensure_task_setup(setup_lines, task_env, nonce)
+            _ensure_task_workdir(has_uploads)
             out = []
             if combiner_init:
                 out.extend(combiner_init() or ())
@@ -620,6 +653,7 @@ class SparkJobRunner:
         )
         task_env = self._task_env()
         nonce = self._setup_nonce
+        has_uploads = self._has_uploads
 
         if step.reducer_pre_filter:
             flat = reducer_ready.map(lambda kb_kv: kb_kv[1])
@@ -632,6 +666,7 @@ class SparkJobRunner:
 
         def reduce_partition(items: Iterable) -> Iterator:
             _ensure_task_setup(setup_lines, task_env, nonce)
+            _ensure_task_workdir(has_uploads)
             if reducer_init:
                 yield from reducer_init() or ()
 

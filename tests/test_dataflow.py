@@ -1170,3 +1170,37 @@ def test_two_job_naive_bayes_matches_relational_classifier(spark, tmp_path):
     }
     assert len(got) == len(want) == len(rows)
     assert got == want
+
+
+def test_files_open_by_bare_basename_spark_runner(spark, tmp_path):
+    # the reference's task working-dir contract (mrjob/sim.py wd mirror):
+    # a FILES entry is openable by BARE basename from task code — the
+    # idiom the reference's own MRMostUsedWord example uses. The Spark
+    # runner enters the SparkFiles root in each Python worker
+    # (_ensure_task_workdir); the inline twin is covered by
+    # test_reference_differential.py
+    side = tmp_path / "lookup.txt"
+    side.write_text("banana\n")
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana apple\n")
+
+    class MRFilesByBasename(SparkMRJob):
+        FILES = [str(side)]
+
+        def mapper_init(self):
+            with open("lookup.txt") as fh:
+                self.keep = {l.strip() for l in fh}
+
+        def mapper(self, _, line):
+            for w in line.split():
+                if w in self.keep:
+                    yield w, 1
+
+        def reducer(self, w, counts):
+            yield w, sum(counts)
+
+    with MRFilesByBasename().make_runner(
+        spark, input_paths=[str(inp)]
+    ) as r:
+        r.run()
+        assert sorted(r.cat_output()) == [("banana", 1)]

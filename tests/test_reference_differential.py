@@ -1,0 +1,180 @@
+"""Property-based differential tests against the REFERENCE implementation.
+
+`compare_reference.py` proves output equality on the fixture corpus;
+these tests prove it on ADVERSARIAL inputs: hypothesis generates small
+random documents and the same job runs through the reference's own
+inline runner (imported from ``$MRJOB_REFERENCE_PATH``, executed — never
+copied) and through this engine's inline runner, asserting identical
+output pairs. The reference is the executable specification here — any
+divergence in tokenization, combiner algebra, or multi-step plumbing
+surfaces as a failing example, minimized by hypothesis.
+
+Scope note: the reference jobs used are its own examples
+(``mrjob/examples/mr_word_freq_count.py``); our side runs the
+semantically identical port from ``dataflow/examples.py``. The
+reference's inline runner is pure single-process Python, so these cases
+are fast enough for property testing; the Spark-runner equivalence is
+covered separately by test_inline.py's ours-vs-ours differentials.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+REFERENCE = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+
+if not os.path.isdir(os.path.join(REFERENCE, "mrjob")):  # pragma: no cover
+    pytest.skip("reference not available", allow_module_level=True)
+
+sys.path.insert(0, REFERENCE)
+
+
+def _run_reference(job_cls, lines: list[str]) -> list[tuple]:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+        path = fh.name
+    try:
+        job = job_cls(args=["-r", "inline", "--no-conf", path])
+        with job.make_runner() as r:
+            r.run()
+            return sorted(job.parse_output(r.cat_output()))
+    finally:
+        os.unlink(path)
+
+
+def _run_ours_inline(job_cls, lines: list[str]) -> list[tuple]:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+        path = fh.name
+    try:
+        with job_cls().make_inline_runner(input_paths=[path]) as r:
+            r.run()
+            return sorted(tuple(kv) for kv in r.cat_output())
+    finally:
+        os.unlink(path)
+
+
+# printable-ish lines: words, digits, punctuation, apostrophes — the
+# space where tokenizer semantics can diverge
+_line = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+        + list("0123456789")
+        + list(" '.,-_!?:;")
+    ),
+    max_size=60,
+)
+
+
+@given(lines=st.lists(_line, max_size=12))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_wordcount_matches_reference_on_random_text(lines):
+    # the flagship example: mapper + combiner + reducer. The reference's
+    # WORD_RE is [\w']+ — our port in compare_reference-style parity form
+    # must produce identical (word, count) pairs for ANY input text
+    from mrjob.examples.mr_word_freq_count import MRWordFreqCount as RefWC
+
+    from mrjob_spark.dataflow import SparkMRJob
+
+    import re
+
+    word_re = re.compile(r"[\w']+")
+
+    class OurWC(SparkMRJob):
+        def mapper(self, _, line):
+            for word in word_re.findall(line):
+                yield word.lower(), 1
+
+        def combiner(self, word, counts):
+            yield word, sum(counts)
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    assert _run_reference(RefWC, lines) == _run_ours_inline(OurWC, lines)
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_most_used_word_matches_reference_on_random_text(lines):
+    # two-step chain (count → global argmax) with the REFERENCE's own
+    # stop-word side file shipped via FILES and loaded in mapper_init:
+    # exercises multi-step plumbing, file shipping, and max() tie
+    # behavior end-to-end. The parity twin replicates the reference
+    # exactly (its example crashes on all-stopword input — max of [] —
+    # so inputs guarantee one token). The reference's JSONValueProtocol
+    # output keeps only the VALUE (the word), so values are compared.
+    import re
+
+    from mrjob.examples.mr_most_used_word import MRMostUsedWord as RefMUW
+
+    from mrjob_spark.dataflow import MRStep, SparkMRJob
+
+    stop_path = os.path.join(REFERENCE, "mrjob", "examples", "stop_words.txt")
+    stop_words = {l.strip() for l in open(stop_path)}
+    word_re = re.compile(r"[\w']+")
+
+    has_token = any(
+        w.lower() not in stop_words
+        for line in lines
+        for w in word_re.findall(line)
+    )
+    if not has_token:
+        lines = lines + ["zebra"]
+
+    class OurMUW(SparkMRJob):
+        FILES = [stop_path]
+
+        def steps(self):
+            return [
+                MRStep(
+                    mapper_init=self.mapper_init,
+                    mapper=self.mapper_get_words,
+                    combiner=self.combiner_count_words,
+                    reducer=self.reducer_count_words,
+                ),
+                MRStep(reducer=self.reducer_find_max_word),
+            ]
+
+        def mapper_init(self):
+            with open("stop_words.txt") as f:
+                self.stop_words = set(line.strip() for line in f)
+
+        def mapper_get_words(self, _, line):
+            for word in word_re.findall(line):
+                word = word.lower()
+                if word not in self.stop_words:
+                    yield (word, 1)
+
+        def combiner_count_words(self, word, counts):
+            yield (word, sum(counts))
+
+        def reducer_count_words(self, word, counts):
+            yield None, (sum(counts), word)
+
+        def reducer_find_max_word(self, _, word_count_pairs):
+            try:
+                yield max(word_count_pairs)
+            except ValueError:
+                pass
+
+    ref = _run_reference(RefMUW, lines)
+    ours = _run_ours_inline(OurMUW, lines)
+    assert [v for _k, v in ref] == [v for _k, v in ours]
