@@ -228,3 +228,35 @@ def test_next_word_stats_matches_reference_on_random_text(lines):
         return x
 
     assert canon(ref) == canon(ours)
+
+
+# JSON-safe nested values: the space both JSONProtocols must agree on
+_json_vals = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**31), max_value=2**31)
+    | st.text(max_size=12),
+    lambda children: st.lists(children, max_size=3)
+    | st.dictionaries(st.text(max_size=6), children, max_size=3),
+    max_leaves=6,
+)
+
+
+@given(key=_json_vals, value=_json_vals)
+@settings(max_examples=50, deadline=None)
+def test_json_protocol_bytes_match_reference(key, value):
+    # byte-level wire parity of the default INTERNAL/OUTPUT protocol:
+    # what jar steps, script steps, and any downstream consumer of a
+    # job's output files actually see. The encodings must be mutually
+    # readable AND canonically identical (tab-separated compact JSON),
+    # or a reference-written step boundary misparses here and vice versa
+    from mrjob.protocol import JSONProtocol as RefJSON
+
+    from mrjob_spark.dataflow.protocols import JSONProtocol as OurJSON
+
+    ref, ours = RefJSON(), OurJSON()
+    ref_line = ref.write(key, value)
+    our_line = ours.write(key, value)
+    # cross-read: each engine parses the other's bytes to the same pair
+    assert ref.read(our_line) == (key, value)
+    assert ours.read(ref_line) == (key, value)
