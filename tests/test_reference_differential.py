@@ -260,3 +260,67 @@ def test_json_protocol_bytes_match_reference(key, value):
     # cross-read: each engine parses the other's bytes to the same pair
     assert ref.read(our_line) == (key, value)
     assert ours.read(ref_line) == (key, value)
+
+
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefguU") + list(" '\t.,!\\\"$`")
+            ),
+            max_size=30,
+        ),
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pre_filter_matches_reference_on_adversarial_text(lines):
+    # the shell pre-filter path (P4): raw lines flow through `grep -i u`
+    # in a real /bin/sh pipeline on BOTH engines before the mapper. The
+    # alphabet deliberately includes tabs, quotes, backslashes, backticks
+    # and dollar signs — the characters that break naive shell quoting or
+    # tab-splitting of raw streams. The reference's INLINE runner refuses
+    # pre-filters (NotImplementedError), so its LOCAL runner
+    # (multiprocessing + real pipes) is the specification here.
+    import re
+
+    from mrjob.examples.mr_words_containing_u_freq_count import (
+        MRWordsContainingUFreqCount as RefU,
+    )
+
+    from mrjob_spark.dataflow import SparkMRJob
+
+    u_word_re = re.compile(r"[\w']*u[\w']*", re.I)
+
+    class OurU(SparkMRJob):
+        mapper_pre_filter = "grep -i u"
+
+        def mapper(self, _, line):
+            for word in u_word_re.findall(line):
+                yield word.lower(), 1
+
+        def combiner(self, word, counts):
+            yield word, sum(counts)
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+        path = fh.name
+    try:
+        job = RefU(args=["-r", "local", "--no-conf", path])
+        with job.make_runner() as r:
+            r.run()
+            ref = sorted(job.parse_output(r.cat_output()))
+    finally:
+        os.unlink(path)
+
+    ours = _run_ours_inline(OurU, lines)
+    assert ref == ours
