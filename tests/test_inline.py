@@ -264,3 +264,49 @@ def test_spark_script_step_inline_matches_spark(spark, tmp_path):
     spark_runner = MRWordsUpper().make_runner(spark, input_paths=[str(inp)])
     spark_runner.run()
     assert sorted(inline.cat_output()) == sorted(spark_runner.cat_output())
+
+
+def test_inline_workdir_mirrors_archives_and_dirs(tmp_path):
+    # the reference's task working-dir contract (mrjob/sim.py): ARCHIVES
+    # unpack into an '#alias' directory and DIRS appear under their
+    # basename, both reachable by BARE RELATIVE PATH from task code —
+    # round 5's inline workdir mirror (InlineJobRunner._make_workdir)
+    import tarfile
+
+    src = tmp_path / "bundle_src"
+    src.mkdir()
+    (src / "stopwords.txt").write_text("the\na\n")
+    tar_path = str(tmp_path / "bundle.tar.gz")
+    with tarfile.open(tar_path, "w:gz") as tar:
+        tar.add(str(src / "stopwords.txt"), arcname="stopwords.txt")
+
+    keep_dir = tmp_path / "keeplist"
+    keep_dir.mkdir()
+    (keep_dir / "keep.txt").write_text("fox\ndog\n")
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("the quick fox\na quick dog\n")
+
+    class MRArchiveDirJob(SparkMRJob):
+        ARCHIVES = [tar_path + "#stopbundle"]
+        DIRS = [str(keep_dir)]
+
+        def mapper_init(self):
+            with open("stopbundle/stopwords.txt") as fh:
+                self._stop = set(fh.read().split())
+            with open("keeplist/keep.txt") as fh:
+                self._keep = set(fh.read().split())
+
+        def mapper(self, _, line):
+            for w in line.lower().split():
+                if w in self._keep and w not in self._stop:
+                    yield w, 1
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    with MRArchiveDirJob().make_inline_runner(
+        input_paths=[str(inp)]
+    ) as r:
+        r.run()
+        assert sorted(r.cat_output()) == [("dog", 1), ("fox", 1)]

@@ -324,3 +324,98 @@ def test_pre_filter_matches_reference_on_adversarial_text(lines):
 
     ours = _run_ours_inline(OurU, lines)
     assert ref == ours
+
+
+_text_field = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r", codec="utf-8"),
+    max_size=20,
+)
+
+
+@given(key=_text_field, value=_text_field)
+@settings(max_examples=50, deadline=None)
+def test_text_protocol_bytes_match_reference(key, value):
+    # TextProtocol wire parity: UTF-8 fields tab-joined, read splits on
+    # the FIRST tab (value keeps embedded tabs). Hadoop streaming's text
+    # convention — the format *_cmd substeps and text sinks speak.
+    from mrjob.protocol import TextProtocol as RefText
+
+    from mrjob_spark.dataflow.protocols import TextProtocol as OurText
+
+    ref, ours = RefText(), OurText()
+    assert ref.write(key, value) == ours.write(key, value)
+    line = ours.write(key, value)
+    assert ref.read(line) == ours.read(line)
+
+
+@given(lines=st.lists(_line, max_size=8))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_counters_match_reference_on_random_text(lines):
+    # A8 differential: increment_counter calls from mapper AND reducer
+    # must produce the same nested {group: {name: amount}} totals the
+    # reference's inline runner reports for the same input
+    import re
+    import tempfile
+
+    from mrjob.job import MRJob
+
+    from mrjob_spark.dataflow import SparkMRJob
+
+    word_re = re.compile(r"[\w']+")
+
+    class RefCounted(MRJob):
+        def mapper(self, _, line):
+            self.increment_counter("input", "lines")
+            for w in word_re.findall(line):
+                self.increment_counter("input", "words")
+                yield w.lower(), 1
+
+        def reducer(self, word, counts):
+            self.increment_counter("output", "distinct", 2)
+            yield word, sum(counts)
+
+    class OurCounted(SparkMRJob):
+        def mapper(self, _, line):
+            self.increment_counter("input", "lines")
+            for w in word_re.findall(line):
+                self.increment_counter("input", "words")
+                yield w.lower(), 1
+
+        def reducer(self, word, counts):
+            self.increment_counter("output", "distinct", 2)
+            yield word, sum(counts)
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+        path = fh.name
+    try:
+        job = RefCounted(args=["-r", "inline", "--no-conf", path])
+        with job.make_runner() as r:
+            r.run()
+            ref_counters = r.counters()
+    finally:
+        os.unlink(path)
+    ref_total: dict = {}
+    for step in ref_counters:
+        for group, names in step.items():
+            for name, amount in names.items():
+                ref_total.setdefault(group, {})
+                ref_total[group][name] = (
+                    ref_total[group].get(name, 0) + amount
+                )
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+        path = fh.name
+    try:
+        with OurCounted().make_inline_runner(input_paths=[path]) as r:
+            r.run()
+            ours = r.counters()
+    finally:
+        os.unlink(path)
+
+    assert ref_total == {g: dict(n) for g, n in ours.items()}
