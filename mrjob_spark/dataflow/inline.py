@@ -102,14 +102,6 @@ class InlineJobRunner:
         env.update(self._cmdenv)
         return env
 
-    # context-manager contract, like SparkJobRunner / the reference's
-    # `with job.make_runner() as runner:` (mrjob/runner.py:671-677)
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        return False
-
     # -- input ----------------------------------------------------------
 
     def _source_pairs(self, steps) -> list:
@@ -195,7 +187,7 @@ class InlineJobRunner:
         # pairs) see stdin data instead of silently dropping it
         self.input_paths = spool_stdin(self.job, self.input_paths)
         pairs = self._source_pairs(steps)
-        workdir = self._make_workdir()
+        workdir = self._workdir = self._make_workdir()
         launch_dir = os.getcwd()
         try:
             if workdir:
@@ -463,9 +455,16 @@ class InlineJobRunner:
     def counters(self) -> dict:
         return self._counters.value
 
-    # context manager for API parity with SparkJobRunner
+    # context-manager contract, like SparkJobRunner / the reference's
+    # `with job.make_runner() as runner:` (mrjob/runner.py:671-677); exit
+    # removes the task-workdir mirror
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
+        wd = getattr(self, "_workdir", None)
+        if wd:
+            import shutil
+
+            shutil.rmtree(wd, ignore_errors=True)
         return False
