@@ -419,3 +419,73 @@ def test_counters_match_reference_on_random_text(lines):
         os.unlink(path)
 
     assert ref_total == {g: dict(n) for g, n in ours.items()}
+
+
+@given(
+    contents=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc \t.")), max_size=25
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mapper_raw_matches_reference_on_random_files(contents):
+    # the whole-file path (S4, mapper_raw): each input FILE is handed to
+    # the mapper as a local path + URI. Both engines must deliver every
+    # file exactly once with identical bytes — divergence in file
+    # delivery, trailing-newline handling, or per-file isolation shows up
+    # as differing digests. One temp file per hypothesis-generated text.
+    import hashlib
+    import tempfile
+
+    from mrjob.job import MRJob
+
+    from mrjob_spark.dataflow import SparkMRJob
+
+    class RefRaw(MRJob):
+        def mapper_raw(self, path, uri):
+            with open(path, "rb") as fh:
+                data = fh.read()
+            yield hashlib.md5(data).hexdigest(), len(data)
+
+        def reducer(self, digest, sizes):
+            yield digest, sum(sizes)
+
+    class OurRaw(SparkMRJob):
+        def mapper_raw(self, path, uri):
+            with open(path, "rb") as fh:
+                data = fh.read()
+            yield hashlib.md5(data).hexdigest(), len(data)
+
+        def reducer(self, digest, sizes):
+            yield digest, sum(sizes)
+
+    paths = []
+    try:
+        for text in contents:
+            fh = tempfile.NamedTemporaryFile(
+                "w", suffix=".txt", delete=False
+            )
+            fh.write(text)
+            fh.close()
+            paths.append(fh.name)
+
+        job = RefRaw(args=["-r", "inline", "--no-conf"] + paths)
+        with job.make_runner() as r:
+            r.run()
+            ref = sorted(job.parse_output(r.cat_output()))
+
+        with OurRaw().make_inline_runner(input_paths=list(paths)) as r:
+            r.run()
+            ours = sorted(tuple(kv) for kv in r.cat_output())
+    finally:
+        for p in paths:
+            os.unlink(p)
+
+    assert ref == ours
