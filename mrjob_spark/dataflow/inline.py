@@ -169,10 +169,23 @@ class InlineJobRunner:
             if tarfile.is_tarfile(path):
                 os.makedirs(dest, exist_ok=True)
                 with tarfile.open(path) as tf:
-                    tf.extractall(dest)
+                    # filter="data" rejects absolute/../ members (tar-slip)
+                    # and strips setuid bits etc. (PEP 706; 3.11.4+)
+                    tf.extractall(dest, filter="data")
             elif zipfile.is_zipfile(path):
                 os.makedirs(dest, exist_ok=True)
                 with zipfile.ZipFile(path) as zf:
+                    # zipfile.extract sanitizes absolute paths and '..'
+                    # natively, but reject suspicious members loudly
+                    # rather than silently relocating them
+                    bad = [
+                        n for n in zf.namelist()
+                        if n.startswith(("/", "\\")) or ".." in n.split("/")
+                    ]
+                    if bad:
+                        raise ValueError(
+                            f"unsafe archive member paths in {path}: {bad[:3]}"
+                        )
                     zf.extractall(dest)
             else:
                 os.symlink(os.path.abspath(path), dest)
@@ -187,6 +200,15 @@ class InlineJobRunner:
         # pairs) see stdin data instead of silently dropping it
         self.input_paths = spool_stdin(self.job, self.input_paths)
         pairs = self._source_pairs(steps)
+        # run() is supported without the context manager, and repeatedly on
+        # one runner: reap the previous run's workdir here so neither
+        # pattern leaks a mrjob_spark_inline_wd_* dir (__exit__ stays as
+        # the backstop for the final one; ADVICE r5)
+        prev_wd = getattr(self, "_workdir", None)
+        if prev_wd:
+            import shutil
+
+            shutil.rmtree(prev_wd, ignore_errors=True)
         workdir = self._workdir = self._make_workdir()
         launch_dir = os.getcwd()
         try:

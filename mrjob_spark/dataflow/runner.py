@@ -84,6 +84,14 @@ def _jobconf_env(jobconf: dict) -> dict:
 _SETUP_APPLIED: set = set()
 
 
+#: the Python worker's cwd before any job chdir'd it — recorded on the
+#: first _ensure_task_workdir call in each worker process, restored for
+#: jobs that ship no uploads (workers are REUSED across jobs in one
+#: SparkSession, so a sticky chdir would otherwise leak the previous
+#: job's SparkFiles root into later jobs' relative-path reads; ADVICE r5)
+_WORKER_HOME: "str | None" = None
+
+
 def _ensure_task_workdir(want: bool) -> None:
     """Enter the task working directory when the job shipped uploads.
 
@@ -93,21 +101,35 @@ def _ensure_task_workdir(want: bool) -> None:
     name — the documented side-file idiom. Spark's equivalent is the
     SparkFiles root (where ``addFile``/``addArchive`` materialize
     uploads), so when the job shipped anything the Python worker chdirs
-    there before user code runs. Worker processes are per-executor and
-    every task targets the same directory, so the sticky chdir is
-    consistent; jobs with no uploads keep the worker's default cwd.
-    (Found by tests/test_reference_differential.py: the reference's own
+    there before user code runs. Worker processes are per-executor,
+    REUSED across jobs, and every task of one job targets the same
+    directory — so upload jobs chdir in, and no-upload jobs chdir BACK to
+    the worker's recorded original cwd, keeping behavior consistent
+    across the jobs that share a worker. (Found by
+    tests/test_reference_differential.py: the reference's own
     MRMostUsedWord example relies on this contract.)"""
-    if not want:
-        return
-    try:
-        from pyspark import SparkFiles
+    global _WORKER_HOME
+    if _WORKER_HOME is None:
+        try:
+            _WORKER_HOME = os.getcwd()
+        except OSError:  # inherited cwd already deleted
+            _WORKER_HOME = tempfile.gettempdir()
+    if want:
+        try:
+            from pyspark import SparkFiles
 
-        root = SparkFiles.getRootDirectory()
-        if os.path.isdir(root):
-            os.chdir(root)
-    except Exception:
-        pass
+            root = SparkFiles.getRootDirectory()
+            if os.path.isdir(root):
+                os.chdir(root)
+        except Exception:
+            pass
+    else:
+        try:
+            drifted = os.getcwd() != _WORKER_HOME
+        except OSError:
+            drifted = True
+        if drifted and os.path.isdir(_WORKER_HOME):
+            os.chdir(_WORKER_HOME)
 
 
 def _ensure_task_setup(setup_lines: list, base_env: dict, nonce: str = "") -> None:

@@ -28,16 +28,31 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # DuckDB oracle; None → driver does rows-only check
     doc: str = ""
+    #: set when this query is a CORRECTNESS BASELINE whose physical form is
+    #: known super-linear at scale — the value names the registered
+    #: production twin that IS the shippable form. Machine-readable "don't
+    #: ship this plan" (VERDICT r5 task 4); tests/test_registry.py asserts
+    #: every baseline's twin exists.
+    baseline_of: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, sql: str | None = None):
-    """Register a query under ``name`` with its DuckDB oracle SQL."""
+def query(name: str, sql: str | None = None, baseline_of: str | None = None):
+    """Register a query under ``name`` with its DuckDB oracle SQL.
+
+    ``baseline_of="twin_name"`` marks the query as a labeled correctness
+    baseline (quadratic/cartesian/uncapped form kept for oracle parity and
+    honest cost comparison); ``twin_name`` is the linear-regime production
+    query that replaces it at scale.
+    """
 
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, sql=sql, doc=fn.__doc__ or "",
+            baseline_of=baseline_of,
+        )
         return fn
 
     return deco

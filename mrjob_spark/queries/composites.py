@@ -717,7 +717,11 @@ def q9_product_type_profit(spark, sf_dir):
         t.lineitem.join(widget_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(t.orders.select("o_orderkey", "o_orderdate")),
+            # NO broadcast hint here: orders is an unfiltered fact, so the
+            # join must stay scale-adaptive (shuffle at 100 TB, AQE may
+            # still downgrade to broadcast at fixture scale). A hard hint
+            # would force collecting the whole fact — see q12, same policy.
+            t.orders.select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
@@ -837,8 +841,8 @@ def q12_priority_class(spark, sf_dir):
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#1'
       AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                            WHERE s_suppkey % 10 = 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey % 10 = 0 AND s_suppkey = l_suppkey)
     GROUP BY p_brand, p_type, p_size
     """,
 )
@@ -846,8 +850,10 @@ def q16_supplier_part_counts(spark, sf_dir):
     """TPC-H Q16 shape — how many distinct suppliers can furnish each
     (brand, type, size) bucket, excluding a denylist (suppkey % 10 stands
     in for the namesake's comment-LIKE complaint filter; lineitem pairs
-    for partsupp). The planner pattern: the NOT IN compiles to a LEFT ANTI
-    join against a broadcast of the (tiny, already-filtered) denylist; the
+    for partsupp). The planner pattern: the NOT EXISTS (not NOT IN, whose
+    three-valued NULL semantics diverge from an anti-join — ADVICE r5)
+    compiles to a LEFT ANTI join against a broadcast of the (tiny,
+    already-filtered) denylist; the
     part predicates broadcast-reduce the bridge before the distinct
     aggregate; and the distinct-supplier count is a two-phase aggregate
     (partial distinct per partition, exact merge) — no global sort, no

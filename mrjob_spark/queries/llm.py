@@ -82,7 +82,8 @@ def l1_normalized_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("l2_minhash_lsh_pairs", sql=sql_minhash_lsh_pairs(threshold=0.6))
+@query("l2_minhash_lsh_pairs", sql=sql_minhash_lsh_pairs(threshold=0.6),
+       baseline_of="l2_minhash_lsh_capped")
 def l2_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified. The whole
     pipeline (shingle → minhash → band → bucket join → verify) is portable
@@ -106,7 +107,8 @@ SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
 """.format(lsh_sql=sql_minhash_lsh_pairs(threshold=0.6))
 
 
-@query("l1_dedup_clusters", sql=_CLUSTERS_SQL)
+@query("l1_dedup_clusters", sql=_CLUSTERS_SQL,
+       baseline_of="l1_dedup_clusters_capped")
 def l1_dedup_clusters(spark, sf_dir):
     """Duplicate CLUSTERS, not just pairs: connected components of the
     MinHash-LSH near-dup graph via iterative min-label propagation
@@ -143,6 +145,7 @@ def l2_jaccard_pairs(spark, sf_dir):
 
 @query(
     "l2_embedding_neardup",
+    baseline_of="l2_embedding_neardup_ivf",
     sql="""
     WITH scored AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -535,6 +535,7 @@ def j4_left_outer_join(spark, sf_dir):
 
 @query(
     "j5_range_join",
+    baseline_of="j5_range_join_bucketed",
     sql="""
     SELECT s_suppkey, count(*) AS n_close_customers
     FROM supplier JOIN customer

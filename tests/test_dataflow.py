@@ -1204,3 +1204,25 @@ def test_files_open_by_bare_basename_spark_runner(spark, tmp_path):
     ) as r:
         r.run()
         assert sorted(r.cat_output()) == [("banana", 1)]
+
+
+def test_worker_cwd_restored_for_no_upload_jobs(tmp_path, monkeypatch):
+    # workers are reused across jobs in one SparkSession: after an
+    # upload-bearing job chdirs the worker into its SparkFiles root, a
+    # later job with NO uploads must get the worker's original cwd back,
+    # not inherit the stale upload dir (ADVICE r5)
+    from mrjob_spark.dataflow import runner as dr
+
+    home = tmp_path / "worker_home"
+    home.mkdir()
+    elsewhere = tmp_path / "stale_upload_root"
+    elsewhere.mkdir()
+
+    monkeypatch.setattr(dr, "_WORKER_HOME", None)
+    monkeypatch.chdir(home)
+    dr._ensure_task_workdir(False)  # records home
+    assert os.getcwd() == str(home)
+
+    os.chdir(elsewhere)  # simulate a previous upload job's sticky chdir
+    dr._ensure_task_workdir(False)
+    assert os.getcwd() == str(home), "no-upload job inherited stale cwd"

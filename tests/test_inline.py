@@ -310,3 +310,63 @@ def test_inline_workdir_mirrors_archives_and_dirs(tmp_path):
     ) as r:
         r.run()
         assert sorted(r.cat_output()) == [("dog", 1), ("fox", 1)]
+
+
+def test_inline_run_twice_reaps_previous_workdir(tmp_path):
+    # run() without the context manager is supported; a second run() on the
+    # same runner must remove the first run's task-workdir mirror instead
+    # of orphaning it (ADVICE r5)
+    import glob
+    import tempfile
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("x\n")
+    side = tmp_path / "side.txt"
+    side.write_text("ok\n")
+
+    class MRSideJob(SparkMRJob):
+        FILES = [str(side)]
+
+        def mapper(self, _, line):
+            with open("side.txt") as fh:
+                yield fh.read().strip(), 1
+
+    r = MRSideJob().make_inline_runner(input_paths=[str(inp)])
+    r.run()
+    first_wd = r._workdir
+    assert first_wd and os.path.isdir(first_wd)
+    r.run()
+    assert not os.path.exists(first_wd), "previous run's workdir leaked"
+    second_wd = r._workdir
+    assert second_wd != first_wd and os.path.isdir(second_wd)
+    r.__exit__(None, None, None)
+    assert not os.path.exists(second_wd)
+
+
+def test_inline_archive_tar_slip_rejected(tmp_path):
+    # a tar member with a ../ path must not escape the workdir (PEP 706
+    # data filter; ADVICE r5)
+    import io
+    import tarfile
+
+    import pytest
+
+    evil = str(tmp_path / "evil.tar")
+    with tarfile.open(evil, "w") as tar:
+        data = b"pwned\n"
+        info = tarfile.TarInfo(name="../escape.txt")
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("x\n")
+
+    class MREvilJob(SparkMRJob):
+        ARCHIVES = [evil + "#bundle"]
+
+        def mapper(self, _, line):
+            yield line, 1
+
+    with pytest.raises(Exception):  # tarfile filter raises OutsideDestinationError
+        MREvilJob().make_inline_runner(input_paths=[str(inp)]).run()
+    assert not (tmp_path / "escape.txt").exists()

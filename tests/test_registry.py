@@ -100,6 +100,27 @@ def test_window_leads_with_stalest_greens():
     )
 
 
+def test_every_baseline_has_a_registered_production_twin():
+    # baseline_of is the machine-readable "don't ship this plan" marker
+    # (VERDICT r5 task 4): each labeled super-linear correctness baseline
+    # must point at a registered linear-regime twin, the twin must be a
+    # DIFFERENT query, and twins must not themselves be baselines
+    baselines = {
+        n: s.baseline_of for n, s in q.REGISTRY.items() if s.baseline_of
+    }
+    # the four known super-linear physical forms must stay labeled
+    assert {
+        "l1_dedup_clusters", "l2_minhash_lsh_pairs",
+        "j5_range_join", "l2_embedding_neardup",
+    } <= set(baselines)
+    for name, twin in baselines.items():
+        assert twin in q.REGISTRY, f"{name}: twin {twin!r} not registered"
+        assert twin != name, f"{name}: baseline_of must name a different query"
+        assert q.REGISTRY[twin].baseline_of is None, (
+            f"{name}: twin {twin!r} is itself a baseline"
+        )
+
+
 def test_oracle_sql_types_and_column_alias_discipline():
     for name, spec in q.REGISTRY.items():
         if spec.sql is not None:
