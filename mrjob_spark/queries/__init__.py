@@ -113,70 +113,67 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new or semantically changed in round 5: tolerance oracles (a10,
-    # knn_lsh + the multi-table LSH rewrite), the spark-script step query,
-    # the k-means seed-rule oracle fix, q8's explicit broadcast hints, and
-    # the classifier pipeline that rides the reworked file-arg plumbing
-    "a10_approx_count_distinct",
-    "l3_knn_lsh",
-    "x6_spark_script",
-    "l2_minhash_lsh_capped",
-    "l3_kmeans_assign",
-    "q8_market_share",
-    "mr_text_classifier",
-    # new in round 5: the remaining TPC-H shapes (no partsupp in the
-    # fixture — lineitem bridges part↔supplier; see composites.py)
-    "q2_min_cost_supplier",
+    # new or semantically changed in round 6: the measured ≥0.7-recall
+    # IVF production point (new query), q9's scale-adaptive orders join
+    # (broadcast hint dropped per ADVICE r5), and q16's NOT IN → NOT
+    # EXISTS oracle restatement
+    "l2_embedding_neardup_ivf_hi",
     "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_priority_class",
     "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "l1_dedup_clusters_capped",
-    "j5_range_join_bucketed",
-    "l2_embedding_neardup_ivf",
-    # last green in rounds 1-2 (pre-environment-shift runtime) — stalest
-    # greens first, in registration order
-    "j2_broadcast_star",
-    "j3_semi_join",
-    "j3_anti_join",
-    "j4_left_outer_join",
-    "j7_star_join",
-    "u2_intersect",
-    "u2_except",  # u1_union yields its slot to l1_dedup_clusters_capped
-    "w1_ranking",
-    "w2_lag_lead",
-    "w3_running_total",
-    "w4_range_frame",
-    "w1_ranking_scalable",
-    "w4_range_frame_scalable",
-    "j6_asof_join",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_sessionization",
-    "l1_exact_dedup",
-    "l1_normalized_dedup",
-    "l2_simhash",
-    "l2_jaccard_pairs",
-    "l3_knn_bruteforce",
-    "l3_knn_bucketed",
-    "l4_token_stats",
-    # r3-era greens that execute through dataflow/runner.py, which round 5
-    # changed (stdin spooling, setup prologue, jobconf precedence) — the
-    # freshest risk, filling the window to 50
-    "s1_s2_gzip_text_scan",
-    "s4_s5_file_attribution",
-    "x1_dataflow_wordcount",
-    "x5_dataflow_pipe_grep",
-    "a8_dataflow_counters",
-    "o3_dataflow_sorted_dates",
-    "o5_dataflow_head_per_group",
-    "x2_dataflow_most_used_word",
-    "mr_next_word_stats",
-    # x6_spark_step (r3-green) yielded its filler slot to the new
-    # l2_minhash_lsh_capped; its runner path is still in-window via
-    # x6_spark_script / the dataflow fillers above.
+    # last green in round 2 (two runtimes ago, pre-environment-shift) —
+    # the stalest greens on the board lead the re-verification window
+    # (VERDICT r5 task 1), including the three that sat in the rotation
+    # queue behind their twins
+    "j5_range_join",
+    "u1_union",
+    "f1_string_funcs",
+    "f2_math_funcs",
+    "f3_conditional",
+    "f4_datetime",
+    "f5_array_funcs",
+    "f6_json",
+    "f7_hash_funcs",
+    "l2_embedding_neardup",
+    # last green in round 3, in registration order (37 of 40 — the three
+    # deferred to _ROTATION_QUEUE each have an r5-green twin exercising
+    # the same machinery)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sql1_ansi_interface",
+    "q18_large_volume_customer",
+    "sql2_correlated_subquery",
+    "q7_volume_shipping",
+    "l5_lang_id",
+    "l7_quality_profile",
+    "l4_doc_fingerprint",
+    "l6_multimodal_bytes",
+    "l6_media_features",
+    "l8_weighted_mixture",
+    "l8_quality_filter",
+    "l8_sequence_packing",
+    "skew_salted_collect_set",
+    "mr_wordcount",
+    "mr_most_used_word",
+    "l4_ngrams",
+    "l4_tfidf",
+    "l5_text_classifier",
+    "l8_decontaminate",
+    "l4_bpe_token_count",
+    "st4_session_window",
+    "st5_stream_dedup",
+    "st6_stateful_running_totals",
+    "st7_stream_enrich_window",
+    "st8_stream_stream_join",
+    "st8_stream_stream_left_outer",
+    "st9_foreachbatch_sink",
+    "s7_csv_roundtrip",
+    "s7_json_roundtrip",
+    "o1_o2_partition_layout",
+    "s10_partitioned_sink",
+    "s6_hadoop_input_format",
+    "s7_orc_roundtrip",
+    "x1_udtf_tokenize",
+    "x2_udaf_quantiles",
 ]
 
 
@@ -190,18 +187,14 @@ _DRIVER_PRIORITY = [
 #: machinery, least exposed to the engine-behavior drift the freshness
 #: policy guards against). They lead the round-6 window.
 _ROTATION_QUEUE: list[str] = [
-    "u1_union",  # displaced by l1_dedup_clusters_capped (plain unionByName)
-    # displaced by their own round-5 scale twins, which re-verify the
-    # same oracle (j5 verbatim) / the same pipeline (neardup ivf)
-    "j5_range_join",
-    "l2_embedding_neardup",
-    "f1_string_funcs",
-    "f2_math_funcs",
-    "f3_conditional",
-    "f4_datetime",
-    "f5_array_funcs",
-    "f6_json",
-    "f7_hash_funcs",
+    # r3-greens deferred one round to make room for round 6's new/changed
+    # queries — each has an r5-green twin riding the same machinery, so
+    # the deferral re-verifies nothing twice while the window re-checks
+    # queries with NO fresher sibling:
+    "l2_minhash_lsh_pairs",  # capped twin (same SQL template + cap) green r5
+    "l1_dedup_clusters",  # capped-cluster twin green r5, same CC operator
+    "x6_spark_step",  # x6_spark_script (same runner path) green r5; also
+    # the one correctness-gate query paying a spark-submit cold start
 ]
 
 

@@ -1113,15 +1113,21 @@ def j5_range_join_bucketed(spark, sf_dir):
     )
 
 
-_NEARDUP_IVF_SQL = """
+def _sql_neardup_ivf(seed_sql: str, probe: int) -> str:
+    """DuckDB oracle for the IVF near-dup family: full quantized k-means
+    (``seed_sql`` names the seed-centroid CTE body, one exact integer
+    update round, ``rn <= probe`` multi-probe final assignment) +
+    candidate join + cosine — parameterized so the cheap tier (k=20,
+    probe=2) and the production default (k = ceil(1.4·sqrt(n)), probe=4)
+    share one audited template."""
+    return f"""
     WITH q AS (
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                               x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
         FROM embeddings
     ), c0 AS (
-        SELECT vec_id AS cluster, qv AS cv FROM q
-        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 20)
+        {seed_sql}
     ), d0 AS (
         SELECT vec_id, cluster, CAST(sum((a - b) * (a - b)) AS BIGINT) AS dist
         FROM (SELECT q.vec_id, c.cluster, unnest(q.qv) AS a, unnest(c.cv) AS b
@@ -1152,7 +1158,7 @@ _NEARDUP_IVF_SQL = """
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY dist, cluster) AS rn
             FROM d1) zz
-        WHERE rn <= 2
+        WHERE rn <= {probe}
     ), cand AS (
         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         FROM a2 x JOIN a2 y
@@ -1167,6 +1173,25 @@ _NEARDUP_IVF_SQL = """
     WHERE (floor((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                          CAST(eb.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) >= 0.4
 """
+
+
+_NEARDUP_IVF_SQL = _sql_neardup_ivf(
+    seed_sql="""SELECT vec_id AS cluster, qv AS cv FROM q
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 20)""",
+    probe=2,
+)
+
+#: production ≥0.7-recall point: k=20 cells, 3-probe. The measured
+#: frontier (tools/ivf_frontier.py, SCALE.md §11) collapses onto one
+#: recall-vs-work-fraction curve (work ≈ probe²/k) at this threshold, so
+#: recall is set by the FRACTION of pair-space probed, not by any
+#: √-corpus k rule — k=20/probe=3 is the cheapest config holding ≥0.75
+#: recall at BOTH sf0.1 and sf1.
+_NEARDUP_IVF_HI_SQL = _sql_neardup_ivf(
+    seed_sql="""SELECT vec_id AS cluster, qv AS cv FROM q
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 20)""",
+    probe=3,
+)
 
 
 @query("l2_embedding_neardup_ivf", sql=_NEARDUP_IVF_SQL)
@@ -1196,6 +1221,67 @@ def l2_embedding_neardup_ivf(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     assign = kmeans_assign(t.embeddings, k=20, iters=1, probe=2).select(
+        "vec_id", "cluster"
+    )
+    x, y = assign.alias("x"), assign.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    emb = parallelize_narrow_scan(t.embeddings.select("vec_id", "embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("_ia"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("_ib"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
+    )
+    cosine = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(ea, F.col("id_a") == F.col("_ia"))
+        .join(eb, F.col("id_b") == F.col("_ib"))
+        .select("id_a", "id_b", rnd(cosine, 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+@query("l2_embedding_neardup_ivf_hi", sql=_NEARDUP_IVF_HI_SQL)
+def l2_embedding_neardup_ivf_hi(spark, sf_dir):
+    """Embedding near-dup, PRODUCTION ≥0.7-recall operating point (VERDICT
+    r5 task 2). The full (k, probe, iters) frontier was measured at sf0.1
+    (2k vectors) AND sf1 (20k) with exact all-pairs truth
+    (tools/ivf_frontier.py; tables in SCALE.md §11), and the measurement
+    REFUTED the obvious knob: a √-corpus-scaled k (k=63→198, probe=4)
+    holds 0.765 recall at sf0.1 but collapses to 0.46 at sf1. At this
+    threshold (cosine ≥ 0.4 — an absolute far-neighbor cut, not a
+    nearest-neighbor query) every (k, probe, iters) config lands on ONE
+    recall-vs-work curve with work ≈ probe²/k: recall is bought by the
+    fraction of pair-space probed, scale-invariantly, so ≥0.7 recall
+    costs ~0.40× all-pairs work at ANY corpus size and no blocking scheme
+    makes it linear. k=20/probe=3 is the cheapest measured config holding
+    the floor at both scales (0.780 @ sf0.1, 0.774 @ sf1, 0.40× work);
+    extra Lloyd's rounds add ≤0.02 recall — iters=1 is the right spend.
+    The cheap tier ``l2_embedding_neardup_ivf`` (k=20, probe=2: ~0.51
+    recall at 0.19× work) remains for recall-tolerant passes, and the
+    √-k rule stays correct where it belongs — the relative-neighbor
+    ``l3_knn_*`` family. Oracle checks every centroid, every top-3
+    assignment, and every scored pair."""
+    from mrjob_spark.functions.vectors import dot, l2_norm
+    from mrjob_spark.operators.clustering import kmeans_assign
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    t = Tables(spark, sf_dir)
+    assign = kmeans_assign(t.embeddings, k=20, iters=1, probe=3).select(
         "vec_id", "cluster"
     )
     x, y = assign.alias("x"), assign.alias("y")

@@ -145,7 +145,7 @@ def l2_jaccard_pairs(spark, sf_dir):
 
 @query(
     "l2_embedding_neardup",
-    baseline_of="l2_embedding_neardup_ivf",
+    baseline_of="l2_embedding_neardup_ivf_hi",
     sql="""
     WITH scored AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

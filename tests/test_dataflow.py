@@ -158,11 +158,16 @@ def test_combiner_yields_zero_pairs(spark):
         spark, input_rdd=pair_rdd(spark, lines, parts=1)
     ) as r:
         out = dict(r.cat_output())
-    # combiners run 0..n times by contract: singleton keys ("c") never pass
-    # through combineByKey's merge, so they reach the reducer unfiltered —
-    # the same behavior as the reference harness's createCombiner wrap
-    # (mrjob/spark/harness.py:490-495).
-    assert out == {"a": 3, "b": 2, "c": 1}
+    # combiners run 0..n times by contract; since the round-6 spill-time
+    # pre-combine, EVERY key of a map partition passes through the
+    # combiner exactly like the reference's sim runners, which run one
+    # combiner pass over each map task's full sorted output
+    # (mrjob/sim.py:251-285) — so the 0-yield combiner eats singleton
+    # "c" here too, matching `-r inline`/`-r local` (our inline runner
+    # included; previously the Spark path diverged from both by riding
+    # the reference Spark harness's merge-only combine,
+    # mrjob/spark/harness.py:490-495).
+    assert out == {"a": 3, "b": 2}
 
 
 def test_combiner_yields_two_pairs(spark):

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""The sf1 (1000×) oracle differential — including the 15th green.
+
+Round 5 verified 14/15 representative queries value-identical against
+DuckDB at sf1; the 15th, ``l2_minhash_lsh_capped``, failed ONLY in the
+oracle: DuckDB spilled ~80 GB evaluating the single-statement banded-
+minhash SQL because the ``bands`` CTE (16 UNION ALL branches over ``sig``
+over ``sh``) is re-expanded on BOTH sides of the candidate self-join —
+the optimizer squares the whole shingle pipeline instead of materializing
+it once (VERDICT r5 task 3).
+
+This tool restates that oracle as a STAGED, semantically identical
+computation: each CTE becomes a materialized TEMP TABLE (built once), and
+verification shingles are pruned to candidate documents before the
+Jaccard join — exactly the prune the Spark operator itself performs
+(operators/dedup.py:270). Same constants, same hash family, same cap,
+same rounding; only the evaluation order changes, so a value mismatch
+still means an engine divergence, not a harness artifact.
+
+Every other query reuses its registered single-statement oracle via
+driver_sim's comparison rules.
+
+Usage::
+
+    python tools/sf1_verify.py [--sf-dir fixtures/sf1] [--only a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from mrjob_spark.operators.dedup import (  # noqa: E402
+    MERSENNE_61,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_BANDS,
+    ROWS_PER_BAND,
+    SHINGLE_N,
+)
+from mrjob_spark.queries import REGISTRY  # noqa: E402
+from mrjob_spark.session import get_spark  # noqa: E402
+from tools.driver_sim import TABLES, _canon  # noqa: E402
+
+#: the round-5 representative set (SCALE.md §10): aggregation, the 8-table
+#: join, EXISTS towers, band join, dedup/span/LSH, quality filter,
+#: perplexity, and the four-stage pipeline capstone.
+REPRESENTATIVE = [
+    "a1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "j5_range_join_bucketed",
+    "l1_exact_dedup",
+    "l2_span_dedup_capped",
+    "l2_minhash_lsh_capped",
+    "l5_lm_perplexity",
+    "l8_quality_filter",
+    "l8_pipeline_end_to_end",
+    "o6_topk_per_group",
+    "w4_range_frame_scalable",
+    "l4_token_stats",
+    "l3_kmeans_assign",
+]
+
+
+def staged_minhash_oracle(
+    duck: "duckdb.DuckDBPyConnection",
+    threshold: float = 0.6,
+    max_bucket_size: int = 32,
+):
+    """Materialized-stage twin of sql_minhash_lsh_pairs(0.6, cap=32)."""
+    from mrjob_spark.operators.dedup import sql_hex_hash32
+
+    h32 = sql_hex_hash32("substr(t, i, %d)" % SHINGLE_N)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_61}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws('-', {cols})) AS band_hash FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    stages = [
+        f"""CREATE OR REPLACE TEMP TABLE sh AS
+            SELECT DISTINCT doc_id, {h32} AS h FROM (
+                SELECT doc_id, lower(text) AS t,
+                       unnest(generate_series(1, greatest(length(text) - {SHINGLE_N - 1}, 1))) AS i
+                FROM documents
+            )""",
+        f"CREATE OR REPLACE TEMP TABLE sig AS SELECT doc_id, {mins} FROM sh GROUP BY doc_id",
+        f"CREATE OR REPLACE TEMP TABLE bands AS {band_selects}",
+        f"""CREATE OR REPLACE TEMP TABLE live_buckets AS
+            SELECT band_idx, band_hash FROM bands
+            GROUP BY band_idx, band_hash
+            HAVING count(*) > 1 AND count(*) <= {max_bucket_size}""",
+        """CREATE OR REPLACE TEMP TABLE cand AS
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM live_buckets lb
+           JOIN bands a ON a.band_idx = lb.band_idx AND a.band_hash = lb.band_hash
+           JOIN bands b ON b.band_idx = lb.band_idx AND b.band_hash = lb.band_hash
+            AND a.doc_id < b.doc_id""",
+        # the Spark operator's candidate-doc prune (dedup.py:270): shingle
+        # sets for verification are only needed for docs in some pair
+        """CREATE OR REPLACE TEMP TABLE cand_sh AS
+           SELECT * FROM sh WHERE doc_id IN
+             (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)""",
+        """CREATE OR REPLACE TEMP TABLE sizes AS
+           SELECT doc_id, count(*) AS n FROM cand_sh GROUP BY doc_id""",
+    ]
+    for s in stages:
+        duck.execute(s)
+    return duck.execute(f"""
+        WITH inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN cand_sh sa ON sa.doc_id = c.doc_a
+            JOIN cand_sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               (floor((CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter)) * 1000000 + 0.5) / 1000000) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE (floor((CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter)) * 1000000 + 0.5) / 1000000) >= {threshold}
+    """).arrow()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="fixtures/sf1")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    names = [n for n in REPRESENTATIVE if n in REGISTRY]
+    if args.only:
+        keep = set(args.only.split(","))
+        names = [n for n in names if n in keep]
+
+    spark = get_spark(app_name="sf1_verify", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    n_bad = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.monotonic()
+        try:
+            sdf = spec.fn(spark, args.sf_dir)
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            t_spark = time.monotonic() - t0
+
+            t0 = time.monotonic()
+            if name == "l2_minhash_lsh_capped":
+                atab = staged_minhash_oracle(duck)
+            else:
+                atab = duck.execute(spec.sql).arrow()
+            duck_cols = [c.lower() for c in atab.column_names]
+            duck_rows = list(
+                zip(*[atab.column(i).to_pylist() for i in range(atab.num_columns)])
+            ) if atab.num_columns else []
+            t_duck = time.monotonic() - t0
+
+            ok = (
+                sorted(spark_cols) == sorted(duck_cols)
+                and len(spark_rows) == len(duck_rows)
+                and _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols)
+            )
+            n_bad += 0 if ok else 1
+            print(
+                f"[sf1] {'OK ' if ok else 'BAD'} {name}: rows "
+                f"{len(spark_rows)}/{len(duck_rows)} "
+                f"spark={t_spark:.1f}s duck={t_duck:.1f}s", flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            n_bad += 1
+            print(f"[sf1] ERR {name}: {type(exc).__name__}: {exc}", flush=True)
+
+    print(f"[sf1] {len(names)} queries, {n_bad} flagged")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
