@@ -37,6 +37,27 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.0
 
 
+def _env_gates() -> dict:
+    """Optional-dependency gates that dark parts of the declared surface
+    in this environment. Mirrors the import-try gates in the operators
+    themselves (streaming/ops.py transformWithStateInPandas rides
+    pyspark's protobuf-based state protocol; multimodal decode needs
+    codec libs)."""
+    import importlib.util as ilu
+
+    gates = {}
+    try:
+        has_protobuf = ilu.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent package absent entirely
+        has_protobuf = False
+    if not has_protobuf:
+        gates["transform_with_state"] = (
+            "skipped: google-protobuf absent (pyspark "
+            "transformWithStateInPandas state protocol)"
+        )
+    return gates
+
+
 def _materialize(df) -> None:
     # noop sink: full execution, zero driver-side result transfer.
     df.write.format("noop").mode("overwrite").save()
@@ -103,6 +124,13 @@ def main() -> int:
         "cpus": cpus,
         "runs_per_query": n_runs,
     }
+    gates = _env_gates()
+    if gates:
+        # environment-gated surface, surfaced loudly per-run (VERDICT r5
+        # task 7): a reader sees exactly which optional capability is
+        # dark in THIS environment, instead of discovering a silent
+        # test-skip later
+        detail["env_gates"] = gates
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
@@ -130,6 +158,8 @@ def main() -> int:
         "n_failed": sum(1 for v in timings.values() if v is None),
         "detail_file": "bench_detail.json",
     }
+    if gates:
+        summary["env_gates"] = gates
     print(json.dumps(summary), flush=True)
     return 0
 
