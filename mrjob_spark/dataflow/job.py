@@ -319,6 +319,23 @@ class SparkMRJob:
 
         return InlineJobRunner(self, **kwargs)
 
+    def make_local_runner(self, **kwargs):
+        """Build a :class:`LocalJobRunner` — subprocess-per-task execution
+        with an external sort (the reference's ``-r local``,
+        ``mrjob/local.py:143-166``): the runner for tests that need real
+        PROCESS isolation (crashing ``*_init`` hooks, env/cwd mutation,
+        native-code faults stay contained in one task). Same step
+        semantics as inline and Spark; differential-tested against both
+        and against the reference's own runners.
+
+        :param kwargs: ``input_paths``, ``output_dir``, ``num_mappers``,
+            ``num_reducers``, ``jobconf``, ``cmdenv``, ``setup``,
+            ``max_output_files``.
+        """
+        from mrjob_spark.dataflow.local import LocalJobRunner
+
+        return LocalJobRunner(self, **kwargs)
+
     # ------------------------------------------------------------------
     # distributed-cache path resolution (inside tasks)
     # ------------------------------------------------------------------
@@ -449,9 +466,12 @@ class SparkMRJob:
                  "local[*])",
         )
         parser.add_argument(
-            "-r", "--runner", choices=("spark", "inline"), default="spark",
+            "-r", "--runner", choices=("spark", "inline", "local"),
+            default="spark",
             help="inline = single-process, no Spark (dev/test; "
-                 "mrjob/inline.py:60-120)",
+                 "mrjob/inline.py:60-120); local = subprocess-per-task "
+                 "with external sort (process isolation; "
+                 "mrjob/local.py:143-166)",
         )
         self._parser = parser
         self._file_arg_dests: list = []
@@ -600,6 +620,20 @@ class SparkMRJob:
             return self.make_inline_runner(
                 input_paths=list(opts.input) or ["-"],
                 output_dir=opts.output_dir,
+                jobconf=jobconf,
+                conf_jobconf=conf_jobconf,
+                cmdenv=cmdenv,
+                setup=setup,
+            )
+
+        if opts.runner == "local":
+            return self.make_local_runner(
+                input_paths=list(opts.input) or ["-"],
+                output_dir=opts.output_dir,
+                num_reducers=_opt("num_reducers", opts.num_reducers),
+                max_output_files=_opt(
+                    "max_output_files", opts.max_output_files
+                ),
                 jobconf=jobconf,
                 conf_jobconf=conf_jobconf,
                 cmdenv=cmdenv,

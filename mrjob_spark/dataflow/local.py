@@ -1,0 +1,776 @@
+"""``-r local``: subprocess-per-task execution with an external sort.
+
+The reference's local runner (``mrjob/local.py:143-166``) forks a real
+OS process per map/reduce task and shuffles through an external sort
+(``mrjob/local.py:262-279`` / ``mrjob/sim.py``) — the runner users reach
+for when they need PROCESS ISOLATION: a ``mapper_init`` that crashes, an
+``os.chdir`` or env mutation, a C extension that segfaults, all stay
+contained in one task process instead of taking down the dev session the
+way ``-r inline`` (single process) would.
+
+This is that runner for this engine. Per :class:`MRStep`:
+
+1. **split** — step-0 input files split into per-task line chunks
+   (transparent ``.gz``/``.bz2``; ``mapper_raw`` jobs get one task per
+   whole file, same as the reference);
+2. **map tasks** — one ``python -m mrjob_spark.dataflow.local`` child
+   per split. The child loads the job from a cloudpickle spool (works
+   for job classes defined in local/test scope — the reference instead
+   re-invokes the job *script*, a constraint this engine drops), runs
+   ``*_pre_filter``/``*_cmd`` through ``/bin/sh`` and Python substeps
+   as generators, sorts its own output and runs the combiner once per
+   key (the reference's per-mapper combine, ``mrjob/sim.py:251-285``),
+   and spools counters to a JSON sidecar;
+3. **external sort** — all map outputs merge through ``sort`` (C
+   locale) over hex-encoded ``(key_bytes, value_bytes)`` composites —
+   hex preserves byte order, so the disk sort equals the Spark runner's
+   ``repartitionAndSortWithinPartitions`` ordering exactly, SORT_VALUES
+   included. Falls back to an in-memory sort where ``sort`` is missing.
+4. **partition** — sorted lines split into ``num_reducers`` task files
+   on key-hash (``_hash_bytes``, the Spark runner's partitioner), each
+   file keeping global sort order (a subsequence of sorted is sorted);
+5. **reduce tasks** — one child per partition file; lazy per-key value
+   iterators, ``reducer_pre_filter``/``reducer_cmd`` via the shell.
+
+Every task runs in its own scratch working directory mirroring
+FILES/ARCHIVES/DIRS under their basenames (the side-file contract,
+``mrjob/sim.py`` working-dir mirror) with jobconf exposed as
+``mapreduce_*`` env vars — per task, like Hadoop, not per worker.
+
+Scale note: this runner exists for dev/test parity (the reference's
+``-r local`` niche), not for 100 TB — that is the Spark runner's job.
+The shapes still stream: tasks write line-at-a-time, the shuffle is a
+disk sort, and reducer groups are lazy, so it handles what one machine
+holds, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import bz2
+import glob as _glob
+import gzip
+import itertools
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from typing import Iterator, Optional
+
+from mrjob_spark.dataflow.runner import _hash_bytes, _jobconf_env
+from mrjob_spark.dataflow.step import MRStep, spool_stdin
+
+
+def _open_lines(path: str):
+    """Binary line iterator with extension-transparent decompression
+    (``mrjob/cat.py:78-104`` behavior)."""
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def _build_task_workdir(job, dest: str) -> None:
+    """Mirror FILES/DIRS (symlink under basename/#alias) and ARCHIVES
+    (unpack into a directory of that name) into ``dest`` — the task
+    working-directory contract shared with the inline runner."""
+    import tarfile
+    import zipfile
+
+    files = list(job.FILES) + list(getattr(job, "DIRS", []) or [])
+    archives = list(getattr(job, "ARCHIVES", []) or [])
+    for entry in files:
+        path, _, alias = str(entry).partition("#")
+        name = alias or os.path.basename(path.rstrip("/"))
+        target = os.path.join(dest, name)
+        if not os.path.exists(target):
+            os.symlink(os.path.abspath(path), target)
+    for entry in archives:
+        path, _, alias = str(entry).partition("#")
+        name = alias or os.path.basename(path)
+        target = os.path.join(dest, name)
+        if os.path.exists(target):
+            continue
+        if tarfile.is_tarfile(path):
+            os.makedirs(target, exist_ok=True)
+            with tarfile.open(path) as tf:
+                tf.extractall(target, filter="data")
+        elif zipfile.is_zipfile(path):
+            os.makedirs(target, exist_ok=True)
+            with zipfile.ZipFile(path) as zf:
+                bad = [
+                    n for n in zf.namelist()
+                    if n.startswith(("/", "\\")) or ".." in n.split("/")
+                ]
+                if bad:
+                    raise ValueError(
+                        f"unsafe archive member paths in {path}: {bad[:3]}"
+                    )
+                zf.extractall(target)
+        else:
+            os.symlink(os.path.abspath(path), target)
+
+
+def _merge_counters(dst: dict, update: dict) -> None:
+    for group, counters in update.items():
+        g = dst.setdefault(group, {})
+        for name, amount in counters.items():
+            g[name] = g.get(name, 0) + amount
+
+
+class _CounterShim:
+    """``job._counter_acc`` stand-in inside a task process: same ``.add``
+    contract as the Spark accumulator, accumulated locally and flushed to
+    the task's JSON sidecar for the parent runner to merge."""
+
+    def __init__(self):
+        self.value: dict = {}
+
+    def add(self, update: dict) -> None:
+        _merge_counters(self.value, update)
+
+
+class LocalJobRunner:
+    """Forked-task local runner (the reference's ``-r local``).
+
+    :param job: a :class:`SparkMRJob` instance (cloudpickled to tasks).
+    :param input_paths: files/globs; ``-`` = stdin (spooled).
+    :param output_dir: write ``part-NNNNN`` there; default temp dir.
+    :param num_mappers: map tasks per step (default 2 — enough to prove
+        task independence without fork-spam; ``mapreduce.job.maps``).
+    :param num_reducers: reduce tasks (default 2; ``mapreduce.job.reduces``).
+    """
+
+    def __init__(
+        self,
+        job,
+        input_paths: Optional[list] = None,
+        output_dir: Optional[str] = None,
+        num_mappers: Optional[int] = None,
+        num_reducers: Optional[int] = None,
+        jobconf: Optional[dict] = None,
+        conf_jobconf: Optional[dict] = None,
+        cmdenv: Optional[dict] = None,
+        setup: Optional[list] = None,
+        max_output_files: Optional[int] = None,
+        **_ignored,
+    ):
+        self.job = job
+        self.input_paths = list(input_paths or [])
+        self.output_dir = output_dir
+
+        merged = dict(conf_jobconf or {})
+        merged.update(job.JOBCONF)
+        for step in job.steps():
+            merged.update(getattr(step, "jobconf", {}) or {})
+        merged.update(jobconf or {})
+        self._jobconf = merged
+        self._cmdenv = dict(cmdenv or {})
+        self._setup = list(setup or [])
+        self.max_output_files = max_output_files
+
+        if num_mappers is None and "mapreduce.job.maps" in merged:
+            num_mappers = int(merged["mapreduce.job.maps"])
+        if num_reducers is None and "mapreduce.job.reduces" in merged:
+            num_reducers = int(merged["mapreduce.job.reduces"])
+        self.num_mappers = max(1, num_mappers or 2)
+        self.num_reducers = max(1, num_reducers or 2)
+
+        self._scratch: Optional[str] = None
+        self._out_dir: Optional[str] = None
+        self._counters: dict = {}
+        self._ran = False
+
+    # -- scratch plumbing ------------------------------------------------
+
+    def _task_env(self) -> dict:
+        env = dict(os.environ)
+        env.update(_jobconf_env(self._jobconf))
+        env.update(self._cmdenv)
+        # the child must resolve mrjob_spark (and test modules defining
+        # the job class by reference) exactly like this process; absolute
+        # paths because the child's cwd is its own task workdir
+        import mrjob_spark
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(
+            mrjob_spark.__file__)))
+        entries = [pkg_root] + [os.path.abspath(p) for p in sys.path if p]
+        env["PYTHONPATH"] = os.pathsep.join(
+            dict.fromkeys(entries + [env.get("PYTHONPATH", "")])
+        ).rstrip(os.pathsep)
+        return env
+
+    def _expand_paths(self) -> list:
+        out = []
+        for p in self.input_paths:
+            if p == "-":
+                continue
+            matches = sorted(_glob.glob(p))
+            out.extend(
+                [os.path.abspath(m) for m in matches]
+                if matches
+                else [os.path.abspath(p)]
+            )
+        return out
+
+    def _spawn_task(self, spec: dict) -> None:
+        """Fork one task process; raise with the child's stderr tail on a
+        nonzero exit (the isolation contract: the failure is REPORTED
+        here, the crash happened over there)."""
+        spec_path = os.path.join(
+            self._scratch, f"spec_{spec['task_id']}.json"
+        )
+        with open(spec_path, "w") as fh:
+            json.dump(spec, fh)
+        proc = subprocess.run(
+            [sys.executable, "-m", "mrjob_spark.dataflow.local", spec_path],
+            capture_output=True,
+            text=True,
+            env=self._task_env(),
+            cwd=spec["workdir"],
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"{spec['kind']} task {spec['task_id']} (step "
+                f"{spec['step_num']}) failed with rc={proc.returncode}:\n"
+                + proc.stderr[-2000:]
+            )
+        sidecar = spec["counters_path"]
+        if os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                _merge_counters(self._counters, json.load(fh))
+
+    def _spawn_phase(self, specs: list[dict]) -> None:
+        """Run one phase's tasks as CONCURRENT subprocesses (the
+        reference's worker pool, ``mrjob/local.py:143-166`` runs
+        ``num_cores`` tasks at once); the first failure propagates after
+        the in-flight siblings finish."""
+        if len(specs) <= 1:
+            for spec in specs:
+                self._spawn_task(spec)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(specs), os.cpu_count() or 2)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(self._spawn_task, s) for s in specs]
+            for f in futures:
+                f.result()
+
+    def _new_task_dir(self, name: str) -> str:
+        d = os.path.join(self._scratch, name)
+        os.makedirs(d, exist_ok=True)
+        _build_task_workdir(self.job, d)
+        return d
+
+    # -- phases ----------------------------------------------------------
+
+    def _split_step0(self, steps) -> list[dict]:
+        """Step-0 splits: per-file line chunks (or whole files for
+        mapper_raw), each tagged with its origin path for
+        ``$mapreduce_map_input_file``."""
+        first = steps[0]
+        paths = self._expand_paths()
+        if not paths:
+            raise ValueError("no input: pass input_paths")
+
+        if isinstance(first, MRStep) and first.mapper_raw is not None:
+            return [{"path": p, "raw_file": True} for p in paths]
+
+        splits = []
+        per_file = max(1, self.num_mappers // max(1, len(paths)))
+        for p in paths:
+            with _open_lines(p) as fh:
+                lines = fh.read().splitlines()
+            n = len(lines)
+            size = max(1, -(-n // per_file)) if n else 1
+            chunks = [lines[i : i + size] for i in range(0, n, size)] or [[]]
+            for i, chunk in enumerate(chunks):
+                sp = os.path.join(
+                    self._scratch, f"split_{len(splits):04d}.txt"
+                )
+                with open(sp, "wb") as fh:
+                    for line in chunk:
+                        fh.write(line + b"\n")
+                splits.append({"path": sp, "origin": p, "raw_file": False})
+        return splits
+
+    def _external_sort(self, in_paths: list[str], out_path: str) -> None:
+        """C-locale whole-line disk sort over the hex composite lines —
+        the reference's external-sort shuffle (``mrjob/local.py:262-279``
+        shells out to ``sort`` the same way)."""
+        existing = [p for p in in_paths if os.path.exists(p)]
+        sort_bin = shutil.which("sort")
+        if sort_bin and existing:
+            env = dict(os.environ, LC_ALL="C")
+            with open(out_path, "wb") as out:
+                subprocess.run(
+                    [sort_bin, *existing], env=env, stdout=out, check=True
+                )
+            return
+        lines: list[bytes] = []
+        for p in existing:
+            with open(p, "rb") as fh:
+                lines.extend(fh.read().splitlines())
+        lines.sort()
+        with open(out_path, "wb") as out:
+            for line in lines:
+                out.write(line + b"\n")
+
+    def _partition(self, sorted_path: str, step_dir: str) -> list[str]:
+        """Split the sorted run into reducer task files on key hash;
+        every key group lands whole in one file, files stay sorted."""
+        outs = [
+            open(os.path.join(step_dir, f"reduce_in_{i:04d}"), "wb")
+            for i in range(self.num_reducers)
+        ]
+        try:
+            with open(sorted_path, "rb") as fh:
+                for line in fh:
+                    hex_k = line.split(b"\t", 1)[0]
+                    idx = _hash_bytes(bytes.fromhex(hex_k.decode())) % len(outs)
+                    outs[idx].write(line)
+        finally:
+            for fh in outs:
+                fh.close()
+        return [fh.name for fh in outs]
+
+    # -- execution -------------------------------------------------------
+
+    def run(self) -> "LocalJobRunner":
+        if self._scratch:
+            shutil.rmtree(self._scratch, ignore_errors=True)
+        self._scratch = tempfile.mkdtemp(prefix="mrjob_spark_local_")
+        self._counters = {}
+        self.input_paths = spool_stdin(self.job, self.input_paths)
+
+        import pyspark.cloudpickle as cloudpickle
+
+        job_pkl = os.path.join(self._scratch, "job.pkl")
+        with open(job_pkl, "wb") as fh:
+            # detach the unpicklable accumulator during the dump
+            acc, self.job._counter_acc = self.job._counter_acc, None
+            try:
+                fh.write(cloudpickle.dumps(self.job))
+            finally:
+                self.job._counter_acc = acc
+
+        steps = self.job.steps()
+        for step in steps:
+            if not isinstance(step, MRStep):
+                raise NotImplementedError(
+                    f"{type(step).__name__} requires the Spark runner "
+                    "(make_runner) — the local runner is streaming-steps only, "
+                    "like the reference's (mrjob/local.py)"
+                )
+
+        step_inputs: Optional[list[str]] = None  # internal-line files
+        final_out = self._out_dir = (
+            self.output_dir or os.path.join(self._scratch, "output")
+        )
+        os.makedirs(final_out, exist_ok=True)
+
+        for step_num, step in enumerate(steps):
+            step_dir = os.path.join(self._scratch, f"step_{step_num:04d}")
+            os.makedirs(step_dir, exist_ok=True)
+            is_last = step_num == len(steps) - 1
+
+            # ---- map phase ----
+            if step_num == 0:
+                splits = self._split_step0(steps)
+            else:
+                splits = [
+                    {"path": p, "origin": None, "raw_file": False}
+                    for p in step_inputs
+                ]
+
+            map_outs, map_specs = [], []
+            for i, sp in enumerate(splits):
+                task_id = f"m_{step_num}_{i:04d}"
+                out = os.path.join(step_dir, f"map_out_{i:04d}")
+                map_outs.append(out)
+                wd = self._new_task_dir(f"wd_{task_id}")
+                map_specs.append(
+                    {
+                        "kind": "mapper",
+                        "task_id": task_id,
+                        "step_num": step_num,
+                        "job_pkl": job_pkl,
+                        "input_path": sp["path"],
+                        "origin": sp.get("origin"),
+                        "raw_file": sp.get("raw_file", False),
+                        "output_path": out,
+                        "workdir": wd,
+                        "counters_path": os.path.join(
+                            step_dir, f"counters_{task_id}.json"
+                        ),
+                        "setup": self._setup,
+                        "emit": "internal",
+                        "first_step": step_num == 0,
+                    }
+                )
+            self._spawn_phase(map_specs)
+
+            has_reduce_phase = step.has_reducer or (
+                step.combiner is not None and not step.has_reducer
+            )
+            if not has_reduce_phase:
+                # map-only step: map outputs ARE the step output
+                step_inputs = map_outs
+                if is_last:
+                    self._finalize_map_only(map_outs, final_out, job_pkl)
+                continue
+
+            # ---- shuffle: external sort + key-hash partition ----
+            sorted_path = os.path.join(step_dir, "sorted")
+            self._external_sort(map_outs, sorted_path)
+            reduce_ins = self._partition(sorted_path, step_dir)
+
+            # ---- reduce phase ----
+            reduce_outs, reduce_specs = [], []
+            for i, rin in enumerate(reduce_ins):
+                task_id = f"r_{step_num}_{i:04d}"
+                out = (
+                    os.path.join(final_out, f"part-{i:05d}")
+                    if is_last
+                    else os.path.join(step_dir, f"red_out_{i:04d}")
+                )
+                reduce_outs.append(out)
+                wd = self._new_task_dir(f"wd_{task_id}")
+                reduce_specs.append(
+                    {
+                        "kind": "reducer",
+                        "task_id": task_id,
+                        "step_num": step_num,
+                        "job_pkl": job_pkl,
+                        "input_path": rin,
+                        "output_path": out,
+                        "workdir": wd,
+                        "counters_path": os.path.join(
+                            step_dir, f"counters_{task_id}.json"
+                        ),
+                        "setup": self._setup,
+                        "emit": "output" if is_last else "internal",
+                        "combiner_as_reducer": not step.has_reducer,
+                    }
+                )
+            self._spawn_phase(reduce_specs)
+            step_inputs = reduce_outs
+
+        if self.max_output_files:
+            self._merge_output_files(final_out)
+        self._ran = True
+        return self
+
+    def _finalize_map_only(self, map_outs, final_out, job_pkl) -> None:
+        """Re-encode a final map-only step's internal lines with
+        OUTPUT_PROTOCOL into part files (one per map task)."""
+        read = self.job.INTERNAL_PROTOCOL().read
+        write = self.job.OUTPUT_PROTOCOL().write
+        for i, mo in enumerate(map_outs):
+            with open(mo, "rb") as src, open(
+                os.path.join(final_out, f"part-{i:05d}"), "wb"
+            ) as dst:
+                for line in src:
+                    line = line.rstrip(b"\r\n")
+                    if not line:
+                        continue
+                    _, _, internal = line.split(b"\t", 2)
+                    k, v = read(bytes.fromhex(internal.decode()))
+                    dst.write(write(k, v) + b"\n")
+
+    def _merge_output_files(self, out_dir: str) -> None:
+        parts = sorted(
+            p
+            for p in os.listdir(out_dir)
+            if p.startswith("part-")
+        )
+        if len(parts) <= self.max_output_files:
+            return
+        merged_path = os.path.join(out_dir, "part-00000.tmp")
+        with open(merged_path, "wb") as out:
+            for p in parts:
+                with open(os.path.join(out_dir, p), "rb") as src:
+                    shutil.copyfileobj(src, out)
+                os.unlink(os.path.join(out_dir, p))
+        os.rename(merged_path, os.path.join(out_dir, "part-00000"))
+
+    # -- results ---------------------------------------------------------
+
+    def cat_output(self) -> Iterator:
+        if not self._ran:
+            self.run()
+        read = self.job.OUTPUT_PROTOCOL().read
+        for name in sorted(os.listdir(self._out_dir)):
+            if name.startswith(("_", ".")):
+                continue  # Hadoop convention (mrjob/runner.py:512-556)
+            with open(os.path.join(self._out_dir, name), "rb") as fh:
+                for line in fh:
+                    line = line.rstrip(b"\r\n")
+                    if line:
+                        yield read(line)
+
+    def collect_output(self) -> list:
+        return list(self.cat_output())
+
+    def counters(self) -> dict:
+        return self._counters
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if self._scratch:
+            shutil.rmtree(self._scratch, ignore_errors=True)
+            self._scratch = None
+        return False
+
+
+# ===========================================================================
+# task child process (python -m mrjob_spark.dataflow.local <spec.json>)
+# ===========================================================================
+
+
+def _pipe_lines(lines: list[bytes], cmd: str, setup: list) -> list[bytes]:
+    """Run encoded lines through ``/bin/sh -c cmd`` (the *_cmd /
+    *_pre_filter contract) inside the task process."""
+    full = "; ".join([*setup, cmd])
+    # rc deliberately ignored (check=False): a filter like `grep` exits 1
+    # on zero matches, which is a legitimate empty result — the same
+    # contract as rdd.pipe's default and the inline runner's _pipe
+    proc = subprocess.run(
+        ["/bin/sh", "-c", full],
+        input=b"".join(line + b"\n" for line in lines),
+        stdout=subprocess.PIPE,
+        check=False,
+    )
+    return [ln for ln in proc.stdout.splitlines() if ln]
+
+
+def _encode_composite(job, pairs) -> Iterator[bytes]:
+    """hex(enc(k)) TAB hex(enc(v)) TAB hex(internal_line): byte-order-
+    preserving, binary-safe, C-locale-sortable."""
+    internal = job.INTERNAL_PROTOCOL()
+    enc = internal.encode_sort_key
+    write = internal.write
+    for k, v in pairs:
+        yield (
+            enc(k).hex().encode()
+            + b"\t"
+            + enc(v).hex().encode()
+            + b"\t"
+            + write(k, v).hex().encode()
+        )
+
+
+def _decode_composite(job, lines) -> Iterator[tuple]:
+    read = job.INTERNAL_PROTOCOL().read
+    for line in lines:
+        hex_k, _, internal = line.split(b"\t", 2)
+        yield hex_k, read(bytes.fromhex(internal.decode()))
+
+
+def _run_mapper_task(job, step, spec) -> None:
+    first = spec["first_step"]
+    in_proto = job.INPUT_PROTOCOL() if first else None
+    setup = list(spec.get("setup") or [])
+
+    if spec.get("raw_file"):
+        os.environ["mapreduce_map_input_file"] = spec["input_path"]
+        out_pairs = _with_hooks(
+            step,
+            "mapper",
+            lambda: step.mapper_raw(spec["input_path"], spec["input_path"]),
+        )
+        _write_map_output(job, step, out_pairs, spec)
+        return
+
+    with open(spec["input_path"], "rb") as fh:
+        if first:
+            # raw step-0 lines: EMPTY lines are records too (the
+            # reference's mapper sees them; counters prove it)
+            lines = [ln.rstrip(b"\r\n") for ln in fh]
+        else:
+            lines = [ln.rstrip(b"\r\n") for ln in fh if ln.rstrip(b"\r\n")]
+
+    if first and spec.get("origin"):
+        os.environ["mapreduce_map_input_file"] = spec["origin"]
+
+    if step.mapper_pre_filter:
+        # step-0 pre-filters see raw input lines; later steps see
+        # internal-encoded lines (mrjob/job.py:353-363)
+        if first:
+            lines = _pipe_lines(lines, step.mapper_pre_filter, setup)
+        else:
+            raw = [
+                bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines
+            ]
+            kept = set(_pipe_lines(raw, step.mapper_pre_filter, setup))
+            lines = [
+                ln
+                for ln in lines
+                if bytes.fromhex(ln.split(b"\t", 2)[2].decode()) in kept
+            ]
+
+    if step.mapper_cmd:
+        if first:
+            out_lines = _pipe_lines(lines, step.mapper_cmd, setup)
+        else:
+            raw = [
+                bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines
+            ]
+            out_lines = _pipe_lines(raw, step.mapper_cmd, setup)
+        read = job.INTERNAL_PROTOCOL().read
+        out_pairs = (read(ln) for ln in out_lines)
+        _write_map_output(job, step, out_pairs, spec, combined_ok=False)
+        return
+
+    if first:
+        pairs = (in_proto.read(ln) for ln in lines)
+    else:
+        pairs = (kv for _, kv in _decode_composite(job, lines))
+
+    mapper = step.mapper
+
+    def gen():
+        if step.mapper_init:
+            yield from step.mapper_init() or ()
+        for k, v in pairs:
+            if mapper is not None:
+                yield from mapper(k, v) or ()
+            else:
+                yield k, v  # identity mapper
+        if step.mapper_final:
+            yield from step.mapper_final() or ()
+
+    _write_map_output(job, step, gen(), spec)
+
+
+def _with_hooks(step, kind, body):
+    def gen():
+        init = getattr(step, f"{kind}_init")
+        final = getattr(step, f"{kind}_final")
+        if init:
+            yield from init() or ()
+        yield from body() or ()
+        if final:
+            yield from final() or ()
+
+    return gen()
+
+
+def _write_map_output(job, step, pairs, spec, combined_ok=True) -> None:
+    """Sort this task's output and run the per-mapper combiner (the
+    reference's mapper+combiner task, ``mrjob/sim.py:251-285``), then
+    write composite lines."""
+    lines = sorted(_encode_composite(job, pairs))
+    if combined_ok and step.combiner is not None and step.combiner_cmd is None:
+        def combined():
+            if step.combiner_init:
+                yield from step.combiner_init() or ()
+            for _, group in itertools.groupby(
+                _decode_composite(job, lines), key=lambda item: item[0]
+            ):
+                _, (key, first_v) = next(group)
+                values = itertools.chain(
+                    (first_v,), (kv[1] for _, kv in group)
+                )
+                yield from step.combiner(key, values) or ()
+            if step.combiner_final:
+                yield from step.combiner_final() or ()
+
+        lines = sorted(_encode_composite(job, combined()))
+    with open(spec["output_path"], "wb") as fh:
+        for line in lines:
+            fh.write(line + b"\n")
+
+
+def _run_reducer_task(job, step, spec) -> None:
+    setup = list(spec.get("setup") or [])
+    with open(spec["input_path"], "rb") as fh:
+        lines = [ln.rstrip(b"\r\n") for ln in fh if ln.rstrip(b"\r\n")]
+
+    if step.reducer_pre_filter:
+        raw = [bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines]
+        kept = set(_pipe_lines(raw, step.reducer_pre_filter, setup))
+        lines = [
+            ln
+            for ln in lines
+            if bytes.fromhex(ln.split(b"\t", 2)[2].decode()) in kept
+        ]
+
+    if step.reducer_cmd:
+        raw = [bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines]
+        out_lines = _pipe_lines(raw, step.reducer_cmd, setup)
+        read = job.INTERNAL_PROTOCOL().read
+        out_pairs = [read(ln) for ln in out_lines]
+        _write_reduce_output(job, out_pairs, spec)
+        return
+
+    fn = step.combiner if spec.get("combiner_as_reducer") else step.reducer
+    kind = "combiner" if spec.get("combiner_as_reducer") else "reducer"
+    init = getattr(step, f"{kind}_init")
+    final = getattr(step, f"{kind}_final")
+
+    def gen():
+        if init:
+            yield from init() or ()
+        for _, group in itertools.groupby(
+            _decode_composite(job, lines), key=lambda item: item[0]
+        ):
+            _, (key, first_v) = next(group)
+            values = itertools.chain((first_v,), (kv[1] for _, kv in group))
+            if fn is not None:
+                yield from fn(key, values) or ()
+            else:
+                yield key, first_v
+                yield from ((key, v) for v in (kv[1] for _, kv in group))
+        if final:
+            yield from final() or ()
+
+    _write_reduce_output(job, gen(), spec)
+
+
+def _write_reduce_output(job, pairs, spec) -> None:
+    if spec["emit"] == "output":
+        write = job.OUTPUT_PROTOCOL().write
+        with open(spec["output_path"], "wb") as fh:
+            for k, v in pairs:
+                fh.write(write(k, v) + b"\n")
+    else:
+        with open(spec["output_path"], "wb") as fh:
+            for line in _encode_composite(job, pairs):
+                fh.write(line + b"\n")
+
+
+def _task_main(spec_path: str) -> int:
+    with open(spec_path) as fh:
+        spec = json.load(fh)
+
+    import pyspark.cloudpickle  # noqa: F401  (registers reconstructors)
+    import pickle
+
+    with open(spec["job_pkl"], "rb") as fh:
+        job = pickle.load(fh)
+
+    shim = _CounterShim()
+    job._counter_acc = shim
+
+    steps = job.steps()
+    step = steps[spec["step_num"]]
+
+    if spec["kind"] == "mapper":
+        _run_mapper_task(job, step, spec)
+    else:
+        _run_reducer_task(job, step, spec)
+
+    if shim.value:
+        with open(spec["counters_path"], "w") as fh:
+            json.dump(shim.value, fh)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover — exercised via subprocess
+    sys.exit(_task_main(sys.argv[1]))

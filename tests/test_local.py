@@ -1,0 +1,205 @@
+"""The subprocess-per-task local runner (``-r local``, round 6): the
+guarantees that distinguish it from ``-r inline`` — real process
+isolation, per-task working directories and env, external-sort shuffle —
+plus the runner-contract basics (counters, part files, CLI wiring).
+Cross-engine output equality is covered by test_reference_differential.py
+(all eight cases assert reference == inline == local)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mrjob_spark.dataflow import SparkMRJob  # noqa: E402
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_hard_crash_in_task_is_contained(tmp_path):
+    # the runner exists for THIS: os._exit bypasses every Python cleanup,
+    # so under -r inline it would kill the test process itself; under
+    # -r local it kills one task subprocess and the runner reports it
+    inp = _write(tmp_path, "in.txt", "x\n")
+
+    class MRBoom(SparkMRJob):
+        def mapper_init(self):
+            os._exit(42)
+
+        def mapper(self, _, line):
+            yield line, 1
+
+    with pytest.raises(RuntimeError, match=r"mapper task .* rc=42"):
+        MRBoom().make_local_runner(input_paths=[inp]).run()
+    # and the runner process is demonstrably still alive to assert this
+
+
+def test_task_env_and_cwd_are_isolated(tmp_path):
+    # each task runs in its own scratch cwd with jobconf/cmdenv exposed as
+    # env vars; mutations stay in the task process
+    inp = _write(tmp_path, "in.txt", "x\n")
+
+    class MREnv(SparkMRJob):
+        JOBCONF = {"my.app.knob": "17"}
+
+        def mapper(self, _, line):
+            os.environ["LEAKED"] = "yes"  # dies with the task process
+            yield "knob", os.environ.get("my_app_knob")
+            yield "extra", os.environ.get("EXTRA_VAR")
+            yield "cwd_is_scratch", "mrjob_spark_local_" in os.getcwd()
+
+    with MREnv().make_local_runner(
+        input_paths=[inp], cmdenv={"EXTRA_VAR": "hi"}, num_mappers=1
+    ) as r:
+        r.run()
+        out = dict(r.cat_output())
+    assert out == {"knob": "17", "extra": "hi", "cwd_is_scratch": True}
+    assert "LEAKED" not in os.environ
+
+
+def test_side_files_mirror_in_task_workdir(tmp_path):
+    side = _write(tmp_path, "keep.txt", "fox\ndog\n")
+    inp = _write(tmp_path, "in.txt", "the quick fox\na lazy dog ran\n")
+
+    class MRKeep(SparkMRJob):
+        FILES = [side]
+
+        def mapper_init(self):
+            with open("keep.txt") as fh:  # bare relative name, per contract
+                self._keep = set(fh.read().split())
+
+        def mapper(self, _, line):
+            for w in line.split():
+                if w in self._keep:
+                    yield w, 1
+
+        def reducer(self, w, counts):
+            yield w, sum(counts)
+
+    with MRKeep().make_local_runner(input_paths=[inp]) as r:
+        r.run()
+        assert sorted(r.cat_output()) == [("dog", 1), ("fox", 1)]
+
+
+def test_counters_aggregate_across_task_processes(tmp_path):
+    inp = _write(tmp_path, "in.txt", "a b\nc d\ne f\ng h\n")
+
+    class MRCount(SparkMRJob):
+        def mapper(self, _, line):
+            self.increment_counter("m", "lines")
+            for w in line.split():
+                yield w, 1
+
+        def reducer(self, w, counts):
+            self.increment_counter("r", "keys")
+            yield w, sum(counts)
+
+    with MRCount().make_local_runner(
+        input_paths=[inp], num_mappers=4, num_reducers=3
+    ) as r:
+        r.run()
+        assert r.counters() == {"m": {"lines": 4}, "r": {"keys": 8}}
+
+
+def test_sort_values_orders_values_within_key(tmp_path):
+    inp = _write(tmp_path, "in.txt", "k:3\nk:1\nk:2\nj:9\nj:0\n")
+
+    class MRSorted(SparkMRJob):
+        SORT_VALUES = True
+
+        def mapper(self, _, line):
+            k, v = line.split(":")
+            yield k, v
+
+        def reducer(self, k, values):
+            yield k, ",".join(values)  # order = encoded-byte value order
+
+    with MRSorted().make_local_runner(input_paths=[inp]) as r:
+        r.run()
+        out = dict(r.cat_output())
+    assert out == {"k": "1,2,3", "j": "0,9"}
+
+
+def test_part_file_count_and_merge(tmp_path):
+    inp = _write(tmp_path, "in.txt", "".join(f"w{i}\n" for i in range(20)))
+    out_dir = str(tmp_path / "out")
+
+    class MRWc(SparkMRJob):
+        def mapper(self, _, line):
+            yield line, 1
+
+        def reducer(self, w, counts):
+            yield w, sum(counts)
+
+    with MRWc().make_local_runner(
+        input_paths=[inp], output_dir=out_dir, num_reducers=4
+    ) as r:
+        r.run()
+        parts = sorted(p for p in os.listdir(out_dir) if p.startswith("part-"))
+        assert parts == [f"part-{i:05d}" for i in range(4)]
+        assert len(list(r.cat_output())) == 20
+
+    out2 = str(tmp_path / "out2")
+    with MRWc().make_local_runner(
+        input_paths=[inp], output_dir=out2, num_reducers=4, max_output_files=1
+    ) as r:
+        r.run()
+        parts = sorted(p for p in os.listdir(out2) if p.startswith("part-"))
+        assert parts == ["part-00000"]
+        assert len(list(r.cat_output())) == 20
+
+
+def test_multi_step_chain_and_gzip_input(tmp_path):
+    import gzip
+
+    gz = str(tmp_path / "in.txt.gz")
+    with gzip.open(gz, "wt") as fh:
+        fh.write("b a b\nc b a\n")
+
+    from mrjob_spark.dataflow import MRStep
+
+    class MRTop(SparkMRJob):
+        def steps(self):
+            return [
+                MRStep(mapper=self.m1, reducer=self.r1),
+                MRStep(reducer=self.r2),
+            ]
+
+        def m1(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def r1(self, w, counts):
+            yield None, (sum(counts), w)
+
+        def r2(self, _, pairs):
+            yield max(pairs), None
+
+    with MRTop().make_local_runner(input_paths=[gz]) as r:
+        r.run()
+        ((key, _),) = list(r.cat_output())
+        assert key == [3, "b"]
+
+
+def test_cli_dash_r_local(tmp_path, capsysbinary):
+    inp = _write(tmp_path, "in.txt", "a b a\n")
+
+    class MRWc(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def reducer(self, w, counts):
+            yield w, sum(counts)
+
+    job = MRWc(args=["-r", "local", "--no-conf", inp])
+    with job.make_runner() as r:
+        r.run()
+        assert sorted(r.cat_output()) == [("a", 2), ("b", 1)]

@@ -63,6 +63,23 @@ def _run_ours_inline(job_cls, lines: list[str]) -> list[tuple]:
         os.unlink(path)
 
 
+def _run_ours_local(job_cls, lines: list[str]) -> list[tuple]:
+    """Same differential through the subprocess-per-task LOCAL runner
+    (round 6) — the third runner beside reference-inline and ours-inline;
+    every case asserts all three agree."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+        path = fh.name
+    try:
+        with job_cls().make_local_runner(input_paths=[path]) as r:
+            r.run()
+            return sorted(tuple(kv) for kv in r.cat_output())
+    finally:
+        os.unlink(path)
+
+
 # printable-ish lines: words, digits, punctuation, apostrophes — the
 # space where tokenizer semantics can diverge
 _line = st.text(
@@ -104,7 +121,9 @@ def test_wordcount_matches_reference_on_random_text(lines):
         def reducer(self, word, counts):
             yield word, sum(counts)
 
-    assert _run_reference(RefWC, lines) == _run_ours_inline(OurWC, lines)
+    ref = _run_reference(RefWC, lines)
+    assert ref == _run_ours_inline(OurWC, lines)
+    assert ref == _run_ours_local(OurWC, lines)
 
 
 @given(lines=st.lists(_line, min_size=1, max_size=8))
@@ -178,6 +197,8 @@ def test_most_used_word_matches_reference_on_random_text(lines):
     ref = _run_reference(RefMUW, lines)
     ours = _run_ours_inline(OurMUW, lines)
     assert [v for _k, v in ref] == [v for _k, v in ours]
+    ours_local = _run_ours_local(OurMUW, lines)
+    assert [v for _k, v in ref] == [v for _k, v in ours_local]
 
 
 @given(lines=st.lists(_line, max_size=6))
@@ -228,6 +249,7 @@ def test_next_word_stats_matches_reference_on_random_text(lines):
         return x
 
     assert canon(ref) == canon(ours)
+    assert canon(ref) == canon(_run_ours_local(OurNWS, lines))
 
 
 # JSON-safe nested values: the space both JSONProtocols must agree on
@@ -324,6 +346,7 @@ def test_pre_filter_matches_reference_on_adversarial_text(lines):
 
     ours = _run_ours_inline(OurU, lines)
     assert ref == ours
+    assert ref == _run_ours_local(OurU, lines)
 
 
 _text_field = st.text(
@@ -420,6 +443,17 @@ def test_counters_match_reference_on_random_text(lines):
 
     assert ref_total == {g: dict(n) for g, n in ours.items()}
 
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+        path = fh.name
+    try:
+        with OurCounted().make_local_runner(input_paths=[path]) as r:
+            r.run()
+            local_counters = r.counters()
+    finally:
+        os.unlink(path)
+    assert ref_total == {g: dict(n) for g, n in local_counters.items()}
+
 
 @given(
     contents=st.lists(
@@ -484,8 +518,13 @@ def test_mapper_raw_matches_reference_on_random_files(contents):
         with OurRaw().make_inline_runner(input_paths=list(paths)) as r:
             r.run()
             ours = sorted(tuple(kv) for kv in r.cat_output())
+
+        with OurRaw().make_local_runner(input_paths=list(paths)) as r:
+            r.run()
+            ours_local = sorted(tuple(kv) for kv in r.cat_output())
     finally:
         for p in paths:
             os.unlink(p)
 
     assert ref == ours
+    assert ref == ours_local
