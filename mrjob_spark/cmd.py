@@ -1,0 +1,99 @@
+"""The ``mrjob`` umbrella command (reference ``mrjob/cmd.py``).
+
+The reference ships a tiny subcommand dispatcher (``mrjob/cmd.py:23-68``:
+a name→function map with aligned-help usage text) whose subcommands are
+mostly EMR cluster tooling — out of scope here by environment (SURVEY
+§1.4). This port keeps the dispatcher contract and the two subcommands
+that make sense for this engine:
+
+* ``run <script.py> [job args...]`` — launch a job script exactly as
+  ``python script.py args`` would (the script's ``MRMyJob.run()`` main),
+  so shell pipelines can say ``python -m mrjob_spark run wc.py -r local
+  in.txt`` regardless of where the script lives.
+* ``diagnose [file|-]`` — the reference's ``mrjob diagnose`` reshaped for
+  Spark: feed it a captured error log / traceback dump (file or stdin)
+  and it prints the probable root cause, using the same extraction the
+  runners attach to failed jobs (``dataflow/errors.py``, the port of
+  ``mrjob/logs/errors.py:25-212``).
+
+Invoke as ``python -m mrjob_spark <subcommand>`` (``__main__.py``).
+"""
+
+from __future__ import annotations
+
+import sys
+
+#: name -> (description, function(args) -> int)
+_COMMANDS: dict = {}
+
+
+def _command(name: str, description: str):
+    def deco(fn):
+        _COMMANDS[name] = (description, fn)
+        return fn
+
+    return deco
+
+
+def _usage(msg: str | None = None) -> int:
+    if msg:
+        print(msg, file=sys.stderr)
+    print("usage: python -m mrjob_spark {subcommand|--help}\n\nsubcommands:",
+          file=sys.stderr)
+    width = max(len(n) for n in _COMMANDS)
+    for name in sorted(_COMMANDS):
+        desc, _ = _COMMANDS[name]
+        print(f"  {name}:{' ' * (width - len(name))} {desc}", file=sys.stderr)
+    return 2
+
+
+@_command("run", "Run an MRJob script (args passed through)")
+def _run(args: list) -> int:
+    if not args:
+        print("usage: python -m mrjob_spark run <script.py> [args...]",
+              file=sys.stderr)
+        return 2
+    script, job_args = args[0], args[1:]
+    import runpy
+
+    old_argv = sys.argv
+    sys.argv = [script] + list(job_args)
+    try:
+        runpy.run_path(script, run_name="__main__")
+        return 0
+    except SystemExit as e:
+        return int(e.code or 0)
+    finally:
+        sys.argv = old_argv
+
+
+@_command("diagnose", "Extract the probable cause from a failed job's log")
+def _diagnose(args: list) -> int:
+    from mrjob_spark.dataflow.errors import extract_probable_cause
+
+    if not args or args[0] == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args[0], errors="replace") as fh:
+            text = fh.read()
+    cause = extract_probable_cause(text)
+    if cause:
+        print("Probable cause of failure:\n")
+        print(cause)
+        return 0
+    print("no probable cause found in the given log", file=sys.stderr)
+    return 1
+
+
+def main(argv: list | None = None) -> int:
+    args = list(sys.argv if argv is None else argv)
+    if not args[1:] or args[1] in ("-h", "--help"):
+        return _usage()
+    if args[1] not in _COMMANDS:
+        return _usage(f"{args[1]!r} is not a command")
+    _, fn = _COMMANDS[args[1]]
+    return fn(args[2:])
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -203,3 +203,49 @@ def test_cli_dash_r_local(tmp_path, capsysbinary):
     with job.make_runner() as r:
         r.run()
         assert sorted(r.cat_output()) == [("a", 2), ("b", 1)]
+
+
+def test_umbrella_command_run_and_diagnose(tmp_path):
+    # the reference's `mrjob` subcommand dispatcher (mrjob/cmd.py:23-68),
+    # here as `python -m mrjob_spark run|diagnose`
+    import subprocess
+
+    script = tmp_path / "wc.py"
+    script.write_text(
+        "from mrjob_spark.dataflow import SparkMRJob\n"
+        "class MRWc(SparkMRJob):\n"
+        "    def mapper(self, _, line):\n"
+        "        for w in line.split():\n"
+        "            yield w, 1\n"
+        "    def reducer(self, w, counts):\n"
+        "        yield w, sum(counts)\n"
+        "if __name__ == '__main__':\n"
+        "    MRWc.run()\n"
+    )
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b a\n")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mrjob_spark", "run", str(script),
+         "-r", "local", "--no-conf", str(inp)],
+        capture_output=True, text=True, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert sorted(proc.stdout.splitlines()) == ['"a"\t2', '"b"\t1']
+
+    log = tmp_path / "err.log"
+    log.write_text(
+        "26/08/14 Lost task 0.3 in stage 1.0\n"
+        "Traceback (most recent call last):\n"
+        '  File "wc.py", line 4, in mapper\n'
+        "    for w in line.split():\n"
+        "ValueError: boom\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "mrjob_spark", "diagnose", str(log)],
+        capture_output=True, text=True, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-300:]
+    assert "ValueError: boom" in proc.stdout
