@@ -25,6 +25,7 @@ import gzip
 import itertools
 import os
 import subprocess
+import sys
 from typing import Iterator, Optional
 
 from mrjob_spark.dataflow.step import (
@@ -459,8 +460,16 @@ class InlineJobRunner:
         full_cmd = "; ".join([*self._setup, cmd])
         proc = subprocess.run(
             full_cmd, shell=True, input=payload, stdout=subprocess.PIPE,
-            check=False, env=self._task_env(),
+            stderr=subprocess.PIPE, check=False, env=self._task_env(),
         )
+        # Hadoop streaming's stderr side-channel: `reporter:counter:...`
+        # lines from the command reach runner.counters(), everything else
+        # passes through to real stderr (mrjob/parse.py:111-150)
+        from mrjob_spark.dataflow.step import parse_reporter_stderr
+
+        _, _, other = parse_reporter_stderr(proc.stderr, add=self._counters.add)
+        for line in other:
+            sys.stderr.buffer.write(line + b"\n")
         return [
             read(line)
             for line in proc.stdout.split(b"\n")

@@ -533,9 +533,13 @@ class LocalJobRunner:
 # ===========================================================================
 
 
-def _pipe_lines(lines: list[bytes], cmd: str, setup: list) -> list[bytes]:
+def _pipe_lines(
+    lines: list[bytes], cmd: str, setup: list, counter_sink=None
+) -> list[bytes]:
     """Run encoded lines through ``/bin/sh -c cmd`` (the *_cmd /
     *_pre_filter contract) inside the task process."""
+    from mrjob_spark.dataflow.step import parse_reporter_stderr
+
     full = "; ".join([*setup, cmd])
     # rc deliberately ignored (check=False): a filter like `grep` exits 1
     # on zero matches, which is a legitimate empty result — the same
@@ -544,8 +548,16 @@ def _pipe_lines(lines: list[bytes], cmd: str, setup: list) -> list[bytes]:
         ["/bin/sh", "-c", full],
         input=b"".join(line + b"\n" for line in lines),
         stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
         check=False,
     )
+    # Hadoop streaming's stderr side-channel: reporter:counter lines feed
+    # the task's counter shim (→ the parent's sidecar merge), real
+    # diagnostics pass through to the task's stderr
+    add = counter_sink.add if counter_sink is not None else None
+    _, _, other = parse_reporter_stderr(proc.stderr, add=add)
+    for line in other:
+        sys.stderr.buffer.write(line + b"\n")
     return [ln for ln in proc.stdout.splitlines() if ln]
 
 
@@ -602,12 +614,12 @@ def _run_mapper_task(job, step, spec) -> None:
         # step-0 pre-filters see raw input lines; later steps see
         # internal-encoded lines (mrjob/job.py:353-363)
         if first:
-            lines = _pipe_lines(lines, step.mapper_pre_filter, setup)
+            lines = _pipe_lines(lines, step.mapper_pre_filter, setup, counter_sink=job._counter_acc)
         else:
             raw = [
                 bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines
             ]
-            kept = set(_pipe_lines(raw, step.mapper_pre_filter, setup))
+            kept = set(_pipe_lines(raw, step.mapper_pre_filter, setup, counter_sink=job._counter_acc))
             lines = [
                 ln
                 for ln in lines
@@ -616,12 +628,12 @@ def _run_mapper_task(job, step, spec) -> None:
 
     if step.mapper_cmd:
         if first:
-            out_lines = _pipe_lines(lines, step.mapper_cmd, setup)
+            out_lines = _pipe_lines(lines, step.mapper_cmd, setup, counter_sink=job._counter_acc)
         else:
             raw = [
                 bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines
             ]
-            out_lines = _pipe_lines(raw, step.mapper_cmd, setup)
+            out_lines = _pipe_lines(raw, step.mapper_cmd, setup, counter_sink=job._counter_acc)
         read = job.INTERNAL_PROTOCOL().read
         out_pairs = (read(ln) for ln in out_lines)
         _write_map_output(job, step, out_pairs, spec, combined_ok=False)
@@ -694,7 +706,7 @@ def _run_reducer_task(job, step, spec) -> None:
 
     if step.reducer_pre_filter:
         raw = [bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines]
-        kept = set(_pipe_lines(raw, step.reducer_pre_filter, setup))
+        kept = set(_pipe_lines(raw, step.reducer_pre_filter, setup, counter_sink=job._counter_acc))
         lines = [
             ln
             for ln in lines
@@ -703,7 +715,7 @@ def _run_reducer_task(job, step, spec) -> None:
 
     if step.reducer_cmd:
         raw = [bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines]
-        out_lines = _pipe_lines(raw, step.reducer_cmd, setup)
+        out_lines = _pipe_lines(raw, step.reducer_cmd, setup, counter_sink=job._counter_acc)
         read = job.INTERNAL_PROTOCOL().read
         out_pairs = [read(ln) for ln in out_lines]
         _write_reduce_output(job, out_pairs, spec)

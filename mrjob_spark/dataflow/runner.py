@@ -777,17 +777,67 @@ class SparkJobRunner:
             # cmd over raw input emits NEW encoded pairs → internal decode
             read = internal.read
 
-        lines = rdd.map(lambda kv: write(*kv).decode("utf-8", "replace"))
         # Always through a shell, like the reference (mrjob/bin.py:236-245
         # builds `sh -ex -c` pipelines): bare rdd.pipe only shlex-splits,
         # which would silently break `cmd1 | cmd2` pipelines and $VAR
-        # references that work on every mrjob runner (and on the inline
-        # runner here, whose subprocess.run(shell=True) uses sh already).
-        import shlex
-
+        # references that work on every mrjob runner. Round 6 moves from
+        # rdd.pipe to a subprocess per partition for the one thing
+        # rdd.pipe cannot do: capture the command's STDERR, which is
+        # Hadoop streaming's counter side-channel — `reporter:counter:
+        # g,n,amount` lines from a *_cmd must reach runner.counters()
+        # (mrjob/parse.py:111-150; PipeMapRed's incrCounter contract).
+        # Same streaming shape: a writer thread feeds stdin while stdout
+        # is consumed lazily, so neither side buffers the partition.
         full_cmd = "; ".join([*self._setup, cmd])
-        piped = lines.pipe("/bin/sh -c " + shlex.quote(full_cmd), env=env)
-        return piped.map(lambda line: read(line.encode("utf-8")))
+        acc = self._counter_acc
+
+        def pipe_partition(items: Iterable) -> Iterator:
+            import subprocess
+            import threading
+
+            proc = subprocess.Popen(
+                ["/bin/sh", "-c", full_cmd],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                env={**os.environ, **env},
+            )
+
+            def feed():
+                try:
+                    for kv in items:
+                        proc.stdin.write(write(*kv) + b"\n")
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass  # command exited early (e.g. head); fine
+
+            stderr_buf = []
+
+            def drain_stderr():
+                stderr_buf.append(proc.stderr.read())
+
+            t_in = threading.Thread(target=feed, daemon=True)
+            t_err = threading.Thread(target=drain_stderr, daemon=True)
+            t_in.start()
+            t_err.start()
+            for line in proc.stdout:
+                line = line.rstrip(b"\r\n")
+                if line:
+                    yield read(line)
+            t_in.join()
+            t_err.join()
+            proc.wait()  # rc ignored, like rdd.pipe's default (grep rc=1)
+            from mrjob_spark.dataflow.step import parse_reporter_stderr
+
+            _, _, other = parse_reporter_stderr(
+                b"".join(stderr_buf), add=acc.add
+            )
+            import sys as _sys
+
+            for ln in other:
+                _sys.stderr.buffer.write(ln + b"\n")
+
+        return rdd.mapPartitions(pipe_partition)
 
     def _pipe_filter(self, rdd, cmd: str, step_num: int):
         """Shell predicate in front of a substep (``mrjob/job.py:353-363``):

@@ -244,3 +244,57 @@ def spool_stdin(job, input_paths: list) -> list:
         else:
             out.append(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hadoop streaming's stderr side-channel (A8 for shell substeps)
+# ---------------------------------------------------------------------------
+
+#: ``reporter:counter:<group>,<name>,<amount>`` / ``reporter:status:<msg>``
+#: — the wire protocol Hadoop streaming's PipeMapRed reads from every task
+#: process's stderr (see ``incrCounter()`` in hadoop-streaming's
+#: PipeMapRed.java; the reference parses the same lines in
+#: ``mrjob/parse.py:111-150`` for its sim runners). A ``*_cmd`` substep
+#: has no other way to reach ``runner.counters()``.
+_REPORTER_COUNTER_RE = None
+_REPORTER_STATUS_RE = None
+
+
+def parse_reporter_stderr(stderr, add=None) -> tuple:
+    """Split a task's stderr bytes into (counters, statuses, other lines).
+
+    ``counters`` is ``{group: {name: amount}}``; when ``add`` (a counter
+    sink with the accumulator's ``.add(dict)`` surface) is given, each
+    counter line is ALSO pushed there. ``other`` lines are the task's
+    real diagnostics — callers forward them to their own stderr so user
+    debugging output is not eaten with the protocol lines.
+    """
+    global _REPORTER_COUNTER_RE, _REPORTER_STATUS_RE
+    import re
+
+    if _REPORTER_COUNTER_RE is None:
+        _REPORTER_COUNTER_RE = re.compile(
+            rb"^reporter:counter:([^,]*),([^,]*),(-?\d+)\s*$"
+        )
+        _REPORTER_STATUS_RE = re.compile(rb"^reporter:status:(.*)$")
+
+    counters: dict = {}
+    statuses: list = []
+    other: list = []
+    for line in (stderr or b"").splitlines():
+        m = _REPORTER_COUNTER_RE.match(line)
+        if m:
+            group = m.group(1).decode("utf-8", "replace")
+            name = m.group(2).decode("utf-8", "replace")
+            amount = int(m.group(3))
+            counters.setdefault(group, {})
+            counters[group][name] = counters[group].get(name, 0) + amount
+            if add is not None:
+                add({group: {name: amount}})
+            continue
+        m = _REPORTER_STATUS_RE.match(line)
+        if m:
+            statuses.append(m.group(1).decode("utf-8", "replace"))
+            continue
+        other.append(line)
+    return counters, statuses, other

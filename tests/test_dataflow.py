@@ -1231,3 +1231,26 @@ def test_worker_cwd_restored_for_no_upload_jobs(tmp_path, monkeypatch):
     os.chdir(elsewhere)  # simulate a previous upload job's sticky chdir
     dr._ensure_task_workdir(False)
     assert os.getcwd() == str(home), "no-upload job inherited stale cwd"
+
+
+def test_reporter_counters_from_cmd_on_spark(spark):
+    # Hadoop streaming's stderr side-channel over the SPARK runner
+    # (round 6: the pipe path moved from rdd.pipe — which discards
+    # stderr — to a per-partition subprocess that parses it): a *_cmd's
+    # reporter:counter lines must reach runner.counters(), once per
+    # partition the command ran in
+    from mrjob_spark.dataflow.protocols import RawValueProtocol
+
+    class MRReporter(SparkMRJob):
+        INPUT_PROTOCOL = RawValueProtocol
+        INTERNAL_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+
+        mapper_cmd = 'cat; echo "reporter:counter:shell,ticks,5" >&2'
+
+    with MRReporter().make_runner(
+        spark, input_rdd=pair_rdd(spark, ["a", "b", "c"], parts=3)
+    ) as r:
+        r.run()
+        assert sorted(v for _, v in r.cat_output()) == ["a", "b", "c"]
+        assert r.counters() == {"shell": {"ticks": 15}}  # 3 partitions

@@ -249,3 +249,114 @@ def test_umbrella_command_run_and_diagnose(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-300:]
     assert "ValueError: boom" in proc.stdout
+
+
+def _reporter_job():
+    # a mapper_cmd that passes lines through AND talks the Hadoop
+    # streaming stderr protocol: counters + a status + a real log line
+    class MRReporter(SparkMRJob):
+        from mrjob_spark.dataflow.protocols import RawValueProtocol
+
+        INPUT_PROTOCOL = RawValueProtocol
+        INTERNAL_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+
+        mapper_cmd = (
+            'cat; echo "reporter:counter:shell,lines,3" >&2; '
+            'echo "reporter:counter:shell,lines,2" >&2; '
+            'echo "reporter:status:halfway" >&2; '
+            'echo "plain diagnostics" >&2'
+        )
+
+    return MRReporter
+
+
+def test_reporter_counters_from_cmd_inline_and_local(tmp_path):
+    # Hadoop streaming's stderr side-channel (mrjob/parse.py:111-150):
+    # reporter:counter lines from a *_cmd reach runner.counters() on
+    # every runner; per-map-task on local (2 tasks → doubled)
+    inp = _write(tmp_path, "in.txt", "a\nb\n")
+    MRReporter = _reporter_job()
+
+    with MRReporter().make_inline_runner(input_paths=[inp]) as r:
+        r.run()
+        assert sorted(kv[1] for kv in r.cat_output()) == ["a", "b"]
+        assert r.counters() == {"shell": {"lines": 5}}
+
+    with MRReporter().make_local_runner(
+        input_paths=[inp], num_mappers=2
+    ) as r:
+        r.run()
+        assert sorted(kv[1] for kv in r.cat_output()) == ["a", "b"]
+        # one cmd invocation per map task
+        assert r.counters() == {"shell": {"lines": 10}}
+
+
+def test_reporter_counters_match_reference_local_runner(tmp_path):
+    # differential: the same reporter-emitting cmd job through the
+    # REFERENCE's local runner (its inline runner refuses cmds) and ours
+    REFERENCE = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+    if not os.path.isdir(os.path.join(REFERENCE, "mrjob")):
+        pytest.skip("reference not available")
+    sys.path.insert(0, REFERENCE)
+    from mrjob.job import MRJob
+    from mrjob.protocol import RawValueProtocol as RefRaw
+
+    # the reference's local runner shlex-splits cmds (no shell), so the
+    # differential uses a single script file both sides can exec
+    script = tmp_path / "reporter.sh"
+    script.write_text(
+        "#!/bin/sh\ncat\necho 'reporter:counter:shell,lines,7' >&2\n"
+    )
+    script.chmod(0o755)
+    cmd = str(script)
+
+    class RefReporter(MRJob):
+        INPUT_PROTOCOL = RefRaw
+        INTERNAL_PROTOCOL = RefRaw
+        OUTPUT_PROTOCOL = RefRaw
+
+        def steps(self):
+            from mrjob.step import MRStep
+
+            return [MRStep(mapper_cmd=cmd)]
+
+    inp = _write(tmp_path, "in.txt", "x\ny\n")
+    job = RefReporter(args=["-r", "local", "--no-conf", inp])
+    with job.make_runner() as r:
+        r.run()
+        ref_out = sorted(job.parse_output(r.cat_output()))
+        ref_counters: dict = {}
+        for step in r.counters():
+            for g, names in step.items():
+                for n, amt in names.items():
+                    ref_counters.setdefault(g, {})
+                    ref_counters[g][n] = ref_counters[g].get(n, 0) + amt
+
+    from mrjob_spark.dataflow import MRStep as OurStep
+
+    class OurReporter(SparkMRJob):
+        from mrjob_spark.dataflow.protocols import RawValueProtocol
+
+        INPUT_PROTOCOL = RawValueProtocol
+        INTERNAL_PROTOCOL = RawValueProtocol
+        OUTPUT_PROTOCOL = RawValueProtocol
+
+        def steps(self):
+            return [OurStep(mapper_cmd=cmd)]
+
+    # the reference local runner forks a cmd per input split; pin both
+    # sides to the same task count so per-task counters compare equal
+    ref_tasks = ref_counters.get("shell", {}).get("lines", 0) // 7
+    with OurReporter().make_local_runner(
+        input_paths=[inp], num_mappers=max(1, ref_tasks)
+    ) as r:
+        r.run()
+        ours_out = sorted(tuple(kv) for kv in r.cat_output())
+        # the reference's to_lines/RawValueProtocol keeps each line's
+        # trailing \n in parse_output (mrjob/util.py:256-281); our
+        # cat_output strips terminators before decoding — normalize
+        assert [v for _, v in ours_out] == [
+            v.rstrip("\n") for _, v in ref_out
+        ]
+        assert r.counters() == ref_counters
