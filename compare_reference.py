@@ -150,6 +150,23 @@ def main() -> int:
             sec, n = _time_ours_dataflow(spark, our_cls(), lines)
             row["ours_dataflow_sec"] = round(sec, 2)
             row["ours_n_output_rows"] = n
+            # our -r local (round 6): the same architecture class as the
+            # reference's local runner — subprocess tasks + external sort
+            # — so this is the like-for-like row; task count matched to
+            # the machine like the reference's cpu_count pool
+            try:
+                t0 = time.monotonic()
+                with our_cls().make_local_runner(
+                    input_paths=[path],
+                    num_mappers=CPUS,
+                    num_reducers=CPUS,
+                ) as r:
+                    n_local = len(r.collect_output())
+                row["ours_local_sec"] = round(time.monotonic() - t0, 2)
+                row["ours_local_rows"] = n_local
+            except Exception as exc:
+                row["ours_local_sec"] = None
+                row["ours_local_error"] = type(exc).__name__
             results[name] = row
 
         # the relational twin of wordcount (what a user migrating OFF the
