@@ -344,6 +344,9 @@ class LocalJobRunner:
             shutil.rmtree(self._scratch, ignore_errors=True)
         self._scratch = tempfile.mkdtemp(prefix="mrjob_spark_local_")
         self._counters = {}
+        import uuid
+
+        self._setup_nonce = uuid.uuid4().hex  # setup runs once per job RUN
         self.input_paths = spool_stdin(self.job, self.input_paths)
 
         import pyspark.cloudpickle as cloudpickle
@@ -407,6 +410,7 @@ class LocalJobRunner:
                             step_dir, f"counters_{task_id}.json"
                         ),
                         "setup": self._setup,
+                        "setup_nonce": self._setup_nonce,
                         "emit": "internal",
                         "first_step": step_num == 0,
                     }
@@ -452,6 +456,7 @@ class LocalJobRunner:
                             step_dir, f"counters_{task_id}.json"
                         ),
                         "setup": self._setup,
+                        "setup_nonce": self._setup_nonce,
                         "emit": "output" if is_last else "internal",
                         "combiner_as_reducer": not step.has_reducer,
                     }
@@ -769,6 +774,18 @@ def _task_main(spec_path: str) -> int:
 
     shim = _CounterShim()
     job._counter_acc = shim
+
+    # the reference wraps EVERY task — shell and Python alike — in the
+    # setup script (mrjob/bin.py:545-653, flock-serialized per node);
+    # reuse the Spark runner's prologue so `setup:` exports reach Python
+    # substep code under -r local exactly like they do under -r spark
+    # (shell substeps additionally get the lines prefixed in their own
+    # shell via _pipe_lines, same as the other runners)
+    setup_lines = list(spec.get("setup") or [])
+    if setup_lines:
+        from mrjob_spark.dataflow.runner import _ensure_task_setup
+
+        _ensure_task_setup(setup_lines, {}, spec.get("setup_nonce", ""))
 
     steps = job.steps()
     step = steps[spec["step_num"]]

@@ -360,3 +360,28 @@ def test_reporter_counters_match_reference_local_runner(tmp_path):
             v.rstrip("\n") for _, v in ref_out
         ]
         assert r.counters() == ref_counters
+
+
+def test_setup_exports_reach_python_substeps(tmp_path):
+    # the reference wraps EVERY task in the setup script (mrjob/bin.py:
+    # 545-653); under -r local a setup `export` must be visible to Python
+    # mapper code, and the side effect must run once per job run (flock'd
+    # disk guard), not once per task
+    inp = _write(tmp_path, "in.txt", "a\nb\nc\nd\n")
+    marker = tmp_path / "ran_count"
+
+    class MRSetup(SparkMRJob):
+        def mapper(self, _, line):
+            yield line, os.environ.get("SETUP_TOKEN")
+
+    setup = [
+        f'echo x >> "{marker}"',
+        "export SETUP_TOKEN=s3cr3t",
+    ]
+    with MRSetup().make_local_runner(
+        input_paths=[inp], num_mappers=4, setup=setup
+    ) as r:
+        r.run()
+        out = dict(r.cat_output())
+    assert out == {k: "s3cr3t" for k in "abcd"}
+    assert marker.read_text().count("x") == 1  # once per run, not per task
