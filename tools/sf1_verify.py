@@ -69,6 +69,29 @@ REPRESENTATIVE = [
     "l3_kmeans_assign",
 ]
 
+#: round-6 widening (--tier 2 / --tier all): fifteen more families at sf1
+#: — the EXISTS/anti towers, outer joins, as-of, rollup/grouping sets,
+#: window rank, global sort, dedup/classification, and the sampling and
+#: sketch paths. Labeled super-linear baselines stay out by design (their
+#: capped twins are in tier 1).
+REPRESENTATIVE_T2 = [
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_join",
+    "q22_sales_opportunity",
+    "j4_left_outer_join",
+    "j6_asof_join",
+    "a9_rollup",
+    "a5_argmax_per_group",
+    "o4_global_sort_limit",
+    "o7_deterministic_sample",
+    "l5_lang_id",
+    "l4_tfidf",
+]
+
 
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
@@ -143,9 +166,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="fixtures/sf1")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--tier", default="1", choices=("1", "2", "all"))
     args = ap.parse_args()
 
-    names = [n for n in REPRESENTATIVE if n in REGISTRY]
+    pool = {
+        "1": REPRESENTATIVE,
+        "2": REPRESENTATIVE_T2,
+        "all": REPRESENTATIVE + REPRESENTATIVE_T2,
+    }[args.tier]
+    names = [n for n in pool if n in REGISTRY]
     if args.only:
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
