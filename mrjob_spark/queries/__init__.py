@@ -118,6 +118,7 @@ _DRIVER_PRIORITY = [
     # (broadcast hint dropped per ADVICE r5), and q16's NOT IN → NOT
     # EXISTS oracle restatement
     "l2_embedding_neardup_ivf_hi",
+    "l8_decontaminate_bloom",
     "q9_product_type_profit",
     "q16_supplier_part_counts",
     # last green in round 2 (two runtimes ago, pre-environment-shift) —
@@ -173,7 +174,8 @@ _DRIVER_PRIORITY = [
     "s6_hadoop_input_format",
     "s7_orc_roundtrip",
     "x1_udtf_tokenize",
-    "x2_udaf_quantiles",
+    # x2_udaf_quantiles (r3-green, inside the freshness horizon) displaced
+    # by l8_decontaminate_bloom — new queries lead the window by policy
 ]
 
 

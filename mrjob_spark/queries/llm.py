@@ -975,6 +975,98 @@ def l8_decontaminate(spark, sf_dir):
     )
 
 
+@query(
+    "l8_decontaminate_bloom",
+    sql=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               {sql_hex_hash32('substr(t, i, 8)')} AS h
+        FROM (
+            SELECT doc_id, lower(text) AS t,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1)))
+                       AS i
+            FROM documents
+        )
+    ), bench_sh AS (
+        SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0
+    ), corpus_sh AS (
+        SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0
+    ), overlap AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM corpus_sh c JOIN bench_sh b ON b.h = c.h
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(o.n_shared, 0) AS n_shared,
+           CASE WHEN coalesce(o.n_shared, 0) >= 16 THEN 1 ELSE 0 END
+               AS contaminated
+    FROM documents d LEFT JOIN overlap o ON o.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def l8_decontaminate_bloom(spark, sf_dir):
+    """Bloom-tier decontamination — same semantics (and the same oracle
+    SQL, verbatim) as ``l8_decontaminate``, restructured for the regime
+    where the benchmark shingle set is too large to broadcast exactly: a
+    full eval-suite union at 100 TB is tens of GB of distinct n-grams,
+    which no longer fits an exact broadcast hash table, while joining
+    corpus shingles against it shuffle-side costs a corpus-sized exchange.
+
+    Three stages, each bounded (operators/bloom.py):
+
+    1. BUILD the Bloom bitmap over benchmark shingles: one bit_or
+       aggregation whose shuffle is capped by the bitmap size (2^20 bits →
+       ≤16k rows/partition), collecting 128 KiB of driver state.
+    2. PROBE every corpus shingle map-side (k JVM bit-tests against the
+       broadcast bitmap) — the corpus stream is filtered to candidates
+       BEFORE any exchange, with zero false negatives by construction.
+    3. CONFIRM candidates with an exact join against the true benchmark
+       set — no broadcast hint: both sides are now candidate-sized (true
+       overlaps + the filter's ~0.5% FPs), so AQE picks the strategy and
+       the exchange moves candidates, never the corpus.
+
+    Output is value-identical to the exact form — the Bloom filter only
+    prunes rows the exact join would drop anyway (no-false-negative
+    property is hypothesis-tested in tests/test_bloom.py)."""
+    t = Tables(spark, sf_dir)
+    from mrjob_spark.functions.text import char_shingles
+    from mrjob_spark.operators.bloom import bloom_build, bloom_filter_maybe
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    docs = parallelize_narrow_scan(t.documents.select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    char_shingles(F.col("text"), 8), lambda s: hex_hash32(s)
+                )
+            )
+        ).alias("h"),
+    )
+    bench_sh = sh.where(F.col("doc_id") % 97 == 0).select("h").distinct()
+    bitmap = bloom_build(bench_sh, "h")
+    corpus_sh = sh.where(F.col("doc_id") % 97 != 0)
+    candidates = bloom_filter_maybe(corpus_sh, "h", bitmap)
+    overlap = (
+        candidates.join(bench_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        t.documents.select("doc_id")
+        .where(F.col("doc_id") % 97 != 0)
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.when(F.coalesce(F.col("n_shared"), F.lit(0)) >= 16, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
+
+
 #: GPT-2-style pre-tokenizer regex, reduced to the dialect-portable subset
 #: (leading-space-attached letter runs, digit runs, punctuation runs).
 #: Alternation order matters and is leftmost-first in BOTH Java regex and
