@@ -60,6 +60,61 @@ def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    history: DataFrame,
+    new_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus — the
+    daily-ingest shape at 100 TB, where re-running whole-corpus dedup per
+    batch is a non-starter.
+
+    The join direction is the whole design: the NEW side is small (one
+    ingest's worth) and the HISTORY side is the corpus, so the new batch's
+    distinct hashes broadcast and history is probed with a map-side
+    broadcast semi join — **history never shuffles**; the only exchange in
+    the plan carries the colliding history rows (bounded by the batch's
+    distinct-hash count) and the batch itself.  In production the history
+    side is a persisted hash index (hash, min_id) so the probe is a
+    narrow two-column scan; here it is derived in-query from the documents
+    table so the oracle can state the whole computation.
+
+    Per new document: ``verdict`` ∈ {'dup_of_history', 'dup_in_batch',
+    'new'} and ``keep_id`` — the surviving representative (the history
+    min-id, the batch's first occurrence, or itself).
+    """
+    h = F.md5(normalize_text(F.col(text_col)))
+    new_h = new_batch.select(
+        F.col(id_col).alias("doc_id"), h.alias("content_hash")
+    )
+    new_hashes = new_h.select("content_hash").distinct()
+    hist_match = (
+        history.select(F.col(id_col).alias("_hid"), h.alias("content_hash"))
+        .join(F.broadcast(new_hashes), "content_hash", "leftsemi")
+        .groupBy("content_hash")
+        .agg(F.min("_hid").alias("hist_keep"))
+    )
+    batch_first = new_h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("batch_keep")
+    )
+    return (
+        new_h.join(F.broadcast(batch_first), "content_hash")
+        .join(F.broadcast(hist_match), "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.when(F.col("hist_keep").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") > F.col("batch_keep"), "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+            F.coalesce(F.col("hist_keep"), F.col("batch_keep")).alias(
+                "keep_id"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2: MinHash + LSH
 # ---------------------------------------------------------------------------

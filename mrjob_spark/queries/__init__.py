@@ -119,6 +119,7 @@ _DRIVER_PRIORITY = [
     # EXISTS oracle restatement
     "l2_embedding_neardup_ivf_hi",
     "l8_decontaminate_bloom",
+    "l1_incremental_dedup",
     "q9_product_type_profit",
     "q16_supplier_part_counts",
     # last green in round 2 (two runtimes ago, pre-environment-shift) —
@@ -173,9 +174,10 @@ _DRIVER_PRIORITY = [
     "s10_partitioned_sink",
     "s6_hadoop_input_format",
     "s7_orc_roundtrip",
-    "x1_udtf_tokenize",
-    # x2_udaf_quantiles (r3-green, inside the freshness horizon) displaced
-    # by l8_decontaminate_bloom — new queries lead the window by policy
+    # x1_udtf_tokenize and x2_udaf_quantiles (both r3-green, inside the
+    # freshness horizon) displaced by the two round-6 additions
+    # (l8_decontaminate_bloom, l1_incremental_dedup) — new queries lead
+    # the window by policy
 ]
 
 

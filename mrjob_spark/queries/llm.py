@@ -77,6 +77,56 @@ def l1_normalized_dedup(spark, sf_dir):
     return normalized_dedup(t.documents, "text", "doc_id")
 
 
+@query(
+    "l1_incremental_dedup",
+    sql=f"""
+    WITH h AS (
+        SELECT doc_id, md5({sql_normalize_text('text')}) AS content_hash
+        FROM documents
+    ), new_h AS (
+        SELECT * FROM h WHERE doc_id % 10 = 9
+    ), hist_match AS (
+        SELECT content_hash, min(doc_id) AS hist_keep
+        FROM h
+        WHERE doc_id % 10 <> 9
+          AND content_hash IN (SELECT content_hash FROM new_h)
+        GROUP BY content_hash
+    ), batch_first AS (
+        SELECT content_hash, min(doc_id) AS batch_keep
+        FROM new_h GROUP BY content_hash
+    )
+    SELECT n.doc_id, n.content_hash,
+           CASE WHEN hm.content_hash IS NOT NULL THEN 'dup_of_history'
+                WHEN n.doc_id > bf.batch_keep THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           coalesce(hm.hist_keep, bf.batch_keep) AS keep_id
+    FROM new_h n
+    JOIN batch_first bf ON bf.content_hash = n.content_hash
+    LEFT JOIN hist_match hm ON hm.content_hash = n.content_hash
+    """,
+)
+def l1_incremental_dedup(spark, sf_dir):
+    """Incremental (batch-vs-corpus) dedup — the ingestion-time shape at
+    100 TB: each arriving batch dedups against the already-ingested corpus
+    WITHOUT re-scanning or re-shuffling it.  The fixture splits documents
+    into a 10% "new batch" (doc_id % 10 = 9) and 90% "history"; the
+    operator (operators/dedup.py:incremental_exact_dedup) broadcasts the
+    batch's distinct hashes, probes history with a map-side broadcast semi
+    join — the history side carries NO exchange, pinned in test_plans.py —
+    and classifies every new doc as dup_of_history / dup_in_batch / new
+    with its surviving representative id."""
+    t = Tables(spark, sf_dir)
+    from mrjob_spark.operators.dedup import incremental_exact_dedup
+
+    docs = t.documents.select("doc_id", "text")
+    return incremental_exact_dedup(
+        docs.where(F.col("doc_id") % 10 != 9),
+        docs.where(F.col("doc_id") % 10 == 9),
+        "text",
+        "doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2: near-dedup family
 # ---------------------------------------------------------------------------

@@ -569,3 +569,29 @@ def test_embedding_neardup_sub_split_drops_only_sign_disagreeing_pairs(spark):
         (a, b) for (a, b) in base
         if (rows[a - 1]["embedding"][0] >= 0) == (rows[b - 1]["embedding"][0] >= 0)
     }
+
+
+def test_incremental_dedup_all_three_verdicts(spark):
+    # synthetic split where every branch fires: d1 duplicates history,
+    # d2/d3 duplicate each other inside the batch, d4 is novel
+    from mrjob_spark.operators.dedup import incremental_exact_dedup
+
+    history = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "alpha beta"), (102, "gamma")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "Alpha  Beta"), (2, "delta"), (3, "DELTA!"), (4, "epsilon")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["keep_id"])
+        for r in incremental_exact_dedup(
+            history, batch, "text", "doc_id"
+        ).collect()
+    }
+    # normalization folds case/punctuation/whitespace before hashing
+    assert out[1] == ("dup_of_history", 100)
+    assert out[2] == ("new", 2)
+    assert out[3] == ("dup_in_batch", 2)
+    assert out[4] == ("new", 4)

@@ -537,3 +537,16 @@ def test_neardup_ivf_no_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_incremental_dedup_never_shuffles_history(spark):
+    # the ingestion-time contract: history is probed with a map-side
+    # broadcast LeftSemi (batch hashes build side) — the history scan
+    # reaches its join with NO exchange, and the only hash exchanges are
+    # the three batch/candidate-bounded aggregations (batch-hash distinct,
+    # batch_first, hist_match). A SortMergeJoin anywhere means the corpus
+    # got shuffled for a batch-sized probe.
+    plan = _plan(spark, "l1_incremental_dedup")
+    assert "LeftSemi, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3

@@ -92,6 +92,31 @@ REPRESENTATIVE_T2 = [
     "l4_tfidf",
 ]
 
+#: round-6 third tier (--tier 3): the remaining planner patterns —
+#: correlated decorrelation (sql2, q17), broadcast-scalar + exchange reuse
+#: (q15, q18), grouping sets, set ops, running frames, the star join, the
+#: iterative connected-components pipeline over the capped LSH graph (its
+#: recursive-closure oracle staged over materialized pair tables, same
+#: re-expansion fix as the minhash oracle), the inverted-index Jaccard,
+#: the sharded global shuffle, and the round-6 Bloom decontamination tier.
+REPRESENTATIVE_T3 = [
+    "q3_shipping_priority",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "sql2_correlated_subquery",
+    "j7_star_join",
+    "u2_except",
+    "w3_running_total",
+    "a9_grouping_sets",
+    "l1_dedup_clusters_capped",
+    "l2_jaccard_pairs",
+    "l8_decontaminate_bloom",
+    "l8_global_shuffle",
+]
+
 
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
@@ -143,9 +168,7 @@ def staged_minhash_oracle(
         """CREATE OR REPLACE TEMP TABLE sizes AS
            SELECT doc_id, count(*) AS n FROM cand_sh GROUP BY doc_id""",
     ]
-    for s in stages:
-        duck.execute(s)
-    return duck.execute(f"""
+    stages.append(f"""CREATE OR REPLACE TEMP TABLE lsh_pairs AS
         WITH inter AS (
             SELECT c.doc_a, c.doc_b, count(*) AS n_inter
             FROM cand c
@@ -159,6 +182,29 @@ def staged_minhash_oracle(
         JOIN sizes za ON za.doc_id = i.doc_a
         JOIN sizes zb ON zb.doc_id = i.doc_b
         WHERE (floor((CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter)) * 1000000 + 0.5) / 1000000) >= {threshold}
+    """)
+    for s in stages:
+        duck.execute(s)
+    return duck.execute("SELECT * FROM lsh_pairs").arrow()
+
+
+def staged_clusters_oracle(duck: "duckdb.DuckDBPyConnection"):
+    """Staged twin of _CLUSTERS_CAPPED_SQL (composites.py): the recursive
+    min-label closure over the SAME capped pair set, with the pair
+    pipeline materialized once via staged_minhash_oracle — identical
+    constants/cap/rounding, so any divergence is still the engine's."""
+    staged_minhash_oracle(duck)
+    return duck.execute("""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+            UNION
+            SELECT doc_b, doc_a FROM lsh_pairs
+        ), reach AS (
+            SELECT u AS node, u AS r FROM edges
+            UNION
+            SELECT e.v, reach.r FROM edges e JOIN reach ON reach.node = e.u
+        )
+        SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
     """).arrow()
 
 
@@ -166,13 +212,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="fixtures/sf1")
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tier", default="1", choices=("1", "2", "all"))
+    ap.add_argument("--tier", default="1", choices=("1", "2", "3", "all"))
     args = ap.parse_args()
 
     pool = {
         "1": REPRESENTATIVE,
         "2": REPRESENTATIVE_T2,
-        "all": REPRESENTATIVE + REPRESENTATIVE_T2,
+        "3": REPRESENTATIVE_T3,
+        "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
@@ -202,6 +249,8 @@ def main() -> int:
             t0 = time.monotonic()
             if name == "l2_minhash_lsh_capped":
                 atab = staged_minhash_oracle(duck)
+            elif name == "l1_dedup_clusters_capped":
+                atab = staged_clusters_oracle(duck)
             else:
                 atab = duck.execute(spec.sql).arrow()
             duck_cols = [c.lower() for c in atab.column_names]
