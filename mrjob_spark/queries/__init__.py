@@ -120,6 +120,8 @@ _DRIVER_PRIORITY = [
     "l2_embedding_neardup_ivf_hi",
     "l8_decontaminate_bloom",
     "l1_incremental_dedup",
+    "st11_incremental_ingest",
+    "a12_approx_percentiles",
     "q9_product_type_profit",
     "q16_supplier_part_counts",
     # last green in round 2 (two runtimes ago, pre-environment-shift) —
@@ -172,12 +174,11 @@ _DRIVER_PRIORITY = [
     "s7_json_roundtrip",
     "o1_o2_partition_layout",
     "s10_partitioned_sink",
-    "s6_hadoop_input_format",
-    "s7_orc_roundtrip",
-    # x1_udtf_tokenize and x2_udaf_quantiles (both r3-green, inside the
-    # freshness horizon) displaced by the two round-6 additions
-    # (l8_decontaminate_bloom, l1_incremental_dedup) — new queries lead
-    # the window by policy
+    # s6_hadoop_input_format, s7_orc_roundtrip, x1_udtf_tokenize,
+    # x2_udaf_quantiles (all r3-green, inside the freshness horizon)
+    # displaced by the four round-6 additions (l8_decontaminate_bloom,
+    # l1_incremental_dedup, st11_incremental_ingest,
+    # a12_approx_percentiles) — new queries lead the window by policy
 ]
 
 

@@ -340,6 +340,47 @@ def a11_exact_percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "a12_approx_percentiles",
+    sql="""
+    SELECT event_type,
+           (floor((quantile_cont(value, 0.50)) * 1000000 + 0.5) / 1000000) AS p50,
+           (floor((quantile_cont(value, 0.90)) * 1000000 + 0.5) / 1000000) AS p90,
+           (floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000) AS p99,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a12_approx_percentiles(spark, sf_dir):
+    """A12 (EXT): sketch percentiles — the unbounded-cardinality path a11's
+    docstring defers to. ``percentile_approx`` (Greenwald-Khanna quantile
+    summary) holds O(accuracy · log n) state per group and merges
+    map-side, so the shuffle carries fixed-size sketches instead of every
+    value — at 100 TB the exact form must materialize each group's full
+    value set in one task, the sketch never does. Same tolerance-oracle
+    contract as a10: the sketch estimate has no cross-engine twin, so the
+    query emits the EXACT percentiles (the audit harness) plus a
+    Spark-computed relative-error boolean the oracle states as literal
+    TRUE — at accuracy=10000 the rank error is ≤1e-4, orders of magnitude
+    inside the 5% gate, so only a broken sketch flips the hash."""
+    t = Tables(spark, sf_dir)
+
+    def _within(p: float):
+        exact = F.expr(f"percentile(value, {p})")
+        approx = F.expr(f"percentile_approx(value, {p}, 10000)")
+        return (F.abs(approx - exact) / (F.abs(exact) + F.lit(1e-9))) <= F.lit(
+            0.05
+        )
+
+    return t.events.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        rnd(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+        rnd(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        (_within(0.50) & _within(0.90) & _within(0.99)).alias("within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O: sort / limit / top-k / sampling
 # ---------------------------------------------------------------------------

@@ -387,3 +387,70 @@ def st10_stream_pipeline(spark, sf_dir):
             F.col("v.sum_value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "st11_incremental_ingest",
+    sql="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS content_hash
+        FROM documents
+    ), hist AS (
+        SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 <> 9
+    ), batch AS (
+        SELECT * FROM h WHERE doc_id % 10 = 9
+    )
+    SELECT b.content_hash, min(b.doc_id) AS admitted_id,
+           CAST(count(*) AS BIGINT) AS n_arrivals
+    FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM hist x WHERE x.content_hash = b.content_hash
+    )
+    GROUP BY b.content_hash
+    """,
+)
+def st11_incremental_ingest(spark, sf_dir):
+    """Admission-control ingest dedup, deterministic batch twin of
+    ``streaming/ops.py:incremental_ingest_dedup``: the arriving batch
+    (doc_id % 10 = 9) is admitted only where its content hash is new
+    against BOTH the ingested corpus (the rest of documents) and the
+    batch itself — min-doc_id representative plus arrival count, which is
+    what the stream's first-arrival ``dropDuplicatesWithinWatermark``
+    converges to on complete input. The real streaming form (stream-static
+    left_anti per micro-batch, THEN watermarked dedup so history dupes
+    never occupy state) is replayed cross-micro-batch in
+    tests/test_streaming.py.
+
+    Scale shape mirrors ``l1_incremental_dedup``: the corpus-sized history
+    index is probed with a broadcast LeftSemi of the batch's hashes
+    (history never shuffles), the matched set — bounded by batch size —
+    broadcasts into the anti join, and the only hash exchanges carry
+    batch-sized streams."""
+    from mrjob_spark.functions.text import normalize_text
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    hashed = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
+    )
+    batch = hashed.where(F.col("doc_id") % 10 == 9)
+    history = hashed.where(F.col("doc_id") % 10 != 9)
+    matched = (
+        history.select("content_hash")
+        .join(
+            F.broadcast(batch.select("content_hash").distinct()),
+            "content_hash",
+            "leftsemi",
+        )
+        .distinct()
+    )
+    return (
+        batch.join(F.broadcast(matched), "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("admitted_id"),
+            F.count(F.lit(1)).alias("n_arrivals"),
+        )
+    )

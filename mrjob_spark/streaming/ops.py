@@ -199,6 +199,51 @@ def stream_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def incremental_ingest_dedup(
+    stream_df: DataFrame,
+    history_hashes: DataFrame,
+    text_col: str,
+    *,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+    broadcast_history: bool = False,
+) -> DataFrame:
+    """Admission-control dedup for a live ingest stream (ST × L1): pass
+    through only documents that are new against BOTH the already-ingested
+    corpus and the stream itself — the streaming twin of
+    ``operators/dedup.py:incremental_exact_dedup``.
+
+    Order of operations is the state story: the content hash is computed
+    in-stream, history rejects ride a stream-static **left_anti** join
+    FIRST (stateless per-row — the static side is re-evaluated each
+    micro-batch, so a compaction that appends newly-ingested hashes is
+    picked up on the next trigger without a restart), and only survivors
+    enter ``dropDuplicatesWithinWatermark`` — history duplicates never
+    occupy dedup state, which keeps the state store bounded by the
+    *novel*-hash rate per watermark horizon, not the ingest rate.
+
+    ``broadcast_history=False`` by default: at 100 TB the history hash
+    index is corpus-sized, so the anti join must be free to plan as a
+    shuffled join of the (small) micro-batch against the (bucketed/
+    pre-partitioned) index rather than force-collecting the corpus
+    driver-side; pass True only for genuinely small indexes.  Runs
+    unchanged over a batch DataFrame (plain anti join + dropDuplicates),
+    which is how the oracle twin verifies it.
+    """
+    from mrjob_spark.functions.text import normalize_text
+
+    hashed = stream_df.withColumn(
+        "content_hash", F.md5(normalize_text(F.col(text_col)))
+    )
+    hist = (
+        F.broadcast(history_hashes) if broadcast_history else history_hashes
+    )
+    novel = hashed.join(hist, "content_hash", "left_anti")
+    return stream_dedup(
+        novel, ["content_hash"], ts_col=ts_col, watermark=watermark
+    )
+
+
 def stream_static_enrich(
     stream_df: DataFrame,
     dim_df: DataFrame,

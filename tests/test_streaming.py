@@ -566,3 +566,55 @@ def test_state_partitions_restores_session_setting(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [Row(ts=ts, doc_id=i, text=t) for ts, i, t in rows]
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_ingest_dedup_across_microbatches(spark, tmp_path):
+    """The admission-control ingest pipeline, replayed cross-micro-batch:
+    history rejects (stream-static anti join) and within-stream rejects
+    (dedup state held ACROSS micro-batches) both fire; only genuinely
+    novel documents reach the sink. Mirrors the st11 batch twin."""
+    from mrjob_spark.streaming.ops import incremental_ingest_dedup
+
+    src = str(tmp_path / "ingest_src")
+    # batch 1: doc 1 duplicates history (normalization folds case/punct),
+    # doc 2 is novel
+    _write_docs(spark, src, [(_t(0), 1, "Alpha  Beta"), (_t(1), 2, "delta")])
+
+    # hash history the same way the operator does (normalized text)
+    from mrjob_spark.functions.text import normalize_text
+
+    history = spark.createDataFrame(
+        [("alpha beta",), ("gamma",)], "text string"
+    ).select(F.md5(normalize_text(F.col("text"))).alias("content_hash"))
+
+    sdf = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(src)
+    admitted = incremental_ingest_dedup(
+        sdf, history, "text", ts_col="ts", watermark="2 hours"
+    )
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("ingest_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 3 re-sends delta (cross-batch stream dup), doc 4 is
+        # novel, doc 5 duplicates history
+        _write_docs(
+            spark,
+            src,
+            [(_t(2), 3, "DELTA!"), (_t(3), 4, "epsilon"), (_t(4), 5, "Gamma")],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"] for r in spark.table("ingest_test").collect()}
+    assert got == {2, 4}
