@@ -226,6 +226,13 @@ class InlineJobRunner:
                     pairs = self._run_spark_script_step(step, step_num, pairs)
                 else:
                     pairs = self._run_step(step, step_num, pairs)
+                if step_num < len(steps) - 1:
+                    # a non-final step's output crosses the INTERNAL wire
+                    # into the next step's mapper (idempotent after the
+                    # in-step crossings, exact for jar/script steps which
+                    # already moved real bytes)
+                    rt = self.job.INTERNAL_PROTOCOL().roundtrip
+                    pairs = [rt(k, v) for k, v in pairs]
         finally:
             if workdir:
                 os.chdir(launch_dir)
@@ -360,7 +367,9 @@ class InlineJobRunner:
 
     def _run_step(self, step: MRStep, step_num: int, pairs: list) -> list:
         job = self.job
-        enc = job.INTERNAL_PROTOCOL().encode_sort_key
+        internal = job.INTERNAL_PROTOCOL()
+        enc = internal.encode_sort_key
+        rt = internal.roundtrip
 
         # ---- mapper ----
         if step.mapper_cmd:
@@ -385,7 +394,11 @@ class InlineJobRunner:
                 out.extend(pairs)  # identity mapper
             if step.mapper_final:
                 out.extend(step.mapper_final() or ())
-            pairs = out
+            # mapper output crosses the INTERNAL wire before anything else
+            # sees it (the reference writes it; combiner/reducer read it) —
+            # without this, type-observing user code diverges (tuple vs
+            # list under JSON; test_reference_differential.py)
+            pairs = [rt(k, v) for k, v in out]
 
         if not (step.has_reducer or step.has_combiner):
             return pairs
@@ -409,8 +422,9 @@ class InlineJobRunner:
                 )
             if step.combiner_final:
                 combined.extend(step.combiner_final() or ())
+            # combiner output crosses the wire again before the reducer
             keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
-                     for k, v in combined]
+                     for k, v in (rt(k, v) for k, v in combined)]
             keyed.sort(key=lambda item: item[0])
 
         if not step.has_reducer:
@@ -481,7 +495,11 @@ class InlineJobRunner:
     def cat_output(self) -> Iterator:
         if self._output is None:
             self.run()
-        yield from self._output
+        # consumers see pairs as OUTPUT_PROTOCOL delivers them (the
+        # reference's parse_output reads real output bytes)
+        rt = self.job.OUTPUT_PROTOCOL().roundtrip
+        for k, v in self._output:
+            yield rt(k, v)
 
     def counters(self) -> dict:
         return self._counters.value

@@ -56,6 +56,45 @@ class Protocol:
         """Byte encoding used for shuffle grouping / SORT_VALUES ordering."""
         return _canonical_bytes(obj)
 
+    def roundtrip(self, key, value):
+        """What one task-boundary wire crossing does to a pair:
+        ``read(write(key, value))``.
+
+        The reference serializes pairs through INTERNAL_PROTOCOL at every
+        task boundary (mapper → combiner → reducer → next step), so user
+        code there observes post-wire values — a tuple yielded by a mapper
+        arrives at the reducer as a LIST under JSON, int dict keys arrive
+        as strings, and a value-only protocol drops the key.  This engine
+        keeps pairs native Python between tasks for speed, so runners
+        apply ``roundtrip`` at exactly the boundaries the reference
+        serializes; without it, type-observing user code diverges
+        (caught by test_reference_differential.py's tuple-observer case).
+        Subclasses whose wire is type-faithful (pickle) override this to
+        the identity; JSON overrides it with an allocation-light
+        canonicalizer.
+        """
+        return self.read(self.write(key, value))
+
+
+def _json_wire(x):
+    """Allocation-light equivalent of ``json.loads(json.dumps(x))`` for the
+    common shapes; raises TypeError for anything it can't prove faithful
+    (caller falls back to the real codec, which errors exactly like the
+    reference wire would on unencodable types)."""
+    t = type(x)
+    if x is None or t is str or t is int or t is bool:
+        return x
+    if t is float:
+        # repr-roundtrip-exact in Python; NaN/Inf pass through json too
+        return x
+    if t is list or t is tuple:
+        return [_json_wire(i) for i in x]
+    if t is dict:
+        if all(type(k) is str for k in x):
+            return {k: _json_wire(v) for k, v in x.items()}
+        raise TypeError("non-string dict keys take the slow path")
+    raise TypeError(f"exotic type {t.__name__} takes the slow path")
+
 
 class JSONProtocol(Protocol):
     """key and value as two JSONs joined by a tab — the reference's default
@@ -66,6 +105,14 @@ class JSONProtocol(Protocol):
 
     def _dumps(self, obj) -> bytes:
         return json.dumps(obj).encode("utf-8")
+
+    def roundtrip(self, key, value):
+        try:
+            return _json_wire(key), _json_wire(value)
+        except TypeError:
+            # int/float/bool/None dict keys (json coerces to strings),
+            # str/int subclasses, unencodable types: defer to the codec
+            return self.read(self.write(key, value))
 
 
 class JSONValueProtocol(Protocol):
@@ -166,6 +213,12 @@ class PickleProtocol(Protocol):
             return _canonical_bytes(obj)
         except Exception:
             return pickle.dumps(obj, protocol=2)
+
+    def roundtrip(self, key, value):
+        # pickle's wire is type-faithful: crossing it is the identity
+        # (modulo object copies, which generator-shaped task chains never
+        # observe) — skip the serde entirely
+        return key, value
 
 
 class PickleValueProtocol(PickleProtocol):

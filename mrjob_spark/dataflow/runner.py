@@ -441,6 +441,11 @@ class SparkJobRunner:
                     raise TypeError(f"unknown step type: {type(step)!r}")
                 if self.step_output_dir and step_num < len(steps) - 1:
                     rdd = self._materialize_step(rdd, step_num)
+                elif step_num < len(steps) - 1:
+                    # non-final step output crosses the INTERNAL wire into
+                    # the next mapper (materialize_step moved real bytes;
+                    # idempotent after in-step crossings)
+                    rdd = self._roundtrip_rdd(rdd)
             self._output_pairs = rdd
         return self._output_pairs
 
@@ -459,6 +464,24 @@ class SparkJobRunner:
             lambda line: read(line.encode("utf-8"))
         )
 
+    def _roundtrip_rdd(self, rdd):
+        """Apply INTERNAL_PROTOCOL's task-boundary wire semantics to every
+        pair (``protocols.Protocol.roundtrip``): the reference serializes
+        between mapper/combiner/reducer/steps, so type-observing user code
+        must see post-wire values (tuple→list under JSON, value-only
+        protocols dropping keys) — the subprocess ``-r local`` runner gets
+        this for free by moving real bytes; inline and this runner apply
+        it explicitly (differential-pinned in
+        test_reference_differential.py). JSON's fast path is two type
+        checks per scalar pair; Pickle's is the identity."""
+        rt = self.job.INTERNAL_PROTOCOL().roundtrip
+
+        def part(items: Iterable) -> Iterator:
+            for k, v in items:
+                yield rt(k, v)
+
+        return rdd.mapPartitions(part, preservesPartitioning=True)
+
     def _compile_step(self, step: MRStep, step_num: int, rdd):
         job = self.job
         enc = job.INTERNAL_PROTOCOL().encode_sort_key
@@ -475,7 +498,9 @@ class SparkJobRunner:
                 raw_lines=bool(raw_input_step), step_num=step_num,
             )
         elif step.has_mapper or step_num == 0:
-            rdd = self._run_mapper(step, step_num, rdd)
+            # Python-mapper output crosses the INTERNAL wire before the
+            # combiner/reducer reads it (pipe mappers moved real bytes)
+            rdd = self._roundtrip_rdd(self._run_mapper(step, step_num, rdd))
 
         # ---- combiner + shuffle ----
         needs_shuffle = step.has_reducer
@@ -674,9 +699,12 @@ class SparkJobRunner:
         )
 
         internal_enc = enc
+        rt = self.job.INTERNAL_PROTOCOL().roundtrip
 
         def flatten(item):
+            # combiner output crosses the wire again before the reducer
             kbytes, pairs = item
+            pairs = [rt(k, v) for k, v in pairs]
             if sort_values:
                 pairs = sorted(pairs, key=lambda kv: internal_enc(kv[1]))
             return [(kbytes, kv) for kv in pairs]
@@ -1084,7 +1112,12 @@ class SparkJobRunner:
             for line in lines.toLocalIterator(prefetchPartitions=True):
                 yield read(line.encode("utf-8"))
         else:
-            yield from self._cached.toLocalIterator(prefetchPartitions=True)
+            # in-memory results see OUTPUT_PROTOCOL's wire semantics too,
+            # like the part-file branch above (reference parse_output
+            # always reads real output bytes)
+            rt = self.job.OUTPUT_PROTOCOL().roundtrip
+            for k, v in self._cached.toLocalIterator(prefetchPartitions=True):
+                yield rt(k, v)
 
     def collect_output(self) -> list:
         """All output pairs in ONE driver fetch (a single job) — the bulk
@@ -1100,7 +1133,8 @@ class SparkJobRunner:
             read = self.job.OUTPUT_PROTOCOL().read
             lines = self.spark.sparkContext.textFile(self.output_dir)
             return [read(line.encode("utf-8")) for line in lines.collect()]
-        return self._cached.collect()
+        rt = self.job.OUTPUT_PROTOCOL().roundtrip
+        return [rt(k, v) for k, v in self._cached.collect()]
 
     def counters(self) -> dict:
         """Accumulated ``{group: {counter: amount}}`` after :meth:`run`."""

@@ -528,3 +528,109 @@ def test_mapper_raw_matches_reference_on_random_files(contents):
 
     assert ref == ours
     assert ref == ours_local
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_wire_type_semantics_match_reference(lines):
+    # the INTERNAL wire normalizes Python types (JSON: tuple→list, int
+    # dict keys→str) and user code CAN observe that — this job yields
+    # tuple values and a dict with an int key from the mapper, and the
+    # reducer reports exactly what types arrive. The reference serializes
+    # at every task boundary; our -r local moves real bytes; inline and
+    # the Spark runner apply Protocol.roundtrip at the same boundaries.
+    # All three of ours must agree with the reference.
+    from mrjob.job import MRJob
+
+    from mrjob_spark.dataflow.job import SparkMRJob
+
+    class RefTypes(MRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w.lower(), (1, {1: len(w)})
+
+        def combiner(self, word, vals):
+            vals = list(vals)
+            yield word, (len(vals), vals[0][1])
+
+        def reducer(self, word, vals):
+            vals = list(vals)
+            yield word, [
+                type(vals[0]).__name__,
+                type(vals[0][1]).__name__,
+                sorted(vals[0][1].keys()),
+                sum(v[0] for v in vals),
+            ]
+
+    class OurTypes(SparkMRJob):
+        mapper = RefTypes.mapper
+        combiner = RefTypes.combiner
+        reducer = RefTypes.reducer
+
+    ref = _run_reference(RefTypes, lines)
+    ours_inline = _run_ours_inline(OurTypes, lines)
+    ours_local = _run_ours_local(OurTypes, lines)
+    assert ours_inline == ref
+    assert ours_local == ref
+
+
+_picklable = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**40), max_value=2**40)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=10)
+    | st.binary(max_size=8),
+    lambda c: st.lists(c, max_size=3)
+    | st.tuples(c, c)
+    | st.dictionaries(st.integers(min_value=0, max_value=9) | st.text(max_size=4), c, max_size=3),
+    max_leaves=5,
+)
+
+
+@given(key=_picklable, value=_picklable)
+@settings(max_examples=50, deadline=None)
+def test_pickle_protocol_cross_reads_reference(key, value):
+    # wire COMPATIBILITY (not byte identity — pickle has many valid
+    # encodings per object): intermediate data written by a reference job
+    # with PickleProtocol must read back identically through ours, and
+    # vice versa — including the types JSON can't carry (tuples, bytes,
+    # int dict keys)
+    from mrjob.protocol import PickleProtocol as RefPickle
+
+    from mrjob_spark.dataflow.protocols import PickleProtocol as OurPickle
+
+    ref, ours = RefPickle(), OurPickle()
+    assert ref.read(ours.write(key, value)) == (key, value)
+    assert ours.read(ref.write(key, value)) == (key, value)
+
+
+_reprable = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**40), max_value=2**40)
+    | st.text(max_size=8)
+    | st.binary(max_size=6),
+    lambda c: st.lists(c, max_size=3) | st.tuples(c, c),
+    max_leaves=5,
+)
+
+
+@given(key=_reprable, value=_reprable)
+@settings(max_examples=50, deadline=None)
+def test_repr_protocol_bytes_match_reference(key, value):
+    # repr is canonical per Python version, so this one IS byte-identical
+    # both ways, and each side parses the other's bytes
+    from mrjob.protocol import ReprProtocol as RefRepr
+
+    from mrjob_spark.dataflow.protocols import ReprProtocol as OurRepr
+
+    ref, ours = RefRepr(), OurRepr()
+    ref_line, our_line = ref.write(key, value), ours.write(key, value)
+    assert ref_line == our_line
+    assert ref.read(our_line) == (key, value)
+    assert ours.read(ref_line) == (key, value)
