@@ -28,12 +28,14 @@ import subprocess
 import sys
 from typing import Iterator, Optional
 
+from mrjob_spark.dataflow.protocols import crossing
 from mrjob_spark.dataflow.step import (
     GENERIC_ARGS,
     INPUT,
     OUTPUT,
     JarStep,
     MRStep,
+    ProtocolPlan,
     SparkScriptStep,
     SparkStep,
     spool_stdin,
@@ -215,24 +217,44 @@ class InlineJobRunner:
         try:
             if workdir:
                 os.chdir(workdir)
+            plan = ProtocolPlan(self.job, steps)
+            internal = self.job.INTERNAL_PROTOCOL()
+            wire, consumed = internal, False
             for step_num, step in enumerate(steps):
+                is_last = step_num == len(steps) - 1
                 if isinstance(step, SparkStep):
                     raise NotImplementedError(
                         "SparkStep requires the Spark runner (make_runner)"
                     )
                 if isinstance(step, JarStep):
                     pairs = self._run_jar_step(step, step_num, pairs)
+                    wire, consumed = internal, False
                 elif isinstance(step, SparkScriptStep):
                     pairs = self._run_spark_script_step(step, step_num, pairs)
+                    wire, consumed = internal, False
                 else:
-                    pairs = self._run_step(step, step_num, pairs)
-                if step_num < len(steps) - 1:
-                    # a non-final step's output crosses the INTERNAL wire
-                    # into the next step's mapper (idempotent after the
-                    # in-step crossings, exact for jar/script steps which
-                    # already moved real bytes)
-                    rt = self.job.INTERNAL_PROTOCOL().roundtrip
-                    pairs = [rt(k, v) for k, v in pairs]
+                    pairs, wire, consumed = self._run_step(
+                        step, step_num, pairs, plan,
+                        in_wire=wire, is_last=is_last,
+                    )
+                if not is_last and not consumed and wire is not None:
+                    # a non-final step's output crosses its writer's wire
+                    # into the next step's first script reader (jar/script
+                    # steps moved real INTERNAL bytes already). When the
+                    # next step leads with a cmd, skip — its pipe encodes
+                    # from native pairs with `wire`.
+                    nxt = steps[step_num + 1]
+                    if isinstance(nxt, MRStep) and nxt.mapper_cmd is None:
+                        target = (plan.read_for(step_num + 1, "mapper")
+                                  or plan.read_for(step_num + 1, "reducer")
+                                  or wire)
+                        rt = crossing(wire, target)
+                        pairs = [rt(k, v) for k, v in pairs]
+                        wire = target
+                    elif not isinstance(nxt, MRStep):
+                        rt = crossing(wire, internal)
+                        pairs = [rt(k, v) for k, v in pairs]
+                        wire = internal
         finally:
             if workdir:
                 os.chdir(launch_dir)
@@ -365,22 +387,41 @@ class InlineJobRunner:
                     out.append(read(line.rstrip(b"\n")))
         return out
 
-    def _run_step(self, step: MRStep, step_num: int, pairs: list) -> list:
+    def _run_step(self, step: MRStep, step_num: int, pairs: list, plan,
+                  in_wire=None, is_last: bool = False):
+        """One MRStep under the reference's protocol-position wire
+        semantics (see :class:`~mrjob_spark.dataflow.step.ProtocolPlan`;
+        decisions mirror the Spark runner's ``_compile_step`` 1:1,
+        differential-pinned). Returns ``(pairs, out_wire, consumed)``."""
         job = self.job
         internal = job.INTERNAL_PROTOCOL()
         enc = internal.encode_sort_key
-        rt = internal.roundtrip
+        m_write = plan.write_for(step_num, "mapper")
+        r_write = plan.write_for(step_num, "reducer")
+        r_read = plan.read_for(step_num, "reducer")
+        m_out = plan.mapper_output(step_num)
+        script_reducer = step.has_reducer and step.reducer_cmd is None
+        combinable = step.combiner is not None and step.combiner_cmd is None
+        consumed = False
 
         # ---- mapper ----
         if step.mapper_cmd:
+            if combinable or step.reducer_cmd:
+                decode = m_out
+            elif script_reducer:
+                decode = r_read
+            else:
+                decode = plan.cmd_decode(step_num, "mapper")
+                consumed = True
             pairs = self._pipe(pairs, step.mapper_cmd,
-                               raw_lines=(step_num == 0 and self.input_paths))
+                               raw_lines=(step_num == 0 and self.input_paths),
+                               encode=in_wire, decode=decode)
         else:
             out = []
             if step.mapper_pre_filter:
                 pairs = self._pipe(pairs, step.mapper_pre_filter,
                                    raw_lines=(step_num == 0 and bool(self.input_paths)),
-                                   filter_only=True)
+                                   filter_only=True, encode=in_wire)
             if step.mapper_init:
                 out.extend(step.mapper_init() or ())
             if step.mapper_raw is not None and step_num == 0:
@@ -394,14 +435,30 @@ class InlineJobRunner:
                 out.extend(pairs)  # identity mapper
             if step.mapper_final:
                 out.extend(step.mapper_final() or ())
-            # mapper output crosses the INTERNAL wire before anything else
-            # sees it (the reference writes it; combiner/reducer read it) —
-            # without this, type-observing user code diverges (tuple vs
-            # list under JSON; test_reference_differential.py)
-            pairs = [rt(k, v) for k, v in out]
+            if (combinable or script_reducer) and m_write is not None:
+                # mapper output crosses its write-protocol wire before the
+                # combiner/reducer reads it — without this, type-observing
+                # user code diverges (tuple vs list under JSON;
+                # test_reference_differential.py). m_write is None when
+                # the step renders NO mapper substep (step>0 reducer-only
+                # — the boundary crossing already landed pairs on the
+                # reducer's wire; the identity pass adds no crossing).
+                rt = crossing(
+                    m_write, r_read if (script_reducer and not combinable)
+                    else m_write)
+                pairs = [rt(k, v) for k, v in out]
+            else:
+                # mapper-ONLY (or cmd-consumed) output: the reference
+                # writes it straight through the mapper's position-chosen
+                # protocol (OUTPUT for the job's last script substep —
+                # cat_output applies that crossing); an extra INTERNAL
+                # crossing here would be WRONG when the protocols differ
+                # (JSON internal would mangle tuples a pickle output
+                # preserves)
+                pairs = out
 
         if not (step.has_reducer or step.has_combiner):
-            return pairs
+            return pairs, (m_out if step.mapper_cmd else m_write), consumed
 
         # ---- shuffle & sort (single "reducer task") ----
         sort_values = bool(job.SORT_VALUES)
@@ -422,20 +479,33 @@ class InlineJobRunner:
                 )
             if step.combiner_final:
                 combined.extend(step.combiner_final() or ())
-            # combiner output crosses the wire again before the reducer
+            # combiner output sits on the mapper-output wire
+            # (mrjob/job.py:1040-1044) and crosses into the reducer's read
+            # protocol before the reducer sees it
+            cx = crossing(m_out, r_read if script_reducer else m_out)
             keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
-                     for k, v in (rt(k, v) for k, v in combined)]
+                     for k, v in (cx(k, v) for k, v in combined)]
             keyed.sort(key=lambda item: item[0])
 
         if not step.has_reducer:
-            return [kv for _, kv in keyed]
+            return [kv for _, kv in keyed], m_out, consumed
 
         # ---- reducer ----
         if step.reducer_cmd:
-            return self._pipe([kv for _, kv in keyed], step.reducer_cmd)
+            # the reference feeds reducer cmds FULLY line-sorted input
+            # (external sort of the map output): equal pairs must arrive
+            # adjacent for uniq-style cmds — sort by (enc k, enc v)
+            # regardless of SORT_VALUES
+            feed = sorted((kv for _, kv in keyed),
+                          key=lambda kv: (enc(kv[0]), enc(kv[1])))
+            out = self._pipe(feed, step.reducer_cmd,
+                             encode=m_out,
+                             decode=plan.cmd_decode(step_num, "reducer"))
+            return out, None, True
         if step.reducer_pre_filter:
             flat = self._pipe([kv for _, kv in keyed],
-                              step.reducer_pre_filter, filter_only=True)
+                              step.reducer_pre_filter, filter_only=True,
+                              encode=m_out)
             keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
                      for k, v in flat]
             keyed.sort(key=lambda item: item[0])
@@ -455,20 +525,26 @@ class InlineJobRunner:
                 out.extend((first_key, v) for v in values)
         if step.reducer_final:
             out.extend(step.reducer_final() or ())
-        return out
+        return out, r_write, consumed
 
     # -- shell substeps -------------------------------------------------
 
     def _pipe(self, pairs: list, cmd: str, raw_lines: bool = False,
-              filter_only: bool = False) -> list:
+              filter_only: bool = False, encode=None, decode=None) -> list:
         """Encoded lines through a shell command (``mrjob/job.py:340-363``),
-        same protocol selection as the Spark runner's ``_pipe_pairs``."""
+        same protocol selection as the Spark runner's ``_pipe_pairs``.
+        ``encode``/``decode`` are protocol instances overriding the wire
+        each side of the cmd sits on (the reference's protocol-position
+        rule — e.g. a terminal cmd's stdout decodes with OUTPUT_PROTOCOL
+        because it IS the job output)."""
         internal = self.job.INTERNAL_PROTOCOL()
-        edge = self.job.INPUT_PROTOCOL() if raw_lines else internal
+        edge = self.job.INPUT_PROTOCOL() if raw_lines else (encode or internal)
         write = edge.write
         read = edge.read if (filter_only or not raw_lines) else internal.read
         if raw_lines and not filter_only:
             read = internal.read
+        if decode is not None and not filter_only:
+            read = decode.read
 
         payload = b"".join(write(*kv) + b"\n" for kv in pairs)
         full_cmd = "; ".join([*self._setup, cmd])

@@ -389,6 +389,18 @@ class LocalJobRunner:
                     for p in step_inputs
                 ]
 
+            has_reduce_phase = step.has_reducer or (
+                step.combiner is not None and not step.has_reducer
+            )
+            # a FINAL map-only step writes OUTPUT_PROTOCOL directly from
+            # the map task (the reference's tasks pick the step-position
+            # protocol, mrjob/job.py pick_protocols) — routing through an
+            # INTERNAL crossing first would mangle types the output
+            # protocol preserves (tuples under pickle output)
+            map_emit = (
+                "output" if (is_last and not has_reduce_phase) else "internal"
+            )
+
             map_outs, map_specs = [], []
             for i, sp in enumerate(splits):
                 task_id = f"m_{step_num}_{i:04d}"
@@ -411,15 +423,12 @@ class LocalJobRunner:
                         ),
                         "setup": self._setup,
                         "setup_nonce": self._setup_nonce,
-                        "emit": "internal",
+                        "emit": map_emit,
                         "first_step": step_num == 0,
                     }
                 )
             self._spawn_phase(map_specs)
 
-            has_reduce_phase = step.has_reducer or (
-                step.combiner is not None and not step.has_reducer
-            )
             if not has_reduce_phase:
                 # map-only step: map outputs ARE the step output
                 step_inputs = map_outs
@@ -470,21 +479,10 @@ class LocalJobRunner:
         return self
 
     def _finalize_map_only(self, map_outs, final_out, job_pkl) -> None:
-        """Re-encode a final map-only step's internal lines with
-        OUTPUT_PROTOCOL into part files (one per map task)."""
-        read = self.job.INTERNAL_PROTOCOL().read
-        write = self.job.OUTPUT_PROTOCOL().write
+        """Collect a final map-only step's part files (the map tasks
+        already wrote OUTPUT_PROTOCOL lines — ``emit: output``)."""
         for i, mo in enumerate(map_outs):
-            with open(mo, "rb") as src, open(
-                os.path.join(final_out, f"part-{i:05d}"), "wb"
-            ) as dst:
-                for line in src:
-                    line = line.rstrip(b"\r\n")
-                    if not line:
-                        continue
-                    _, _, internal = line.split(b"\t", 2)
-                    k, v = read(bytes.fromhex(internal.decode()))
-                    dst.write(write(k, v) + b"\n")
+            shutil.copyfile(mo, os.path.join(final_out, f"part-{i:05d}"))
 
     def _merge_output_files(self, out_dir: str) -> None:
         parts = sorted(
@@ -566,12 +564,22 @@ def _pipe_lines(
     return [ln for ln in proc.stdout.splitlines() if ln]
 
 
-def _encode_composite(job, pairs) -> Iterator[bytes]:
-    """hex(enc(k)) TAB hex(enc(v)) TAB hex(internal_line): byte-order-
-    preserving, binary-safe, C-locale-sortable."""
-    internal = job.INTERNAL_PROTOCOL()
-    enc = internal.encode_sort_key
-    write = internal.write
+def _plan_for(job):
+    """The job's protocol-position plan (``mrjob/job.py:983-1050``
+    semantics) — rebuilt cheaply inside each task from the unpickled
+    job."""
+    from mrjob_spark.dataflow.step import ProtocolPlan
+
+    return ProtocolPlan(job, job.steps())
+
+
+def _encode_composite(job, pairs, wire=None) -> Iterator[bytes]:
+    """hex(enc(k)) TAB hex(enc(v)) TAB hex(wire_line): byte-order-
+    preserving, binary-safe, C-locale-sortable. ``wire`` is the protocol
+    whose bytes the embedded line carries (the writer's position-chosen
+    protocol; INTERNAL by default)."""
+    enc = job.INTERNAL_PROTOCOL().encode_sort_key
+    write = (wire or job.INTERNAL_PROTOCOL()).write
     for k, v in pairs:
         yield (
             enc(k).hex().encode()
@@ -582,8 +590,10 @@ def _encode_composite(job, pairs) -> Iterator[bytes]:
         )
 
 
-def _decode_composite(job, lines) -> Iterator[tuple]:
-    read = job.INTERNAL_PROTOCOL().read
+def _decode_composite(job, lines, wire=None) -> Iterator[tuple]:
+    """Decode composite lines; ``wire`` is the consumer's read protocol
+    (equals the embedded bytes' writer protocol by plan construction)."""
+    read = (wire or job.INTERNAL_PROTOCOL()).read
     for line in lines:
         hex_k, _, internal = line.split(b"\t", 2)
         yield hex_k, read(bytes.fromhex(internal.decode()))
@@ -593,6 +603,12 @@ def _run_mapper_task(job, step, spec) -> None:
     first = spec["first_step"]
     in_proto = job.INPUT_PROTOCOL() if first else None
     setup = list(spec.get("setup") or [])
+    plan = _plan_for(job)
+    step_num = spec["step_num"]
+    m_write = plan.write_for(step_num, "mapper")
+    m_out = plan.mapper_output(step_num)
+    r_read = plan.read_for(step_num, "reducer")
+    script_reducer = step.has_reducer and step.reducer_cmd is None
 
     if spec.get("raw_file"):
         os.environ["mapreduce_map_input_file"] = spec["input_path"]
@@ -639,15 +655,46 @@ def _run_mapper_task(job, step, spec) -> None:
                 bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines
             ]
             out_lines = _pipe_lines(raw, step.mapper_cmd, setup, counter_sink=job._counter_acc)
-        read = job.INTERNAL_PROTOCOL().read
+        if spec.get("emit") == "output":
+            # final map-only cmd step: the command's stdout IS the job
+            # output byte-for-byte (Hadoop streaming semantics)
+            with open(spec["output_path"], "wb") as fh:
+                for ln in out_lines:
+                    fh.write(ln + b"\n")
+            return
+        # bytes out of a mapper cmd carry no protocol of their own — they
+        # are read by their next consumer (reference protocol-position
+        # rule): the script reducer's read proto, a byte-faithful RawValue
+        # shuttle into a reducer cmd, or the next script substep anywhere
+        # later in the job
+        if script_reducer:
+            cmd_wire = r_read
+        elif step.reducer_cmd or step.has_combiner:
+            cmd_wire = m_out
+        else:
+            cmd_wire = plan.cmd_decode(step_num, "mapper")
+        read = cmd_wire.read
         out_pairs = (read(ln) for ln in out_lines)
-        _write_map_output(job, step, out_pairs, spec, combined_ok=False)
+        _write_map_output(job, step, out_pairs, spec, combined_ok=False,
+                          wire=cmd_wire)
+        return
+
+    if not first and not plan.has_script(step_num, "mapper"):
+        # step renders NO mapper substep (step>0, reducer-only: the
+        # reference's description omits the identity mapper, step.py:
+        # 301-311) — pass composite lines through byte-faithfully; any
+        # decode/re-encode here would put a wire crossing where the
+        # reference has none
+        with open(spec["output_path"], "wb") as fh:
+            for ln in lines:
+                fh.write(ln + b"\n")
         return
 
     if first:
         pairs = (in_proto.read(ln) for ln in lines)
     else:
-        pairs = (kv for _, kv in _decode_composite(job, lines))
+        pairs = (kv for _, kv in _decode_composite(
+            job, lines, wire=plan.read_for(step_num, "mapper")))
 
     mapper = step.mapper
 
@@ -678,17 +725,31 @@ def _with_hooks(step, kind, body):
     return gen()
 
 
-def _write_map_output(job, step, pairs, spec, combined_ok=True) -> None:
+def _write_map_output(job, step, pairs, spec, combined_ok=True,
+                      wire=None) -> None:
     """Sort this task's output and run the per-mapper combiner (the
     reference's mapper+combiner task, ``mrjob/sim.py:251-285``), then
-    write composite lines."""
-    lines = sorted(_encode_composite(job, pairs))
+    write composite lines whose embedded bytes carry ``wire`` — the
+    mapper's position-chosen write protocol (combiners read and re-write
+    that same wire, ``mrjob/job.py:1040-1044``). A final map-only step
+    (``emit: output``) writes the wire's lines straight out instead — no
+    sort, no extra crossing, like the reference's map-only task."""
+    if wire is None:
+        wire = _plan_for(job).mapper_output(spec["step_num"])
+    if spec.get("emit") == "output":
+        write = wire.write
+        with open(spec["output_path"], "wb") as fh:
+            for k, v in pairs:
+                fh.write(write(k, v) + b"\n")
+        return
+    lines = sorted(_encode_composite(job, pairs, wire=wire))
     if combined_ok and step.combiner is not None and step.combiner_cmd is None:
         def combined():
             if step.combiner_init:
                 yield from step.combiner_init() or ()
             for _, group in itertools.groupby(
-                _decode_composite(job, lines), key=lambda item: item[0]
+                _decode_composite(job, lines, wire=wire),
+                key=lambda item: item[0]
             ):
                 _, (key, first_v) = next(group)
                 values = itertools.chain(
@@ -698,7 +759,7 @@ def _write_map_output(job, step, pairs, spec, combined_ok=True) -> None:
             if step.combiner_final:
                 yield from step.combiner_final() or ()
 
-        lines = sorted(_encode_composite(job, combined()))
+        lines = sorted(_encode_composite(job, combined(), wire=wire))
     with open(spec["output_path"], "wb") as fh:
         for line in lines:
             fh.write(line + b"\n")
@@ -706,6 +767,16 @@ def _write_map_output(job, step, pairs, spec, combined_ok=True) -> None:
 
 def _run_reducer_task(job, step, spec) -> None:
     setup = list(spec.get("setup") or [])
+    plan = _plan_for(job)
+    step_num = spec["step_num"]
+    # the reducer (or combiner-as-reducer) consumes the mapper-output
+    # wire with its position-chosen read protocol; combiner-as-reducer
+    # reads the mapper's output protocol (mrjob/job.py:1040-1044)
+    if spec.get("combiner_as_reducer"):
+        in_wire = out_wire = plan.mapper_output(step_num)
+    else:
+        in_wire = plan.read_for(step_num, "reducer")
+        out_wire = plan.write_for(step_num, "reducer")
     with open(spec["input_path"], "rb") as fh:
         lines = [ln.rstrip(b"\r\n") for ln in fh if ln.rstrip(b"\r\n")]
 
@@ -721,9 +792,20 @@ def _run_reducer_task(job, step, spec) -> None:
     if step.reducer_cmd:
         raw = [bytes.fromhex(ln.split(b"\t", 2)[2].decode()) for ln in lines]
         out_lines = _pipe_lines(raw, step.reducer_cmd, setup, counter_sink=job._counter_acc)
-        read = job.INTERNAL_PROTOCOL().read
+        if spec["emit"] == "output":
+            # final-step cmd: its stdout IS the job output byte-for-byte
+            # (Hadoop streaming semantics; parse_output applies
+            # OUTPUT_PROTOCOL) — no INTERNAL re-interpretation
+            with open(spec["output_path"], "wb") as fh:
+                for ln in out_lines:
+                    fh.write(ln + b"\n")
+            return
+        # non-final reducer cmd: its bytes are read by the next script
+        # substep anywhere later in the job (protocol-position rule)
+        cmd_wire = plan.cmd_decode(step_num, "reducer")
+        read = cmd_wire.read
         out_pairs = [read(ln) for ln in out_lines]
-        _write_reduce_output(job, out_pairs, spec)
+        _write_reduce_output(job, out_pairs, spec, wire=cmd_wire)
         return
 
     fn = step.combiner if spec.get("combiner_as_reducer") else step.reducer
@@ -735,7 +817,7 @@ def _run_reducer_task(job, step, spec) -> None:
         if init:
             yield from init() or ()
         for _, group in itertools.groupby(
-            _decode_composite(job, lines), key=lambda item: item[0]
+            _decode_composite(job, lines, wire=in_wire), key=lambda item: item[0]
         ):
             _, (key, first_v) = next(group)
             values = itertools.chain((first_v,), (kv[1] for _, kv in group))
@@ -747,18 +829,24 @@ def _run_reducer_task(job, step, spec) -> None:
         if final:
             yield from final() or ()
 
-    _write_reduce_output(job, gen(), spec)
+    _write_reduce_output(job, gen(), spec, wire=out_wire)
 
 
-def _write_reduce_output(job, pairs, spec) -> None:
+def _write_reduce_output(job, pairs, spec, wire=None) -> None:
+    """``emit: output`` writes the wire's lines as job output (the
+    reducer's position-chosen protocol — OUTPUT for the job's last script
+    substep); otherwise composite lines embedding that wire for the next
+    step."""
+    if wire is None:
+        wire = job.OUTPUT_PROTOCOL()
     if spec["emit"] == "output":
-        write = job.OUTPUT_PROTOCOL().write
+        write = wire.write
         with open(spec["output_path"], "wb") as fh:
             for k, v in pairs:
                 fh.write(write(k, v) + b"\n")
     else:
         with open(spec["output_path"], "wb") as fh:
-            for line in _encode_composite(job, pairs):
+            for line in _encode_composite(job, pairs, wire=wire):
                 fh.write(line + b"\n")
 
 

@@ -96,6 +96,23 @@ def _json_wire(x):
     raise TypeError(f"exotic type {t.__name__} takes the slow path")
 
 
+def crossing(write_proto, read_proto):
+    """Pair transform for one wire crossing written with ``write_proto``
+    and read with ``read_proto`` (the reference's substeps can sit on
+    wires where the two differ — e.g. a combiner writing the mapper's
+    output protocol feeding a reducer that reads INPUT_PROTOCOL when it
+    is the job's first script substep). Same-protocol crossings take the
+    protocol's own fast ``roundtrip``."""
+    if type(write_proto) is type(read_proto):
+        return write_proto.roundtrip
+    w, r = write_proto.write, read_proto.read
+
+    def cross(key, value):
+        return r(w(key, value))
+
+    return cross
+
+
 class JSONProtocol(Protocol):
     """key and value as two JSONs joined by a tab — the reference's default
     INTERNAL/OUTPUT protocol (``mrjob/job.py:1282,1291``)."""

@@ -33,12 +33,14 @@ from typing import Iterable, Iterator, Optional
 
 from pyspark.accumulators import AccumulatorParam
 
+from mrjob_spark.dataflow.protocols import crossing
 from mrjob_spark.dataflow.step import (
     GENERIC_ARGS,
     INPUT,
     OUTPUT,
     JarStep,
     MRStep,
+    ProtocolPlan,
     SparkScriptStep,
     SparkStep,
     spool_stdin,
@@ -428,24 +430,51 @@ class SparkJobRunner:
             if self.input_rdd is None:
                 self.input_paths = spool_stdin(self.job, self.input_paths)
             rdd = self._source_rdd(steps)
+            plan = ProtocolPlan(self.job, steps)
+            internal = self.job.INTERNAL_PROTOCOL()
+            # wire the current native pairs "sit on": what a cmd substep
+            # would receive as bytes / what the boundary crossing encodes
+            wire, consumed = internal, False
             for step_num, step in enumerate(steps):
+                is_last = step_num == len(steps) - 1
                 if isinstance(step, SparkStep):
                     rdd = step.spark(self.spark, rdd)
+                    wire, consumed = internal, False
                 elif isinstance(step, JarStep):
                     rdd = self._run_jar_step(step, step_num, rdd)
+                    wire, consumed = internal, False
                 elif isinstance(step, SparkScriptStep):
                     rdd = self._run_spark_script_step(step, step_num, rdd)
+                    wire, consumed = internal, False
                 elif isinstance(step, MRStep):
-                    rdd = self._compile_step(step, step_num, rdd)
+                    rdd, wire, consumed = self._compile_step(
+                        step, step_num, rdd, plan,
+                        in_wire=wire, is_last=is_last,
+                    )
                 else:
                     raise TypeError(f"unknown step type: {type(step)!r}")
-                if self.step_output_dir and step_num < len(steps) - 1:
+                if self.step_output_dir and not is_last:
                     rdd = self._materialize_step(rdd, step_num)
-                elif step_num < len(steps) - 1:
-                    # non-final step output crosses the INTERNAL wire into
-                    # the next mapper (materialize_step moved real bytes;
-                    # idempotent after in-step crossings)
-                    rdd = self._roundtrip_rdd(rdd)
+                    wire, consumed = internal, False
+                elif not is_last and not consumed and wire is not None:
+                    # non-final step output crosses its writer's wire into
+                    # the next step's first script reader (INTERNAL both
+                    # sides on default jobs; the writer's position-chosen
+                    # protocol when it is the job's last script substep).
+                    # When the next step leads with a cmd, skip — the
+                    # pipe encodes from native pairs with `wire`.
+                    nxt = steps[step_num + 1]
+                    if isinstance(nxt, MRStep) and nxt.mapper_cmd is None:
+                        target = (plan.read_for(step_num + 1, "mapper")
+                                  or plan.read_for(step_num + 1, "reducer")
+                                  or wire)
+                        rdd = self._crossing_rdd(wire, target)(rdd)
+                        wire = target
+                    elif not isinstance(nxt, MRStep):
+                        # jar/script steps materialize INTERNAL line files
+                        # (documented engine contract)
+                        rdd = self._crossing_rdd(wire, internal)(rdd)
+                        wire = internal
             self._output_pairs = rdd
         return self._output_pairs
 
@@ -464,25 +493,43 @@ class SparkJobRunner:
             lambda line: read(line.encode("utf-8"))
         )
 
-    def _roundtrip_rdd(self, rdd):
-        """Apply INTERNAL_PROTOCOL's task-boundary wire semantics to every
-        pair (``protocols.Protocol.roundtrip``): the reference serializes
-        between mapper/combiner/reducer/steps, so type-observing user code
-        must see post-wire values (tuple→list under JSON, value-only
-        protocols dropping keys) — the subprocess ``-r local`` runner gets
-        this for free by moving real bytes; inline and this runner apply
-        it explicitly (differential-pinned in
+    def _crossing_rdd(self, write_proto, read_proto):
+        """Pair-transform RDD stage for one task-boundary wire crossing
+        (``protocols.crossing``): the reference serializes between
+        mapper/combiner/reducer/steps, so type-observing user code must
+        see post-wire values (tuple→list under JSON, value-only protocols
+        dropping keys) — the subprocess ``-r local`` runner gets this for
+        free by moving real bytes; inline and this runner apply it
+        explicitly (differential-pinned in
         test_reference_differential.py). JSON's fast path is two type
         checks per scalar pair; Pickle's is the identity."""
-        rt = self.job.INTERNAL_PROTOCOL().roundtrip
+        rt = crossing(write_proto, read_proto)
 
-        def part(items: Iterable) -> Iterator:
-            for k, v in items:
-                yield rt(k, v)
+        def make(rdd):
+            def part(items: Iterable) -> Iterator:
+                for k, v in items:
+                    yield rt(k, v)
 
-        return rdd.mapPartitions(part, preservesPartitioning=True)
+            return rdd.mapPartitions(part, preservesPartitioning=True)
 
-    def _compile_step(self, step: MRStep, step_num: int, rdd):
+        return make
+
+    def _compile_step(self, step: MRStep, step_num: int, rdd, plan,
+                      in_wire, is_last: bool = False):
+        """Compile one MRStep, applying the reference's protocol-position
+        wire semantics (``mrjob/job.py:983-1050``, see
+        :class:`~mrjob_spark.dataflow.step.ProtocolPlan`): script substeps
+        encode with their position-chosen protocol (last script substep →
+        OUTPUT even when cmds follow), ``*_cmd`` substeps transform bytes
+        on whatever wire they sit on, and type-observing user code sees
+        post-wire values at every boundary the reference serializes.
+
+        Returns ``(rdd, out_wire, consumed)`` — ``out_wire`` is the
+        protocol the step's output bytes would carry (feeds the next
+        step's cmd encode / boundary crossing); ``consumed`` means a
+        terminal cmd's bytes were already decoded in their eventual
+        consumer's terms, so no boundary crossing may be applied.
+        """
         job = self.job
         enc = job.INTERNAL_PROTOCOL().encode_sort_key
         sort_values = bool(job.SORT_VALUES)
@@ -491,30 +538,69 @@ class SparkJobRunner:
             self.input_rdd is None and self.input_paths
         )
 
-        # ---- mapper ----
-        if step.mapper_cmd:
-            rdd = self._pipe_pairs(
-                rdd, step.mapper_cmd, env,
-                raw_lines=bool(raw_input_step), step_num=step_num,
-            )
-        elif step.has_mapper or step_num == 0:
-            # Python-mapper output crosses the INTERNAL wire before the
-            # combiner/reducer reads it (pipe mappers moved real bytes)
-            rdd = self._roundtrip_rdd(self._run_mapper(step, step_num, rdd))
-
-        # ---- combiner + shuffle ----
-        needs_shuffle = step.has_reducer
+        m_write = plan.write_for(step_num, "mapper")
+        r_write = plan.write_for(step_num, "reducer")
+        r_read = plan.read_for(step_num, "reducer")
+        m_out = plan.mapper_output(step_num)
+        script_reducer = step.has_reducer and step.reducer_cmd is None
         combinable = (
             step.combiner is not None
             and step.combiner_cmd is None
             and step.combiner_pre_filter is None
         )
+        consumed = False
+
+        # ---- mapper ----
+        if step.mapper_cmd:
+            # bytes out of a mapper cmd are read by: the combiner wire
+            # (mapper-output proto = RawValue for cmd mappers), the script
+            # reducer's read proto, a byte-faithful shuttle into a
+            # reducer cmd, or — terminal — the next script substep
+            # anywhere later in the job / final output parse.
+            if combinable or step.reducer_cmd:
+                decode = m_out
+            elif script_reducer:
+                decode = r_read
+            else:
+                decode = plan.cmd_decode(step_num, "mapper")
+                consumed = True
+            rdd = self._pipe_pairs(
+                rdd, step.mapper_cmd, env,
+                raw_lines=bool(raw_input_step), step_num=step_num,
+                encode=in_wire, decode=decode,
+            )
+        elif step.has_mapper or step.has_combiner or step_num == 0:
+            rdd = self._run_mapper(step, step_num, rdd, in_wire)
+            # m_write is None when the step renders NO mapper substep
+            # (step>0 reducer-only — the boundary crossing already landed
+            # pairs on the reducer's wire; the identity pass adds none)
+            if (combinable or script_reducer) and m_write is not None:
+                # Python-mapper output crosses its write-protocol wire
+                # before the combiner/reducer reads it (pipe mappers
+                # moved real bytes). Mapper-ONLY steps skip this: the
+                # reference writes them straight through their
+                # position-chosen protocol (OUTPUT for the job's last
+                # script substep — cat/collect apply that crossing) so an
+                # extra INTERNAL crossing would be WRONG when the
+                # protocols differ (JSON internal would mangle tuples a
+                # pickle output preserves).
+                rdd = self._crossing_rdd(
+                    m_write, r_read if (script_reducer and not combinable)
+                    else m_write)(rdd)
+
+        # ---- combiner + shuffle ----
+        needs_shuffle = step.has_reducer
         if combinable:
             # combineByKey both partially aggregates map-side AND shuffles;
             # the reference skips cmd/pre_filter combiners the same way
             # (combiners are optional by contract,
-            # mrjob/spark/harness.py:344-360).
-            rdd = self._run_combiner(step, step_num, rdd, enc, sort_values)
+            # mrjob/spark/harness.py:344-360). The combiner sits on the
+            # mapper-output wire (mrjob/job.py:1040-1044); its output
+            # crosses into the reducer's read protocol.
+            combiner_out = crossing(
+                m_out, r_read if script_reducer else m_out)
+            rdd = self._run_combiner(step, step_num, rdd, enc, sort_values,
+                                     combiner_out)
             needs_shuffle = False
             reducer_ready = rdd
         elif needs_shuffle:
@@ -526,23 +612,37 @@ class SparkJobRunner:
         if not step.has_reducer:
             if reducer_ready is not None:
                 # combiner-only step: strip the shuffle key bookkeeping
-                return reducer_ready.map(lambda kb_kv: kb_kv[1],
-                                         preservesPartitioning=True)
-            return rdd
+                return (reducer_ready.map(lambda kb_kv: kb_kv[1],
+                                          preservesPartitioning=True),
+                        m_out, consumed)
+            return rdd, (m_out if step.mapper_cmd else m_write), consumed
         if step.reducer_cmd:
-            flat = (reducer_ready or self._shuffle_and_sort(rdd, enc, sort_values)).map(
-                lambda kb_kv: kb_kv[1]
-            )
-            rdd = self._pipe_pairs(flat, step.reducer_cmd, env,
-                                   raw_lines=False, step_num=step_num)
-        elif step.has_reducer:
-            rdd = self._run_reducer(step, step_num, reducer_ready)
+            src = reducer_ready or self._shuffle_and_sort(rdd, enc, sort_values)
 
-        return rdd
+            def sort_part(items: Iterable) -> Iterator:
+                # the reference feeds reducer cmds FULLY line-sorted
+                # input (external sort of the map output): equal pairs
+                # must arrive adjacent for uniq-style cmds — sort each
+                # reduce partition by (enc k, enc v) regardless of
+                # SORT_VALUES (the reference's reducer-task input is
+                # materialized and sorted the same way)
+                return iter(sorted(
+                    (kv for _, kv in items),
+                    key=lambda kv: (enc(kv[0]), enc(kv[1])),
+                ))
+
+            flat = src.mapPartitions(sort_part, preservesPartitioning=True)
+            rdd = self._pipe_pairs(flat, step.reducer_cmd, env,
+                                   raw_lines=False, step_num=step_num,
+                                   encode=m_out,
+                                   decode=plan.cmd_decode(step_num, "reducer"))
+            return rdd, None, True
+        rdd = self._run_reducer(step, step_num, reducer_ready)
+        return rdd, r_write, consumed
 
     # -- mapper ---------------------------------------------------------
 
-    def _run_mapper(self, step: MRStep, step_num: int, rdd):
+    def _run_mapper(self, step: MRStep, step_num: int, rdd, in_wire=None):
         job = self.job
         mapper = step.mapper
         mapper_raw = step.mapper_raw
@@ -553,11 +653,11 @@ class SparkJobRunner:
 
         if step.mapper_pre_filter:
             # step-0 pre-filters see raw input lines (mrjob/job.py:353-363);
-            # later steps see internal-protocol-encoded lines
+            # later steps see the incoming wire's encoded lines
             rdd = self._pipe_pairs(
                 rdd, step.mapper_pre_filter, self._task_env(),
                 raw_lines=(step_num == 0 and self.input_rdd is None),
-                filter_only=True, step_num=step_num,
+                filter_only=True, step_num=step_num, encode=in_wire,
             )
 
         # setup prologue only when the step actually has Python substeps —
@@ -612,7 +712,8 @@ class SparkJobRunner:
 
     # -- combiner -------------------------------------------------------
 
-    def _run_combiner(self, step: MRStep, step_num: int, rdd, enc, sort_values):
+    def _run_combiner(self, step: MRStep, step_num: int, rdd, enc,
+                      sort_values, combiner_out=None):
         """Map-side partial aggregation + shuffle: a partition-level
         pre-combine, then ``combineByKey``.
 
@@ -699,7 +800,7 @@ class SparkJobRunner:
         )
 
         internal_enc = enc
-        rt = self.job.INTERNAL_PROTOCOL().roundtrip
+        rt = combiner_out or self.job.INTERNAL_PROTOCOL().roundtrip
 
         def flatten(item):
             # combiner output crosses the wire again before the reducer
@@ -788,22 +889,28 @@ class SparkJobRunner:
     # -- shell substeps (P4/P5/X5) --------------------------------------
 
     def _pipe_pairs(self, rdd, cmd: str, env: dict, raw_lines: bool = False,
-                    filter_only: bool = False, step_num: int = 0):
+                    filter_only: bool = False, step_num: int = 0,
+                    encode=None, decode=None):
         """Run encoded lines through a shell command (``mrjob/job.py:340-363``):
         encode pairs → ``rdd.pipe`` → decode.
 
         ``raw_lines``: encode/decode with INPUT_PROTOCOL (step-0 lines) rather
         than INTERNAL. ``filter_only``: the command passes lines through
         unchanged or drops them (a ``*_pre_filter``), so surviving lines decode
-        with the SAME protocol they were encoded with.
+        with the SAME protocol they were encoded with. ``encode``/``decode``
+        are protocol instances overriding the wire each side of the cmd sits
+        on (the reference's protocol-position rule — e.g. a terminal cmd's
+        stdout decodes with OUTPUT_PROTOCOL because it IS the job output).
         """
         internal = self.job.INTERNAL_PROTOCOL()
-        edge = self.job.INPUT_PROTOCOL() if raw_lines else internal
+        edge = self.job.INPUT_PROTOCOL() if raw_lines else (encode or internal)
         write = edge.write
         read = edge.read if (filter_only or not raw_lines) else internal.read
         if raw_lines and not filter_only:
             # cmd over raw input emits NEW encoded pairs → internal decode
             read = internal.read
+        if decode is not None and not filter_only:
+            read = decode.read
 
         # Always through a shell, like the reference (mrjob/bin.py:236-245
         # builds `sh -ex -c` pipelines): bare rdd.pipe only shlex-splits,

@@ -247,6 +247,123 @@ def spool_stdin(job, input_paths: list) -> list:
 
 
 # ---------------------------------------------------------------------------
+# Protocol-position plan (the reference's pick_protocols semantics)
+# ---------------------------------------------------------------------------
+
+
+def script_substep_indexes(steps) -> dict:
+    """Index the job's SCRIPT (Python) substeps in order, exactly like the
+    reference's ``_script_step_mapping`` (``mrjob/job.py:983-1004`` over
+    ``mrjob/step.py:301-321`` descriptions):
+
+    * only ``mapper`` and ``reducer`` substeps are indexed (combiners
+      never are — they borrow the mapper's output protocol);
+    * a step's mapper counts when the description renders one: step 0,
+      any explicit mapper slot, or any explicit combiner slot (the
+      reference injects an identity *script* mapper in those cases so
+      combiners sit on a protocol-stable wire) — EXCEPT when it is a
+      ``mapper_cmd`` (type ``command``, not indexed);
+    * a ``reducer_cmd`` is likewise type ``command``, not indexed.
+
+    Returns ``{(step_num, 'mapper'|'reducer'): script_index}``. Protocol
+    choice then follows ``_pick_protocol_instances``
+    (``mrjob/job.py:1017-1050``): the LAST index writes OUTPUT_PROTOCOL
+    (even when cmd substeps follow — their transformed bytes ARE the job
+    output), the FIRST reads INPUT_PROTOCOL, all others read/write
+    INTERNAL_PROTOCOL. ``*_cmd`` substeps just transform bytes on
+    whatever wire they sit on.
+    """
+    mapping: dict = {}
+    idx = 0
+    for i, step in enumerate(steps):
+        if not isinstance(step, MRStep):
+            continue
+        renders_mapper = i == 0 or step.has_mapper or step.has_combiner
+        if renders_mapper and step.mapper_cmd is None:
+            mapping[(i, "mapper")] = idx
+            idx += 1
+        if step.has_reducer and step.reducer_cmd is None:
+            mapping[(i, "reducer")] = idx
+            idx += 1
+    return mapping
+
+
+class ProtocolPlan:
+    """Per-job wire-protocol assignment for the three runners.
+
+    Collapses the reference's byte wires into what a native-pairs engine
+    needs at each edge:
+
+    * ``write_for(step_num, kind)`` — the protocol a script mapper/reducer
+      ENCODES with (what any cmd/combiner/shuffle after it receives);
+    * ``read_for(step_num, kind)`` — the protocol it DECODES its input
+      bytes with (INPUT for the job's first script substep — which is how
+      a script reducer behind a cmd-only mapper sees raw ``(None, line)``
+      pairs — INTERNAL otherwise);
+    * ``mapper_output(step_num)`` — the combiner wire: the step's mapper
+      output protocol, or RawValue when the mapper is a cmd
+      (``mrjob/job.py:1006-1015``);
+    * ``cmd_decode(step_num)`` — how to interpret bytes leaving a cmd
+      substep: the read protocol of the NEXT script substep anywhere
+      later in the job, else OUTPUT (the bytes are job output).
+    """
+
+    def __init__(self, job, steps):
+        self._job = job
+        self._map = script_substep_indexes(steps)
+        self._n = len(self._map)
+        self._steps = steps
+
+    def _proto(self, which: str):
+        job = self._job
+        return {
+            "input": job.INPUT_PROTOCOL,
+            "internal": job.INTERNAL_PROTOCOL,
+            "output": job.OUTPUT_PROTOCOL,
+        }[which]()
+
+    def has_script(self, step_num: int, kind: str) -> bool:
+        """Whether the step renders a SCRIPT mapper/reducer substep."""
+        return (step_num, kind) in self._map
+
+    def write_for(self, step_num: int, kind: str):
+        idx = self._map.get((step_num, kind))
+        if idx is None:
+            return None  # command substep: transforms bytes, no protocol
+        return self._proto("output" if idx == self._n - 1 else "internal")
+
+    def read_for(self, step_num: int, kind: str):
+        idx = self._map.get((step_num, kind))
+        if idx is None:
+            return None
+        return self._proto("input" if idx == 0 else "internal")
+
+    def mapper_output(self, step_num: int):
+        if (step_num, "mapper") in self._map:
+            return self.write_for(step_num, "mapper")
+        # cmd (or absent) mapper: combiners sit on a raw-value wire
+        from .protocols import RawValueProtocol
+
+        return RawValueProtocol()
+
+    def cmd_decode(self, step_num: int, after: str = "mapper"):
+        """Protocol for bytes leaving the (step_num, after) cmd substep:
+        the next script substep's read protocol, else OUTPUT."""
+        order = {"mapper": 0, "reducer": 1}
+        here = (step_num, order[after])
+        nxt = None
+        for (i, kind), idx in sorted(
+            self._map.items(), key=lambda kv: (kv[0][0], order[kv[0][1]])
+        ):
+            if (i, order[kind]) > here:
+                nxt = (i, kind)
+                break
+        if nxt is None:
+            return self._proto("output")
+        return self.read_for(*nxt)
+
+
+# ---------------------------------------------------------------------------
 # Hadoop streaming's stderr side-channel (A8 for shell substeps)
 # ---------------------------------------------------------------------------
 

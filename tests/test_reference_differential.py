@@ -34,14 +34,14 @@ if not os.path.isdir(os.path.join(REFERENCE, "mrjob")):  # pragma: no cover
 sys.path.insert(0, REFERENCE)
 
 
-def _run_reference(job_cls, lines: list[str]) -> list[tuple]:
+def _run_reference(job_cls, lines: list[str], runner: str = "inline") -> list[tuple]:
     import tempfile
 
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
         fh.write("\n".join(lines) + ("\n" if lines else ""))
         path = fh.name
     try:
-        job = job_cls(args=["-r", "inline", "--no-conf", path])
+        job = job_cls(args=["-r", runner, "--no-conf", path])
         with job.make_runner() as r:
             r.run()
             return sorted(job.parse_output(r.cat_output()))
@@ -634,3 +634,248 @@ def test_repr_protocol_bytes_match_reference(key, value):
     assert ref_line == our_line
     assert ref.read(our_line) == (key, value)
     assert ours.read(ref_line) == (key, value)
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_map_only_pickle_output_matches_reference(lines):
+    # a FINAL map-only step writes straight through OUTPUT_PROTOCOL — no
+    # INTERNAL crossing — so with pickle output a tuple value survives
+    # end-to-end even though INTERNAL=JSON would turn it into a list.
+    # The reference's map task picks the step-position protocol
+    # (mrjob/job.py pick_protocols); all three of our runners must do
+    # the same.
+    from mrjob.job import MRJob
+    from mrjob.protocol import PickleProtocol as RefPickle
+
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.protocols import PickleProtocol
+
+    class RefMapOnly(MRJob):
+        OUTPUT_PROTOCOL = RefPickle
+
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w.lower(), (len(w), (w[:1],))
+
+    class OurMapOnly(SparkMRJob):
+        OUTPUT_PROTOCOL = PickleProtocol
+        mapper = RefMapOnly.mapper
+
+    ref = _run_reference(RefMapOnly, lines)
+    ours_inline = _run_ours_inline(OurMapOnly, lines)
+    ours_local = _run_ours_local(OurMapOnly, lines)
+    # tuples must arrive intact (the whole point), so compare raw
+    assert ours_inline == ref
+    assert ours_local == ref
+    assert all(isinstance(v, tuple) for _, v in ref)
+
+
+def _run_reference_script(source: str, lines: list, out_proto) -> list:
+    """Run a reference job as a REAL script through its ``-r local``
+    runner (cmd substeps need task subprocesses; the reference's inline
+    runner refuses them, mrjob/inline.py:96) and parse its stdout with
+    ``out_proto.read``."""
+    import subprocess
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="refscript_")
+    script = os.path.join(d, "ref_job.py")
+    with open(script, "w") as fh:
+        fh.write(source)
+    inp = os.path.join(d, "input.txt")
+    with open(inp, "w") as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REFERENCE + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, script, "-r", "local", "--no-conf", inp],
+        capture_output=True, env=env, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr.decode("utf-8", "replace")
+    return sorted(
+        out_proto.read(ln) for ln in proc.stdout.splitlines() if ln
+    )
+
+
+_REF_REDUCER_CMD_SRC = """\
+from mrjob.job import MRJob
+from mrjob.protocol import RawValueProtocol
+from mrjob.step import MRStep
+
+
+class RefCmd(MRJob):
+    OUTPUT_PROTOCOL = RawValueProtocol
+
+    def mapper(self, _, line):
+        for w in line.split():
+            yield None, w.lower()
+
+    def steps(self):
+        return [MRStep(mapper=self.mapper, reducer_cmd='uniq')]
+
+
+if __name__ == '__main__':
+    RefCmd.run()
+"""
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=6))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_final_step_reducer_cmd_raw_output_matches_reference(lines):
+    # the protocol-position rule end-to-end (mrjob/job.py:983-1050): the
+    # mapper here is the job's LAST script substep, so it writes
+    # OUTPUT_PROTOCOL (RawValue — bare words, no JSON) INTO the reducer
+    # cmd, and the cmd's stdout IS the job output byte-for-byte. An
+    # engine that encoded the cmd's stdin with INTERNAL (JSON) would
+    # dedup '"word"' lines instead of 'word' lines and emit JSON-quoted
+    # output where the reference emits bare text.
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.protocols import RawValueProtocol
+    from mrjob_spark.dataflow.step import MRStep
+
+    class OurCmd(SparkMRJob):
+        OUTPUT_PROTOCOL = RawValueProtocol
+
+        def mapper(self, _, line):
+            for w in line.split():
+                yield None, w.lower()
+
+        def steps(self):
+            return [MRStep(mapper=self.mapper, reducer_cmd="uniq")]
+
+    ref = _run_reference_script(
+        _REF_REDUCER_CMD_SRC, lines, RawValueProtocol())
+    ours_inline = _run_ours_inline(OurCmd, lines)
+    ours_local = _run_ours_local(OurCmd, lines)
+    assert ours_inline == ref
+    assert ours_local == ref
+
+
+_REF_CMD_MAPPER_SRC = """\
+from mrjob.job import MRJob
+from mrjob.step import MRStep
+
+
+class RefCmdMap(MRJob):
+    # INPUT default RawValue(text): the script reducer is the job's FIRST
+    # script substep, so it reads INPUT_PROTOCOL — raw (None, line) pairs
+    # out of the mapper cmd, all under one None key
+    def reducer(self, key, values):
+        yield key, sorted(values)
+
+    def steps(self):
+        return [MRStep(mapper_cmd='sed -n /a/p', reducer=self.reducer)]
+
+
+if __name__ == '__main__':
+    RefCmdMap.run()
+"""
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=6))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cmd_mapper_script_reducer_reads_input_protocol(lines):
+    # protocol-position rule, read side: behind a cmd-only mapper the
+    # script reducer is the job's first script substep and parses the
+    # cmd's stdout with INPUT_PROTOCOL (RawValue) — one None-key group of
+    # raw lines — NOT with INTERNAL (JSON would crash on grep output)
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.step import MRStep
+
+    class OurCmdMap(SparkMRJob):
+        def reducer(self, key, values):
+            yield key, sorted(values)
+
+        def steps(self):
+            return [MRStep(mapper_cmd="sed -n /a/p", reducer=self.reducer)]
+
+    from mrjob_spark.dataflow.protocols import JSONProtocol
+
+    ref = _run_reference_script(_REF_CMD_MAPPER_SRC, lines, JSONProtocol())
+    ours_inline = _run_ours_inline(OurCmdMap, lines)
+    ours_local = _run_ours_local(OurCmdMap, lines)
+    assert ours_inline == ref
+    assert ours_local == ref
+
+
+_REF_TWO_STEP_CMD_SRC = """\
+from mrjob.job import MRJob
+from mrjob.protocol import ReprProtocol
+from mrjob.step import MRStep
+
+
+class RefTwoStep(MRJob):
+    # the step-0 reducer is the job's LAST script substep (step 1 is a
+    # cmd-only mapper), so it writes OUTPUT_PROTOCOL (repr) even though
+    # it is not in the last step; the step-1 cmd transforms those repr
+    # bytes and its stdout is the job output
+    OUTPUT_PROTOCOL = ReprProtocol
+
+    def mapper(self, _, line):
+        for w in line.split():
+            yield w.lower(), 1
+
+    def reducer(self, word, counts):
+        yield word, (sum(counts), word[:1])
+
+    def steps(self):
+        return [
+            MRStep(mapper=self.mapper, reducer=self.reducer),
+            MRStep(mapper_cmd='sed -n p'),
+        ]
+
+
+if __name__ == '__main__':
+    RefTwoStep.run()
+"""
+
+
+@given(lines=st.lists(_line, min_size=1, max_size=6))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mid_job_last_script_substep_writes_output_protocol(lines):
+    # protocol-position rule, write side: the LAST script substep writes
+    # OUTPUT_PROTOCOL even from a non-final step, because only cmd
+    # substeps (byte transformers) follow it — repr tuples must survive
+    # the step-1 sed pass-through byte-for-byte
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.protocols import ReprProtocol
+    from mrjob_spark.dataflow.step import MRStep
+
+    class OurTwoStep(SparkMRJob):
+        OUTPUT_PROTOCOL = ReprProtocol
+
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w.lower(), 1
+
+        def reducer(self, word, counts):
+            yield word, (sum(counts), word[:1])
+
+        def steps(self):
+            return [
+                MRStep(mapper=self.mapper, reducer=self.reducer),
+                MRStep(mapper_cmd="sed -n p"),
+            ]
+
+    ref = _run_reference_script(_REF_TWO_STEP_CMD_SRC, lines, ReprProtocol())
+    ours_inline = _run_ours_inline(OurTwoStep, lines)
+    ours_local = _run_ours_local(OurTwoStep, lines)
+    assert ours_inline == ref
+    assert ours_local == ref
