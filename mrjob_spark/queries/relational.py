@@ -361,17 +361,22 @@ def a12_approx_percentiles(spark, sf_dir):
     value set in one task, the sketch never does. Same tolerance-oracle
     contract as a10: the sketch estimate has no cross-engine twin, so the
     query emits the EXACT percentiles (the audit harness) plus a
-    Spark-computed relative-error boolean the oracle states as literal
-    TRUE — at accuracy=10000 the rank error is ≤1e-4, orders of magnitude
-    inside the 5% gate, so only a broken sketch flips the hash."""
+    Spark-computed RANK-error boolean the oracle states as literal TRUE.
+    The gate is rank-based, not value-based, because that is the G-K
+    guarantee: the sketch returns a real sample whose rank is within
+    ±1/accuracy of the target — in a heavy tail that sample can sit far
+    away in VALUE at small group sizes (measured: p99 24% off at 200
+    rows/group) while being exactly on-contract in rank. So the audit
+    asserts approx ∈ [percentile(p-0.05), percentile(p+0.05)] — at
+    accuracy=10000 the rank error is ≤1e-4, orders of magnitude inside
+    the ±5% rank window, so only a broken sketch flips the hash."""
     t = Tables(spark, sf_dir)
 
     def _within(p: float):
-        exact = F.expr(f"percentile(value, {p})")
+        lo = F.expr(f"percentile(value, {max(p - 0.05, 0.0)})")
+        hi = F.expr(f"percentile(value, {min(p + 0.05, 1.0)})")
         approx = F.expr(f"percentile_approx(value, {p}, 10000)")
-        return (F.abs(approx - exact) / (F.abs(exact) + F.lit(1e-9))) <= F.lit(
-            0.05
-        )
+        return (approx >= lo) & (approx <= hi)
 
     return t.events.groupBy("event_type").agg(
         rnd(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
