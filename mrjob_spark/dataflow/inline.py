@@ -461,8 +461,18 @@ class InlineJobRunner:
             return pairs, (m_out if step.mapper_cmd else m_write), consumed
 
         # ---- shuffle & sort (single "reducer task") ----
+        # Reducer grouping is on the byte-level group key of the wire the
+        # reducer READS (Hadoop groups on bytes-before-first-tab; the
+        # reference's local runner splits reducer tasks at exactly those
+        # byte-key changes, mrjob/sim.py:525-527). For keyed wires this
+        # is the encoded key — for value-only wires (script reducer
+        # behind a cmd mapper reading RawValue lines) each distinct line
+        # is its own group even though every line decodes to key=None.
         sort_values = bool(job.SORT_VALUES)
-        keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
+        wire_r = (r_read if script_reducer else m_out) or internal
+        gk = wire_r.group_key
+        keyfn = (lambda k, v: enc(k)) if combinable else gk
+        keyed = [((keyfn(k, v), enc(v) if sort_values else b""), (k, v))
                  for k, v in pairs]
         keyed.sort(key=lambda item: item[0])
 
@@ -471,7 +481,10 @@ class InlineJobRunner:
             combined = []
             if step.combiner_init:
                 combined.extend(step.combiner_init() or ())
-            for kbytes, group in itertools.groupby(keyed, key=lambda i: i[0][0]):
+            # combiners group by DECODED key (the reference's combiner
+            # task sorts byte lines then groups decoded-equal runs —
+            # unlike reducers there is no byte-key task split)
+            for _, group in itertools.groupby(keyed, key=lambda i: i[1][0]):
                 vals = [kv for _, kv in group]
                 key = vals[0][0]
                 combined.extend(
@@ -483,7 +496,7 @@ class InlineJobRunner:
             # (mrjob/job.py:1040-1044) and crosses into the reducer's read
             # protocol before the reducer sees it
             cx = crossing(m_out, r_read if script_reducer else m_out)
-            keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
+            keyed = [((gk(k, v), enc(v) if sort_values else b""), (k, v))
                      for k, v in (cx(k, v) for k, v in combined)]
             keyed.sort(key=lambda item: item[0])
 
@@ -506,7 +519,7 @@ class InlineJobRunner:
             flat = self._pipe([kv for _, kv in keyed],
                               step.reducer_pre_filter, filter_only=True,
                               encode=m_out)
-            keyed = [((enc(k), enc(v) if sort_values else b""), (k, v))
+            keyed = [((gk(k, v), enc(v) if sort_values else b""), (k, v))
                      for k, v in flat]
             keyed.sort(key=lambda item: item[0])
 

@@ -574,15 +574,21 @@ def _plan_for(job):
 
 
 def _encode_composite(job, pairs, wire=None) -> Iterator[bytes]:
-    """hex(enc(k)) TAB hex(enc(v)) TAB hex(wire_line): byte-order-
+    """hex(group_key) TAB hex(enc(v)) TAB hex(wire_line): byte-order-
     preserving, binary-safe, C-locale-sortable. ``wire`` is the protocol
     whose bytes the embedded line carries (the writer's position-chosen
-    protocol; INTERNAL by default)."""
+    protocol; INTERNAL by default). Field 1 is the wire's byte-level
+    GROUP key (:meth:`Protocol.group_key`) — Hadoop partitions/groups
+    reducer input on bytes-before-first-tab, so on value-only wires
+    (cmd mapper → script reducer) each distinct line is its own reduce
+    group; on keyed wires it is the encoded key, as before."""
+    wire = wire or job.INTERNAL_PROTOCOL()
     enc = job.INTERNAL_PROTOCOL().encode_sort_key
-    write = (wire or job.INTERNAL_PROTOCOL()).write
+    gk = wire.group_key
+    write = wire.write
     for k, v in pairs:
         yield (
-            enc(k).hex().encode()
+            gk(k, v).hex().encode()
             + b"\t"
             + enc(v).hex().encode()
             + b"\t"
@@ -747,9 +753,12 @@ def _write_map_output(job, step, pairs, spec, combined_ok=True,
         def combined():
             if step.combiner_init:
                 yield from step.combiner_init() or ()
+            # combiners group by DECODED key (the reference's combiner
+            # task sorts byte lines then groups decoded-equal runs —
+            # no byte-key task splitting, unlike reducers)
             for _, group in itertools.groupby(
                 _decode_composite(job, lines, wire=wire),
-                key=lambda item: item[0]
+                key=lambda item: item[1][0]
             ):
                 _, (key, first_v) = next(group)
                 values = itertools.chain(
@@ -813,11 +822,20 @@ def _run_reducer_task(job, step, spec) -> None:
     init = getattr(step, f"{kind}_init")
     final = getattr(step, f"{kind}_final")
 
+    # reducers group by the BYTE group key (composite field 1 — Hadoop's
+    # bytes-before-first-tab contract); a combiner-as-reducer keeps the
+    # combiner's decoded-key grouping instead
+    group_sel = (
+        (lambda item: item[1][0])
+        if spec.get("combiner_as_reducer")
+        else (lambda item: item[0])
+    )
+
     def gen():
         if init:
             yield from init() or ()
         for _, group in itertools.groupby(
-            _decode_composite(job, lines, wire=in_wire), key=lambda item: item[0]
+            _decode_composite(job, lines, wire=in_wire), key=group_sel
         ):
             _, (key, first_v) = next(group)
             values = itertools.chain((first_v,), (kv[1] for _, kv in group))

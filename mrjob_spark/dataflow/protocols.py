@@ -56,6 +56,21 @@ class Protocol:
         """Byte encoding used for shuffle grouping / SORT_VALUES ordering."""
         return _canonical_bytes(obj)
 
+    def group_key(self, key, value) -> bytes:
+        """The byte-level shuffle/group key for a pair sitting on this
+        wire. Hadoop streaming partitions and groups reducer input on the
+        bytes BEFORE THE FIRST TAB of each line, and the reference's
+        local runner splits reducer tasks only at changes of exactly that
+        field (``mrjob/sim.py:525-527``) — so a reducer group never spans
+        two distinct byte keys. For keyed protocols the first tab field
+        IS the encoded key, so this defaults to ``encode_sort_key(key)``;
+        value-only protocols override it (their line carries no key
+        field, so the byte key is the written VALUE up to the first tab:
+        distinct raw lines are distinct reduce groups even though every
+        line decodes to ``key=None`` — differential-pinned in
+        test_job_shape_differential.py)."""
+        return self.encode_sort_key(key)
+
     def roundtrip(self, key, value):
         """What one task-boundary wire crossing does to a pair:
         ``read(write(key, value))``.
@@ -113,6 +128,16 @@ def crossing(write_proto, read_proto):
     return cross
 
 
+
+class _ValueOnlyGroupKey:
+    """Mixin for value-only protocols: the wire line has no key field, so
+    the Hadoop byte-level group key is the written value up to the first
+    tab (see :meth:`Protocol.group_key`)."""
+
+    def group_key(self, key, value) -> bytes:
+        return self.write(key, value).split(b"\t", 1)[0]
+
+
 class JSONProtocol(Protocol):
     """key and value as two JSONs joined by a tab — the reference's default
     INTERNAL/OUTPUT protocol (``mrjob/job.py:1282,1291``)."""
@@ -132,7 +157,7 @@ class JSONProtocol(Protocol):
             return self.read(self.write(key, value))
 
 
-class JSONValueProtocol(Protocol):
+class JSONValueProtocol(_ValueOnlyGroupKey, Protocol):
     """Value-only JSON; key reads as ``None``."""
 
     def read(self, line: bytes):
@@ -159,7 +184,7 @@ class BytesProtocol(Protocol):
         return obj if isinstance(obj, bytes) else _canonical_bytes(obj)
 
 
-class BytesValueProtocol(Protocol):
+class BytesValueProtocol(_ValueOnlyGroupKey, Protocol):
     """Whole line (bytes) as the value; key is ``None``."""
 
     def read(self, line: bytes):
@@ -197,7 +222,7 @@ class TextProtocol(Protocol):
         return obj.encode("utf-8") if isinstance(obj, str) else _canonical_bytes(obj)
 
 
-class TextValueProtocol(Protocol):
+class TextValueProtocol(_ValueOnlyGroupKey, Protocol):
     """Whole line as a unicode value; the reference's default INPUT protocol
     on Python 3 (``mrjob/protocol.py:423-451``)."""
 
@@ -238,7 +263,7 @@ class PickleProtocol(Protocol):
         return key, value
 
 
-class PickleValueProtocol(PickleProtocol):
+class PickleValueProtocol(_ValueOnlyGroupKey, PickleProtocol):
     def read(self, line: bytes):
         return None, self._loads(line)
 
@@ -259,7 +284,7 @@ class ReprProtocol(Protocol):
         return repr(obj).encode("utf-8")
 
 
-class ReprValueProtocol(ReprProtocol):
+class ReprValueProtocol(_ValueOnlyGroupKey, ReprProtocol):
     def read(self, line: bytes):
         return None, self._loads(line)
 
@@ -292,7 +317,7 @@ class _LibJSONProtocol(JSONProtocol):
         return self._json.dumps(obj).encode("utf-8")
 
 
-class _LibJSONValueProtocol(_LibJSONProtocol):
+class _LibJSONValueProtocol(_ValueOnlyGroupKey, _LibJSONProtocol):
     def read(self, line: bytes):
         return None, self._loads(line)
 

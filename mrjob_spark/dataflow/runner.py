@@ -604,7 +604,16 @@ class SparkJobRunner:
             needs_shuffle = False
             reducer_ready = rdd
         elif needs_shuffle:
-            reducer_ready = self._shuffle_and_sort(rdd, enc, sort_values)
+            # group on the byte-level group key of the wire the reducer
+            # reads: for keyed wires the encoded key (unchanged); for a
+            # script reducer behind a cmd mapper (value-only INPUT wire)
+            # each distinct raw line is its own reduce group — Hadoop's
+            # bytes-before-first-tab contract, differential-pinned in
+            # test_job_shape_differential.py
+            wire_r = (r_read if script_reducer else m_out) \
+                or job.INTERNAL_PROTOCOL()
+            reducer_ready = self._shuffle_and_sort(
+                rdd, enc, sort_values, gk=wire_r.group_key)
         else:
             reducer_ready = None
 
@@ -637,7 +646,11 @@ class SparkJobRunner:
                                    encode=m_out,
                                    decode=plan.cmd_decode(step_num, "reducer"))
             return rdd, None, True
-        rdd = self._run_reducer(step, step_num, reducer_ready)
+        rdd = self._run_reducer(
+            step, step_num, reducer_ready,
+            gk=((r_read if script_reducer else m_out)
+                or job.INTERNAL_PROTOCOL()).group_key,
+        )
         return rdd, r_write, consumed
 
     # -- mapper ---------------------------------------------------------
@@ -815,16 +828,22 @@ class SparkJobRunner:
 
     # -- shuffle --------------------------------------------------------
 
-    def _shuffle_and_sort(self, rdd, enc, sort_values):
+    def _shuffle_and_sort(self, rdd, enc, sort_values, gk=None):
         """Return reducer-ready ``(key_bytes, (key, value))`` with same-key
         adjacency, partitioned by key hash and sorted by (key_bytes[,
         value_bytes]) — Hadoop's shuffle, expressed as
         ``repartitionAndSortWithinPartitions`` so downstream grouping is
-        streaming, not materialized."""
+        streaming, not materialized. ``gk`` is the byte-level group-key
+        function of the wire the reducer READS
+        (:meth:`Protocol.group_key` — Hadoop groups on
+        bytes-before-first-tab, so a value-only wire groups per distinct
+        line); defaults to the encoded key."""
+        if gk is None:
+            gk = lambda k, v: enc(k)  # noqa: E731
         if sort_values:
-            keyed = rdd.map(lambda kv: ((enc(kv[0]), enc(kv[1])), kv))
+            keyed = rdd.map(lambda kv: ((gk(kv[0], kv[1]), enc(kv[1])), kv))
         else:
-            keyed = rdd.map(lambda kv: ((enc(kv[0]), b""), kv))
+            keyed = rdd.map(lambda kv: ((gk(kv[0], kv[1]), b""), kv))
 
         pf = self.partition_func  # plain local: the closure must not drag
         # the runner (and its unpicklable SparkSession) into the task
@@ -840,7 +859,8 @@ class SparkJobRunner:
 
     # -- reducer --------------------------------------------------------
 
-    def _run_reducer(self, step: MRStep, step_num: int, reducer_ready):
+    def _run_reducer(self, step: MRStep, step_num: int, reducer_ready,
+                     gk=None):
         reducer = step.reducer
         reducer_init = step.reducer_init
         reducer_final = step.reducer_final
@@ -859,7 +879,7 @@ class SparkJobRunner:
                                          step_num=step_num)
             enc = self.job.INTERNAL_PROTOCOL().encode_sort_key
             reducer_ready = self._shuffle_and_sort(
-                filtered, enc, bool(self.job.SORT_VALUES)
+                filtered, enc, bool(self.job.SORT_VALUES), gk=gk
             )
 
         def reduce_partition(items: Iterable) -> Iterator:
