@@ -113,10 +113,13 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new or semantically changed in round 6: the measured ≥0.7-recall
+    # new or semantically changed in round 6: the typed-PII redaction and
+    # stratified-split hygiene passes (new), the measured ≥0.7-recall
     # IVF production point (new query), q9's scale-adaptive orders join
-    # (broadcast hint dropped per ADVICE r5), and q16's NOT IN → NOT
-    # EXISTS oracle restatement
+    # (broadcast hint dropped per ADVICE r5), q16's NOT IN → NOT
+    # EXISTS oracle restatement, and a12's rank-based sketch audit
+    "l9_pii_redaction",
+    "l8_stratified_split",
     "l2_embedding_neardup_ivf_hi",
     "l8_decontaminate_bloom",
     "l1_incremental_dedup",
@@ -172,11 +175,10 @@ _DRIVER_PRIORITY = [
     "st9_foreachbatch_sink",
     "s7_csv_roundtrip",
     "s7_json_roundtrip",
-    "o1_o2_partition_layout",
-    "s10_partitioned_sink",
-    # s6_hadoop_input_format, s7_orc_roundtrip, x1_udtf_tokenize,
-    # x2_udaf_quantiles (all r3-green, inside the freshness horizon)
-    # displaced by the four round-6 additions (l8_decontaminate_bloom,
+    # o1_o2_partition_layout, s10_partitioned_sink, s6_hadoop_input_format,
+    # s7_orc_roundtrip, x1_udtf_tokenize, x2_udaf_quantiles (all r3-green,
+    # inside the freshness horizon) displaced by the six round-6 additions
+    # (l9_pii_redaction, l8_stratified_split, l8_decontaminate_bloom,
     # l1_incremental_dedup, st11_incremental_ingest,
     # a12_approx_percentiles) — new queries lead the window by policy
 ]

@@ -1407,6 +1407,142 @@ def l8_token_mask(spark, sf_dir):
     )
 
 
+# Typed PII patterns, kept to the Java-regex ∩ RE2 dialect so the DuckDB
+# oracle detects and scrubs byte-identically (\b, \d, {m,n} and character
+# classes behave the same in both engines; no lookarounds, which RE2
+# lacks).
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\+\d{1,2}[ -]\d{3}[ -]\d{4}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_ANY_RE = f"({_PII_EMAIL_RE})|({_PII_PHONE_RE})|({_PII_IP_RE})"
+
+# The fixture corpus is PII-free word salad, so the query deterministically
+# injects one email, one phone, and one IPv4 per document — derived purely
+# from doc_id with the SAME expression on both engines — making every
+# detection/redaction branch observable and the counts non-trivial.
+_PII_AUG_SQL = (
+    "text || ' reach user' || CAST(doc_id AS STRING) || '@example.com"
+    " or +1 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    " || ' at 10.' || CAST(doc_id % 256 AS STRING)"
+    " || '.' || CAST((doc_id * 7) % 256 AS STRING)"
+    " || '.' || CAST((doc_id * 13) % 256 AS STRING)"
+)
+
+
+@query(
+    "l9_pii_redaction",
+    sql=f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS body FROM documents
+    ),
+    red AS (
+        SELECT doc_id, body,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(body, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_PII_IP_RE}', '<IP>', 'g') AS redacted
+        FROM aug
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(body, '{_PII_EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(body, '{_PII_PHONE_RE}')) AS n_phone,
+           len(regexp_extract_all(body, '{_PII_IP_RE}')) AS n_ip,
+           md5(redacted) AS redacted_md5,
+           len(regexp_extract_all(redacted, '{_PII_ANY_RE}')) = 0 AS clean
+    FROM red
+    """,
+)
+def l9_pii_redaction(spark, sf_dir):
+    """Typed PII detection + redaction — the corpus-hygiene pass a
+    training pipeline runs before anything else sees the text: per-doc
+    counts for each PII category (email / phone / IPv4), the scrubbed
+    text's md5 (the audit artifact a redaction pass must produce), and a
+    ``clean`` verification bit proving ZERO matches survive redaction —
+    the property that actually matters, checked in-query rather than
+    assumed. Patterns live in the Java∩RE2 dialect (same policy as
+    ``l8_token_mask``) so the oracle scrubs byte-identically; replacement
+    order (email → phone → IP) is fixed on both sides. Pure per-row JVM
+    column math: one parquet scan, zero shuffle, zero Python — at 100 TB
+    this is a map-only pass whose cost is the regex engine itself, and a
+    production pass swaps patterns, not the plan."""
+    t = Tables(spark, sf_dir)
+    body = F.expr(_PII_AUG_SQL)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE, "<PHONE>"),
+        _PII_IP_RE, "<IP>")
+
+    def n(pat, col):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+
+    return t.documents.select(
+        "doc_id",
+        n(_PII_EMAIL_RE, body).alias("n_email"),
+        n(_PII_PHONE_RE, body).alias("n_phone"),
+        n(_PII_IP_RE, body).alias("n_ip"),
+        F.md5(redacted).alias("redacted_md5"),
+        (n(_PII_ANY_RE, redacted) == 0).alias("clean"),
+    )
+
+
+@query(
+    "l8_stratified_split",
+    sql="""
+    SELECT source, lang, split,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM (
+        SELECT source, lang, n_chars,
+               CASE
+                   WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM (
+            SELECT source, lang, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS bucket
+            FROM documents
+        ) b
+    ) s
+    GROUP BY source, lang, split
+    """,
+)
+def l8_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment with a per-stratum audit —
+    the eval-hygiene step between corpus assembly and shard writing. Each
+    document's split is a pure function of its id (md5 under a salt, mod
+    100 → 80/10/10), so the assignment is identical across engines, runs,
+    partitionings, and retries, and a document can never migrate between
+    train and test when the corpus is re-processed — the leakage property
+    RNG-based splitters lose on any re-run. The output is the realized
+    (source, lang, split) count/char matrix: the audit a release manager
+    reads to confirm every stratum's ratios converged (hash-mod is
+    per-doc Bernoulli, so ratios are statistical, not enforced — the
+    audit IS the check). Scale shape: one scan → one partial-agg shuffle
+    on a tiny (source × lang × 3) key space; the per-doc split column
+    costs one md5. Assignment reuses the ``l8_global_shuffle`` salted-
+    hash idiom with an independent salt, so shuffle order and split
+    membership are uncorrelated."""
+    t = Tables(spark, sf_dir)
+    bucket = F.pmod(
+        hex_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        t.documents.select("source", "lang", "n_chars", split.alias("split"))
+        .groupBy("source", "lang", "split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
 @query(
     "l8_global_shuffle",
     sql="""

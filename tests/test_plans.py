@@ -550,3 +550,23 @@ def test_incremental_dedup_never_shuffles_history(spark):
     assert "LeftSemi, BuildRight" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_pii_redaction_is_map_only(spark):
+    # corpus hygiene must be a pure map pass: one scan, regex column math
+    # inside whole-stage codegen, ZERO exchanges — any shuffle here would
+    # be a plan bug that turns a 100 TB scrub into a 100 TB shuffle
+    plan = _plan(spark, "l9_pii_redaction")
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_stratified_split_partial_aggs_and_prunes_text(spark):
+    # one partial-agg shuffle on the tiny (source, lang, split) key space,
+    # and the scan must NOT read the text column (the split is a pure
+    # function of doc_id + metadata) — at 100 TB reading text here would
+    # multiply the scanned bytes by ~100×
+    plan = _plan(spark, "l8_stratified_split")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "text:string" not in plan
