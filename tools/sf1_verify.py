@@ -117,6 +117,23 @@ REPRESENTATIVE_T3 = [
     "l8_global_shuffle",
 ]
 
+#: round-6 fourth tier (--tier 4): everything registered after the tier-3
+#: run — the late round-6 additions (incremental batch-vs-corpus dedup,
+#: streaming-ingest admission dedup's batch oracle, the rank-gated sketch
+#: percentiles, typed PII redaction, the stratified split) plus the
+#: pre-r6 queries that never sat in a tier (bag-semantics EXCEPT ALL,
+#: the portable WINDOW-clause entry point, the skew-proof packing twin).
+REPRESENTATIVE_T4 = [
+    "l1_incremental_dedup",
+    "st11_incremental_ingest",
+    "a12_approx_percentiles",
+    "l9_pii_redaction",
+    "l8_stratified_split",
+    "u2_except_all",
+    "sql3_portable_windows",
+    "l8_sequence_packing_scalable",
+]
+
 
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
@@ -212,14 +229,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="fixtures/sf1")
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tier", default="1", choices=("1", "2", "3", "all"))
+    ap.add_argument("--tier", default="1", choices=("1", "2", "3", "4", "all"))
     args = ap.parse_args()
 
     pool = {
         "1": REPRESENTATIVE,
         "2": REPRESENTATIVE_T2,
         "3": REPRESENTATIVE_T3,
-        "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3,
+        "4": REPRESENTATIVE_T4,
+        "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3
+        + REPRESENTATIVE_T4,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
