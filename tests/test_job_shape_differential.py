@@ -88,15 +88,22 @@ _SHAPE_STEPS = {
     # shell (no env-prefix syntax); both engines inherit this process's
     # locale so collation is identical on both sides anyway
     "M_CR": "MRStep(mapper=self.xmapper, reducer_cmd='sort')",
+    "PFM_R": ("MRStep(mapper=self.xmapper, mapper_pre_filter='sed -n /a/p',"
+              " reducer=self.xreducer)"),
+    "M_PFR": ("MRStep(mapper=self.xmapper, reducer=self.xreducer,"
+              " reducer_pre_filter='sed -n /a/p')"),
 }
 
 _REF_TEMPLATE = """\
 from mrjob.job import MRJob
-from mrjob.protocol import JSONProtocol, PickleProtocol, ReprProtocol
+from mrjob.protocol import (
+    JSONProtocol, JSONValueProtocol, PickleProtocol, ReprProtocol,
+)
 from mrjob.step import MRStep
 
 
 class GenJob(MRJob):
+    {input_decl}
     INTERNAL_PROTOCOL = {internal}
     OUTPUT_PROTOCOL = {output}
     SORT_VALUES = {sort_values}
@@ -113,12 +120,13 @@ if __name__ == '__main__':
 _OURS_TEMPLATE = """\
 from mrjob_spark.dataflow.job import SparkMRJob
 from mrjob_spark.dataflow.protocols import (
-    JSONProtocol, PickleProtocol, ReprProtocol,
+    JSONProtocol, JSONValueProtocol, PickleProtocol, ReprProtocol,
 )
 from mrjob_spark.dataflow.step import MRStep
 
 
 class GenJob(SparkMRJob):
+    {input_decl}
     INTERNAL_PROTOCOL = {internal}
     OUTPUT_PROTOCOL = {output}
     SORT_VALUES = {sort_values}
@@ -130,8 +138,12 @@ class GenJob(SparkMRJob):
 
 
 def _render(template: str, shapes, internal: str, output: str,
-            sort_values: bool) -> str:
+            sort_values: bool, in_proto: str = "default") -> str:
     return template.format(
+        input_decl=(
+            "# default INPUT (RawValue)" if in_proto == "default"
+            else f"INPUT_PROTOCOL = {in_proto}"
+        ),
         internal=internal,
         output=output,
         sort_values=sort_values,
@@ -140,9 +152,11 @@ def _render(template: str, shapes, internal: str, output: str,
     )
 
 
-def _our_job_cls(shapes, internal, output, sort_values):
+def _our_job_cls(shapes, internal, output, sort_values,
+                 in_proto: str = "default"):
     ns: dict = {}
-    exec(_render(_OURS_TEMPLATE, shapes, internal, output, sort_values), ns)
+    exec(_render(_OURS_TEMPLATE, shapes, internal, output, sort_values,
+                 in_proto), ns)
     return ns["GenJob"]
 
 
@@ -154,15 +168,25 @@ def _out_proto(output: str):
             "ReprProtocol": p.ReprProtocol}[output]()
 
 
-def _run_reference(shapes, internal, output, sort_values):
-    src = _render(_REF_TEMPLATE, shapes, internal, output, sort_values)
+def _render_input_lines(in_proto: str) -> list[str]:
+    if in_proto == "JSONValueProtocol":
+        import json as _json
+
+        return [_json.dumps(ln) for ln in LINES]
+    return LINES
+
+
+def _run_reference(shapes, internal, output, sort_values,
+                   in_proto: str = "default"):
+    src = _render(_REF_TEMPLATE, shapes, internal, output, sort_values,
+                  in_proto)
     d = tempfile.mkdtemp(prefix="refshape_")
     script = os.path.join(d, "gen_job.py")
     with open(script, "w") as fh:
         fh.write(src)
     inp = os.path.join(d, "input.txt")
     with open(inp, "w") as fh:
-        fh.write("\n".join(LINES) + "\n")
+        fh.write("\n".join(_render_input_lines(in_proto)) + "\n")
     env = dict(os.environ)
     env["PYTHONPATH"] = REFERENCE + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
@@ -176,9 +200,9 @@ def _run_reference(shapes, internal, output, sort_values):
     )
 
 
-def _input_file(tmp_path):
+def _input_file(tmp_path, in_proto: str = "default"):
     p = tmp_path / "input.txt"
-    p.write_text("\n".join(LINES) + "\n")
+    p.write_text("\n".join(_render_input_lines(in_proto)) + "\n")
     return str(p)
 
 
@@ -271,3 +295,40 @@ def test_job_shape_spark_matches_reference(
         r.run()
         ours = sorted((tuple(kv) for kv in r.cat_output()), key=repr)
     assert ours == ref, "spark runner diverged from reference"
+
+
+# Extended cases: non-default INPUT protocol (the job's first script
+# substep decodes real JSON values instead of raw lines) and shell
+# pre-filters in raw (step-0), reducer-input, and mid-job (step-1
+# INTERNAL-encoded lines) positions. Cmd filters stay on JSON wires —
+# byte-pinned across engines — per the same policy as CASES.
+CASES_EXT = [
+    (("M",), "JSONProtocol", "JSONProtocol", False, "JSONValueProtocol"),
+    (("MR",), "JSONProtocol", "JSONProtocol", False, "JSONValueProtocol"),
+    (("MCR", "MR"), "PickleProtocol", "JSONProtocol", False,
+     "JSONValueProtocol"),
+    (("PFM_R",), "JSONProtocol", "JSONProtocol", False, "default"),
+    (("M_PFR",), "JSONProtocol", "JSONProtocol", False, "default"),
+    (("MR", "PFM_R"), "JSONProtocol", "JSONProtocol", True, "default"),
+]
+
+_IDS_EXT = [
+    "+".join(shapes) + f"-in_{ip[:-8].lower() if ip != 'default' else 'raw'}"
+    + ("-sv" if sv else "")
+    for shapes, i, o, sv, ip in CASES_EXT
+]
+
+
+@pytest.mark.parametrize(
+    "shapes,internal,output,sort_values,in_proto", CASES_EXT, ids=_IDS_EXT
+)
+def test_job_shape_ext_matches_reference(
+    tmp_path, shapes, internal, output, sort_values, in_proto
+):
+    ref = _run_reference(shapes, internal, output, sort_values, in_proto)
+    cls = _our_job_cls(shapes, internal, output, sort_values, in_proto)
+    path = _input_file(tmp_path, in_proto)
+    ours_inline = _run_ours(cls, path, "inline")
+    assert ours_inline == ref, "inline diverged from reference"
+    ours_local = _run_ours(cls, path, "local")
+    assert ours_local == ref, "local diverged from reference"
