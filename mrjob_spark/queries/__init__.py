@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = [
     # EXISTS oracle restatement, and a12's rank-based sketch audit
     "l9_pii_redaction",
     "l8_stratified_split",
+    "l8_balanced_sample",
     "l2_embedding_neardup_ivf_hi",
     "l8_decontaminate_bloom",
     "l1_incremental_dedup",
@@ -174,11 +175,10 @@ _DRIVER_PRIORITY = [
     "st8_stream_stream_left_outer",
     "st9_foreachbatch_sink",
     "s7_csv_roundtrip",
-    "s7_json_roundtrip",
-    # o1_o2_partition_layout, s10_partitioned_sink, s6_hadoop_input_format,
+    # s7_json_roundtrip, o1_o2_partition_layout, s10_partitioned_sink, s6_hadoop_input_format,
     # s7_orc_roundtrip, x1_udtf_tokenize, x2_udaf_quantiles (all r3-green,
-    # inside the freshness horizon) displaced by the six round-6 additions
-    # (l9_pii_redaction, l8_stratified_split, l8_decontaminate_bloom,
+    # inside the freshness horizon) displaced by the seven round-6 additions
+    # (l9_pii_redaction, l8_stratified_split, l8_balanced_sample, l8_decontaminate_bloom,
     # l1_incremental_dedup, st11_incremental_ingest,
     # a12_approx_percentiles) — new queries lead the window by policy
 ]

@@ -1544,6 +1544,68 @@ def l8_stratified_split(spark, sf_dir):
 
 
 @query(
+    "l8_balanced_sample",
+    sql=f"""
+    WITH keyed AS (
+        SELECT source, doc_id,
+               {sql_hex_hash64("CAST(doc_id AS STRING) || ':psample'")} AS h
+        FROM documents
+    ), counts AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), survivors AS (
+        SELECT k.source, k.doc_id, k.h
+        FROM keyed k JOIN counts c ON c.source = k.source
+        WHERE (k.h // 268435456) < (343597383680 // c.n_s)
+    )
+    SELECT source, doc_id,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM survivors
+    QUALIFY pos <= 20
+    """,
+)
+def l8_balanced_sample(spark, sf_dir):
+    """Balanced per-group sampling — exactly k=20 documents per source,
+    deterministically (the balanced-subsampling step a mixture pipeline
+    runs to build probes, eval slices, or per-source inspection sets).
+    Selection is the k smallest salted doc hashes per source, but the
+    plan NEVER ranks a whole source: a hash-threshold prefilter keeps an
+    expected margin×k = 80 survivors per source (threshold =
+    2^32·80 / n_source, integer math only so the oracle is bit-identical
+    — no float boundary can disagree between engines), and the window
+    ranks ONLY the survivors. A naive per-source row_number funnels each
+    source's entire partition through one task — at 10^9 docs per source
+    that is the job; here the window input is ~80 rows per source at ANY
+    corpus size, the per-source counts arrive via a broadcast of a tiny
+    aggregate, and the corpus is touched by exactly one scan + one
+    map-side filter. Sources with n ≤ 80 pass the threshold whole
+    (threshold ≥ 2^32), so small groups degrade to keep-all-then-rank.
+    Shortfall (<k survivors) has probability ~e^-41 per source by
+    Chernoff at margin 4 — and is deterministic and engine-identical if
+    it ever occurs, since both sides apply the same integer threshold."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    h = hex_hash64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":psample"))
+    )
+    keyed = t.documents.select("source", "doc_id", h.alias("h"))
+    counts = t.documents.groupBy("source").agg(F.count("*").alias("n_s"))
+    survivors = keyed.join(F.broadcast(counts), "source").where(
+        F.expr("(h DIV 268435456) < (343597383680 DIV n_s)")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .where(F.col("pos") <= 20)
+    )
+
+
+@query(
     "l8_global_shuffle",
     sql="""
     SELECT doc_id, shard,

@@ -570,3 +570,17 @@ def test_stratified_split_partial_aggs_and_prunes_text(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
     assert "text:string" not in plan
+
+
+def test_balanced_sample_prefilters_and_group_limits(spark):
+    # the per-source k-sample must never rank a whole source: the hash
+    # threshold joins map-side against broadcast per-source counts, and
+    # the rank runs under WindowGroupLimit with a PARTIAL pass before the
+    # exchange — the shuffle carries at most k rows per source per task,
+    # at any corpus size. Only doc_id+source are read (no text).
+    plan = _plan(spark, "l8_balanced_sample")
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "text:string" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2

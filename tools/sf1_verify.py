@@ -124,6 +124,7 @@ REPRESENTATIVE_T3 = [
 #: pre-r6 queries that never sat in a tier (bag-semantics EXCEPT ALL,
 #: the portable WINDOW-clause entry point, the skew-proof packing twin).
 REPRESENTATIVE_T4 = [
+    "l8_balanced_sample",
     "l1_incremental_dedup",
     "st11_incremental_ingest",
     "a12_approx_percentiles",
