@@ -289,3 +289,74 @@ def two_stage_topk(
         .withColumn("rank", F.row_number().over(we))
         .where(F.col("rank") <= k)
     )
+
+
+def signbit_band_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL near-dup pairs above a (high) cosine ``threshold`` via banded
+    sign-bit LSH — the embedding analogue of MinHash banding, for the
+    regime where near-duplicates actually live (cosine ≥ ~0.8).
+
+    Each of ``n_tables`` bands packs ``n_planes`` hyperplane sign bits into
+    a bucket id (:func:`add_lsh_buckets`, deterministic md5 planes, pure
+    column math); candidates are pairs sharing ANY band bucket
+    (OR-amplification), then an exact-cosine verify join keeps precision
+    exact. Two vectors at angle θ agree per bit with p = 1 - θ/π, so a
+    band matches with p^n_planes and a true pair is missed by all bands
+    with (1 - p^n_planes)^n_tables — at cosine 0.9 (p ≈ 0.856,
+    band-match 0.288) the default 8-bit × 12-band config retains
+    1 - 0.712¹² ≈ 0.98 of true pairs, while a random near-orthogonal
+    pair (p ≈ 0.5) survives a band with 2⁻⁸, keeping candidate volume
+    ~n_tables/256 ≈ 5% of the pair space and, on clustered real corpora,
+    bounded per bucket. Scale shape: one scan to bucket,
+    an explode to (band, bucket) keys, a self-equi-join on the compound
+    key (shuffle on bucket id — no broadcast, no cartesian), distinct,
+    then the verify join touches candidates only.
+
+    The tight-radius fixture query (``l2_embedding_neardup_tight``) uses
+    data-adapted IVF cells instead because the fixture family's closest
+    pairs sit at cosine ≤ 0.68 where oblivious hyperplanes cannot
+    separate (see its docstring); this operator is the production answer
+    ABOVE that, unit-tested on planted ≥ 0.9 pairs
+    (tests/test_operators.py::test_signbit_band_pairs_planted_neardups).
+    """
+    bucketed = add_lsh_buckets(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+    ).select("vec_id", "embedding", F.explode("lsh_buckets").alias("__band_bucket"))
+    left = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("__band_bucket").alias("__ba")
+    )
+    right = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("__band_bucket").alias("__bb")
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = df.select(
+        F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va")
+    )
+    eb = df.select(
+        F.col(id_col).alias("__ib"), F.col(vec_col).alias("__vb")
+    )
+    cosine = rnd(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+    return (
+        cand.join(ea, F.col("id_a") == F.col("__ia"))
+        .join(eb, F.col("id_b") == F.col("__ib"))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

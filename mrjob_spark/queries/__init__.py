@@ -113,74 +113,70 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new or semantically changed in round 6: the typed-PII redaction and
-    # stratified-split hygiene passes (new), the measured ≥0.7-recall
-    # IVF production point (new query), q9's scale-adaptive orders join
-    # (broadcast hint dropped per ADVICE r5), q16's NOT IN → NOT
-    # EXISTS oracle restatement, and a12's rank-based sketch audit
-    "l9_pii_redaction",
-    "l8_stratified_split",
-    "l8_balanced_sample",
-    "l2_embedding_neardup_ivf_hi",
-    "l8_decontaminate_bloom",
-    "l1_incremental_dedup",
-    "st11_incremental_ingest",
-    "a12_approx_percentiles",
-    "q9_product_type_profit",
-    "q16_supplier_part_counts",
-    # last green in round 2 (two runtimes ago, pre-environment-shift) —
-    # the stalest greens on the board lead the re-verification window
-    # (VERDICT r5 task 1), including the three that sat in the rotation
-    # queue behind their twins
-    "j5_range_join",
-    "u1_union",
-    "f1_string_funcs",
-    "f2_math_funcs",
-    "f3_conditional",
-    "f4_datetime",
-    "f5_array_funcs",
-    "f6_json",
-    "f7_hash_funcs",
-    "l2_embedding_neardup",
-    # last green in round 3, in registration order (37 of 40 — the three
-    # deferred to _ROTATION_QUEUE each have an r5-green twin exercising
-    # the same machinery)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sql1_ansi_interface",
-    "q18_large_volume_customer",
-    "sql2_correlated_subquery",
-    "q7_volume_shipping",
-    "l5_lang_id",
-    "l7_quality_profile",
-    "l4_doc_fingerprint",
-    "l6_multimodal_bytes",
-    "l6_media_features",
-    "l8_weighted_mixture",
-    "l8_quality_filter",
-    "l8_sequence_packing",
-    "skew_salted_collect_set",
-    "mr_wordcount",
-    "mr_most_used_word",
-    "l4_ngrams",
-    "l4_tfidf",
-    "l5_text_classifier",
-    "l8_decontaminate",
-    "l4_bpe_token_count",
-    "st4_session_window",
-    "st5_stream_dedup",
-    "st6_stateful_running_totals",
-    "st7_stream_enrich_window",
-    "st8_stream_stream_join",
-    "st8_stream_stream_left_outer",
-    "st9_foreachbatch_sink",
-    "s7_csv_roundtrip",
-    # s7_json_roundtrip, o1_o2_partition_layout, s10_partitioned_sink, s6_hadoop_input_format,
-    # s7_orc_roundtrip, x1_udtf_tokenize, x2_udaf_quantiles (all r3-green,
-    # inside the freshness horizon) displaced by the seven round-6 additions
-    # (l9_pii_redaction, l8_stratified_split, l8_balanced_sample, l8_decontaminate_bloom,
-    # l1_incremental_dedup, st11_incremental_ingest,
-    # a12_approx_percentiles) — new queries lead the window by policy
+    # new or semantically changed in round 7: the tight-radius (≥0.8
+    # cosine) embedding near-dup production query (VERDICT r6 task 4) and
+    # q8_market_share, whose fixture-pinned fact-table broadcasts were
+    # dropped for the q9/q12 scale-adaptive policy (VERDICT r6 task 2)
+    "l2_embedding_neardup_tight",
+    "q8_market_share",
+    # the 10 r3-greens past the freshness horizon (VERDICT r6 task 1):
+    # the 7 the tripwire names plus the 3 whose one-round rotation-queue
+    # deferral is spent
+    "l2_minhash_lsh_pairs",
+    "l1_dedup_clusters",
+    "x6_spark_step",
+    "s7_json_roundtrip",
+    "o1_o2_partition_layout",
+    "s10_partitioned_sink",
+    "s6_hadoop_input_format",
+    "s7_orc_roundtrip",
+    "x1_udtf_tokenize",
+    "x2_udaf_quantiles",
+    # r4-greens, next-stalest on the board (registration order). 38 of 46
+    # fit; the 8 deferred (p3_filter_predicate, p7_project_rename,
+    # a3_count_per_group, a4_global_agg, a5_argmax_per_group, a6_distinct,
+    # a7_stats_per_group, u2_except_all) are single-operator relational
+    # queries with no join/window/Python machinery — still inside the
+    # freshness horizon today, first in line for the round-8 window when
+    # CORRECTNESS_r07 advances it
+    "s7_parquet_scan_pushdown",
+    "a1_pricing_summary",
+    "a9_rollup",
+    "a9_cube",
+    "a11_exact_percentiles",
+    "o4_global_sort_limit",
+    "o6_topk_per_group",
+    "o7_deterministic_sample",
+    "j1_join_agg",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "sql3_portable_windows",
+    "a9_grouping_sets",
+    "l2_span_dedup",
+    "l2_span_dedup_capped",
+    "l5_repetition_filter",
+    "l4_vocab_coverage",
+    "l8_token_mask",
+    "l8_global_shuffle",
+    "l8_pipeline_end_to_end",
+    "l8_sequence_packing_scalable",
+    "l3_embedding_quantize",
+    "l3_knn_two_stage",
+    "l4_bigram_lm",
+    "l5_lm_perplexity",
+    "l8_epoch_schedule",
+    "x7_jar_step",
+    "a8_o3_counters_sorted",
+    "st10_stream_pipeline",
+    "s9_compressed_sink",
+    "s13_bucketed_join",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_join",
+    "q22_sales_opportunity",
 ]
 
 
@@ -188,21 +184,11 @@ _DRIVER_PRIORITY = [
 #: here is an explicit acknowledgment, enforced by tests/test_registry.py:
 #: a query may sit beyond the window ONLY if it was driver-green before or
 #: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). This round: the seven new q-series
-#: composites displaced the f-series scalar-function re-verifications —
-#: the lowest-risk r2 greens (pure scalar expressions, no join/agg/window
-#: machinery, least exposed to the engine-behavior drift the freshness
-#: policy guards against). They lead the round-6 window.
-_ROTATION_QUEUE: list[str] = [
-    # r3-greens deferred one round to make room for round 6's new/changed
-    # queries — each has an r5-green twin riding the same machinery, so
-    # the deferral re-verifies nothing twice while the window re-checks
-    # queries with NO fresher sibling:
-    "l2_minhash_lsh_pairs",  # capped twin (same SQL template + cap) green r5
-    "l1_dedup_clusters",  # capped-cluster twin green r5, same CC operator
-    "x6_spark_step",  # x6_spark_script (same runner path) green r5; also
-    # the one correctness-gate query paying a spark-submit cold start
-]
+#: (VERDICT r2 "what's wrong" #1). Round 7: empty — the three round-6
+#: queue entries rejoined the window (their one-round deferral is spent)
+#: and every other out-of-window query's latest green is inside the
+#: freshness horizon, so nothing needs an acknowledgment slot.
+_ROTATION_QUEUE: list[str] = []
 
 
 #: Registration (module) order, preserved before the driver-priority

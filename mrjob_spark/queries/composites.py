@@ -1113,13 +1113,14 @@ def j5_range_join_bucketed(spark, sf_dir):
     )
 
 
-def _sql_neardup_ivf(seed_sql: str, probe: int) -> str:
+def _sql_neardup_ivf(seed_sql: str, probe: int, threshold: float = 0.4) -> str:
     """DuckDB oracle for the IVF near-dup family: full quantized k-means
     (``seed_sql`` names the seed-centroid CTE body, one exact integer
     update round, ``rn <= probe`` multi-probe final assignment) +
     candidate join + cosine — parameterized so the cheap tier (k=20,
-    probe=2) and the production default (k = ceil(1.4·sqrt(n)), probe=4)
-    share one audited template."""
+    probe=2), the production default (k=20, probe=3), and the tight-radius
+    sf-adaptive tier (k=⌈n/125⌉, probe=4, threshold 0.5) share one
+    audited template."""
     return f"""
     WITH q AS (
         SELECT vec_id,
@@ -1171,7 +1172,7 @@ def _sql_neardup_ivf(seed_sql: str, probe: int) -> str:
     JOIN embeddings ea ON ea.vec_id = id_a
     JOIN embeddings eb ON eb.vec_id = id_b
     WHERE (floor((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                         CAST(eb.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) >= 0.4
+                                         CAST(eb.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) >= {threshold}
 """
 
 
@@ -1192,6 +1193,51 @@ _NEARDUP_IVF_HI_SQL = _sql_neardup_ivf(
         WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 20)""",
     probe=3,
 )
+
+
+def _ivf_neardup_pairs(t, k: int, probe: int, threshold: float):
+    """Shared body of the IVF near-dup tiers: deterministic fixed-point
+    k-means (k cells, 1 Lloyd round, top-``probe`` multi-probe assignment),
+    same-cell candidate pairs, then an exact-cosine verify join at
+    ``threshold``. One corpus scan feeds clustering, and the verify join
+    touches only candidate ids — the corpus never self-joins."""
+    from mrjob_spark.functions.vectors import dot, l2_norm
+    from mrjob_spark.operators.clustering import kmeans_assign
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    assign = kmeans_assign(t.embeddings, k=k, iters=1, probe=probe).select(
+        "vec_id", "cluster"
+    )
+    x, y = assign.alias("x"), assign.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    emb = parallelize_narrow_scan(t.embeddings.select("vec_id", "embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("_ia"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("_ib"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
+    )
+    cosine = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(ea, F.col("id_a") == F.col("_ia"))
+        .join(eb, F.col("id_b") == F.col("_ib"))
+        .select("id_a", "id_b", rnd(cosine, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 @query("l2_embedding_neardup_ivf", sql=_NEARDUP_IVF_SQL)
@@ -1215,44 +1261,7 @@ def l2_embedding_neardup_ivf(spark, sf_dir):
     smallest ids, one exact integer update round, rn ≤ 2 final assign) +
     candidate join + cosine, all in SQL — both engines must agree on
     every centroid, every top-2 assignment, and every scored pair."""
-    from mrjob_spark.functions.vectors import dot, l2_norm
-    from mrjob_spark.operators.clustering import kmeans_assign
-    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
-
-    t = Tables(spark, sf_dir)
-    assign = kmeans_assign(t.embeddings, k=20, iters=1, probe=2).select(
-        "vec_id", "cluster"
-    )
-    x, y = assign.alias("x"), assign.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
-        .distinct()
-    )
-    emb = parallelize_narrow_scan(t.embeddings.select("vec_id", "embedding"))
-    ea = emb.select(
-        F.col("vec_id").alias("_ia"),
-        F.col("embedding").alias("_va"),
-        l2_norm(F.col("embedding")).alias("_na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("_ib"),
-        F.col("embedding").alias("_vb"),
-        l2_norm(F.col("embedding")).alias("_nb"),
-    )
-    cosine = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    return (
-        cand.join(ea, F.col("id_a") == F.col("_ia"))
-        .join(eb, F.col("id_b") == F.col("_ib"))
-        .select("id_a", "id_b", rnd(cosine, 6).alias("cosine"))
-        .where(F.col("cosine") >= 0.4)
-    )
+    return _ivf_neardup_pairs(Tables(spark, sf_dir), k=20, probe=2, threshold=0.4)
 
 
 @query("l2_embedding_neardup_ivf_hi", sql=_NEARDUP_IVF_HI_SQL)
@@ -1276,41 +1285,47 @@ def l2_embedding_neardup_ivf_hi(spark, sf_dir):
     √-k rule stays correct where it belongs — the relative-neighbor
     ``l3_knn_*`` family. Oracle checks every centroid, every top-3
     assignment, and every scored pair."""
-    from mrjob_spark.functions.vectors import dot, l2_norm
-    from mrjob_spark.operators.clustering import kmeans_assign
-    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+    return _ivf_neardup_pairs(Tables(spark, sf_dir), k=20, probe=3, threshold=0.4)
+
+
+_NEARDUP_TIGHT_SQL = _sql_neardup_ivf(
+    seed_sql="""SELECT vec_id AS cluster, qv AS cv FROM q
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id
+            LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT))
+                   FROM q))""",
+    probe=4,
+    threshold=0.5,
+)
+
+
+@query("l2_embedding_neardup_tight", sql=_NEARDUP_TIGHT_SQL)
+def l2_embedding_neardup_tight(spark, sf_dir):
+    """Embedding near-dup at the TIGHT threshold (cosine ≥ 0.5 — the top
+    ~1e-5 of this family's pair space; its p9999 pair cosine is 0.44 and
+    its max 0.68, so 0.5 is this data's "production near-dup cut") with an
+    SF-ADAPTIVE cell count: k = max(16, ⌈n/125⌉) holds expected cell size
+    constant as the corpus grows, so same-cell candidate pairs grow
+    LINEARLY — measured exponent b = 1.13 for candidates over sf0.1→sf1
+    (1.44M → 19.3M at 10× vectors; SCALE.md §11), vs b = 2 for every
+    fixed-k tier. Probe=4 buys recall 1.000/1.000/0.612 at
+    sf0.01/sf0.1/sf1 against exact all-pairs truth. Why recall can't be
+    pushed much past that at sub-quadratic cost HERE: measured geometry
+    (SCALE.md §11) puts true 0.5-pairs AT the nearest-neighbor distance
+    scale (median pair dist 0.984 vs median 1-NN dist 1.024, random
+    1.410), i.e. approximation ratio c ≈ 1.43, and the data-independent
+    LSH lower bound ρ ≥ 1/(2c²-1) ≈ 0.33 says ANY hash family needs
+    ≳ n^1.33 candidates for high recall on this geometry — the
+    data-adapted centroids at b = 1.13 already beat what oblivious LSH
+    can do, and the verify join (exact cosine over candidates only) keeps
+    precision exact. In a corpus with REAL near-duplicates (cosine ≥ 0.8,
+    c ≥ 2.2, ρ ≤ 0.11) the same plan goes properly sub-linear — that
+    regime is unit-tested on planted pairs in tests/test_similarity.py
+    since the fixtures contain none. Oracle: the same audited k-means
+    template with the seed-CTE LIMIT computed from count(*), so both
+    engines derive k = 16 at the driver's sf0.01 identically."""
+    import math as _math
 
     t = Tables(spark, sf_dir)
-    assign = kmeans_assign(t.embeddings, k=20, iters=1, probe=3).select(
-        "vec_id", "cluster"
-    )
-    x, y = assign.alias("x"), assign.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
-        .distinct()
-    )
-    emb = parallelize_narrow_scan(t.embeddings.select("vec_id", "embedding"))
-    ea = emb.select(
-        F.col("vec_id").alias("_ia"),
-        F.col("embedding").alias("_va"),
-        l2_norm(F.col("embedding")).alias("_na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("_ib"),
-        F.col("embedding").alias("_vb"),
-        l2_norm(F.col("embedding")).alias("_nb"),
-    )
-    cosine = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    return (
-        cand.join(ea, F.col("id_a") == F.col("_ia"))
-        .join(eb, F.col("id_b") == F.col("_ib"))
-        .select("id_a", "id_b", rnd(cosine, 6).alias("cosine"))
-        .where(F.col("cosine") >= 0.4)
-    )
+    n = t.embeddings.count()
+    k = max(16, _math.ceil(n / 125))
+    return _ivf_neardup_pairs(t, k=k, probe=4, threshold=0.5)

@@ -595,3 +595,85 @@ def test_incremental_dedup_all_three_verdicts(spark):
     assert out[2] == ("new", 2)
     assert out[3] == ("dup_in_batch", 2)
     assert out[4] == ("new", 4)
+
+
+def test_signbit_band_pairs_planted_neardups(spark):
+    """The high-threshold near-dup regime the parquet fixtures lack (their
+    max pair cosine is 0.68): plant real near-duplicates at cosine ≥ 0.9
+    in a near-orthogonal corpus and require the banded sign-bit generator
+    to (a) recover ≥ 0.9 of the true ≥ 0.9 pairs, exactly scored, and
+    (b) probe well under half the pair space — the sub-linear candidate
+    regime ``l2_embedding_neardup_tight``'s docstring points here for."""
+    import math as m
+    import random as rnd_mod
+
+    from mrjob_spark.operators.similarity import (
+        add_lsh_buckets,
+        signbit_band_pairs,
+    )
+
+    dim = 32
+    rng = rnd_mod.Random(11)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = m.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    for i in range(80):  # near-orthogonal base corpus
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in unit()]))
+    for j in range(40):  # planted near-dups of the first 40 bases
+        base = rows[j]["embedding"]
+        v = [x + rng.gauss(0, 0.07) for x in base]
+        n = m.sqrt(sum(x * x for x in v))
+        rows.append(
+            Row(vec_id=100 + j, embedding=[float(x / n) for x in v])
+        )
+    df = spark.createDataFrame(rows).cache()
+
+    # exact truth
+    import itertools
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    by_id = {r["vec_id"]: r["embedding"] for r in rows}
+    true = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(by_id), 2)
+        if cos(by_id[a], by_id[b]) >= 0.9
+    }
+    assert len(true) >= 30  # the plant took
+
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in signbit_band_pairs(df, threshold=0.9, dim=dim).collect()
+    }
+    recall = len(true & found) / len(true)
+    assert recall >= 0.9, f"banded sign-bit recall {recall:.2f} below floor"
+    # precision is exact by construction (verify join) — found ⊆ scored ≥ 0.9
+    assert all(
+        cos(by_id[a], by_id[b]) >= 0.9 - 1e-6 for a, b in found
+    ), "verify join leaked a below-threshold pair"
+
+    # candidate volume: same bucketing, count distinct co-band pairs
+    b = add_lsh_buckets(df, dim=dim).select(
+        "vec_id", F.explode("lsh_buckets").alias("bk")
+    )
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    n = len(rows)
+    all_pairs = n * (n - 1) // 2
+    assert cand < 0.5 * all_pairs, (
+        f"candidate volume {cand}/{all_pairs} not sub-half — banding broken"
+    )
