@@ -516,9 +516,14 @@ class InlineJobRunner:
                              decode=plan.cmd_decode(step_num, "reducer"))
             return out, None, True
         if step.reducer_pre_filter:
+            # the pre-filter sits on the bytes the reducer READS: pairs
+            # here have already crossed onto r_read's decoded domain, so
+            # re-encoding them with m_out diverges (and crashes outright
+            # when a cmd mapper leaves m_out=RawValue but the reducer
+            # reads a structured INPUT_PROTOCOL — ADVICE r6)
             flat = self._pipe([kv for _, kv in keyed],
                               step.reducer_pre_filter, filter_only=True,
-                              encode=m_out)
+                              encode=(r_read if script_reducer else m_out))
             keyed = [((gk(k, v), enc(v) if sort_values else b""), (k, v))
                      for k, v in flat]
             keyed.sort(key=lambda item: item[0])

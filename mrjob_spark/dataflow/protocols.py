@@ -137,6 +137,18 @@ class _ValueOnlyGroupKey:
     def group_key(self, key, value) -> bytes:
         return self.write(key, value).split(b"\t", 1)[0]
 
+    def roundtrip(self, key, value):
+        # a value-only wire has no key field, so crossing it ERASES the
+        # key: read(write(k, v)) == (None, v′) — the reference's inline
+        # runner yields (None, v) from such wires. Defined on the mixin
+        # (first in every value-only MRO) so no subclass can inherit a
+        # key-PRESERVING fast path from its pair-protocol parent (ADVICE
+        # r6: PickleValueProtocol inherited pickle's identity roundtrip
+        # and the libjson value family inherited JSONProtocol's
+        # key-preserving canonicalizer). Codec-faithful subclasses
+        # override with a (None, value)-shaped fast path.
+        return self.read(self.write(key, value))
+
 
 class JSONProtocol(Protocol):
     """key and value as two JSONs joined by a tab — the reference's default
@@ -165,6 +177,12 @@ class JSONValueProtocol(_ValueOnlyGroupKey, Protocol):
 
     def write(self, key, value) -> bytes:
         return json.dumps(value).encode("utf-8")
+
+    def roundtrip(self, key, value):
+        try:
+            return None, _json_wire(value)
+        except TypeError:
+            return self.read(self.write(key, value))
 
 
 class BytesProtocol(Protocol):
@@ -270,6 +288,10 @@ class PickleValueProtocol(_ValueOnlyGroupKey, PickleProtocol):
     def write(self, key, value) -> bytes:
         return self._dumps(value)
 
+    def roundtrip(self, key, value):
+        # pickle is type-faithful on the value; the wire erases the key
+        return None, value
+
 
 class ReprProtocol(Protocol):
     """``repr()`` round-tripped with a restricted literal eval
@@ -323,6 +345,12 @@ class _LibJSONValueProtocol(_ValueOnlyGroupKey, _LibJSONProtocol):
 
     def write(self, key, value) -> bytes:
         return self._dumps(value)
+
+    def roundtrip(self, key, value):
+        try:
+            return None, _json_wire(value)
+        except TypeError:
+            return self.read(self.write(key, value))
 
 
 class UltraJSONProtocol(_LibJSONProtocol):

@@ -646,10 +646,10 @@ class SparkJobRunner:
                                    encode=m_out,
                                    decode=plan.cmd_decode(step_num, "reducer"))
             return rdd, None, True
+        wire_r = (r_read if script_reducer else m_out) or job.INTERNAL_PROTOCOL()
         rdd = self._run_reducer(
             step, step_num, reducer_ready,
-            gk=((r_read if script_reducer else m_out)
-                or job.INTERNAL_PROTOCOL()).group_key,
+            gk=wire_r.group_key, read_wire=wire_r,
         )
         return rdd, r_write, consumed
 
@@ -860,7 +860,7 @@ class SparkJobRunner:
     # -- reducer --------------------------------------------------------
 
     def _run_reducer(self, step: MRStep, step_num: int, reducer_ready,
-                     gk=None):
+                     gk=None, read_wire=None):
         reducer = step.reducer
         reducer_init = step.reducer_init
         reducer_final = step.reducer_final
@@ -875,8 +875,13 @@ class SparkJobRunner:
 
         if step.reducer_pre_filter:
             flat = reducer_ready.map(lambda kb_kv: kb_kv[1])
+            # encode with the wire the reducer READS (r_read), not
+            # INTERNAL: the pairs were decoded into r_read's domain, and
+            # the reference filters the byte lines the reducer task reads
+            # (ADVICE r6)
             filtered = self._pipe_filter(flat, step.reducer_pre_filter,
-                                         step_num=step_num)
+                                         step_num=step_num,
+                                         encode=read_wire)
             enc = self.job.INTERNAL_PROTOCOL().encode_sort_key
             reducer_ready = self._shuffle_and_sort(
                 filtered, enc, bool(self.job.SORT_VALUES), gk=gk
@@ -994,12 +999,15 @@ class SparkJobRunner:
 
         return rdd.mapPartitions(pipe_partition)
 
-    def _pipe_filter(self, rdd, cmd: str, step_num: int):
+    def _pipe_filter(self, rdd, cmd: str, step_num: int, encode=None):
         """Shell predicate in front of a substep (``mrjob/job.py:353-363``):
-        lines that survive the command continue as pairs."""
+        lines that survive the command continue as pairs. ``encode``
+        overrides the wire the filtered lines sit on (a reducer
+        pre-filter sits on the reducer's READ wire)."""
         return self._pipe_pairs(
             rdd, cmd, self._task_env(),
             raw_lines=False, filter_only=True, step_num=step_num,
+            encode=encode,
         )
 
     def _run_spark_script_step(self, step: SparkScriptStep, step_num: int, rdd):

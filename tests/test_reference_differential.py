@@ -879,3 +879,131 @@ def test_mid_job_last_script_substep_writes_output_protocol(lines):
     ours_local = _run_ours_local(OurTwoStep, lines)
     assert ours_inline == ref
     assert ours_local == ref
+
+
+@pytest.mark.parametrize(
+    "proto_name", ["JSONValueProtocol", "PickleValueProtocol", "ReprValueProtocol"]
+)
+@given(lines=st.lists(_line, min_size=1, max_size=5))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_value_only_internal_wire_erases_keys_like_reference(proto_name, lines):
+    # ADVICE r6 (medium): a value-only INTERNAL wire writes NO key field,
+    # so crossing it ERASES the key — the reference's reducer observes
+    # key=None and groups by the raw value bytes. PickleValueProtocol
+    # inherited pickle's identity roundtrip and the libjson value family
+    # inherited JSON's key-preserving fast path, so our reducers (and
+    # cat_output under a value-only OUTPUT wire) saw keys the reference
+    # wire erases. The reducer here reports the key it receives and the
+    # arriving value type; all three of our runners must match the
+    # reference exactly. (The ujson/simplejson/rapidjson variants are
+    # unusable in this container on the REFERENCE side — libs absent, its
+    # classes don't fall back — so their shared roundtrip is pinned
+    # ours-only in test_dataflow.py.)
+    import mrjob.protocol as refp
+    from mrjob.job import MRJob
+
+    from mrjob_spark.dataflow import protocols as ourp
+    from mrjob_spark.dataflow.job import SparkMRJob
+
+    class RefVal(MRJob):
+        INTERNAL_PROTOCOL = getattr(refp, proto_name)
+        OUTPUT_PROTOCOL = getattr(refp, proto_name)
+
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w.lower(), (1, w.lower())
+
+        def reducer(self, key, vals):
+            vals = list(vals)
+            yield key, [
+                key is None,
+                type(vals[0]).__name__,
+                len(vals),
+                list(vals[0]),
+            ]
+
+    class OurVal(SparkMRJob):
+        INTERNAL_PROTOCOL = getattr(ourp, proto_name)
+        OUTPUT_PROTOCOL = getattr(ourp, proto_name)
+        mapper = RefVal.mapper
+        reducer = RefVal.reducer
+
+    ref = _run_reference(RefVal, lines)
+    ours_inline = _run_ours_inline(OurVal, lines)
+    ours_local = _run_ours_local(OurVal, lines)
+    assert ours_inline == ref
+    assert ours_local == ref
+
+
+_REF_PRE_FILTER_SRC = """\
+from mrjob.job import MRJob
+from mrjob.protocol import JSONProtocol
+from mrjob.step import MRStep
+
+
+class RefPreFilter(MRJob):
+    # cmd-only mapper, so the script reducer is the job's FIRST script
+    # substep and reads INPUT_PROTOCOL (JSON pairs, some with int
+    # values); its pre-filter runs on exactly those byte lines
+    INPUT_PROTOCOL = JSONProtocol
+
+    def reducer(self, key, values):
+        yield key, sorted(values, key=repr)
+
+    def steps(self):
+        return [MRStep(mapper_cmd='sed -n /a/p',
+                       reducer_pre_filter='grep -v q',
+                       reducer=self.reducer)]
+
+
+if __name__ == '__main__':
+    RefPreFilter.run()
+"""
+
+
+@given(words=st.lists(
+    st.text(alphabet=list("abcdqxyz"), min_size=1, max_size=8),
+    min_size=1, max_size=8,
+))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_reducer_pre_filter_sits_on_reducer_read_wire(words):
+    # ADVICE r6 (low): a reducer pre-filter sits on the bytes the reducer
+    # READS (r_read = INPUT_PROTOCOL here, behind a cmd-only mapper) —
+    # not on the mapper-output wire. Re-encoding the already-decoded
+    # pairs with m_out (RawValue for a cmd mapper) crashes on the int
+    # values this job carries and filters the wrong bytes; the reference
+    # local runner filters the reducer task's input lines.
+    import json as _json
+
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.protocols import JSONProtocol
+    from mrjob_spark.dataflow.step import MRStep
+
+    lines = [
+        _json.dumps(w) + "\t" + _json.dumps(len(w)) for w in words
+    ]
+
+    class OurPreFilter(SparkMRJob):
+        INPUT_PROTOCOL = JSONProtocol
+
+        def reducer(self, key, values):
+            yield key, sorted(values, key=repr)
+
+        def steps(self):
+            return [MRStep(mapper_cmd="sed -n /a/p",
+                           reducer_pre_filter="grep -v q",
+                           reducer=self.reducer)]
+
+    ref = _run_reference_script(_REF_PRE_FILTER_SRC, lines, JSONProtocol())
+    ours_inline = _run_ours_inline(OurPreFilter, lines)
+    ours_local = _run_ours_local(OurPreFilter, lines)
+    assert ours_inline == ref
+    assert ours_local == ref
