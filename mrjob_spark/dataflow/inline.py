@@ -21,13 +21,13 @@ runner is the same job's scale path.
 from __future__ import annotations
 
 import glob as _glob
-import gzip
 import itertools
 import os
 import subprocess
 import sys
 from typing import Iterator, Optional
 
+from mrjob_spark.dataflow.local import _open_lines
 from mrjob_spark.dataflow.protocols import crossing
 from mrjob_spark.dataflow.step import (
     GENERIC_ARGS,
@@ -117,8 +117,11 @@ class InlineJobRunner:
             return [(p, None) for p in self._expand_paths()]
         pairs = []
         for path in self._expand_paths():
-            opener = gzip.open if path.endswith(".gz") else open
-            with opener(path, "rb") as fh:
+            # extension-transparent decompression like every other runner
+            # (mrjob/cat.py:78-104; local.py's _open_lines is the twin —
+            # a .bz2 input must not crash under -r inline alone, ADVICE/
+            # VERDICT r6)
+            with _open_lines(path) as fh:
                 for line in fh:
                     pairs.append(read(line.rstrip(b"\r\n")))
         return pairs

@@ -26,9 +26,11 @@ This is that runner for this engine. Per :class:`MRStep`:
    hex preserves byte order, so the disk sort equals the Spark runner's
    ``repartitionAndSortWithinPartitions`` ordering exactly, SORT_VALUES
    included. Falls back to an in-memory sort where ``sort`` is missing.
-4. **partition** — sorted lines split into ``num_reducers`` task files
-   on key-hash (``_hash_bytes``, the Spark runner's partitioner), each
-   file keeping global sort order (a subsequence of sorted is sorted);
+4. **partition** — the sorted run split into CONTIGUOUS reducer task
+   files of ``size // (num_reducers * 2)`` bytes that only break when
+   the byte key changes (``mrjob/sim.py:510-537`` — ~2 splits per
+   reducer slot, a key group never spans two tasks, every task file is
+   a sorted range);
 5. **reduce tasks** — one child per partition file; lazy per-key value
    iterators, ``reducer_pre_filter``/``reducer_cmd`` via the shell.
 
@@ -58,7 +60,7 @@ import sys
 import tempfile
 from typing import Iterator, Optional
 
-from mrjob_spark.dataflow.runner import _hash_bytes, _jobconf_env
+from mrjob_spark.dataflow.runner import _jobconf_env
 from mrjob_spark.dataflow.step import MRStep, spool_stdin
 
 
@@ -138,9 +140,18 @@ class LocalJobRunner:
     :param job: a :class:`SparkMRJob` instance (cloudpickled to tasks).
     :param input_paths: files/globs; ``-`` = stdin (spooled).
     :param output_dir: write ``part-NNNNN`` there; default temp dir.
-    :param num_mappers: map tasks per step (default 2 — enough to prove
-        task independence without fork-spam; ``mapreduce.job.maps``).
-    :param num_reducers: reduce tasks (default 2; ``mapreduce.job.reduces``).
+    :param num_mappers: map tasks per step (default ``num_cores`` if
+        given, else 2 — enough to prove task independence without
+        fork-spam; ``mapreduce.job.maps``).
+    :param num_reducers: reduce-slot target (default ``num_cores`` if
+        given, else 2; ``mapreduce.job.reduces``). Like the reference,
+        the actual reducer task count is ~2× this (sim.py:510-512).
+    :param num_cores: the reference's ``num_cores`` option
+        (``mrjob/options.py:1026``, ``sim.py:404-413``): when set, both
+        task-count targets default to it. The reference defaults this to
+        ``cpu_count()``; here the explicit default stays 2 so a unit
+        test doesn't fork 32 children per phase — pass it to reproduce
+        reference sizing exactly.
     """
 
     def __init__(
@@ -150,6 +161,7 @@ class LocalJobRunner:
         output_dir: Optional[str] = None,
         num_mappers: Optional[int] = None,
         num_reducers: Optional[int] = None,
+        num_cores: Optional[int] = None,
         jobconf: Optional[dict] = None,
         conf_jobconf: Optional[dict] = None,
         cmdenv: Optional[dict] = None,
@@ -175,8 +187,8 @@ class LocalJobRunner:
             num_mappers = int(merged["mapreduce.job.maps"])
         if num_reducers is None and "mapreduce.job.reduces" in merged:
             num_reducers = int(merged["mapreduce.job.reduces"])
-        self.num_mappers = max(1, num_mappers or 2)
-        self.num_reducers = max(1, num_reducers or 2)
+        self.num_mappers = max(1, num_mappers or num_cores or 2)
+        self.num_reducers = max(1, num_reducers or num_cores or 2)
 
         self._scratch: Optional[str] = None
         self._out_dir: Optional[str] = None
@@ -320,22 +332,46 @@ class LocalJobRunner:
                 out.write(line + b"\n")
 
     def _partition(self, sorted_path: str, step_dir: str) -> list[str]:
-        """Split the sorted run into reducer task files on key hash;
-        every key group lands whole in one file, files stay sorted."""
-        outs = [
-            open(os.path.join(step_dir, f"reduce_in_{i:04d}"), "wb")
-            for i in range(self.num_reducers)
-        ]
-        try:
-            with open(sorted_path, "rb") as fh:
-                for line in fh:
-                    hex_k = line.split(b"\t", 1)[0]
-                    idx = _hash_bytes(bytes.fromhex(hex_k.decode())) % len(outs)
-                    outs[idx].write(line)
-        finally:
-            for fh in outs:
-                fh.close()
-        return [fh.name for fh in outs]
+        """Split the sorted run into reducer task files the reference's
+        way (``mrjob/sim.py:510-537``): CONTIGUOUS splits of
+        ``size // (num_reducers * 2)`` bytes (~2 splits per reducer slot,
+        the same 2× the mapper side targets, sim.py:491-496) that only
+        break when the byte key changes — a reduce group never spans two
+        task files, and task files are sorted ranges of the sorted run
+        (not hash buckets; round 7 replaces the earlier key-hash layout
+        for split parity with the reference). ``max(1, ...)`` floors the
+        split size so a tiny run can't degenerate to one task per key —
+        above that floor the formula is the reference's."""
+        size = os.path.getsize(sorted_path) if os.path.exists(sorted_path) else 0
+        split_size = max(1, size // (self.num_reducers * 2))
+        paths: list[str] = []
+        cur = None
+        bytes_in_split = 0
+        last_key = None
+        with open(sorted_path, "rb") as fh:
+            for line in fh:
+                key = line.split(b"\t", 1)[0]
+                if cur is None or (
+                    bytes_in_split >= split_size and key != last_key
+                ):
+                    if cur is not None:
+                        cur.close()
+                    cur = open(
+                        os.path.join(step_dir, f"reduce_in_{len(paths):04d}"),
+                        "wb",
+                    )
+                    paths.append(cur.name)
+                    bytes_in_split = 0
+                cur.write(line)
+                bytes_in_split += len(line)
+                last_key = key
+        if cur is not None:
+            cur.close()
+        if not paths:  # empty sorted run still gets one (empty) task
+            p = os.path.join(step_dir, "reduce_in_0000")
+            open(p, "wb").close()
+            paths.append(p)
+        return paths
 
     # -- execution -------------------------------------------------------
 

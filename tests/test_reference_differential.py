@@ -1007,3 +1007,106 @@ def test_reducer_pre_filter_sits_on_reducer_read_wire(words):
     ours_local = _run_ours_local(OurPreFilter, lines)
     assert ours_inline == ref
     assert ours_local == ref
+
+
+@pytest.mark.parametrize("ext,opener", [("gz", "gzip"), ("bz2", "bz2")])
+def test_compressed_input_three_way(ext, opener):
+    # VERDICT r6 task 5: extension-transparent decompression must hold on
+    # EVERY runner (reference contract mrjob/cat.py:78-104) — round 6
+    # shipped an asymmetry where .bz2 worked under -r local and Spark but
+    # crashed under -r inline. Reference inline vs ours inline vs ours
+    # local on the same compressed file.
+    import bz2 as bz2lib
+    import gzip as gziplib
+    import tempfile
+
+    from mrjob.job import MRJob
+
+    from mrjob_spark.dataflow.job import SparkMRJob
+
+    codec = {"gzip": gziplib, "bz2": bz2lib}[opener]
+    lines = ["apple banana apple", "cherry banana", "apple"]
+
+    class RefWC(MRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    class OurWC(SparkMRJob):
+        mapper = RefWC.mapper
+        reducer = RefWC.reducer
+
+    with tempfile.NamedTemporaryFile(suffix=f".txt.{ext}", delete=False) as fh:
+        path = fh.name
+    data = ("\n".join(lines) + "\n").encode()
+    with codec.open(path, "wb") as fh:
+        fh.write(data)
+    try:
+        job = RefWC(args=["-r", "inline", "--no-conf", path])
+        with job.make_runner() as r:
+            r.run()
+            ref = sorted(job.parse_output(r.cat_output()))
+        with OurWC().make_inline_runner(input_paths=[path]) as r:
+            r.run()
+            ours_inline = sorted(tuple(kv) for kv in r.cat_output())
+        with OurWC().make_local_runner(input_paths=[path]) as r:
+            r.run()
+            ours_local = sorted(tuple(kv) for kv in r.cat_output())
+    finally:
+        os.unlink(path)
+
+    assert ref == [("apple", 3), ("banana", 2), ("cherry", 1)]
+    assert ours_inline == ref
+    assert ours_local == ref
+
+
+_REF_HOT_KEY_SRC = """\
+from mrjob.job import MRJob
+
+
+class RefHotKey(MRJob):
+    def mapper(self, _, line):
+        for w in line.split():
+            yield w, 1
+
+    def reducer(self, word, counts):
+        yield word, sum(counts)
+
+
+if __name__ == '__main__':
+    RefHotKey.run()
+"""
+
+
+def test_reducer_split_never_breaks_a_key_group_three_way():
+    # VERDICT r6 task 7: the local runner's reducer-input splitting is
+    # size-based (~2 splits per reducer slot, mrjob/sim.py:491-537) but
+    # must never break at a mid-group boundary. One hot key contributes
+    # far more bytes than any split, so a splitter that cut on size alone
+    # would hand the group to two reducer tasks and emit two partial
+    # counts for it. Reference local == ours local == ours inline, and
+    # every key appears exactly once.
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.protocols import JSONProtocol
+
+    lines = ["hot " * 40] * 10 + ["aa bb cc dd ee ff gg hh"]
+
+    class OurHotKey(SparkMRJob):
+        def mapper(self, _, line):
+            for w in line.split():
+                yield w, 1
+
+        def reducer(self, word, counts):
+            yield word, sum(counts)
+
+    ref = _run_reference_script(_REF_HOT_KEY_SRC, lines, JSONProtocol())
+    ours_inline = _run_ours_inline(OurHotKey, lines)
+    ours_local = _run_ours_local(OurHotKey, lines)
+    assert ours_inline == ref
+    assert ours_local == ref
+    keys = [k for k, _ in ours_local]
+    assert len(keys) == len(set(keys)), "a reduce group spanned two tasks"
+    assert dict(ours_local)["hot"] == 400
