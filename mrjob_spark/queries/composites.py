@@ -1308,11 +1308,11 @@ def l2_embedding_neardup_tight(spark, sf_dir):
     SF-ADAPTIVE cell count: k = max(16, ⌈n/125⌉) holds expected cell size
     constant as the corpus grows, so same-cell candidate pairs grow
     LINEARLY — measured exponent b = 1.13 for candidates over sf0.1→sf1
-    (1.44M → 19.3M at 10× vectors; SCALE.md §11), vs b = 2 for every
+    (1.44M → 19.3M at 10× vectors; SCALE.md §12), vs b = 2 for every
     fixed-k tier. Probe=4 buys recall 1.000/1.000/0.612 at
     sf0.01/sf0.1/sf1 against exact all-pairs truth. Why recall can't be
     pushed much past that at sub-quadratic cost HERE: measured geometry
-    (SCALE.md §11) puts true 0.5-pairs AT the nearest-neighbor distance
+    (SCALE.md §12) puts true 0.5-pairs AT the nearest-neighbor distance
     scale (median pair dist 0.984 vs median 1-NN dist 1.024, random
     1.410), i.e. approximation ratio c ≈ 1.43, and the data-independent
     LSH lower bound ρ ≥ 1/(2c²-1) ≈ 0.33 says ANY hash family needs
