@@ -87,17 +87,149 @@ def _user_frames(tb: dict) -> list[tuple[str, int, str]]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Hadoop/JVM/Spark task-log patterns (reference ``mrjob/logs/task.py:33-96,
+# 252-440`` and ``mrjob/logs/spark.py:30-117``): when a failure carries no
+# embedded Python traceback, the cause is usually one of the shapes below —
+# the difference between "step failed" and "killed for exceeding memory
+# limits" on a real cluster.
+# ---------------------------------------------------------------------------
+
+#: a JVM stack frame — ``task.py:33-36`` (``_JAVA_TRACEBACK_RE``), widened
+#: with the Unknown Source/Native Method forms real stacks carry
+_JAVA_FRAME_RE = re.compile(
+    r"^\s+at .+\((?:.+\.(?:java|scala):\d+|Native Method|Unknown Source)\)",
+    re.MULTILINE,
+)
+
+#: YARN's container-over-memory-limit kill notice (the canonical
+#: "is running beyond physical/virtual memory limits ... Killing container")
+_CONTAINER_MEMORY_RE = re.compile(
+    r"Container \[pid=\d+,\s*containerID=(?P<cid>\S+?)\] is running "
+    r"(?:[0-9.]+\s*[KMGT]?B\s+)?beyond (?P<kind>physical|virtual) memory "
+    r"limits\.(?P<detail>[^\n]*)"
+)
+
+#: NodeManager's kill acknowledgment with the exit code
+_CONTAINER_KILLED_RE = re.compile(
+    r"^Container killed on request\. Exit code is (?P<code>\d+)", re.MULTILINE
+)
+
+_CONTAINER_EXIT_RE = re.compile(
+    r"Container exited with a non-zero exit code (?P<code>\d+)"
+)
+
+#: Hadoop streaming's subprocess-failure stack head — ``task.py:77-80``
+_SUBPROCESS_FAILED_RE = re.compile(
+    r"^java\.lang\.RuntimeException: PipeMapRed\.waitOutputThreads\(\):"
+    r" subprocess failed with code (?P<code>\d+)",
+    re.MULTILINE,
+)
+
+#: Spark ApplicationMaster's app-death notice — ``task.py:38-40``; the
+#: reference matches the log4j record's message, so a raw-dump line may
+#: still carry the timestamp/logger prefix in front
+_SPARK_APP_EXITED_RE = re.compile(
+    r"User application exited with status (?P<code>\d+)\s*$", re.MULTILINE
+)
+
+
+def classify_exit_code(code: int) -> str:
+    """One-line classification of a task/container exit code (Hadoop's
+    convention: 128 + signal number for signal deaths)."""
+    known = {
+        1: "generic task failure (see the task's own stderr)",
+        134: "SIGABRT (native abort — JVM or native library assertion)",
+        137: "SIGKILL — killed by the kernel OOM killer or a forced kill;"
+             " raise container/executor memory",
+        139: "SIGSEGV (native segmentation fault)",
+        143: "SIGTERM — container killed on request (memory limit"
+             " exceeded, preemption, or job kill)",
+    }
+    if code in known:
+        return known[code]
+    if code > 128:
+        return f"killed by signal {code - 128}"
+    return "nonzero exit"
+
+
+def _java_traceback_cause(text: str) -> str | None:
+    """The JVM exception headline above the first stack frame, plus a few
+    frames for orientation (the reference reports the whole log4j record;
+    plain dumps have no record structure, so reconstruct the head)."""
+    m = _JAVA_FRAME_RE.search(text)
+    if not m:
+        return None
+    lines = text.splitlines(keepends=False)
+    # index of the line containing the first frame
+    upto = text[: m.start()].count("\n")
+    head = upto - 1
+    while head >= 0 and (
+        not lines[head].strip()
+        or lines[head].lstrip().startswith(("at ", "... "))
+    ):
+        head -= 1
+    if head < 0:
+        head = upto
+    frames = [ln for ln in lines[upto:] if _JAVA_FRAME_RE.match(ln)][:3]
+    return "\n".join([lines[head].strip(), *frames])
+
+
+def _hadoop_cause(text: str) -> str | None:
+    """Pattern-match the non-Python failure shapes, most specific first."""
+    m = _CONTAINER_MEMORY_RE.search(text)
+    if m:
+        out = (
+            f"container {m.group('cid')} killed for running beyond "
+            f"{m.group('kind')} memory limits"
+        )
+        detail = m.group("detail").strip()
+        if detail:
+            out += f" ({detail})"
+        return out + "\n\nraise the container/executor memory limit"
+    m = _CONTAINER_KILLED_RE.search(text) or _CONTAINER_EXIT_RE.search(text)
+    if m:
+        code = int(m.group("code"))
+        return (
+            f"container exited with code {code}: {classify_exit_code(code)}"
+        )
+    m = _SUBPROCESS_FAILED_RE.search(text)
+    if m:
+        code = int(m.group("code"))
+        return (
+            f"streaming task subprocess failed with code {code}: "
+            f"{classify_exit_code(code)} — the command's own stderr "
+            "holds the real error"
+        )
+    jt = _java_traceback_cause(text)
+    if jt:
+        return jt
+    m = _SPARK_APP_EXITED_RE.search(text)
+    if m:
+        code = int(m.group("code"))
+        return (
+            f"Spark application exited with status {code}: "
+            f"{classify_exit_code(code)} — check the driver stdout for "
+            "the application's own error"
+        )
+    return None
+
+
 def extract_probable_cause(text: str) -> str | None:
     """The concise cause line (plus user-code source location) from a raw
-    Spark/py4j error dump, or None if no Python traceback is embedded.
+    Spark/py4j/Hadoop error dump, or None when nothing recognizable is
+    embedded.
 
-    Selection mirrors the reference's ``_pick_spark_errors`` ordering:
-    a traceback reaching user code beats a framework-only one; among
+    Selection mirrors the reference's ``_pick_spark_errors`` ordering: a
+    Python traceback reaching user code beats a framework-only one; among
     those, the shortest exception message wins (the innermost re-raise —
-    outer wrappers accrete "... caused by ..." prefixes)."""
+    outer wrappers accrete "... caused by ..." prefixes). With no Python
+    traceback at all, fall through the reference's task-log pattern
+    library (``_hadoop_cause``): container memory kills, exit-code
+    classification, JVM stack traces, Spark app death."""
     tbs = _parse_tracebacks(text)
     if not tbs:
-        return None
+        return _hadoop_cause(text)
     tbs.sort(key=lambda tb: (bool(_user_frames(tb)), -len(tb["message"])), reverse=True)
     best = tbs[0]
     user = _user_frames(best)

@@ -1,0 +1,127 @@
+"""The task-log pattern library (VERDICT r6 task 6): synthetic logs in
+Hadoop's/Spark's documented failure shapes (reference
+``mrjob/logs/task.py:33-96,252-440``, ``mrjob/logs/spark.py:30-117``)
+must each resolve to a classified probable cause — the difference
+between "step failed" and "killed for exceeding memory limits"."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mrjob_spark.dataflow.errors import (  # noqa: E402
+    classify_exit_code,
+    extract_probable_cause,
+)
+
+_CONTAINER_OOM_LOG = """\
+2026-08-15 10:00:01,123 INFO [main] org.apache.hadoop.yarn.server.nodemanager.containermanager.monitor.ContainersMonitorImpl: Memory usage of ProcessTree 12345
+2026-08-15 10:00:02,456 WARN [main] org.apache.hadoop.yarn.server.nodemanager.containermanager.monitor.ContainersMonitorImpl: Container [pid=12345,containerID=container_1598000000000_0001_01_000002] is running 268435456B beyond physical memory limits. Current usage: 2.2 GB of 2 GB physical memory used; 4.1 GB of 4.2 GB virtual memory used. Killing container.
+Dump of the process-tree for container_1598000000000_0001_01_000002 :
+"""
+
+_CONTAINER_KILLED_LOG = """\
+Task attempt_1598000000000_0001_m_000000_0 done.
+Container killed on request. Exit code is 143
+Container exited with a non-zero exit code 143
+"""
+
+_PIPEMAPRED_LOG = """\
+2026-08-15 10:00:03,789 INFO [main] org.apache.hadoop.streaming.PipeMapRed: PipeMapRed exec [/bin/sh, -c, ./my_filter.sh]
+java.lang.RuntimeException: PipeMapRed.waitOutputThreads(): subprocess failed with code 137
+\tat org.apache.hadoop.streaming.PipeMapRed.waitOutputThreads(PipeMapRed.java:322)
+\tat org.apache.hadoop.streaming.PipeMapRed.mapRedFinished(PipeMapRed.java:535)
+"""
+
+_JVM_TRACE_LOG = """\
+2026-08-15 10:00:04,000 ERROR [main] org.apache.hadoop.mapred.YarnChild: Error running child
+java.io.FileNotFoundException: File does not exist: hdfs://nn/user/data/input.txt
+\tat org.apache.hadoop.hdfs.DistributedFileSystem.open(DistributedFileSystem.java:83)
+\tat org.apache.hadoop.mapred.LineRecordReader.<init>(LineRecordReader.java:108)
+\tat org.apache.hadoop.mapred.MapTask.runOldMapper(MapTask.java:453)
+\tat org.apache.hadoop.mapred.MapTask.run(MapTask.java:343)
+"""
+
+_SPARK_APP_EXITED_LOG = """\
+2026-08-15 10:00:05,000 INFO ApplicationMaster: Waiting for spark context initialization...
+2026-08-15 10:00:09,000 ERROR ApplicationMaster: User application exited with status 10
+2026-08-15 10:00:09,100 INFO ApplicationMaster: Final app status: FAILED, exitCode: 10
+"""
+
+
+def test_container_memory_kill_is_classified():
+    cause = extract_probable_cause(_CONTAINER_OOM_LOG)
+    assert cause is not None
+    assert "beyond physical memory limits" in cause
+    assert "container_1598000000000_0001_01_000002" in cause
+    assert "raise the container/executor memory limit" in cause
+
+
+def test_container_exit_code_is_classified():
+    cause = extract_probable_cause(_CONTAINER_KILLED_LOG)
+    assert cause is not None
+    assert "143" in cause
+    assert "SIGTERM" in cause
+
+
+def test_pipemapred_subprocess_failure_points_at_task_stderr():
+    cause = extract_probable_cause(_PIPEMAPRED_LOG)
+    assert cause is not None
+    assert "subprocess failed with code 137" in cause
+    assert "OOM killer" in cause
+    assert "stderr" in cause
+
+
+def test_jvm_stack_trace_headline_extracted():
+    cause = extract_probable_cause(_JVM_TRACE_LOG)
+    assert cause is not None
+    assert cause.splitlines()[0].startswith(
+        "java.io.FileNotFoundException: File does not exist"
+    )
+    # a few frames for orientation, not the whole stack
+    assert 2 <= sum(1 for ln in cause.splitlines() if "\tat " in ln or ln.lstrip().startswith("at ")) <= 3
+
+
+def test_spark_app_exit_status_classified_and_points_at_stdout():
+    cause = extract_probable_cause(_SPARK_APP_EXITED_LOG)
+    assert cause is not None
+    assert "status 10" in cause
+    assert "stdout" in cause
+
+
+def test_python_traceback_still_beats_jvm_noise():
+    # embedded Python tracebacks remain the most specific cause — the JVM
+    # wrapper around them must not win
+    log = _JVM_TRACE_LOG + (
+        "org.apache.spark.api.python.PythonException: "
+        "Traceback (most recent call last):\n"
+        '  File "/app/my_job.py", line 7, in mapper\n'
+        "    raise ValueError('planted failure')\n"
+        "ValueError: planted failure\n"
+    )
+    cause = extract_probable_cause(log)
+    assert cause.startswith("ValueError: planted failure")
+    assert "line 7 of /app/my_job.py" in cause
+
+
+def test_exit_code_classification_table():
+    assert "OOM" in classify_exit_code(137)
+    assert "SIGTERM" in classify_exit_code(143)
+    assert "signal 9" not in classify_exit_code(137)  # named, not generic
+    assert "signal 11" in classify_exit_code(139) or "SIGSEGV" in classify_exit_code(139)
+    assert classify_exit_code(2) == "nonzero exit"
+    assert "signal 30" in classify_exit_code(158)
+
+
+def test_diagnose_cli_on_synthetic_container_log(tmp_path, capsys):
+    from mrjob_spark.cmd import main
+
+    p = tmp_path / "syslog.txt"
+    p.write_text(_CONTAINER_OOM_LOG)
+    rc = main(["mrjob_spark", "diagnose", str(p)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Probable cause of failure" in out
+    assert "memory limits" in out
