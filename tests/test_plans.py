@@ -593,3 +593,16 @@ def test_balanced_sample_prefilters_and_group_limits(spark):
     assert "SortMergeJoin" not in plan
     assert "text:string" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_neardup_tight_adaptive_k_same_plan_shape(spark):
+    # the tight tier shares the ivf body (one _ivf_neardup_pairs), so its
+    # plan pins are the same: no per-vector WindowExec (top-probe via
+    # sort_array(collect_list) partial agg), no cartesian anywhere —
+    # candidate generation is a plain equi self-join on cluster id even
+    # with the SF-adaptive cell count in play
+    df = REGISTRY["l2_embedding_neardup_tight"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan

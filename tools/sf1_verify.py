@@ -135,6 +135,130 @@ REPRESENTATIVE_T4 = [
     "l8_sequence_packing_scalable",
 ]
 
+#: round-7 fifth tier (--tier 5, VERDICT r6 task 3): the dataflow/RDD
+#: family — Python-boundary serde (cloudpickle job transport, protocol
+#: wire crossings, byte-key grouping, combiner algebra, subprocess pipes,
+#: external spark-submit/jar steps) is the likeliest home of a
+#: scale-only value bug, so every registered query that rides the
+#: SparkMRJob runner or a Python-heavy RDD path verifies at sf1.
+REPRESENTATIVE_T5 = [
+    "mr_wordcount",
+    "mr_most_used_word",
+    "mr_next_word_stats",
+    "mr_text_classifier",
+    "x1_udtf_tokenize",
+    "x2_udaf_quantiles",
+    "x1_dataflow_wordcount",
+    "x2_dataflow_most_used_word",
+    "o3_dataflow_sorted_dates",
+    "o5_dataflow_head_per_group",
+    "x5_dataflow_pipe_grep",
+    "a8_dataflow_counters",
+    "a8_o3_counters_sorted",
+    "x6_spark_step",
+    "x6_spark_script",
+    "x7_jar_step",
+    "skew_salted_collect_set",
+    "l5_text_classifier",
+    "l4_bpe_token_count",
+    "l8_decontaminate",
+    "l4_ngrams",
+]
+
+#: round-7 sixth tier (--tier 6): the relational/window/scalar remainder —
+#: single-operator queries whose sf1 risk is low but whose coverage makes
+#: the differential near-total.
+REPRESENTATIVE_T6 = [
+    "p3_filter_predicate",
+    "p7_project_rename",
+    "a3_count_per_group",
+    "a4_global_agg",
+    "a6_distinct",
+    "a7_stats_per_group",
+    "a9_cube",
+    "a10_approx_count_distinct",
+    "a11_exact_percentiles",
+    "j1_join_agg",
+    "j2_broadcast_star",
+    "j3_semi_join",
+    "j3_anti_join",
+    "u1_union",
+    "u2_intersect",
+    "f1_string_funcs",
+    "f2_math_funcs",
+    "f3_conditional",
+    "f4_datetime",
+    "f5_array_funcs",
+    "f6_json",
+    "f7_hash_funcs",
+    "sql1_ansi_interface",
+    "w1_ranking",
+    "w1_ranking_scalable",
+    "w2_lag_lead",
+    "w4_range_frame",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q20_dominant_suppliers",
+]
+
+#: round-7 seventh tier (--tier 7): io/sink roundtrips, the
+#: batch-observable streaming family, and the remaining L-series
+#: (including the three IVF tiers and the new tight-radius query). The
+#: four labeled super-linear baselines (l2_minhash_lsh_pairs,
+#: l1_dedup_clusters, j5_range_join, l2_embedding_neardup) stay out BY
+#: DESIGN at every tier: their capped/bucketed production twins are the
+#: shippable plans and ARE covered; re-measuring a documented quadratic
+#: at 1000× is cost without information (l1_dedup_clusters alone measured
+#: 177 s at sf1 in round 5).
+REPRESENTATIVE_T7 = [
+    "s1_s2_gzip_text_scan",
+    "s4_s5_file_attribution",
+    "s6_hadoop_input_format",
+    "s7_csv_roundtrip",
+    "s7_json_roundtrip",
+    "s7_orc_roundtrip",
+    "s7_parquet_scan_pushdown",
+    "s9_compressed_sink",
+    "s10_partitioned_sink",
+    "s13_bucketed_join",
+    "o1_o2_partition_layout",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_sessionization",
+    "st4_session_window",
+    "st5_stream_dedup",
+    "st6_stateful_running_totals",
+    "st7_stream_enrich_window",
+    "st8_stream_stream_join",
+    "st8_stream_stream_left_outer",
+    "st9_foreachbatch_sink",
+    "st10_stream_pipeline",
+    "l1_normalized_dedup",
+    "l2_simhash",
+    "l2_span_dedup",
+    "l2_embedding_neardup_ivf",
+    "l2_embedding_neardup_ivf_hi",
+    "l2_embedding_neardup_tight",
+    "l3_knn_bruteforce",
+    "l3_knn_bucketed",
+    "l3_knn_lsh",
+    "l3_knn_two_stage",
+    "l3_embedding_quantize",
+    "l4_vocab_coverage",
+    "l4_bigram_lm",
+    "l4_doc_fingerprint",
+    "l5_repetition_filter",
+    "l6_multimodal_bytes",
+    "l6_media_features",
+    "l7_quality_profile",
+    "l8_token_mask",
+    "l8_weighted_mixture",
+    "l8_sequence_packing",
+    "l8_epoch_schedule",
+]
+
 
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
@@ -230,7 +354,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="fixtures/sf1")
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tier", default="1", choices=("1", "2", "3", "4", "all"))
+    ap.add_argument(
+        "--tier", default="1",
+        choices=("1", "2", "3", "4", "5", "6", "7", "all"),
+    )
     args = ap.parse_args()
 
     pool = {
@@ -238,8 +365,12 @@ def main() -> int:
         "2": REPRESENTATIVE_T2,
         "3": REPRESENTATIVE_T3,
         "4": REPRESENTATIVE_T4,
+        "5": REPRESENTATIVE_T5,
+        "6": REPRESENTATIVE_T6,
+        "7": REPRESENTATIVE_T7,
         "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3
-        + REPRESENTATIVE_T4,
+        + REPRESENTATIVE_T4 + REPRESENTATIVE_T5 + REPRESENTATIVE_T6
+        + REPRESENTATIVE_T7,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
