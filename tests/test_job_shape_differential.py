@@ -97,7 +97,8 @@ _SHAPE_STEPS = {
 _REF_TEMPLATE = """\
 from mrjob.job import MRJob
 from mrjob.protocol import (
-    JSONProtocol, JSONValueProtocol, PickleProtocol, ReprProtocol,
+    JSONProtocol, JSONValueProtocol, PickleProtocol, PickleValueProtocol,
+    ReprProtocol, ReprValueProtocol,
 )
 from mrjob.step import MRStep
 
@@ -120,7 +121,8 @@ if __name__ == '__main__':
 _OURS_TEMPLATE = """\
 from mrjob_spark.dataflow.job import SparkMRJob
 from mrjob_spark.dataflow.protocols import (
-    JSONProtocol, JSONValueProtocol, PickleProtocol, ReprProtocol,
+    JSONProtocol, JSONValueProtocol, PickleProtocol, PickleValueProtocol,
+    ReprProtocol, ReprValueProtocol,
 )
 from mrjob_spark.dataflow.step import MRStep
 
@@ -164,8 +166,11 @@ def _out_proto(output: str):
     from mrjob_spark.dataflow import protocols as p
 
     return {"JSONProtocol": p.JSONProtocol,
+            "JSONValueProtocol": p.JSONValueProtocol,
             "PickleProtocol": p.PickleProtocol,
-            "ReprProtocol": p.ReprProtocol}[output]()
+            "PickleValueProtocol": p.PickleValueProtocol,
+            "ReprProtocol": p.ReprProtocol,
+            "ReprValueProtocol": p.ReprValueProtocol}[output]()
 
 
 def _render_input_lines(in_proto: str) -> list[str]:
@@ -249,6 +254,16 @@ CASES = [
     (("R", "R"), "JSONProtocol", "JSONProtocol", False),
     (("MR", "CM_R"), "JSONProtocol", "JSONProtocol", False),
     (("MC", "MR"), "JSONProtocol", "JSONProtocol", False),
+    # value-only wires (ADVICE r6: these crossings ERASE the key). A
+    # value-only INTERNAL makes the byte group key the written VALUE, so
+    # cases stay combiner-free with placement-invariant value bytes
+    # (xmapper emits the same (1, "m") for every word → one reduce
+    # group); a value-only OUTPUT is the exact cat_output repro that
+    # caught PickleValueProtocol's inherited identity roundtrip.
+    (("MR",), "JSONProtocol", "PickleValueProtocol", False),
+    (("MR",), "JSONValueProtocol", "JSONProtocol", False),
+    (("MR", "MR"), "PickleValueProtocol", "ReprValueProtocol", False),
+    (("MR",), "ReprValueProtocol", "JSONValueProtocol", True),
 ]
 
 _IDS = [
