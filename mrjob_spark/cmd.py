@@ -69,17 +69,32 @@ def _run(args: list) -> int:
 
 @_command("diagnose", "Extract the probable cause from a failed job's log")
 def _diagnose(args: list) -> int:
-    from mrjob_spark.dataflow.errors import extract_probable_cause
+    from mrjob_spark.dataflow.errors import (
+        extract_probable_cause,
+        hadoop_cause_with_span,
+    )
 
     if not args or args[0] == "-":
-        text = sys.stdin.read()
+        src, text = "<stdin>", sys.stdin.read()
     else:
-        with open(args[0], errors="replace") as fh:
+        src = args[0]
+        with open(src, errors="replace") as fh:
             text = fh.read()
     cause = extract_probable_cause(text)
     if cause:
         print("Probable cause of failure:\n")
         print(cause)
+        # source-span provenance for log4j-structured causes — the
+        # reference's _describe_source 'lines M-N of <path>' shape
+        # (mrjob/logs/errors.py:197-210)
+        got = hadoop_cause_with_span(text)
+        if got and got[0] == cause:
+            _, start, n = got
+            span = (
+                f"line {start + 1}" if n == 1
+                else f"lines {start + 1}-{start + n}"
+            )
+            print(f"\n(from {span} of {src})")
         return 0
     print("no probable cause found in the given log", file=sys.stderr)
     return 1

@@ -175,7 +175,78 @@ def _java_traceback_cause(text: str) -> str | None:
     return "\n".join([lines[head].strip(), *frames])
 
 
-def _hadoop_cause(text: str) -> str | None:
+#: accepted log4j layouts (reference ``mrjob/logs/log4j.py:22-39``
+#: documents both): ``TIMESTAMP LEVEL logger (thread): message`` and
+#: ``TIMESTAMP LEVEL [thread] logger (caller): message``, with '`` - ``'
+#: as an alternative message separator. The level is restricted to the
+#: real log4j levels so arbitrary prose can't false-match.
+_LOG4J_RE = re.compile(
+    r"^\s*(?P<timestamp>.+?)"
+    r"\s+(?P<level>TRACE|DEBUG|INFO|WARN|ERROR|FATAL)"
+    r"(?:\s+\[(?P<thread_b>[^\]]*)\])?"
+    r"\s+(?P<logger>\S+)"
+    r"(?:\s+\((?P<caller>[^)]*)\))?"
+    r"(?: - |: )(?P<message>.*)$"
+)
+
+
+def parse_log4j_records(lines: list[str]) -> list[dict]:
+    """Group raw syslog lines into log4j records (the reference's
+    ``_parse_hadoop_log4j_records`` contract, ``mrjob/logs/log4j.py:
+    44-71``): a line matching the header starts a record; non-matching
+    lines continue the previous record's multi-line message (this is how
+    a Java stack trace stays attached to its headline); leading
+    non-log4j lines become level-less fake records. Each record carries
+    ``start_line``/``num_lines`` so a cause can cite its source span."""
+    recs: list[dict] = []
+    for i, raw in enumerate(lines):
+        line = raw.rstrip("\r\n")
+        m = _LOG4J_RE.match(line)
+        if m:
+            recs.append(
+                dict(
+                    level=m.group("level"),
+                    logger=m.group("logger"),
+                    thread=m.group("thread_b") or "",
+                    message=m.group("message"),
+                    start_line=i,
+                    num_lines=1,
+                )
+            )
+        elif recs:
+            r = recs[-1]
+            r["message"] += "\n" + line
+            r["num_lines"] = i - r["start_line"] + 1
+        else:
+            recs.append(
+                dict(level="", logger="", thread="", message=line,
+                     start_line=i, num_lines=1)
+            )
+    return recs
+
+
+def hadoop_cause_with_span(text: str) -> tuple[str, int, int] | None:
+    """Record-aware cause extraction: parse log4j records and match the
+    failure shapes per record (the reference's ``_parse_task_syslog_
+    records`` walk), returning ``(cause, start_line, num_lines)`` so the
+    caller can report ``lines M-N`` provenance (``_describe_source``
+    shape). Falls back to whole-text matching (span = the matching
+    region's line) when the log has no log4j structure."""
+    lines = text.splitlines()
+    recs = parse_log4j_records(lines)
+    if any(r["level"] for r in recs):
+        for r in recs:
+            cause = _hadoop_cause_text(r["message"])
+            if cause:
+                return cause, r["start_line"], r["num_lines"]
+        return None
+    cause = _hadoop_cause_text(text)
+    if cause is None:
+        return None
+    return cause, 0, len(lines)
+
+
+def _hadoop_cause_text(text: str) -> str | None:
     """Pattern-match the non-Python failure shapes, most specific first."""
     m = _CONTAINER_MEMORY_RE.search(text)
     if m:
@@ -229,7 +300,8 @@ def extract_probable_cause(text: str) -> str | None:
     classification, JVM stack traces, Spark app death."""
     tbs = _parse_tracebacks(text)
     if not tbs:
-        return _hadoop_cause(text)
+        got = hadoop_cause_with_span(text)
+        return got[0] if got else None
     tbs.sort(key=lambda tb: (bool(_user_frames(tb)), -len(tb["message"])), reverse=True)
     best = tbs[0]
     user = _user_frames(best)

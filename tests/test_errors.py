@@ -125,3 +125,49 @@ def test_diagnose_cli_on_synthetic_container_log(tmp_path, capsys):
     assert rc == 0
     assert "Probable cause of failure" in out
     assert "memory limits" in out
+
+
+def test_log4j_record_grouping_and_span():
+    # multi-line records (a Java stack under its ERROR headline) must
+    # group into ONE record with start_line/num_lines provenance
+    # (reference mrjob/logs/log4j.py:44-71 contract)
+    from mrjob_spark.dataflow.errors import (
+        hadoop_cause_with_span,
+        parse_log4j_records,
+    )
+
+    recs = parse_log4j_records(_JVM_TRACE_LOG.splitlines())
+    # one ERROR record whose multi-line message holds the whole stack
+    assert [r["num_lines"] for r in recs] == [6]
+    assert recs[0]["level"] == "ERROR"
+    assert recs[0]["logger"].endswith("YarnChild")
+    assert "FileNotFoundException" in recs[0]["message"]
+
+    got = hadoop_cause_with_span(_JVM_TRACE_LOG)
+    assert got is not None
+    cause, start, n = got
+    assert cause.startswith("java.io.FileNotFoundException")
+    assert (start, n) == (0, 6)  # cites exactly the ERROR record's lines
+
+
+def test_log4j_alternate_layout_with_thread_brackets():
+    from mrjob_spark.dataflow.errors import parse_log4j_records
+
+    recs = parse_log4j_records(_CONTAINER_OOM_LOG.splitlines())
+    structured = [r for r in recs if r["level"]]
+    assert len(structured) == 2
+    assert structured[1]["thread"] == "main"
+    assert structured[1]["level"] == "WARN"
+    # the process-tree dump line continues the WARN record
+    assert "process-tree" in structured[1]["message"]
+
+
+def test_diagnose_cli_prints_source_span(tmp_path, capsys):
+    from mrjob_spark.cmd import main
+
+    p = tmp_path / "syslog.txt"
+    p.write_text(_JVM_TRACE_LOG)
+    rc = main(["mrjob_spark", "diagnose", str(p)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "lines 1-6 of" in out
