@@ -74,12 +74,44 @@ def _diagnose(args: list) -> int:
         hadoop_cause_with_span,
     )
 
+    from mrjob_spark.dataflow.history import looks_like_jhist, parse_jhist
+
     if not args or args[0] == "-":
         src, text = "<stdin>", sys.stdin.read()
     else:
         src = args[0]
         with open(src, errors="replace") as fh:
             text = fh.read()
+
+    if looks_like_jhist(text):
+        # history-file correlation (reference mrjob/logs/history.py):
+        # report the first failed attempt's error with its task/attempt
+        # ids and the container to go read task logs from, plus a
+        # one-line counter summary
+        hist = parse_jhist(text.splitlines())
+        errors = hist.get("errors") or []
+        if errors:
+            err = errors[0]
+            print("Probable cause of failure:\n")
+            cause = extract_probable_cause(err["message"]) or err["message"]
+            print(cause)
+            ids = [
+                f"{k}={err[k]}" for k in ("task_id", "attempt_id") if k in err
+            ]
+            cont = hist["attempt_to_container_id"].get(err.get("attempt_id"))
+            if cont:
+                ids.append(f"container={cont}")
+            if ids:
+                print(f"\n({', '.join(ids)}; from line "
+                      f"{err['start_line'] + 1} of {src})")
+            n_counters = sum(len(v) for v in hist.get("counters", {}).values())
+            if n_counters:
+                print(f"\n{n_counters} counters recovered from history")
+            return 0
+        print("no failed attempt recorded in the history file",
+              file=sys.stderr)
+        return 1
+
     cause = extract_probable_cause(text)
     if cause:
         print("Probable cause of failure:\n")

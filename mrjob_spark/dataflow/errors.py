@@ -121,7 +121,8 @@ _CONTAINER_EXIT_RE = re.compile(
 
 #: Hadoop streaming's subprocess-failure stack head — ``task.py:77-80``
 _SUBPROCESS_FAILED_RE = re.compile(
-    r"^java\.lang\.RuntimeException: PipeMapRed\.waitOutputThreads\(\):"
+    r"^(?:Error: )?"  # jhist attempt errors carry this prefix
+    r"java\.lang\.RuntimeException: PipeMapRed\.waitOutputThreads\(\):"
     r" subprocess failed with code (?P<code>\d+)",
     re.MULTILINE,
 )

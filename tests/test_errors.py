@@ -6,6 +6,7 @@ between "step failed" and "killed for exceeding memory limits"."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -171,3 +172,84 @@ def test_diagnose_cli_prints_source_span(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "lines 1-6 of" in out
+
+
+_JHIST_LINES = [
+    "Avro-Json",
+    json.dumps({
+        "type": "TASK_STARTED",
+        "event": {"org.apache.hadoop.mapreduce.jobhistory.TaskStarted": {
+            "taskid": "task_1598000000000_0001_m_000000",
+        }},
+    }),
+    json.dumps({
+        "type": "MAP_ATTEMPT_STARTED",
+        "event": {"org.apache.hadoop.mapreduce.jobhistory.TaskAttemptStarted": {
+            "taskid": "task_1598000000000_0001_m_000000",
+            "attemptId": "attempt_1598000000000_0001_m_000000_0",
+            "containerId": "container_1598000000000_0001_01_000002",
+        }},
+    }),
+    json.dumps({
+        "type": "MAP_ATTEMPT_FAILED",
+        "event": {"org.apache.hadoop.mapreduce.jobhistory"
+                  ".TaskAttemptUnsuccessfulCompletion": {
+            "taskid": "task_1598000000000_0001_m_000000",
+            "attemptId": "attempt_1598000000000_0001_m_000000_0",
+            "error": ("Error: java.lang.RuntimeException: PipeMapRed"
+                      ".waitOutputThreads(): subprocess failed with code 1\n"
+                      "\tat org.apache.hadoop.streaming.PipeMapRed"
+                      ".waitOutputThreads(PipeMapRed.java:322)"),
+        }},
+    }),
+    json.dumps({
+        "type": "TASK_FINISHED",
+        "event": {"org.apache.hadoop.mapreduce.jobhistory.TaskFinished": {
+            "taskid": "task_1598000000000_0001_m_000001",
+            "counters": {"groups": [{
+                "name": "my.group", "displayName": "my.group",
+                "counts": [
+                    {"name": "lines", "displayName": "lines", "value": 7},
+                    {"name": "zeroes", "displayName": "zeroes", "value": 0},
+                ],
+            }]},
+        }},
+    }),
+]
+
+def test_parse_jhist_errors_counters_and_correlation():
+    from mrjob_spark.dataflow.history import looks_like_jhist, parse_jhist
+
+    text = "\n".join(_JHIST_LINES)
+    assert looks_like_jhist(text)
+    assert not looks_like_jhist(_JVM_TRACE_LOG)
+
+    hist = parse_jhist(text.splitlines())
+    (err,) = hist["errors"]
+    assert err["task_id"] == "task_1598000000000_0001_m_000000"
+    assert err["attempt_id"] == "attempt_1598000000000_0001_m_000000_0"
+    assert "subprocess failed with code 1" in err["message"]
+    assert err["start_line"] == 3
+    # attempt → container correlation (how the reference finds task logs)
+    assert hist["attempt_to_container_id"][err["attempt_id"]] == (
+        "container_1598000000000_0001_01_000002"
+    )
+    # failed job: counters reconstructed from the successful task,
+    # zero-valued counters kept (YARN reports them)
+    assert hist["counters"] == {"my.group": {"lines": 7, "zeroes": 0}}
+
+
+def test_diagnose_cli_on_jhist(tmp_path, capsys):
+    from mrjob_spark.cmd import main
+
+    p = tmp_path / "job_1598000000000_0001-1-hadoop-x.jhist"
+    p.write_text("\n".join(_JHIST_LINES) + "\n")
+    rc = main(["mrjob_spark", "diagnose", str(p)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "subprocess failed with code 1" in out
+    assert "generic task failure" in out  # exit-code classification applied
+    assert "attempt_1598000000000_0001_m_000000_0" in out
+    assert "container_1598000000000_0001_01_000002" in out
+    assert "from line 4" in out
+    assert "2 counters recovered" in out
