@@ -292,6 +292,10 @@ _SPARK_CASES = [
     (("MCR",), "PickleProtocol", "JSONProtocol", False),
     (("CM", "MR"), "JSONProtocol", "JSONProtocol", False),
     (("MR", "M_CR"), "JSONProtocol", "ReprProtocol", False),
+    # the Spark runner applies the same crossing()/roundtrip at task
+    # boundaries — a value-only wire must erase keys there too (the
+    # ADVICE r6 fix rides Protocol.roundtrip, shared by all runners)
+    (("MR",), "PickleValueProtocol", "JSONValueProtocol", False),
 ]
 
 
