@@ -297,8 +297,14 @@ class LocalJobRunner:
             with _open_lines(p) as fh:
                 lines = fh.read().splitlines()
             n = len(lines)
-            size = max(1, -(-n // per_file)) if n else 1
-            chunks = [lines[i : i + size] for i in range(0, n, size)] or [[]]
+            # compressed inputs are unsplittable — one map task per file,
+            # like the reference's split sizing (mrjob/sim.py:491-508
+            # counts .gz/.bz toward num_compressed and never chunks them)
+            if p.endswith((".gz", ".bz2")):
+                chunks = [lines]
+            else:
+                size = max(1, -(-n // per_file)) if n else 1
+                chunks = [lines[i : i + size] for i in range(0, n, size)] or [[]]
             for i, chunk in enumerate(chunks):
                 sp = os.path.join(
                     self._scratch, f"split_{len(splits):04d}.txt"
