@@ -336,6 +336,24 @@ class SparkMRJob:
 
         return LocalJobRunner(self, **kwargs)
 
+    def make_hadoop_runner(self, **kwargs):
+        """Build a :class:`HadoopJobRunner` — shell out to ``hadoop jar
+        <streaming jar>`` per step (the reference's ``-r hadoop``,
+        ``mrjob/hadoop.py:324-482``). Control-plane only: data stays on
+        HDFS; tasks re-enter through
+        ``python -m mrjob_spark.dataflow.hstream`` with the same wire
+        plan as every other runner. Tested against the executing mock
+        cluster (:mod:`mrjob_spark.testing.mockhadoop`).
+
+        :param kwargs: ``input_paths``, ``output_dir``, ``hadoop_bin``,
+            ``hadoop_streaming_jar``, ``hadoop_tmp_dir``,
+            ``hadoop_extra_args``, ``num_reducers``, ``jobconf``,
+            ``cmdenv``, ``setup``, ``env``, ``bootstrap_sys_path``.
+        """
+        from mrjob_spark.dataflow.hadoop import HadoopJobRunner
+
+        return HadoopJobRunner(self, **kwargs)
+
     # ------------------------------------------------------------------
     # distributed-cache path resolution (inside tasks)
     # ------------------------------------------------------------------
@@ -466,13 +484,22 @@ class SparkMRJob:
                  "local[*])",
         )
         parser.add_argument(
-            "-r", "--runner", choices=("spark", "inline", "local"),
+            "-r", "--runner", choices=("spark", "inline", "local", "hadoop"),
             default="spark",
             help="inline = single-process, no Spark (dev/test; "
                  "mrjob/inline.py:60-120); local = subprocess-per-task "
                  "with external sort (process isolation; "
-                 "mrjob/local.py:143-166)",
+                 "mrjob/local.py:143-166); hadoop = shell out to "
+                 "hadoop jar <streaming jar> (mrjob/hadoop.py:324-482)",
         )
+        parser.add_argument("--hadoop-bin", default=None,
+                            help="hadoop launcher (default: "
+                                 "$HADOOP_HOME/bin/hadoop, then $PATH)")
+        parser.add_argument("--hadoop-streaming-jar", default=None,
+                            help="path to hadoop-streaming*.jar "
+                                 "(default: searched under Hadoop homes)")
+        parser.add_argument("--hadoop-tmp-dir", default=None,
+                            help="HDFS scratch root (default tmp/mrjob)")
         self._parser = parser
         self._file_arg_dests: list = []
         self.configure_args(parser)
@@ -620,6 +647,29 @@ class SparkMRJob:
             return self.make_inline_runner(
                 input_paths=list(opts.input) or ["-"],
                 output_dir=opts.output_dir,
+                jobconf=jobconf,
+                conf_jobconf=conf_jobconf,
+                cmdenv=cmdenv,
+                setup=setup,
+            )
+
+        if opts.runner == "hadoop":
+            return self.make_hadoop_runner(
+                input_paths=list(opts.input) or ["-"],
+                output_dir=opts.output_dir,
+                hadoop_bin=(
+                    opts.hadoop_bin.split()
+                    if opts.hadoop_bin
+                    else _opt("hadoop_bin", None)
+                ),
+                hadoop_streaming_jar=_opt(
+                    "hadoop_streaming_jar", opts.hadoop_streaming_jar
+                ),
+                hadoop_tmp_dir=_opt(
+                    "hadoop_tmp_dir", opts.hadoop_tmp_dir, "tmp/mrjob"
+                ),
+                hadoop_extra_args=_opt("hadoop_extra_args", None, []),
+                num_reducers=_opt("num_reducers", opts.num_reducers),
                 jobconf=jobconf,
                 conf_jobconf=conf_jobconf,
                 cmdenv=cmdenv,
