@@ -113,10 +113,13 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new or semantically changed in round 7: the tight-radius (≥0.8
-    # cosine) embedding near-dup production query (VERDICT r6 task 4) and
-    # q8_market_share, whose fixture-pinned fact-table broadcasts were
-    # dropped for the q9/q12 scale-adaptive policy (VERDICT r6 task 2)
+    # new or semantically changed in round 7: the -r hadoop runner's
+    # control-plane query (wordcount through hadoop jar against the
+    # executing mock cluster), the tight-radius (≥0.8 cosine) embedding
+    # near-dup production query (VERDICT r6 task 4) and q8_market_share,
+    # whose fixture-pinned fact-table broadcasts were dropped for the
+    # q9/q12 scale-adaptive policy (VERDICT r6 task 2)
+    "mr_hadoop_wordfreq",
     "l2_embedding_neardup_tight",
     "q8_market_share",
     # the 10 r3-greens past the freshness horizon (VERDICT r6 task 1):
@@ -176,7 +179,9 @@ _DRIVER_PRIORITY = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q19_disjunctive_join",
-    "q22_sales_opportunity",
+    # q22_sales_opportunity (r4-green) yielded its slot to the round-7
+    # mr_hadoop_wordfreq lead; still inside the freshness horizon, first
+    # in line with the 8 deferred r4 singles for the round-8 window
 ]
 
 

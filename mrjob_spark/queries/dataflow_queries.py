@@ -363,3 +363,67 @@ def o5_dataflow_head_per_group(spark, sf_dir):
     )
     return runner.to_dataframe(schema, row_fn=lambda k, v: (int(k), v))
 
+
+
+@query(
+    "mr_hadoop_wordfreq",
+    sql=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_WORDS_SQL}) GROUP BY word
+    """,
+)
+def mr_hadoop_wordfreq(spark, sf_dir):
+    """The canonical wordcount executed by the ``-r hadoop`` runner
+    (``mrjob/hadoop.py:324-482``) against the in-repo EXECUTING mock
+    cluster (:mod:`mrjob_spark.testing.mockhadoop`): the documents table
+    is written out as text by Spark, uploaded to the mock HDFS with
+    ``hadoop fs -put``, the runner renders and launches real ``hadoop
+    jar <streaming jar>`` commands, the mock executes the rendered
+    mapper/combiner/reducer task processes with Hadoop streaming's
+    semantics, and the output is read back through ``hadoop fs -cat`` —
+    so this row oracle-checks the fourth runner's whole control plane
+    (command rendering, uploads, shuffle grouping, wire protocols,
+    counter block parsing), not a relational translation. Costed like
+    the x6/x7 external-process family: each task is a separate Python
+    re-entry (the reference's own per-task cost on a real cluster).
+
+    Scale note: on a real cluster the driver moves only command lines
+    and counters; job data stays on HDFS end to end. Task parallelism
+    here is bounded by the mock's sequential executor — the per-task
+    re-entry price is the measured quantity, deliberately."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mrjob_spark.testing.cluster import MockHadoopCluster
+
+    t = Tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mrjob-spark-hadoop-q-")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        (
+            t.documents.select(
+                F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+            )
+            .repartition(2)
+            .write.text(in_dir)
+        )
+        cluster = MockHadoopCluster(tmp)
+        runner = cluster.runner(
+            MRWordFreqCount(),
+            input_paths=[os.path.join(in_dir, "part-*")],
+            num_reducers=2,
+        )
+        with runner:
+            rows = [(w, int(c)) for w, c in runner.cat_output()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -49,54 +49,14 @@ LINES = [
 ]
 
 
-class MockCluster:
-    """One throwaway 'cluster': an HDFS root, a log dir, a planted
-    streaming jar, and the env the mock binary needs."""
-
-    def __init__(self, tmp_path):
-        self.root = tmp_path / "hdfs"
-        self.logs = tmp_path / "logs"
-        self.home = tmp_path / "hadoop-home"
-        jar_dir = self.home / "share" / "hadoop" / "tools" / "lib"
-        for d in (self.root, self.logs, jar_dir):
-            d.mkdir(parents=True)
-        self.jar = jar_dir / "hadoop-streaming-3.3.6.jar"
-        self.jar.write_bytes(b"")
-        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
-            __file__)))
-        self.env = {
-            "MOCK_HDFS_ROOT": str(self.root),
-            "MOCK_HADOOP_LOG_DIR": str(self.logs),
-            "MOCK_HADOOP_CMD_LOG": str(tmp_path / "cmd.log"),
-            # the mock binary itself (a subprocess) must import
-            # mrjob_spark no matter what cwd/path it inherits
-            "PYTHONPATH": repo_root + os.pathsep
-            + os.environ.get("PYTHONPATH", ""),
-        }
-        self.cmd_log_path = tmp_path / "cmd.log"
-
-    def runner(self, job, **kwargs):
-        kwargs.setdefault("hadoop_bin", MOCK_BIN)
-        kwargs.setdefault("hadoop_streaming_jar", str(self.jar))
-        kwargs.setdefault("env", self.env)
-        return HadoopJobRunner(job, **kwargs)
-
-    def fs(self):
-        return HadoopClientFS(MOCK_BIN, env=self.env)
-
-    def jar_argvs(self) -> list[list[str]]:
-        out = []
-        if self.cmd_log_path.exists():
-            for line in self.cmd_log_path.read_text().splitlines():
-                argv = json.loads(line)
-                if argv and argv[0] == "jar":
-                    out.append(argv)
-        return out
+# the shipped mock-cluster harness (mrjob_spark/testing/cluster.py) —
+# registry queries stand one up too
+from mrjob_spark.testing.cluster import MockHadoopCluster
 
 
 @pytest.fixture()
 def cluster(tmp_path):
-    return MockCluster(tmp_path)
+    return MockHadoopCluster(tmp_path)
 
 
 @pytest.fixture()
@@ -386,17 +346,19 @@ class TestDiscovery:
     def test_streaming_jar_search_prefers_shallow_short(
         self, cluster, tmp_path, monkeypatch
     ):
-        deep = cluster.home / "share" / "hadoop" / "tools" / "lib" / "sub"
-        deep.mkdir()
-        (deep / "hadoop-streaming-2.8.5-amzn-1.jar").write_bytes(b"")
-        (cluster.home / "share" / "hadoop" / "tools" / "lib"
-         / "hadoop-streaming-3.3.6-sources.jar").write_bytes(b"")
-        monkeypatch.setenv("HADOOP_HOME", str(cluster.home))
+        lib = os.path.join(cluster.home, "share", "hadoop", "tools", "lib")
+        deep = os.path.join(lib, "sub")
+        os.makedirs(deep)
+        open(os.path.join(deep, "hadoop-streaming-2.8.5-amzn-1.jar"),
+             "wb").close()
+        open(os.path.join(lib, "hadoop-streaming-3.3.6-sources.jar"),
+             "wb").close()
+        monkeypatch.setenv("HADOOP_HOME", cluster.home)
         r = HadoopJobRunner(
             MRWordFreqCount(), input_paths=["x"], hadoop_bin=MOCK_BIN,
             env=cluster.env,
         )
-        assert r.get_hadoop_streaming_jar() == str(cluster.jar)
+        assert r.get_hadoop_streaming_jar() == cluster.jar
 
     def test_find_hadoop_bin_via_hadoop_home(self, tmp_path, monkeypatch):
         from mrjob_spark.dataflow.hdfs import find_hadoop_bin

@@ -351,3 +351,40 @@ def test_job_shape_ext_matches_reference(
     assert ours_inline == ref, "inline diverged from reference"
     ours_local = _run_ours(cls, path, "local")
     assert ours_local == ref, "local diverged from reference"
+
+
+# -r hadoop spot-check (round 7): the same grammar through the fourth
+# runner against the executing mock cluster. Representative shapes only
+# (each case pays several seconds of sequential task re-entry in the
+# mock): a combiner chain on a tuple-preserving internal wire, a cmd
+# mapper feeding a script reducer, a two-step chain with a cmd reducer
+# in the middle, a value-only wire crossing (key erasure must survive
+# Hadoop's byte shuffle), and the SORT_VALUES path (partitioner +
+# key-fields jobconf really changing grouping).
+_HADOOP_CASES = [
+    (("MCR",), "PickleProtocol", "JSONProtocol", False),
+    (("CM_R",), "JSONProtocol", "JSONProtocol", False),
+    (("MR", "M_CR"), "JSONProtocol", "ReprProtocol", False),
+    (("MR",), "JSONValueProtocol", "JSONProtocol", False),
+    (("MR",), "JSONProtocol", "JSONProtocol", True),
+]
+
+
+@pytest.mark.parametrize(
+    "shapes,internal,output,sort_values",
+    _HADOOP_CASES,
+    ids=["+".join(c[0]) + ("-sv" if c[3] else "") for c in _HADOOP_CASES],
+)
+def test_job_shape_hadoop_matches_reference(
+    tmp_path, shapes, internal, output, sort_values
+):
+    from mrjob_spark.testing.cluster import MockHadoopCluster
+
+    ref = _run_reference(shapes, internal, output, sort_values)
+    cls = _our_job_cls(shapes, internal, output, sort_values)
+    path = _input_file(tmp_path)
+    cluster = MockHadoopCluster(tmp_path / "cluster")
+    with cluster.runner(cls(), input_paths=[path]) as r:
+        r.run()
+        ours = sorted((tuple(kv) for kv in r.cat_output()), key=repr)
+    assert ours == ref, "hadoop runner diverged from reference"
