@@ -15,6 +15,9 @@ that make sense for this engine:
   and it prints the probable root cause, using the same extraction the
   runners attach to failed jobs (``dataflow/errors.py``, the port of
   ``mrjob/logs/errors.py:25-212``).
+* ``spark-submit [-r runner] [options] <script.py|app.jar> [args]`` — the
+  reference's drop-in spark-submit replacement with mrjob extras
+  (``mrjob/tools/spark_submit.py``); see :mod:`mrjob_spark.spark_submit`.
 
 Invoke as ``python -m mrjob_spark <subcommand>`` (``__main__.py``).
 """
@@ -65,6 +68,14 @@ def _run(args: list) -> int:
         return int(e.code or 0)
     finally:
         sys.argv = old_argv
+
+
+@_command("spark-submit",
+          "Submit a Spark app (script or jar) with mrjob extras")
+def _spark_submit(args: list) -> int:
+    from mrjob_spark.spark_submit import main as spark_submit_main
+
+    return spark_submit_main(args)
 
 
 @_command("diagnose", "Extract the probable cause from a failed job's log")

@@ -39,6 +39,7 @@ from mrjob_spark.dataflow.step import (  # noqa: F401
     OUTPUT,
     JarStep,
     MRStep,
+    SparkJarStep,
     SparkScriptStep,
     SparkStep,
 )

@@ -36,6 +36,7 @@ from mrjob_spark.dataflow.step import (
     JarStep,
     MRStep,
     ProtocolPlan,
+    SparkJarStep,
     SparkScriptStep,
     SparkStep,
     spool_stdin,
@@ -232,7 +233,7 @@ class InlineJobRunner:
                 if isinstance(step, JarStep):
                     pairs = self._run_jar_step(step, step_num, pairs)
                     wire, consumed = internal, False
-                elif isinstance(step, SparkScriptStep):
+                elif isinstance(step, (SparkScriptStep, SparkJarStep)):
                     pairs = self._run_spark_script_step(step, step_num, pairs)
                     wire, consumed = internal, False
                 else:
@@ -271,13 +272,14 @@ class InlineJobRunner:
                     fh.write(write(k, v) + b"\n")
         return self
 
-    def _run_spark_script_step(
-        self, step: SparkScriptStep, step_num: int, pairs: list
-    ) -> list:
-        """X6 script form inline: run the external pyspark script via
-        spark-submit over temp-file IO — same contract as the Spark
-        runner, differentially tested, so a script-bearing job debugs
-        under -r inline like any other."""
+    def _run_spark_script_step(self, step, step_num: int, pairs: list) -> list:
+        """X6 external-app forms inline: run the pyspark script
+        (:class:`SparkScriptStep`) or JVM Spark app (:class:`SparkJarStep`)
+        via spark-submit over temp-file IO — same contract as the Spark
+        runner, differentially tested, so an app-bearing job debugs
+        under -r inline like any other. Free-form apps (no OUTPUT
+        sentinel — the ``mrjob spark-submit`` tool's shape) own their IO:
+        nothing is spooled and the chain continues empty."""
         import shutil
         import subprocess
         import tempfile
@@ -286,8 +288,13 @@ class InlineJobRunner:
             prefix=f"mrjob_spark_inline_script_{step_num}_"
         )
         out_dir = os.path.join(scratch, "output")  # must NOT exist yet
+        step_args = [str(a) for a in step.args]
+        uses_input = any(INPUT in a for a in step_args)
+        uses_output = any(OUTPUT in a for a in step_args)
 
-        if step_num == 0 and self.input_paths:
+        if not uses_input:
+            in_arg = ""
+        elif step_num == 0 and self.input_paths:
             in_arg = ",".join(p for p in self.input_paths if p != "-")
         else:
             write = self.job.INTERNAL_PROTOCOL().write
@@ -299,8 +306,8 @@ class InlineJobRunner:
             in_arg = in_dir
 
         args = [
-            str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
-            for a in step.args
+            a.replace(INPUT, in_arg).replace(OUTPUT, out_dir)
+            for a in step_args
         ]
         submit = shutil.which("spark-submit") or os.path.join(
             os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
@@ -312,14 +319,18 @@ class InlineJobRunner:
         cmd += spark_args
         for k, v in step.jobconf.items():
             cmd += ["--conf", f"{k}={v}"]
-        cmd += [step.script] + args
+        cmd += step.submit_target() + args
         proc = subprocess.run(cmd, capture_output=True, text=True)
+        self.spark_submit_stdout = proc.stdout
+        self.spark_submit_stderr = proc.stderr
         if proc.returncode != 0:
             raise RuntimeError(
-                f"spark script step {step_num} failed (rc={proc.returncode}): "
+                f"spark app step {step_num} failed (rc={proc.returncode}): "
                 f"{' '.join(cmd)}\n{proc.stderr[-2000:]}"
             )
 
+        if not uses_output:
+            return []
         read = self.job.INTERNAL_PROTOCOL().read
         out = []
         for name in sorted(os.listdir(out_dir)):

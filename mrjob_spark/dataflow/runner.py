@@ -41,6 +41,7 @@ from mrjob_spark.dataflow.step import (
     JarStep,
     MRStep,
     ProtocolPlan,
+    SparkJarStep,
     SparkScriptStep,
     SparkStep,
     spool_stdin,
@@ -443,7 +444,7 @@ class SparkJobRunner:
                 elif isinstance(step, JarStep):
                     rdd = self._run_jar_step(step, step_num, rdd)
                     wire, consumed = internal, False
-                elif isinstance(step, SparkScriptStep):
+                elif isinstance(step, (SparkScriptStep, SparkJarStep)):
                     rdd = self._run_spark_script_step(step, step_num, rdd)
                     wire, consumed = internal, False
                 elif isinstance(step, MRStep):
@@ -1010,20 +1011,30 @@ class SparkJobRunner:
             encode=encode,
         )
 
-    def _run_spark_script_step(self, step: SparkScriptStep, step_num: int, rdd):
-        """X6 external-script form (``mrjob/step.py:517-571``): run a
-        standalone pyspark script via ``spark-submit`` over materialized
-        step IO — same barrier semantics and INPUT/OUTPUT interpolation
-        as the jar step, with ``jobconf`` as ``--conf`` pairs and
-        ``spark_args`` passed through. The child app runs on the same
-        master as this session unless spark_args overrides it."""
+    def _run_spark_script_step(self, step, step_num: int, rdd):
+        """X6 external-app forms (``mrjob/step.py:473-571``): run a
+        standalone pyspark script (:class:`SparkScriptStep`) or a JVM
+        Spark app (:class:`SparkJarStep` — ``--class`` + jar) via
+        ``spark-submit`` over materialized step IO — same barrier
+        semantics and INPUT/OUTPUT interpolation as the jar step, with
+        ``jobconf`` as ``--conf`` pairs and ``spark_args`` passed
+        through. The child app runs on the same master as this session
+        unless spark_args overrides it. Free-form apps (no OUTPUT
+        sentinel in args — the ``mrjob spark-submit`` tool's shape)
+        manage their own IO: nothing is materialized for them and the
+        chain continues empty."""
         import shutil
         import subprocess
 
         scratch = tempfile.mkdtemp(prefix=f"mrjob_spark_script_{step_num}_")
         out_dir = os.path.join(scratch, "output")  # must NOT exist yet
+        step_args = [str(a) for a in step.args]
+        uses_input = any(INPUT in a for a in step_args)
+        uses_output = any(OUTPUT in a for a in step_args)
 
-        if step_num == 0 and self.input_rdd is None and self.input_paths:
+        if not uses_input:
+            in_arg = ""
+        elif step_num == 0 and self.input_rdd is None and self.input_paths:
             in_arg = ",".join(p for p in self.input_paths if p != "-")
         else:
             write = self.job.INTERNAL_PROTOCOL().write
@@ -1034,8 +1045,8 @@ class SparkJobRunner:
             in_arg = in_dir
 
         args = [
-            str(a).replace(INPUT, in_arg).replace(OUTPUT, out_dir)
-            for a in step.args
+            a.replace(INPUT, in_arg).replace(OUTPUT, out_dir)
+            for a in step_args
         ]
         submit = shutil.which("spark-submit") or os.path.join(
             os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
@@ -1047,14 +1058,18 @@ class SparkJobRunner:
         cmd += spark_args
         for k, v in step.jobconf.items():
             cmd += ["--conf", f"{k}={v}"]
-        cmd += [step.script] + args
+        cmd += step.submit_target() + args
         proc = subprocess.run(cmd, capture_output=True, text=True)
+        self.spark_submit_stdout = proc.stdout
+        self.spark_submit_stderr = proc.stderr
         if proc.returncode != 0:
             raise RuntimeError(
-                f"spark script step {step_num} failed (rc={proc.returncode}): "
+                f"spark app step {step_num} failed (rc={proc.returncode}): "
                 f"{' '.join(cmd)}\n{proc.stderr[-2000:]}"
             )
 
+        if not uses_output:
+            return self.spark.sparkContext.emptyRDD()
         read = self.job.INTERNAL_PROTOCOL().read
         lines = self.spark.sparkContext.textFile(out_dir)
         return lines.map(lambda line: read(line.encode("utf-8")))

@@ -195,6 +195,46 @@ class SparkScriptStep:
             d["spark_args"] = list(self.spark_args)
         return d
 
+    def submit_target(self) -> list:
+        return [self.script]
+
+
+@dataclass
+class SparkJarStep:
+    """X6 JVM-app form (``mrjob/step.py:473-515``): a Java/Scala Spark
+    application submitted through ``spark-submit [--class main_class]
+    <jar>`` — distinct from :class:`JarStep`, which launches a plain
+    ``java -jar`` (the Hadoop-jar contract). INPUT/OUTPUT sentinels in
+    ``args`` interpolate exactly like :class:`SparkScriptStep`, and the
+    same materialized-IO barrier bridges it into a streaming chain;
+    ``spark_args`` pass straight to spark-submit and ``jobconf`` entries
+    become ``--conf k=v`` pairs."""
+
+    jar: str
+    main_class: Optional[str] = None
+    args: list = field(default_factory=list)
+    jobconf: dict = field(default_factory=dict)
+    spark_args: list = field(default_factory=list)
+
+    def description(self, step_num: int = 0) -> dict:
+        d = {"type": "spark_jar", "jar": self.jar, "step_num": step_num}
+        if self.main_class:
+            d["main_class"] = self.main_class
+        if self.args:
+            d["args"] = list(self.args)
+        if self.jobconf:
+            d["jobconf"] = dict(self.jobconf)
+        if self.spark_args:
+            d["spark_args"] = list(self.spark_args)
+        return d
+
+    # the submit target spark-submit sees in place of a script path
+    def submit_target(self) -> list:
+        target = []
+        if self.main_class:
+            target += ["--class", self.main_class]
+        return target + [self.jar]
+
 
 @dataclass
 class SparkStep:
