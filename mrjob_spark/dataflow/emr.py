@@ -1,0 +1,768 @@
+"""``-r emr``: run a :class:`SparkMRJob` on Amazon EMR — the reference's
+``EMRJobRunner`` re-expressed for this engine (``mrjob/emr.py`` +
+``mrjob/cloud.py`` + ``mrjob/pool.py`` are the behavioral contract;
+nothing is translated from them).
+
+Control plane only, like ``-r hadoop``: the driver uploads support files
+and inputs to S3, creates (or joins, or pool-reuses) a cluster, submits
+one ``command-runner.jar``/``hadoop-streaming`` step per
+:class:`~mrjob_spark.dataflow.step.MRStep` (Args rendered by the SAME
+:class:`~mrjob_spark.dataflow.hadoop.StreamingStepRenderer` the
+``-r hadoop`` runner uses, so task commands, wire protocols, and
+jobconf/cmdenv plumbing are identical across runners), polls step state
+with the reference's observation loop (``PENDING`` logs the cluster
+state, ``RUNNING`` releases the pool lock, terminal states fetch
+counters or diagnose), and reads results straight from S3. Job data
+never flows through the driver: step N's S3 output prefix is step N+1's
+``-input``, and ``cat_output()`` streams part objects one at a time —
+at 100 TB the driver holds command lines and the counter dict.
+
+Cluster pooling follows ``mrjob/pool.py``'s tag protocol: pooled
+clusters carry ``__mrjob_pool_name`` / ``__mrjob_pool_hash`` tags (the
+hash covers everything that must match for reuse: release label,
+instance shape, bootstrap, applications), and joining is guarded by the
+``__mrjob_pool_lock`` tag dance — write ``"<job key> <expiry>"``,
+re-describe, and proceed only if our lock survived
+(``mrjob/pool.py:589-711``). If a pooled cluster self-terminates under
+the job (spot loss — detected via the reference's message shape,
+``mrjob/emr.py:219-221``), the runner retries ONCE on a fresh
+non-pooled cluster.
+
+Counters come from the step's ``stderr.gz`` driver log in the cluster's
+S3 log bucket (EMR's layout: ``<log>/<cluster>/steps/<step>/``), parsed
+by the same interpreter as ``-r hadoop``; failures scan
+``<log>/<cluster>/containers/**`` through the shared task-log pattern
+library (``dataflow/errors.py``).
+
+Out of scope by environment (SURVEY §1.4): SSH tunnels to the job
+tracker, spot-bid/fleet negotiation, IAM role creation, and the EC2
+instance-type compute-unit tables — the mock cluster has no network,
+prices, or IAM. Tested end-to-end against the EXECUTING mock service
+(:mod:`mrjob_spark.testing.mockemr`); on real AWS the same code paths
+drive boto3 clients (``region`` opt), which this sandbox can't reach.
+"""
+
+from __future__ import annotations
+
+import getpass
+import gzip
+import hashlib
+import json
+import os
+import posixpath
+import sys
+import tempfile
+import time
+from typing import Iterator, Optional
+
+from mrjob_spark.dataflow.hadoop import (
+    StreamingStepRenderer,
+    _zip_package,
+    interpret_driver_stderr,
+)
+
+#: the 4.x+ intermediary jar EMR launches everything through
+_COMMAND_RUNNER_JAR = "command-runner.jar"
+
+#: pooling tag names (the reference's, mrjob/pool.py:50-52,555)
+_POOL_NAME_TAG = "__mrjob_pool_name"
+_POOL_HASH_TAG = "__mrjob_pool_hash"
+_POOL_LOCK_TAG = "__mrjob_pool_lock"
+
+#: how long a pool lock is honored (mrjob/pool.py _CLUSTER_LOCK_SECS)
+_CLUSTER_LOCK_SECS = 60.0
+
+#: cluster states that can accept/run steps
+_ACTIVE_CLUSTER_STATES = ("STARTING", "BOOTSTRAPPING", "RUNNING", "WAITING")
+
+
+def _parse_s3_uri(uri: str) -> tuple:
+    if not str(uri).startswith(("s3://", "s3a://", "s3n://")):
+        raise ValueError("not an S3 URI: %r" % uri)
+    rest = str(uri).split("://", 1)[1]
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
+def _cluster_self_terminated(cluster: dict) -> bool:
+    """The reference's self-termination detection
+    (``_CLUSTER_SELF_TERMINATED_RE``, ``mrjob/emr.py:219-221``)."""
+    import re
+
+    msg = (cluster.get("Status", {}).get("StateChangeReason") or {}).get(
+        "Message", ""
+    )
+    return bool(re.match(r"^.*(node|instances) .* terminated.*$", msg,
+                         re.I))
+
+
+class PooledClusterSelfTerminated(Exception):
+    """A pooled cluster died under our job (spot loss)."""
+
+
+class EMRJobRunner(StreamingStepRenderer):
+    """EMR runner with the same surface as the other four
+    (``run`` / ``cat_output`` / ``counters`` / context manager).
+
+    :param emr_client: boto3-shaped EMR client. Default: ``boto3.client
+        ('emr', region_name=region)`` — inject the mock's client in
+        tests (:class:`mrjob_spark.testing.mockemr.MockEMRService`).
+    :param s3_client: boto3-shaped S3 client (same deal).
+    :param cloud_tmp_dir: ``s3://bucket/prefix/`` scratch root; the
+        bucket is created if missing. Default ``s3://mrjob-spark-tmp/``.
+    :param cloud_log_dir: where EMR writes cluster logs (``LogUri``).
+        Default ``<cloud_tmp_dir>logs/``.
+    :param cluster_id: join this existing cluster instead of creating
+        or pooling one.
+    :param pool_clusters: reuse a matching WAITING pooled cluster, and
+        leave ours WAITING for the next job instead of terminating.
+    :param max_mins_idle: pooled/persistent clusters self-terminate
+        after this much idle time (EMR auto-termination policy).
+    :param check_cluster_every: real seconds between step polls
+        (tests set ~0; the mock advances per API call anyway).
+    :param emr_action_on_failure: ActionOnFailure for submitted steps;
+        default TERMINATE_CLUSTER for throwaway clusters and
+        CANCEL_AND_WAIT for pooled/joined ones (the reference's rule,
+        mrjob/emr.py:1300-1310).
+    """
+
+    alias = "emr"
+
+    def __init__(
+        self,
+        job,
+        input_paths: Optional[list] = None,
+        output_dir: Optional[str] = None,
+        emr_client=None,
+        s3_client=None,
+        region: Optional[str] = None,
+        cloud_tmp_dir: Optional[str] = None,
+        cloud_log_dir: Optional[str] = None,
+        release_label: str = "emr-6.9.0",
+        instance_type: str = "m5.xlarge",
+        master_instance_type: Optional[str] = None,
+        num_core_instances: int = 2,
+        ec2_key_pair: Optional[str] = None,
+        applications: Optional[list] = None,
+        bootstrap: Optional[list] = None,
+        extra_cluster_params: Optional[dict] = None,
+        tags: Optional[dict] = None,
+        pool_clusters: bool = False,
+        pool_name: str = "default",
+        max_mins_idle: float = 10.0,
+        check_cluster_every: float = 30.0,
+        cluster_id: Optional[str] = None,
+        add_steps_in_batch: bool = True,
+        emr_action_on_failure: Optional[str] = None,
+        num_reducers: Optional[int] = None,
+        jobconf: Optional[dict] = None,
+        conf_jobconf: Optional[dict] = None,
+        cmdenv: Optional[dict] = None,
+        setup: Optional[list] = None,
+        libjars: Optional[list] = None,
+        hadoop_extra_args: Optional[list] = None,
+        python_bin: Optional[list] = None,
+        bootstrap_sys_path: bool = True,
+        **_ignored,
+    ):
+        self.job = job
+        self.input_paths = list(input_paths or [])
+        self._emr_client = emr_client
+        self._s3_client = s3_client
+        self._region = region
+        self._release_label = release_label
+        self._instance_type = instance_type
+        self._master_instance_type = master_instance_type or instance_type
+        self._num_core_instances = num_core_instances
+        self._ec2_key_pair = ec2_key_pair
+        self._applications = list(applications or ["Hadoop"])
+        self._bootstrap = list(bootstrap or [])
+        self._extra_cluster_params = dict(extra_cluster_params or {})
+        self._tags = dict(tags or {})
+        self._pool_clusters = pool_clusters
+        self._pool_name = pool_name
+        self._max_mins_idle = max_mins_idle
+        self.check_cluster_every = check_cluster_every
+        self._cluster_id = cluster_id
+        self._given_cluster_id = cluster_id is not None
+        self._add_steps_in_batch = add_steps_in_batch
+        self._emr_action_on_failure = emr_action_on_failure
+        self._libjars = list(libjars or [])
+        self._hadoop_extra_args = list(hadoop_extra_args or [])
+        self._python_bin = list(python_bin or [sys.executable])
+        self._bootstrap_sys_path = bootstrap_sys_path
+
+        merged = dict(conf_jobconf or {})
+        merged.update(job.JOBCONF)
+        for step in job.steps():
+            merged.update(getattr(step, "jobconf", {}) or {})
+        merged.update(jobconf or {})
+        self._jobconf = {k: str(v) for k, v in merged.items()}
+        if num_reducers is None and "mapreduce.job.reduces" in merged:
+            num_reducers = int(merged["mapreduce.job.reduces"])
+        self.num_reducers = num_reducers
+        self._cmdenv = dict(cmdenv or {})
+        self._setup = list(setup or [])
+
+        user = getpass.getuser()
+        self._job_key = "%s.%s.%d" % (
+            type(job).__name__, user, time.time_ns()
+        )
+        tmp = cloud_tmp_dir or "s3://mrjob-spark-tmp/"
+        if not tmp.endswith("/"):
+            tmp += "/"
+        self._cloud_tmp_dir = tmp
+        self._job_tmp = tmp + "tmp/" + self._job_key + "/"
+        self._files_uri = self._job_tmp + "files/"
+        log_dir = cloud_log_dir or tmp + "logs/"
+        if not log_dir.endswith("/"):
+            log_dir += "/"
+        self._cloud_log_dir = log_dir
+        self.output_dir = output_dir or self._job_tmp + "output/"
+        self._explicit_output = output_dir is not None
+
+        self._scratch: Optional[str] = None
+        self._created_cluster = False
+        self._locked_cluster = False
+        self._step_ids: list = []
+        self._counters_per_step: list = []
+        self._log_interpretations: list = []
+        self._uploaded_uris: dict = {}
+        self._ran = False
+
+    # --- clients -------------------------------------------------------
+
+    def make_emr_client(self):
+        if self._emr_client is None:
+            import boto3  # real-AWS path; tests always inject the mock
+
+            self._emr_client = boto3.client(
+                "emr", region_name=self._region
+            )
+        return self._emr_client
+
+    def make_s3_client(self):
+        if self._s3_client is None:
+            import boto3
+
+            self._s3_client = boto3.client("s3", region_name=self._region)
+        return self._s3_client
+
+    # --- S3 helpers ------------------------------------------------------
+
+    def _ensure_bucket(self, bucket: str) -> None:
+        s3 = self.make_s3_client()
+        try:
+            s3.head_bucket(Bucket=bucket)
+        except Exception:
+            s3.create_bucket(Bucket=bucket)
+
+    def _s3_put_file(self, local_path: str, uri: str) -> None:
+        bucket, key = _parse_s3_uri(uri)
+        self.make_s3_client().upload_file(
+            Filename=local_path, Bucket=bucket, Key=key
+        )
+
+    def _s3_read(self, uri: str) -> bytes:
+        bucket, key = _parse_s3_uri(uri)
+        body = self.make_s3_client().get_object(
+            Bucket=bucket, Key=key
+        )["Body"].read()
+        if key.endswith(".gz"):
+            body = gzip.decompress(body)
+        return body
+
+    def _s3_ls(self, prefix_uri: str) -> Iterator[str]:
+        bucket, prefix = _parse_s3_uri(prefix_uri)
+        resp = self.make_s3_client().list_objects_v2(
+            Bucket=bucket, Prefix=prefix
+        )
+        for obj in resp.get("Contents") or []:
+            yield "s3://%s/%s" % (bucket, obj["Key"])
+
+    def _s3_rm_prefix(self, prefix_uri: str) -> None:
+        bucket, prefix = _parse_s3_uri(prefix_uri)
+        s3 = self.make_s3_client()
+        resp = s3.list_objects_v2(Bucket=bucket, Prefix=prefix)
+        for obj in resp.get("Contents") or []:
+            s3.delete_object(Bucket=bucket, Key=obj["Key"])
+
+    # --- uploads ---------------------------------------------------------
+
+    def _get_scratch(self) -> str:
+        if self._scratch is None:
+            self._scratch = tempfile.mkdtemp(prefix="mrjob-spark-emr-")
+        return self._scratch
+
+    def _upload(self, local_path: str, name: str | None = None) -> str:
+        local_path = os.path.abspath(local_path)
+        if local_path in self._uploaded_uris:
+            return self._uploaded_uris[local_path]
+        name = name or os.path.basename(local_path)
+        uri = self._files_uri + name
+        self._s3_put_file(local_path, uri)
+        self._uploaded_uris[local_path] = uri
+        return uri
+
+    def _prepare_uploads(self) -> tuple:
+        """Returns (-files entries, -archives entries, input URIs) —
+        the same upload set as ``-r hadoop`` (job transported by
+        cloudpickle; the package zip rides the distributed cache)."""
+        import pyspark.cloudpickle as cloudpickle
+
+        self._ensure_bucket(_parse_s3_uri(self._cloud_tmp_dir)[0])
+        scratch = self._get_scratch()
+
+        job_pkl = os.path.join(scratch, "job.pkl")
+        with open(job_pkl, "wb") as fh:
+            fh.write(cloudpickle.dumps(self.job))
+
+        files = [
+            self._upload(job_pkl) + "#job.pkl",
+            self._upload(_zip_package(scratch)) + "#mrjob_spark.zip",
+        ]
+        for entry in list(self.job.FILES) + list(
+            getattr(self.job, "DIRS", []) or []
+        ):
+            path, _, alias = str(entry).partition("#")
+            name = alias or os.path.basename(path.rstrip("/"))
+            files.append(self._upload(path) + "#" + name)
+
+        archives = []
+        for entry in list(getattr(self.job, "ARCHIVES", []) or []):
+            path, _, alias = str(entry).partition("#")
+            name = alias or os.path.basename(path)
+            archives.append(self._upload(path) + "#" + name)
+
+        inputs = []
+        for i, p in enumerate(self.input_paths):
+            if "://" in p:
+                inputs.append(p)
+            else:
+                import glob as globmod
+
+                matches = sorted(globmod.glob(p)) or [p]
+                for j, m in enumerate(matches):
+                    inputs.append(self._upload(
+                        m, "input-%05d-%05d-%s" % (i, j, os.path.basename(m))
+                    ))
+        if not inputs:
+            raise ValueError("no input: pass input_paths")
+        return files, archives, inputs
+
+    # --- pooling ----------------------------------------------------------
+
+    def _pool_hash(self) -> str:
+        """Everything that must match for two jobs to share a cluster
+        (the role of the reference's pool hash, mrjob/pool.py)."""
+        spec = json.dumps([
+            self._release_label,
+            self._instance_type,
+            self._master_instance_type,
+            self._num_core_instances,
+            sorted(self._applications),
+            self._bootstrap,
+        ], sort_keys=True)
+        return hashlib.md5(spec.encode("utf-8")).hexdigest()
+
+    @staticmethod
+    def _tags_dict(cluster: dict) -> dict:
+        return {t["Key"]: t["Value"] for t in cluster.get("Tags") or []}
+
+    def _attempt_to_lock_cluster(self, cluster: dict) -> bool:
+        """The reference's tag-based lock dance
+        (``mrjob/pool.py:589-711``): honor a non-expired lock, write
+        ours, re-describe, and proceed only if ours survived. (The
+        reference sleeps between write and check; against the mock the
+        re-describe IS the passage of time.)"""
+        emr = self.make_emr_client()
+        cluster_id = cluster["Id"]
+        if cluster["Status"]["State"] != "WAITING":
+            return False
+
+        lock = self._tags_dict(cluster).get(_POOL_LOCK_TAG)
+        now = time.time()
+        if lock:
+            try:
+                _their_key, expiry = lock.rsplit(" ", 1)
+                if float(expiry) > now:
+                    return False
+            except ValueError:
+                pass  # invalid lock: ignore it, like the reference
+
+        our_lock = "%s %.6f" % (self._job_key, now + _CLUSTER_LOCK_SECS)
+        emr.add_tags(
+            ResourceId=cluster_id,
+            Tags=[{"Key": _POOL_LOCK_TAG, "Value": our_lock}],
+        )
+        cluster = emr.describe_cluster(ClusterId=cluster_id)["Cluster"]
+        if cluster["Status"]["State"] not in ("WAITING", "RUNNING"):
+            return False
+        if self._tags_dict(cluster).get(_POOL_LOCK_TAG) != our_lock:
+            return False  # overwritten by another job
+        self._locked_cluster = True
+        return True
+
+    def _release_cluster_lock(self) -> None:
+        if not self._locked_cluster:
+            return
+        try:
+            self.make_emr_client().remove_tags(
+                ResourceId=self._cluster_id, TagKeys=[_POOL_LOCK_TAG]
+            )
+        except Exception:
+            pass  # lock expires on its own (mrjob/pool.py:713-730)
+        self._locked_cluster = False
+
+    def _find_cluster(self) -> Optional[str]:
+        """A WAITING pooled cluster with our pool name + hash that we
+        can lock; newest first (the reference also ranks by compute
+        units — out of scope without the EC2 tables)."""
+        emr = self.make_emr_client()
+        want_hash = self._pool_hash()
+        summaries = emr.list_clusters(
+            ClusterStates=["WAITING"]
+        ).get("Clusters") or []
+        for summary in reversed(summaries):
+            cluster = emr.describe_cluster(
+                ClusterId=summary["Id"]
+            )["Cluster"]
+            tags = self._tags_dict(cluster)
+            if tags.get(_POOL_NAME_TAG) != self._pool_name:
+                continue
+            if tags.get(_POOL_HASH_TAG) != want_hash:
+                continue
+            if self._attempt_to_lock_cluster(cluster):
+                return cluster["Id"]
+        return None
+
+    # --- cluster lifecycle --------------------------------------------------
+
+    def _cluster_params(self) -> dict:
+        """The ``run_job_flow`` request (boto3 shape)."""
+        keep_alive = self._pool_clusters
+        tags = [
+            {"Key": k, "Value": str(v)} for k, v in sorted(
+                self._tags.items()
+            )
+        ]
+        if self._pool_clusters:
+            tags += [
+                {"Key": _POOL_NAME_TAG, "Value": self._pool_name},
+                {"Key": _POOL_HASH_TAG, "Value": self._pool_hash()},
+            ]
+        instances = {
+            "MasterInstanceType": self._master_instance_type,
+            "SlaveInstanceType": self._instance_type,
+            "InstanceCount": 1 + self._num_core_instances,
+            "KeepJobFlowAliveWhenNoSteps": keep_alive,
+        }
+        if self._ec2_key_pair:
+            instances["Ec2KeyName"] = self._ec2_key_pair
+        params = {
+            "Name": self._job_key,
+            "ReleaseLabel": self._release_label,
+            "LogUri": self._cloud_log_dir,
+            "Applications": [{"Name": a} for a in self._applications],
+            "Instances": instances,
+            "Tags": tags,
+            "BootstrapActions": [
+                {
+                    "Name": "bootstrap %d" % i,
+                    "ScriptBootstrapAction": {"Path": line, "Args": []},
+                }
+                for i, line in enumerate(self._bootstrap)
+            ],
+        }
+        if keep_alive:
+            params["AutoTerminationPolicy"] = {
+                "IdleTimeout": int(self._max_mins_idle * 60)
+            }
+        # opt-in arbitrary params, the reference's extra_cluster_params
+        # (mrjob/cloud.py:359-369): top-level keys set or (None) delete
+        for key, value in self._extra_cluster_params.items():
+            if value is None:
+                params.pop(key, None)
+            else:
+                params[key] = value
+        return params
+
+    def _launch(self, use_pool: bool = True) -> None:
+        if use_pool and self._pool_clusters and not self._cluster_id:
+            found = self._find_cluster()
+            if found:
+                self._cluster_id = found
+        if not self._cluster_id:
+            resp = self.make_emr_client().run_job_flow(
+                **self._cluster_params()
+            )
+            self._cluster_id = resp["JobFlowId"]
+            self._created_cluster = True
+
+    def _action_on_failure(self) -> str:
+        if self._emr_action_on_failure:
+            return self._emr_action_on_failure
+        if self._given_cluster_id or self._pool_clusters:
+            return "CANCEL_AND_WAIT"
+        return "TERMINATE_CLUSTER"
+
+    # --- step building --------------------------------------------------
+
+    def _build_streaming_step(
+        self, step, step_num: int, num_steps: int, files, archives,
+        inputs, output_uri,
+    ) -> dict:
+        body = self._streaming_step_body(
+            step, step_num, files, archives, inputs, output_uri
+        )
+        return {
+            "Name": "%s: Step %d of %d" % (
+                self._job_key, step_num + 1, num_steps
+            ),
+            "ActionOnFailure": self._action_on_failure(),
+            "HadoopJarStep": {
+                "Jar": _COMMAND_RUNNER_JAR,
+                "Args": ["hadoop-streaming"] + body,
+            },
+        }
+
+    # --- execution --------------------------------------------------------
+
+    def run(self) -> "EMRJobRunner":
+        from mrjob_spark.dataflow.step import MRStep
+
+        if self._ran:
+            return self
+        steps = self.job.steps()
+        for step in steps:
+            if not isinstance(step, MRStep):
+                raise NotImplementedError(
+                    "-r emr runs streaming (MRStep) steps; %r needs the"
+                    " Spark runner" % type(step).__name__
+                )
+            if getattr(step, "mapper_raw", None):
+                raise NotImplementedError(
+                    "mapper_raw under -r emr needs the input-manifest"
+                    " machinery; use -r inline/local/spark"
+                )
+
+        files, archives, inputs = self._prepare_uploads()
+        try:
+            self._run_on_cluster(steps, files, archives, inputs)
+        except PooledClusterSelfTerminated:
+            # the reference's retry: a pooled cluster died under us —
+            # run again on a fresh, non-pooled cluster
+            # (mrjob/emr.py:241-247,1811-1850)
+            self._cluster_id = None
+            self._created_cluster = False
+            self._locked_cluster = False
+            self._step_ids = []
+            self._counters_per_step = []
+            self._pool_clusters = False
+            # partial outputs from the dead attempt would make the new
+            # attempt's streaming steps refuse their output dirs
+            self._s3_rm_prefix(self._job_tmp + "step-output/")
+            self._s3_rm_prefix(self.output_dir)
+            self._run_on_cluster(steps, files, archives, inputs)
+        self._ran = True
+        return self
+
+    def _run_on_cluster(self, steps, files, archives, inputs) -> None:
+        self._launch()
+        inputs = list(inputs)
+        submit: list = []
+        for step_num, step in enumerate(steps):
+            last = step_num == len(steps) - 1
+            output_uri = (
+                self.output_dir if last
+                else self._job_tmp + "step-output/%04d/" % step_num
+            )
+            submit.append(self._build_streaming_step(
+                step, step_num, len(steps), files, archives, inputs,
+                output_uri.rstrip("/"),
+            ))
+            inputs = [output_uri.rstrip("/")]
+
+        emr = self.make_emr_client()
+        if self._add_steps_in_batch:
+            self._step_ids = list(emr.add_job_flow_steps(
+                JobFlowId=self._cluster_id, Steps=submit
+            )["StepIds"])
+        for i in range(len(submit)):
+            if len(self._step_ids) <= i:
+                self._step_ids += emr.add_job_flow_steps(
+                    JobFlowId=self._cluster_id, Steps=[submit[i]]
+                )["StepIds"]
+            self._wait_for_step(self._step_ids[i], i, len(submit))
+
+    def _wait_for_step(self, step_id: str, step_num: int,
+                       num_steps: int) -> None:
+        """The reference's observation loop (``mrjob/emr.py:1587-1700``):
+        PENDING reports the cluster state, RUNNING releases the pool
+        lock, COMPLETED fetches counters, anything else diagnoses."""
+        emr = self.make_emr_client()
+        while True:
+            if self.check_cluster_every:
+                time.sleep(self.check_cluster_every)
+            step = emr.describe_step(
+                ClusterId=self._cluster_id, StepId=step_id
+            )["Step"]
+            state = step["Status"]["State"]
+
+            if state == "PENDING":
+                continue
+            if state == "RUNNING":
+                # our steps are running: other jobs may join the pool now
+                self._release_cluster_lock()
+                continue
+            if state == "COMPLETED":
+                self._release_cluster_lock()
+                interp = self._interpret_step_logs(step_id)
+                self._log_interpretations.append(interp)
+                self._counters_per_step.append(interp.get("counters", {}))
+                return
+
+            # FAILED / CANCELLED / INTERRUPTED
+            self._release_cluster_lock()
+            cluster = emr.describe_cluster(
+                ClusterId=self._cluster_id
+            )["Cluster"]
+            if (not self._created_cluster
+                    and cluster["Status"]["State"].startswith("TERMINATED")
+                    and _cluster_self_terminated(cluster)):
+                raise PooledClusterSelfTerminated(
+                    "pooled cluster %s self-terminated" % self._cluster_id
+                )
+            interp = self._interpret_step_logs(step_id)
+            self._log_interpretations.append(interp)
+            cause, excerpt = self._probable_cause(step_id)
+            msg = "step %d of %d %s on cluster %s" % (
+                step_num + 1, num_steps, state, self._cluster_id
+            )
+            reason = (cluster["Status"].get("StateChangeReason") or {}).get(
+                "Message"
+            )
+            if reason:
+                msg += "\ncluster is %s: %s" % (
+                    cluster["Status"]["State"], reason
+                )
+            if cause:
+                msg += "\nProbable cause of failure:\n" + cause
+            if excerpt:
+                msg += "\n--- task log excerpt ---\n" + excerpt
+            raise RuntimeError(msg)
+
+    # --- log interpretation ----------------------------------------------
+
+    def _step_log_prefix(self, step_id: str) -> str:
+        return "%s%s/steps/%s/" % (
+            self._cloud_log_dir, self._cluster_id, step_id
+        )
+
+    def _interpret_step_logs(self, step_id: str) -> dict:
+        """Counters + ids from the step's driver stderr on S3 — the
+        same text ``-r hadoop`` reads from the subprocess."""
+        try:
+            text = self._s3_read(
+                self._step_log_prefix(step_id) + "stderr.gz"
+            ).decode("utf-8", "replace")
+        except Exception:
+            return {}
+        interp = interpret_driver_stderr(text)
+        interp["step_id"] = step_id
+        return interp
+
+    def _probable_cause(self, step_id: str) -> tuple:
+        """Scan the cluster's container logs on S3 through the shared
+        task-log pattern library (the reference reads the same S3
+        layout, ``mrjob/logs``)."""
+        from mrjob_spark.dataflow.errors import extract_probable_cause
+
+        prefix = "%s%s/containers/" % (
+            self._cloud_log_dir, self._cluster_id
+        )
+        texts = []
+        try:
+            for uri in self._s3_ls(prefix):
+                if uri.endswith(("stderr.gz", "syslog.gz", "stderr",
+                                 "syslog")):
+                    texts.append(
+                        self._s3_read(uri).decode("utf-8", "replace")
+                    )
+        except Exception:
+            return None, None
+        if not texts:
+            return None, None
+        joined = "\n".join(texts)
+        cause = extract_probable_cause(joined)
+        if cause:
+            return cause, "\n".join(joined.splitlines()[-40:])
+        return None, None
+
+    # --- output -------------------------------------------------------------
+
+    def cat_output(self) -> Iterator:
+        if not self._ran:
+            self.run()
+        read = self.job.OUTPUT_PROTOCOL().read
+        for uri in sorted(self._s3_ls(self.output_dir)):
+            name = posixpath.basename(uri)
+            if name.startswith(("_", ".")):
+                continue
+            for line in self._s3_read(uri).splitlines():
+                if line:
+                    yield read(line)
+
+    def collect_output(self) -> list:
+        return list(self.cat_output())
+
+    def counters(self) -> dict:
+        merged: dict = {}
+        for step_counters in self._counters_per_step:
+            for group, names in step_counters.items():
+                g = merged.setdefault(group, {})
+                for name, amount in names.items():
+                    g[name] = g.get(name, 0) + amount
+        return merged
+
+    def get_cluster_id(self) -> Optional[str]:
+        return self._cluster_id
+
+    # --- cleanup ----------------------------------------------------------
+
+    def cleanup(self) -> None:
+        import shutil
+
+        self._release_cluster_lock()
+        if self._scratch:
+            shutil.rmtree(self._scratch, ignore_errors=True)
+            self._scratch = None
+        try:
+            # an explicit output_dir lives outside the job tmp prefix,
+            # so this never touches kept results
+            self._s3_rm_prefix(self._job_tmp)
+        except Exception:
+            pass
+        # terminate throwaway clusters we created; pooled ones stay
+        # WAITING for the next job (idle timeout reaps them)
+        if self._created_cluster and not self._pool_clusters:
+            try:
+                cluster = self.make_emr_client().describe_cluster(
+                    ClusterId=self._cluster_id
+                )["Cluster"]
+                if cluster["Status"]["State"] in _ACTIVE_CLUSTER_STATES:
+                    self.make_emr_client().terminate_job_flows(
+                        JobFlowIds=[self._cluster_id]
+                    )
+            except Exception:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.cleanup()
+        return False
+
+
+__all__ = ["EMRJobRunner", "PooledClusterSelfTerminated"]

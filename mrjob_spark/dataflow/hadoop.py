@@ -98,6 +98,27 @@ def _parse_indented_counters(message: str) -> dict:
     return {g: names for g, names in counters.items() if names}
 
 
+def interpret_driver_stderr(text: str) -> dict:
+    """Pull the job id, YARN application id, and the ``Counters:`` block
+    out of a ``hadoop jar`` driver's log4j stderr — the same text an EMR
+    step's ``stderr.gz`` log holds, so ``-r hadoop`` and ``-r emr`` share
+    this interpreter."""
+    from mrjob_spark.dataflow.errors import parse_log4j_records
+
+    interp: dict = {}
+    m = _JOB_ID_RE.search(text)
+    if m:
+        interp["job_id"] = m.group("id")
+    m = _APP_ID_RE.search(text)
+    if m:
+        interp["application_id"] = m.group("id")
+    for rec in parse_log4j_records(text.splitlines()):
+        first = rec["message"].split("\n", 1)[0]
+        if _COUNTERS_START_RE.match(first):
+            interp["counters"] = _parse_indented_counters(rec["message"])
+    return interp
+
+
 def _zip_package(dest_dir: str) -> str:
     """Zip the installed ``mrjob_spark`` package (sans caches) so task
     nodes that lack it can import it from the distributed cache — the
@@ -122,7 +143,124 @@ def _zip_package(dest_dir: str) -> str:
     return zip_path
 
 
-class HadoopJobRunner:
+class StreamingStepRenderer:
+    """Streaming-step argument rendering shared by every runner that
+    submits Hadoop-streaming work to a cluster-shaped control plane —
+    ``-r hadoop`` builds ``hadoop jar <streaming jar> <body>`` argvs,
+    ``-r emr`` builds ``command-runner.jar`` steps whose Args are
+    ``['hadoop-streaming'] + <body>`` (the reference renders both from
+    one ``mrjob/bin.py`` code path too). Hosts need: ``job``,
+    ``_jobconf``, ``num_reducers``, ``_cmdenv``, ``_setup``,
+    ``_python_bin``, ``_bootstrap_sys_path``, ``_libjars``,
+    ``_hadoop_extra_args``."""
+
+    def _uses_yarn(self) -> bool:
+        return True
+
+    def _task_cmdenv(self) -> dict:
+        from mrjob_spark.dataflow.conf import combine_envs
+
+        ours = {"PYTHONPATH": "mrjob_spark.zip"}
+        if self._bootstrap_sys_path:
+            entries = ["mrjob_spark.zip"] + [
+                os.path.abspath(p) for p in sys.path if p
+            ]
+            ours["PYTHONPATH"] = os.pathsep.join(dict.fromkeys(entries))
+        return combine_envs(self._cmdenv, ours)
+
+    def _render_substep(self, step, step_num: int, kind: str) -> str | None:
+        """One streaming task command (the reference's
+        ``_render_substep``, ``mrjob/bin.py:153-200``): a ``*_cmd`` IS
+        the command; a script substep re-invokes this engine's task
+        entry; pre-filters pipe into it; setup lines run first inside an
+        ``sh -ex`` wrapper (inlined rather than a shipped wrapper script
+        — no flock, single-command form of ``mrjob/bin.py:
+        _setup_wrapper_script_content``)."""
+        cmd = getattr(step, f"{kind}_cmd", None)
+        if cmd:
+            return cmd
+        pre = getattr(step, f"{kind}_pre_filter", None)
+        has = {
+            "mapper": step.has_mapper,
+            "combiner": step.has_combiner,
+            "reducer": step.has_reducer,
+        }[kind]
+        if has:
+            base = "%s -m mrjob_spark.dataflow.hstream --kind %s " \
+                "--step-num %d job.pkl" % (
+                    " ".join(self._python_bin), kind, step_num
+                )
+        elif kind == "mapper":
+            # a step always renders a mapper command; with no script
+            # mapper that's the identity — or the pre-filter alone,
+            # which IS an identity-with-filter (mrjob/bin.py:174-200)
+            base, pre = (pre or "cat"), None
+        else:
+            return None
+        parts = list(self._setup)
+        parts.append("%s | %s" % (pre, base) if pre else base)
+        if len(parts) > 1 or pre:
+            return "/bin/sh -ex -c '%s'" % "; ".join(parts).replace(
+                "'", "'\\''"
+            )
+        return base
+
+    def _step_jobconf(self, step, has_reducer: bool) -> dict:
+        jobconf = dict(self._jobconf)
+        if self.num_reducers is not None and has_reducer:
+            jobconf["mapreduce.job.reduces"] = str(self.num_reducers)
+        if getattr(self.job, "SORT_VALUES", False):
+            jobconf.update(_SORT_VALUES_JOBCONF)
+        if not self._uses_yarn():
+            jobconf = {
+                _PRE_YARN_JOBCONF.get(k, k): v for k, v in jobconf.items()
+            }
+        return jobconf
+
+    def _streaming_step_body(
+        self, step, step_num: int, files: list[str], archives: list[str],
+        inputs: list[str], output_uri: str,
+    ) -> list[str]:
+        """Everything after the streaming jar. Argument order is the
+        reference's (``mrjob/bin.py:307-352``): uploads, reduces=0 for
+        map-only steps, -D jobconf sorted, extra args, partitioner,
+        cmdenv, input/output, then the task commands."""
+        mapper = self._render_substep(step, step_num, "mapper")
+        combiner = self._render_substep(step, step_num, "combiner")
+        reducer = self._render_substep(step, step_num, "reducer")
+
+        args: list[str] = []
+        if files:
+            args += ["-files", ",".join(files)]
+        if archives:
+            args += ["-archives", ",".join(archives)]
+        if not reducer:
+            key = ("mapreduce.job.reduces" if self._uses_yarn()
+                   else "mapred.reduce.tasks")
+            args += ["-D", "%s=0" % key]
+        if self._libjars:
+            args += ["-libjars", ",".join(self._libjars)]
+        for k, v in sorted(
+            self._step_jobconf(step, reducer is not None).items()
+        ):
+            args += ["-D", "%s=%s" % (k, v)]
+        args += self._hadoop_extra_args
+        if getattr(self.job, "SORT_VALUES", False):
+            args += ["-partitioner", _SORT_VALUES_PARTITIONER]
+        for k, v in sorted(self._task_cmdenv().items()):
+            args += ["-cmdenv", "%s=%s" % (k, v)]
+        for uri in inputs:
+            args += ["-input", uri]
+        args += ["-output", output_uri]
+        args += ["-mapper", mapper or "cat"]
+        if combiner:
+            args += ["-combiner", combiner]
+        if reducer:
+            args += ["-reducer", reducer]
+        return args
+
+
+class HadoopJobRunner(StreamingStepRenderer):
     """Streaming-on-Hadoop runner with the same surface as the other
     three (``run`` / ``cat_output`` / ``counters`` / context manager).
 
@@ -330,110 +468,22 @@ class HadoopJobRunner:
 
     # --- command rendering -------------------------------------------
 
-    def _task_cmdenv(self) -> dict:
-        from mrjob_spark.dataflow.conf import combine_envs
-
-        ours = {"PYTHONPATH": "mrjob_spark.zip"}
-        if self._bootstrap_sys_path:
-            entries = ["mrjob_spark.zip"] + [
-                os.path.abspath(p) for p in sys.path if p
-            ]
-            ours["PYTHONPATH"] = os.pathsep.join(dict.fromkeys(entries))
-        return combine_envs(self._cmdenv, ours)
-
-    def _render_substep(self, step, step_num: int, kind: str) -> str | None:
-        """One streaming task command (the reference's
-        ``_render_substep``, ``mrjob/bin.py:153-200``): a ``*_cmd`` IS
-        the command; a script substep re-invokes this engine's task
-        entry; pre-filters pipe into it; setup lines run first inside an
-        ``sh -ex`` wrapper (inlined rather than a shipped wrapper script
-        — no flock, single-command form of ``mrjob/bin.py:
-        _setup_wrapper_script_content``)."""
-        cmd = getattr(step, f"{kind}_cmd", None)
-        if cmd:
-            return cmd
-        pre = getattr(step, f"{kind}_pre_filter", None)
-        has = {
-            "mapper": step.has_mapper,
-            "combiner": step.has_combiner,
-            "reducer": step.has_reducer,
-        }[kind]
-        if has:
-            base = "%s -m mrjob_spark.dataflow.hstream --kind %s " \
-                "--step-num %d job.pkl" % (
-                    " ".join(self._python_bin), kind, step_num
-                )
-        elif kind == "mapper":
-            # a step always renders a mapper command; with no script
-            # mapper that's the identity — or the pre-filter alone,
-            # which IS an identity-with-filter (mrjob/bin.py:174-200)
-            base, pre = (pre or "cat"), None
-        else:
-            return None
-        parts = list(self._setup)
-        parts.append("%s | %s" % (pre, base) if pre else base)
-        if len(parts) > 1 or pre:
-            return "/bin/sh -ex -c '%s'" % "; ".join(parts).replace(
-                "'", "'\\''"
-            )
-        return base
-
-    def _step_jobconf(self, step, has_reducer: bool) -> dict:
-        jobconf = dict(self._jobconf)
-        if self.num_reducers is not None and has_reducer:
-            jobconf["mapreduce.job.reduces"] = str(self.num_reducers)
-        if getattr(self.job, "SORT_VALUES", False):
-            jobconf.update(_SORT_VALUES_JOBCONF)
-        if not self.fs.uses_yarn():
-            jobconf = {
-                _PRE_YARN_JOBCONF.get(k, k): v for k, v in jobconf.items()
-            }
-        return jobconf
+    def _uses_yarn(self) -> bool:
+        return self.fs.uses_yarn()
 
     def _args_for_streaming_step(
         self, step, step_num: int, files: list[str], archives: list[str],
         inputs: list[str], output_uri: str,
     ) -> list[str]:
-        """Argument order is the reference's
-        (``mrjob/bin.py:307-352``): uploads, reduces=0 for map-only
-        steps, -D jobconf sorted, extra args, partitioner, cmdenv,
-        input/output, then the task commands."""
-        mapper = self._render_substep(step, step_num, "mapper")
-        combiner = self._render_substep(step, step_num, "combiner")
-        reducer = self._render_substep(step, step_num, "reducer")
-
-        args = (
+        """The launcher prefix + the shared streaming body
+        (:class:`StreamingStepRenderer`)."""
+        return (
             self.get_hadoop_bin()
             + ["jar", self.get_hadoop_streaming_jar()]
+            + self._streaming_step_body(
+                step, step_num, files, archives, inputs, output_uri
+            )
         )
-        if files:
-            args += ["-files", ",".join(files)]
-        if archives:
-            args += ["-archives", ",".join(archives)]
-        if not reducer:
-            key = ("mapreduce.job.reduces" if self.fs.uses_yarn()
-                   else "mapred.reduce.tasks")
-            args += ["-D", "%s=0" % key]
-        if self._libjars:
-            args += ["-libjars", ",".join(self._libjars)]
-        for k, v in sorted(
-            self._step_jobconf(step, reducer is not None).items()
-        ):
-            args += ["-D", "%s=%s" % (k, v)]
-        args += self._hadoop_extra_args
-        if getattr(self.job, "SORT_VALUES", False):
-            args += ["-partitioner", _SORT_VALUES_PARTITIONER]
-        for k, v in sorted(self._task_cmdenv().items()):
-            args += ["-cmdenv", "%s=%s" % (k, v)]
-        for uri in inputs:
-            args += ["-input", uri]
-        args += ["-output", output_uri]
-        args += ["-mapper", mapper or "cat"]
-        if combiner:
-            args += ["-combiner", combiner]
-        if reducer:
-            args += ["-reducer", reducer]
-        return args
 
     # --- execution ---------------------------------------------------
 
@@ -508,20 +558,7 @@ class HadoopJobRunner:
         return interp
 
     def _interpret_stderr(self, text: str) -> dict:
-        from mrjob_spark.dataflow.errors import parse_log4j_records
-
-        interp: dict = {}
-        m = _JOB_ID_RE.search(text)
-        if m:
-            interp["job_id"] = m.group("id")
-        m = _APP_ID_RE.search(text)
-        if m:
-            interp["application_id"] = m.group("id")
-        for rec in parse_log4j_records(text.splitlines()):
-            first = rec["message"].split("\n", 1)[0]
-            if _COUNTERS_START_RE.match(first):
-                interp["counters"] = _parse_indented_counters(rec["message"])
-        return interp
+        return interpret_driver_stderr(text)
 
     # --- failure interpretation --------------------------------------
 

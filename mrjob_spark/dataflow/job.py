@@ -354,6 +354,25 @@ class SparkMRJob:
 
         return HadoopJobRunner(self, **kwargs)
 
+    def make_emr_runner(self, **kwargs):
+        """Build an :class:`EMRJobRunner` — upload to S3, create/join/
+        pool-reuse an EMR cluster, submit ``command-runner.jar``
+        streaming steps, poll, and read results from S3 (the reference's
+        ``-r emr``, ``mrjob/emr.py``). Inject boto3-shaped clients via
+        ``emr_client=``/``s3_client=`` (tests use
+        :class:`mrjob_spark.testing.mockemr.MockEMRService`); without
+        them the runner builds real boto3 clients on ``region=``.
+
+        :param kwargs: ``input_paths``, ``output_dir``, ``cluster_id``,
+            ``pool_clusters``, ``pool_name``, ``cloud_tmp_dir``,
+            ``release_label``, ``instance_type``, ``num_core_instances``,
+            ``max_mins_idle``, ``check_cluster_every``, ``num_reducers``,
+            ``jobconf``, ``cmdenv``, ``setup``, ...
+        """
+        from mrjob_spark.dataflow.emr import EMRJobRunner
+
+        return EMRJobRunner(self, **kwargs)
+
     # ------------------------------------------------------------------
     # distributed-cache path resolution (inside tasks)
     # ------------------------------------------------------------------
@@ -484,13 +503,17 @@ class SparkMRJob:
                  "local[*])",
         )
         parser.add_argument(
-            "-r", "--runner", choices=("spark", "inline", "local", "hadoop"),
+            "-r", "--runner",
+            choices=("spark", "inline", "local", "hadoop", "emr"),
             default="spark",
             help="inline = single-process, no Spark (dev/test; "
                  "mrjob/inline.py:60-120); local = subprocess-per-task "
                  "with external sort (process isolation; "
                  "mrjob/local.py:143-166); hadoop = shell out to "
-                 "hadoop jar <streaming jar> (mrjob/hadoop.py:324-482)",
+                 "hadoop jar <streaming jar> (mrjob/hadoop.py:324-482); "
+                 "emr = S3 uploads + EMR cluster steps (mrjob/emr.py; "
+                 "needs boto3 creds, or $MOCK_EMR_BASE_DIR for the "
+                 "executing mock service)",
         )
         parser.add_argument("--hadoop-bin", default=None,
                             help="hadoop launcher (default: "
@@ -500,6 +523,29 @@ class SparkMRJob:
                                  "(default: searched under Hadoop homes)")
         parser.add_argument("--hadoop-tmp-dir", default=None,
                             help="HDFS scratch root (default tmp/mrjob)")
+        parser.add_argument("--region", default=None,
+                            help="-r emr: AWS region for boto3 clients")
+        parser.add_argument("--cluster-id", default=None,
+                            help="-r emr: join this existing cluster")
+        parser.add_argument("--pool-clusters", action="store_true",
+                            help="-r emr: reuse/leave WAITING pooled "
+                                 "clusters (mrjob/pool.py tag protocol)")
+        parser.add_argument("--pool-name", default=None,
+                            help="-r emr: pool to draw from "
+                                 "(default 'default')")
+        parser.add_argument("--cloud-tmp-dir", default=None,
+                            help="-r emr: s3://bucket/prefix/ scratch "
+                                 "root")
+        parser.add_argument("--release-label", default=None,
+                            help="-r emr: EMR release (default "
+                                 "emr-6.9.0)")
+        parser.add_argument("--instance-type", default=None,
+                            help="-r emr: core/task instance type")
+        parser.add_argument("--num-core-instances", type=int, default=None,
+                            help="-r emr: core instance count")
+        parser.add_argument("--max-mins-idle", type=float, default=None,
+                            help="-r emr: idle auto-termination for "
+                                 "pooled/persistent clusters")
         self._parser = parser
         self._file_arg_dests: list = []
         self.configure_args(parser)
@@ -675,6 +721,48 @@ class SparkMRJob:
                 cmdenv=cmdenv,
                 setup=setup,
             )
+
+        if opts.runner == "emr":
+            kwargs = dict(
+                input_paths=list(opts.input) or ["-"],
+                output_dir=opts.output_dir,
+                region=_opt("region", opts.region),
+                cluster_id=_opt("cluster_id", opts.cluster_id),
+                pool_clusters=_opt(
+                    "pool_clusters", opts.pool_clusters, False
+                ),
+                pool_name=_opt("pool_name", opts.pool_name, "default"),
+                cloud_tmp_dir=_opt("cloud_tmp_dir", opts.cloud_tmp_dir),
+                release_label=_opt(
+                    "release_label", opts.release_label, "emr-6.9.0"
+                ),
+                instance_type=_opt(
+                    "instance_type", opts.instance_type, "m5.xlarge"
+                ),
+                num_core_instances=_opt(
+                    "num_core_instances", opts.num_core_instances, 2
+                ),
+                max_mins_idle=_opt(
+                    "max_mins_idle", opts.max_mins_idle, 10.0
+                ),
+                num_reducers=_opt("num_reducers", opts.num_reducers),
+                jobconf=jobconf,
+                conf_jobconf=conf_jobconf,
+                cmdenv=cmdenv,
+                setup=setup,
+            )
+            # the executing mock service stands in for AWS when
+            # $MOCK_EMR_BASE_DIR points at its base dir (CLI testability;
+            # real runs use boto3 clients on --region)
+            mock_base = os.environ.get("MOCK_EMR_BASE_DIR")
+            if mock_base:
+                from mrjob_spark.testing.mockemr import MockEMRService
+
+                svc = MockEMRService(mock_base)
+                kwargs["emr_client"] = svc.emr_client()
+                kwargs["s3_client"] = svc.s3_client()
+                kwargs["check_cluster_every"] = 0.001
+            return self.make_emr_runner(**kwargs)
 
         if opts.runner == "local":
             return self.make_local_runner(

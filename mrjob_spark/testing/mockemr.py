@@ -1,0 +1,546 @@
+"""An executing mock EMR + S3 service for ``-r emr`` tests and queries.
+
+Follows the shape of the reference's mock-boto3 test harness
+(``tests/mock_boto3/emr.py`` is the behavioral model: clusters advance
+one lifecycle stage per API call, so a polling runner observes
+``STARTING → BOOTSTRAPPING → RUNNING → WAITING/TERMINATED`` and steps
+``PENDING → RUNNING → COMPLETED/FAILED``) — but, like this repo's
+:mod:`mockhadoop`, it EXECUTES the work instead of playing back canned
+output: a ``command-runner.jar``/``hadoop-streaming`` step really runs
+the rendered mapper/combiner/reducer commands (through the mockhadoop
+streaming executor, with ``s3://bucket/key`` mapped into the mock S3
+object store), and the step + container logs land gzipped in the
+cluster's ``LogUri`` bucket in EMR's own layout::
+
+    <log prefix>/<cluster id>/steps/<step id>/stderr.gz      (driver log4j)
+    <log prefix>/<cluster id>/steps/<step id>/syslog.gz
+    <log prefix>/<cluster id>/containers/<application id>/<container>/
+        {stderr,syslog}.gz
+
+so the ``-r emr`` runner's counter fetch and failure diagnosis read the
+same artifacts they would on AWS.
+
+The clock is fake and deterministic: every API call advances it by
+``tick_secs``. ``sleep(secs)`` advances it manually (for idle-timeout
+tests) and ``self_terminate(cluster_id)`` simulates the master node
+dying under a pooled job (the reference's
+``_CLUSTER_SELF_TERMINATED_RE`` scenario, ``mrjob/emr.py:219-221``).
+
+Clients are boto3-shaped duck types covering the call subset the runner
+uses — no boto3/botocore import, so the mock runs anywhere.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+#: the 4.x+ intermediary jar EMR uses to launch anything on a cluster
+COMMAND_RUNNER_JAR = "command-runner.jar"
+
+_APP_ID_RE = re.compile(r"application_\d+_\d+")
+
+
+class MockClientError(Exception):
+    """Stands in for botocore ClientError (same role, no botocore dep)."""
+
+
+def _parse_s3_uri(uri: str) -> tuple:
+    if not uri.startswith(("s3://", "s3a://", "s3n://")):
+        raise ValueError("not an S3 URI: %r" % uri)
+    rest = uri.split("://", 1)[1]
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
+# ---------------------------------------------------------------------------
+# S3
+# ---------------------------------------------------------------------------
+
+
+class MockS3Client:
+    """Objects live as plain files under ``root/<bucket>/<key>`` — the
+    SAME layout :mod:`mockhadoop` maps ``s3://bucket/key`` to, so EMR
+    steps and the runner's uploads see one store."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, bucket: str, key: str = "") -> str:
+        return os.path.join(self.root, bucket, key.replace("/", os.sep))
+
+    def create_bucket(self, Bucket: str, **_):
+        os.makedirs(self._path(Bucket), exist_ok=True)
+        return {"Location": "/" + Bucket}
+
+    def head_bucket(self, Bucket: str):
+        if not os.path.isdir(self._path(Bucket)):
+            raise MockClientError("NoSuchBucket: %s" % Bucket)
+        return {}
+
+    def put_object(self, Bucket: str, Key: str, Body=b"", **_):
+        path = self._path(Bucket, Key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = Body if isinstance(Body, bytes) else Body.read()
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return {}
+
+    def upload_file(self, Filename: str, Bucket: str, Key: str, **_):
+        path = self._path(Bucket, Key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.copyfile(Filename, path)
+
+    def get_object(self, Bucket: str, Key: str, **_):
+        path = self._path(Bucket, Key)
+        if not os.path.isfile(path):
+            raise MockClientError("NoSuchKey: s3://%s/%s" % (Bucket, Key))
+        with open(path, "rb") as fh:
+            return {"Body": io.BytesIO(fh.read())}
+
+    def list_objects_v2(self, Bucket: str, Prefix: str = "", **_):
+        base = self._path(Bucket)
+        contents = []
+        for dirpath, _, names in os.walk(base):
+            for name in sorted(names):
+                full = os.path.join(dirpath, name)
+                key = os.path.relpath(full, base).replace(os.sep, "/")
+                if key.startswith(Prefix):
+                    contents.append(
+                        {"Key": key, "Size": os.path.getsize(full)}
+                    )
+        contents.sort(key=lambda c: c["Key"])
+        return {"Contents": contents, "KeyCount": len(contents)}
+
+    def delete_object(self, Bucket: str, Key: str, **_):
+        path = self._path(Bucket, Key)
+        if os.path.isfile(path):
+            os.unlink(path)
+        return {}
+
+
+# ---------------------------------------------------------------------------
+# EMR
+# ---------------------------------------------------------------------------
+
+
+class MockEMRClient:
+    """boto3-``emr``-shaped view over a :class:`MockEMRService`."""
+
+    def __init__(self, service: "MockEMRService"):
+        self._svc = service
+
+    def __getattr__(self, name):
+        method = getattr(self._svc, "api_" + name, None)
+        if method is None:
+            raise AttributeError(name)
+
+        def call(**kwargs):
+            self._svc._on_call()
+            try:
+                return method(**kwargs)
+            finally:
+                self._svc._save()
+
+        return call
+
+
+class MockEMRService:
+    """The cluster state store + executor behind :class:`MockEMRClient`.
+
+    :param base_dir: everything (S3 objects, scratch, logs) lives here.
+    :param tick_secs: fake-clock advance per API call.
+    """
+
+    def __init__(self, base_dir, tick_secs: float = 10.0):
+        base_dir = str(base_dir)
+        self.base_dir = base_dir
+        self.s3_root = os.path.join(base_dir, "s3")
+        self.s3 = MockS3Client(self.s3_root)
+        self._state_path = os.path.join(base_dir, "emr_state.json")
+        self.now = 1_000_000.0
+        self.tick_secs = tick_secs
+        self.clusters: dict = {}
+        self._seq = 0
+        self._load()
+
+    # -- persistence (cluster state survives process boundaries, so a
+    # CLI `-r emr` run in one process can pool-reuse a cluster another
+    # process left WAITING — S3 objects already persist as files) ------
+
+    def _load(self) -> None:
+        if not os.path.isfile(self._state_path):
+            return
+        with open(self._state_path) as fh:
+            state = json.load(fh)
+        self.now = max(self.now, state["now"])
+        self._seq = max(self._seq, state["seq"])
+        self.clusters = state["clusters"]
+
+    def _save(self) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"now": self.now, "seq": self._seq,
+                 "clusters": self.clusters}, fh,
+            )
+        os.replace(tmp, self._state_path)
+
+    # -- clients (what tests/queries hand to the runner) ---------------
+
+    def emr_client(self) -> MockEMRClient:
+        return MockEMRClient(self)
+
+    def s3_client(self) -> MockS3Client:
+        return self.s3
+
+    # -- clock ----------------------------------------------------------
+
+    def _on_call(self):
+        self._load()
+        self.now += self.tick_secs
+        self._advance_all()
+
+    def sleep(self, secs: float):
+        """Advance the fake clock without an API call (idle tests)."""
+        self.now += secs
+        self._advance_all()
+        self._save()
+
+    # -- helpers --------------------------------------------------------
+
+    def _next_id(self, prefix: str) -> str:
+        self._seq += 1
+        return "%s-MOCK%06d" % (prefix, self._seq)
+
+    def _cluster(self, cluster_id: str) -> dict:
+        try:
+            return self.clusters[cluster_id]
+        except KeyError:
+            raise MockClientError("no such cluster: %s" % cluster_id)
+
+    @staticmethod
+    def _set_state(entity: dict, state: str, code: str = "",
+                   message: str = "") -> None:
+        entity["Status"]["State"] = state
+        if code or message:
+            entity["Status"]["StateChangeReason"] = {
+                "Code": code, "Message": message,
+            }
+
+    # -- API: clusters ---------------------------------------------------
+
+    def api_run_job_flow(self, **params):
+        cluster_id = self._next_id("j")
+        instances = params.get("Instances") or {}
+        auto_policy = params.get("AutoTerminationPolicy") or {}
+        cluster = {
+            "Id": cluster_id,
+            "Name": params.get("Name", ""),
+            "Status": {
+                "State": "STARTING",
+                "StateChangeReason": {},
+                "Timeline": {"CreationDateTime": self.now},
+            },
+            "ReleaseLabel": params.get("ReleaseLabel", "emr-6.9.0"),
+            "LogUri": params.get("LogUri", ""),
+            "Applications": params.get("Applications") or [],
+            "Tags": list(params.get("Tags") or []),
+            "StepConcurrencyLevel": params.get("StepConcurrencyLevel", 1),
+            "AutoTerminate": not instances.get(
+                "KeepJobFlowAliveWhenNoSteps", False
+            ),
+            "MasterPublicDnsName": "mock-master.local",
+            "_instances": instances,
+            "_bootstrap": params.get("BootstrapActions") or [],
+            "_idle_timeout": auto_policy.get("IdleTimeout"),
+            "_steps": [],
+            "_last_activity": self.now,
+        }
+        self.clusters[cluster_id] = cluster
+        return {"JobFlowId": cluster_id}
+
+    def api_describe_cluster(self, ClusterId: str):
+        c = self._cluster(ClusterId)
+        public = {k: v for k, v in c.items() if not k.startswith("_")}
+        return {"Cluster": public}
+
+    def api_list_clusters(self, ClusterStates=None, **_):
+        out = []
+        for c in self.clusters.values():
+            if ClusterStates and c["Status"]["State"] not in ClusterStates:
+                continue
+            out.append({
+                "Id": c["Id"], "Name": c["Name"], "Status": c["Status"],
+            })
+        return {"Clusters": out}
+
+    def api_terminate_job_flows(self, JobFlowIds):
+        for cid in JobFlowIds:
+            c = self._cluster(cid)
+            if not c["Status"]["State"].startswith("TERMINATED"):
+                self._set_state(
+                    c, "TERMINATED", "USER_REQUEST",
+                    "Terminated by user request",
+                )
+                for s in c["_steps"]:
+                    if s["Status"]["State"] in ("PENDING", "RUNNING"):
+                        self._set_state(s, "CANCELLED")
+        return {}
+
+    def api_add_tags(self, ResourceId: str, Tags):
+        c = self._cluster(ResourceId)
+        existing = {t["Key"]: t for t in c["Tags"]}
+        for tag in Tags:
+            existing[tag["Key"]] = dict(tag)
+        c["Tags"] = list(existing.values())
+        return {}
+
+    def api_remove_tags(self, ResourceId: str, TagKeys):
+        c = self._cluster(ResourceId)
+        c["Tags"] = [t for t in c["Tags"] if t["Key"] not in TagKeys]
+        return {}
+
+    # -- API: steps -------------------------------------------------------
+
+    def api_add_job_flow_steps(self, JobFlowId: str, Steps):
+        c = self._cluster(JobFlowId)
+        if c["Status"]["State"].startswith("TERMINAT"):
+            raise MockClientError(
+                "cluster %s is %s" % (JobFlowId, c["Status"]["State"])
+            )
+        ids = []
+        for step in Steps:
+            step_id = self._next_id("s")
+            c["_steps"].append({
+                "Id": step_id,
+                "Name": step.get("Name", ""),
+                "ActionOnFailure": step.get(
+                    "ActionOnFailure", "TERMINATE_CLUSTER"
+                ),
+                "HadoopJarStep": step["HadoopJarStep"],
+                "Status": {
+                    "State": "PENDING",
+                    "StateChangeReason": {},
+                    "Timeline": {"CreationDateTime": self.now},
+                },
+            })
+            ids.append(step_id)
+        c["_last_activity"] = self.now
+        return {"StepIds": ids}
+
+    def api_describe_step(self, ClusterId: str, StepId: str):
+        c = self._cluster(ClusterId)
+        for s in c["_steps"]:
+            if s["Id"] == StepId:
+                public = {k: v for k, v in s.items() if not k.startswith("_")}
+                return {"Step": public}
+        raise MockClientError("no such step: %s" % StepId)
+
+    def api_list_steps(self, ClusterId: str, StepStates=None, **_):
+        c = self._cluster(ClusterId)
+        steps = [
+            {k: v for k, v in s.items() if not k.startswith("_")}
+            for s in c["_steps"]
+            if not StepStates or s["Status"]["State"] in StepStates
+        ]
+        # EMR lists steps in reverse order of creation
+        return {"Steps": list(reversed(steps))}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def self_terminate(self, cluster_id: str) -> None:
+        """Simulate the master node dying (spot loss) — the message shape
+        the reference's self-termination regex matches."""
+        c = self._cluster(cluster_id)
+        self._set_state(
+            c, "TERMINATED_WITH_ERRORS", "INSTANCE_FAILURE",
+            "The master node was terminated",
+        )
+        for s in c["_steps"]:
+            if s["Status"]["State"] in ("PENDING", "RUNNING"):
+                self._set_state(s, "CANCELLED", "", "Job terminated")
+        self._save()
+
+    def _advance_all(self) -> None:
+        for c in list(self.clusters.values()):
+            self._advance(c)
+
+    def _advance(self, c: dict) -> None:
+        state = c["Status"]["State"]
+        if state.startswith("TERMINAT"):
+            if state == "TERMINATING":
+                self._set_state(
+                    c, "TERMINATED", "ALL_STEPS_COMPLETED",
+                    "Steps completed",
+                )
+            return
+        if state == "STARTING":
+            self._set_state(c, "BOOTSTRAPPING")
+            return
+        if state == "BOOTSTRAPPING":
+            self._set_state(
+                c, "RUNNING" if self._pending(c) else "WAITING",
+                "", "Running step" if self._pending(c) else
+                "Cluster ready to run steps.",
+            )
+            return
+
+        # RUNNING / WAITING: progress one step stage per call
+        running = [s for s in c["_steps"]
+                   if s["Status"]["State"] == "RUNNING"]
+        if running:
+            self._execute_step(c, running[0])
+            c["_last_activity"] = self.now
+            return
+        pending = self._pending(c)
+        if pending:
+            self._set_state(pending[0], "RUNNING")
+            pending[0]["Status"]["Timeline"]["StartDateTime"] = self.now
+            self._set_state(c, "RUNNING")
+            c["_last_activity"] = self.now
+            return
+        # no work left
+        if c["AutoTerminate"]:
+            self._set_state(c, "TERMINATING")
+            return
+        if state != "WAITING":
+            self._set_state(
+                c, "WAITING", "", "Cluster ready to run steps."
+            )
+            c["_last_activity"] = self.now
+            return
+        idle = c.get("_idle_timeout")
+        if idle and self.now - c["_last_activity"] > idle:
+            self._set_state(
+                c, "TERMINATED", "ALL_STEPS_COMPLETED",
+                "Terminated due to idle timeout",
+            )
+
+    @staticmethod
+    def _pending(c: dict) -> list:
+        return [s for s in c["_steps"] if s["Status"]["State"] == "PENDING"]
+
+    # -- step execution ------------------------------------------------------
+
+    def _execute_step(self, c: dict, step: dict) -> None:
+        jar_step = step["HadoopJarStep"]
+        jar = jar_step.get("Jar", "")
+        args = list(jar_step.get("Args") or [])
+
+        if os.path.basename(jar) == COMMAND_RUNNER_JAR and args and \
+                args[0] == "hadoop-streaming":
+            streaming_args = args[1:]
+        elif "streaming" in os.path.basename(jar):
+            streaming_args = args
+        else:
+            self._finish_step(
+                c, step, 1, b"", b"mockemr: only hadoop-streaming steps"
+                b" are executed by this mock\n",
+            )
+            return
+
+        log_dir = tempfile.mkdtemp(prefix="mockemr-logs-")
+        try:
+            import mrjob_spark
+
+            repo_root = os.path.dirname(os.path.dirname(
+                os.path.abspath(mrjob_spark.__file__)))
+            env = dict(os.environ)
+            env.update({
+                "MOCK_HDFS_ROOT": self.s3_root,
+                "MOCK_FS_SCHEME": "s3",
+                "MOCK_HADOOP_LOG_DIR": log_dir,
+                "PYTHONPATH": repo_root + os.pathsep
+                + env.get("PYTHONPATH", ""),
+            })
+            proc = subprocess.run(
+                [sys.executable, "-m", "mrjob_spark.testing.mockhadoop",
+                 "jar", "hadoop-streaming.jar"] + streaming_args,
+                capture_output=True, env=env,
+            )
+            self._finish_step(
+                c, step, proc.returncode, proc.stdout, proc.stderr,
+                container_log_dir=log_dir,
+            )
+        finally:
+            shutil.rmtree(log_dir, ignore_errors=True)
+
+    def _finish_step(self, c: dict, step: dict, returncode: int,
+                     stdout: bytes, stderr: bytes,
+                     container_log_dir: str | None = None) -> None:
+        self._write_step_logs(c, step, stdout, stderr, container_log_dir)
+        step["Status"]["Timeline"]["EndDateTime"] = self.now
+        if returncode == 0:
+            self._set_state(step, "COMPLETED")
+            return
+        self._set_state(step, "FAILED")
+        action = step.get("ActionOnFailure", "TERMINATE_CLUSTER")
+        if action in ("TERMINATE_CLUSTER", "TERMINATE_JOB_FLOW"):
+            self._set_state(
+                c, "TERMINATING", "STEP_FAILURE",
+                "Shut down as step failed",
+            )
+            for s in c["_steps"]:
+                if s["Status"]["State"] == "PENDING":
+                    self._set_state(s, "CANCELLED")
+        elif action == "CANCEL_AND_WAIT":
+            for s in c["_steps"]:
+                if s["Status"]["State"] == "PENDING":
+                    self._set_state(s, "CANCELLED")
+        # CONTINUE: later steps still run
+
+    def _write_step_logs(self, c: dict, step: dict, stdout: bytes,
+                         stderr: bytes,
+                         container_log_dir: str | None) -> None:
+        log_uri = c.get("LogUri")
+        if not log_uri:
+            return
+        bucket, prefix = _parse_s3_uri(log_uri)
+        base = "%s%s/steps/%s" % (
+            prefix if not prefix or prefix.endswith("/") else prefix + "/",
+            c["Id"], step["Id"],
+        )
+        self.s3.put_object(
+            Bucket=bucket, Key=base + "/stderr.gz",
+            Body=gzip.compress(stderr),
+        )
+        self.s3.put_object(
+            Bucket=bucket, Key=base + "/syslog.gz",
+            Body=gzip.compress(stdout),
+        )
+        self.s3.put_object(
+            Bucket=bucket, Key=base + "/controller.gz",
+            Body=gzip.compress(
+                json.dumps({"exit_code_source": "mockemr"}).encode()
+            ),
+        )
+        if not container_log_dir:
+            return
+        m = _APP_ID_RE.search(stderr.decode("utf-8", "replace"))
+        app_id = m.group(0) if m else "application_unknown"
+        userlogs = os.path.join(container_log_dir, "userlogs")
+        if not os.path.isdir(userlogs):
+            return
+        cprefix = "%s%s/containers/%s" % (
+            prefix if not prefix or prefix.endswith("/") else prefix + "/",
+            c["Id"], app_id,
+        )
+        for dirpath, _, names in os.walk(userlogs):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                container = os.path.basename(dirpath)
+                with open(full, "rb") as fh:
+                    self.s3.put_object(
+                        Bucket=bucket,
+                        Key="%s/%s/%s.gz" % (cprefix, container, name),
+                        Body=gzip.compress(fh.read()),
+                    )

@@ -1,0 +1,404 @@
+"""``-r emr`` against the executing mock EMR/S3 service
+(:mod:`mrjob_spark.testing.mockemr`).
+
+Behavioral contract: reference ``mrjob/emr.py`` (launch / step polling /
+log fetch), ``mrjob/cloud.py`` (cloud tmp + uploads), ``mrjob/pool.py``
+(tag-based pooling + locking). The mock EXECUTES streaming steps through
+the mockhadoop engine over a real on-disk S3 store, so these tests cover
+command rendering, uploads, shuffle semantics, counters, pooling, idle
+termination, self-termination retry, and failure diagnosis for real —
+not request-shape assertions alone."""
+
+import os
+
+import pytest
+
+from mrjob_spark.dataflow.emr import (
+    EMRJobRunner,
+    PooledClusterSelfTerminated,
+)
+from mrjob_spark.dataflow.job import SparkMRJob
+from mrjob_spark.dataflow.step import MRStep
+from mrjob_spark.testing.mockemr import MockEMRService
+
+
+class MRWordFreq(SparkMRJob):
+    def steps(self):
+        return [MRStep(mapper=self.m, combiner=self.r, reducer=self.r)]
+
+    def m(self, _, line):
+        for w in line.split():
+            yield w.lower(), 1
+
+    def r(self, w, counts):
+        yield w, sum(counts)
+
+
+class MRTwoStepTop(SparkMRJob):
+    """wordcount → global argmax (a 2-step chain: step-output goes
+    through S3 between steps)."""
+
+    def steps(self):
+        return [
+            MRStep(mapper=self.m, reducer=self.r),
+            MRStep(reducer=self.top),
+        ]
+
+    def m(self, _, line):
+        for w in line.split():
+            yield w.lower(), 1
+
+    def r(self, w, counts):
+        yield None, (sum(counts), w)
+
+    def top(self, _, pairs):
+        yield max(pairs)
+
+
+class MRBoom(SparkMRJob):
+    def steps(self):
+        return [MRStep(mapper=self.m, reducer=self.r)]
+
+    def m(self, _, line):
+        yield "k", line
+
+    def r(self, key, values):
+        raise ValueError("exploding reducer on purpose")
+
+
+@pytest.fixture
+def svc(tmp_path):
+    return MockEMRService(tmp_path / "emr")
+
+
+@pytest.fixture
+def input_file(tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("apple Banana apple\ncherry banana APPLE\n")
+    return str(p)
+
+
+def _runner(svc, job, input_file, **kwargs):
+    kwargs.setdefault("emr_client", svc.emr_client())
+    kwargs.setdefault("s3_client", svc.s3_client())
+    kwargs.setdefault("check_cluster_every", 0.0)
+    return EMRJobRunner(job, input_paths=[input_file], **kwargs)
+
+
+# ---------------------------------------------------------------------
+# output + counters differentials
+# ---------------------------------------------------------------------
+
+
+def test_wordcount_matches_inline(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file, num_reducers=2) as r:
+        got = sorted(r.cat_output())
+    inline = MRWordFreq().make_inline_runner(input_paths=[input_file])
+    inline.run()
+    assert got == sorted(inline.cat_output())
+    assert got[0] == ("apple", 3)
+
+
+def test_two_step_chain_through_s3(svc, input_file):
+    with _runner(svc, MRTwoStepTop(), input_file) as r:
+        got = list(r.cat_output())
+        step_ids = list(r._step_ids)
+    assert got == [(3, "apple")]
+    assert len(step_ids) == 2
+
+
+def test_framework_counters_fetched_from_step_logs(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file) as r:
+        r.run()
+        counters = r.counters()
+    mrfw = counters["Map-Reduce Framework"]
+    assert mrfw["Map input records"] == 2
+    assert mrfw["Map output records"] == 6
+    assert counters["Job Counters"]["Launched map tasks"] == 1
+
+
+# ---------------------------------------------------------------------
+# cluster lifecycle + step rendering
+# ---------------------------------------------------------------------
+
+
+def test_throwaway_cluster_auto_terminates(svc, input_file):
+    r = _runner(svc, MRWordFreq(), input_file)
+    r.run()
+    cid = r.get_cluster_id()
+    cluster = svc.clusters[cid]
+    assert cluster["AutoTerminate"] is True
+    svc.sleep(1)  # RUNNING → TERMINATING (no work left)
+    svc.sleep(1)  # TERMINATING → TERMINATED
+    assert svc.clusters[cid]["Status"]["State"] == "TERMINATED"
+    r.cleanup()
+
+
+def test_step_shape_and_arg_order(svc, input_file):
+    r = _runner(svc, MRWordFreq(), input_file, num_reducers=2)
+    r.run()
+    step = svc.clusters[r.get_cluster_id()]["_steps"][0]
+    jar_step = step["HadoopJarStep"]
+    assert jar_step["Jar"] == "command-runner.jar"
+    args = jar_step["Args"]
+    assert args[0] == "hadoop-streaming"
+    # the reference's arg order: uploads → -D → cmdenv → input/output →
+    # task commands (mrjob/bin.py:307-352)
+    order = [args.index(sw) for sw in
+             ("-files", "-D", "-cmdenv", "-input", "-output", "-mapper",
+              "-combiner", "-reducer")]
+    assert order == sorted(order)
+    files = args[args.index("-files") + 1]
+    assert "#job.pkl" in files and "#mrjob_spark.zip" in files
+    assert all(e.startswith("s3://") for e in files.split(","))
+    assert "mapreduce.job.reduces=2" in args
+    assert step["ActionOnFailure"] == "TERMINATE_CLUSTER"
+    r.cleanup()
+
+
+def test_pooled_and_joined_steps_cancel_and_wait(svc, input_file):
+    r = _runner(svc, MRWordFreq(), input_file, pool_clusters=True)
+    assert r._action_on_failure() == "CANCEL_AND_WAIT"
+    r2 = _runner(svc, MRWordFreq(), input_file, cluster_id="j-GIVEN")
+    assert r2._action_on_failure() == "CANCEL_AND_WAIT"
+
+
+def test_explicit_output_dir_survives_cleanup(svc, input_file):
+    out = "s3://results/wc/"
+    with _runner(svc, MRWordFreq(), input_file, output_dir=out) as r:
+        r.run()
+    # after cleanup: job tmp is gone, results remain
+    r2 = _runner(svc, MRWordFreq(), input_file)
+    assert list(r._s3_ls(out))
+    assert not list(r._s3_ls(r._job_tmp))
+    del r2
+
+
+# ---------------------------------------------------------------------
+# pooling
+# ---------------------------------------------------------------------
+
+
+def test_pooling_reuses_waiting_cluster(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    # pooled cluster is left alive and settles WAITING, not terminated
+    svc.sleep(1)
+    assert svc.clusters[cid1]["Status"]["State"] == "WAITING"
+
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r2:
+        r2.run()
+        cid2 = r2.get_cluster_id()
+        got = sorted(r2.cat_output())
+    assert cid2 == cid1              # reused, no second cluster
+    assert len(svc.clusters) == 1
+    assert got[0] == ("apple", 3)
+
+
+def test_pool_hash_mismatch_creates_new_cluster(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 bootstrap=["./install-libs.sh"]) as r2:
+        r2.run()
+        cid2 = r2.get_cluster_id()
+    assert cid2 != cid1
+    assert len(svc.clusters) == 2
+
+
+def test_pool_name_mismatch_creates_new_cluster(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r1:
+        r1.run()
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 pool_name="other") as r2:
+        r2.run()
+    assert len(svc.clusters) == 2
+
+
+def test_fresh_lock_blocks_reuse_expired_lock_does_not(svc, input_file):
+    import time as _time
+
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+
+    # another job holds a fresh lock → we must start our own cluster
+    svc.emr_client().add_tags(
+        ResourceId=cid1,
+        Tags=[{"Key": "__mrjob_pool_lock",
+               "Value": "other.job %f" % (_time.time() + 60)}],
+    )
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r2:
+        r2.run()
+        assert r2.get_cluster_id() != cid1
+    # take r2's (newer, also-matching) cluster out of the pool so the
+    # expired-lock phase below can only match cid1
+    svc.emr_client().terminate_job_flows(JobFlowIds=[r2.get_cluster_id()])
+
+    # an EXPIRED lock is ignored (mrjob/pool.py:635-645)
+    svc.emr_client().add_tags(
+        ResourceId=cid1,
+        Tags=[{"Key": "__mrjob_pool_lock",
+               "Value": "other.job %f" % (_time.time() - 10)}],
+    )
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r3:
+        r3.run()
+        assert r3.get_cluster_id() == cid1
+
+
+def test_idle_pooled_cluster_self_reaps(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 max_mins_idle=1.0) as r1:
+        r1.run()
+        cid = r1.get_cluster_id()
+    svc.sleep(1)
+    assert svc.clusters[cid]["Status"]["State"] == "WAITING"
+    svc.sleep(2 * 60)
+    svc.sleep(1)
+    assert svc.clusters[cid]["Status"]["State"] == "TERMINATED"
+
+
+def test_self_terminated_pooled_cluster_retries_on_fresh(
+    svc, input_file,
+):
+    # leave a pooled cluster WAITING
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+
+    class DyingEMRClient:
+        """Kills the pooled cluster the moment our steps land on it —
+        the spot-loss race the reference retries on."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def add_job_flow_steps(self, **kwargs):
+            out = self._inner.add_job_flow_steps(**kwargs)
+            if kwargs["JobFlowId"] == cid1:
+                svc.self_terminate(cid1)
+            return out
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    r2 = _runner(
+        svc, MRWordFreq(), input_file, pool_clusters=True,
+        emr_client=DyingEMRClient(svc.emr_client()),
+    )
+    with r2:
+        r2.run()  # must NOT raise: retried on a fresh cluster
+        got = sorted(r2.cat_output())
+    assert got[0] == ("apple", 3)
+    assert r2.get_cluster_id() != cid1
+    reason = svc.clusters[cid1]["Status"]["StateChangeReason"]["Message"]
+    assert "terminated" in reason.lower()
+
+
+def test_self_termination_exception_when_not_retryable(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    svc.self_terminate(cid1)
+    # detection helper: the reference's message-shape regex
+    from mrjob_spark.dataflow.emr import _cluster_self_terminated
+
+    cluster = svc.emr_client().describe_cluster(ClusterId=cid1)["Cluster"]
+    assert _cluster_self_terminated(cluster)
+    with pytest.raises(PooledClusterSelfTerminated):
+        raise PooledClusterSelfTerminated("shape check")
+
+
+# ---------------------------------------------------------------------
+# failure diagnosis
+# ---------------------------------------------------------------------
+
+
+def test_failed_step_surfaces_probable_cause(svc, input_file):
+    r = _runner(svc, MRBoom(), input_file)
+    with pytest.raises(RuntimeError) as exc_info:
+        r.run()
+    msg = str(exc_info.value)
+    assert "FAILED" in msg
+    assert "Probable cause of failure" in msg
+    assert "exploding reducer on purpose" in msg
+    # TERMINATE_CLUSTER action shut the cluster down
+    state = svc.clusters[r.get_cluster_id()]["Status"]["State"]
+    assert state.startswith("TERMINAT")
+    r.cleanup()
+
+
+def test_step_logs_land_in_emr_s3_layout(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file) as r:
+        r.run()
+        cid = r.get_cluster_id()
+        sid = r._step_ids[0]
+        keys = [u for u in r._s3_ls(r._cloud_log_dir)]
+    assert any("%s/steps/%s/stderr.gz" % (cid, sid) in k for k in keys)
+    assert any("/containers/" in k for k in keys)
+
+
+# ---------------------------------------------------------------------
+# CLI + cross-process mock persistence
+# ---------------------------------------------------------------------
+
+
+def test_cli_runner_emr_with_mock_env(tmp_path, input_file, monkeypatch,
+                                      capsysbinary):
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(tmp_path / "emr-cli"))
+    job = MRWordFreq([
+        "-r", "emr", "--no-conf", input_file, "--num-reducers", "1",
+    ])
+    runner = job.make_runner()
+    assert isinstance(runner, EMRJobRunner)
+    with runner:
+        runner.run()
+        got = sorted(runner.cat_output())
+    assert got[0] == ("apple", 3)
+
+
+def test_mock_state_persists_across_service_instances(
+    tmp_path, input_file,
+):
+    base = tmp_path / "emr-persist"
+    svc1 = MockEMRService(base)
+    with _runner(svc1, MRWordFreq(), input_file,
+                 pool_clusters=True) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    # a brand-new service instance over the same dir sees the WAITING
+    # pooled cluster (what lets a second CLI process reuse it)
+    svc2 = MockEMRService(base)
+    with _runner(svc2, MRWordFreq(), input_file,
+                 pool_clusters=True) as r2:
+        r2.run()
+        assert r2.get_cluster_id() == cid1
+
+
+def test_counters_match_inline_reporter_side_channel(svc, tmp_path):
+    """A8 over -r emr: counters incremented in task code arrive via the
+    step's driver log, matching the inline runner's totals."""
+    src = tmp_path / "lines.txt"
+    src.write_text("a b\nc\n")
+
+    class MRCounting(SparkMRJob):
+        def steps(self):
+            return [MRStep(mapper=self.m, reducer=self.r)]
+
+        def m(self, _, line):
+            self.increment_counter("app", "lines", 1)
+            for w in line.split():
+                yield w, 1
+
+        def r(self, w, counts):
+            yield w, sum(counts)
+
+    with _runner(svc, MRCounting(), str(src)) as r:
+        r.run()
+        emr_app = r.counters().get("app", {})
+    inline = MRCounting().make_inline_runner(input_paths=[str(src)])
+    inline.run()
+    assert emr_app == inline.counters().get("app", {})
+    assert emr_app == {"lines": 2}
