@@ -427,3 +427,87 @@ def mr_hadoop_wordfreq(spark, sf_dir):
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "mr_emr_wordfreq",
+    sql=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt, TRUE AS same_cluster
+    FROM ({_WORDS_SQL}) GROUP BY word
+    """,
+)
+def mr_emr_wordfreq(spark, sf_dir):
+    """The wordcount executed by the ``-r emr`` runner (``mrjob/emr.py``
+    + ``mrjob/pool.py``) against the in-repo EXECUTING mock EMR/S3
+    service (:mod:`mrjob_spark.testing.mockemr`) — with CLUSTER POOLING
+    made oracle-visible: the corpus is split into two halves, each half
+    runs as its own pooled EMR job, and the ``same_cluster`` column
+    asserts the second job reused the cluster the first left WAITING
+    (the mrjob/pool.py tag+lock protocol). The per-word counts are the
+    SUM across the two jobs, so they must equal the whole-corpus counts
+    regardless — if pooling regressed, the boolean flips the hash; if
+    step rendering / uploads / shuffle / counter plumbing regressed, the
+    counts do. Each job drives the full control plane for real: uploads
+    to the on-disk S3 store, run_job_flow / add_job_flow_steps / the
+    describe_step poll loop, streaming-step execution through the
+    mockhadoop engine, and counter fetch from the step's stderr.gz in
+    the EMR S3 log layout. Costed like mr_hadoop_wordfreq (per-task
+    Python re-entry is the reference's own cluster cost).
+
+    Scale note: on real EMR the driver moves command lines and counters;
+    data stays on S3/HDFS end to end. Pooling is the 100-TB-fleet win
+    this query pins — reusing a WAITING cluster skips the multi-minute
+    provision+bootstrap per job."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mrjob_spark.dataflow.emr import EMRJobRunner
+    from mrjob_spark.testing.mockemr import MockEMRService
+
+    t = Tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mrjob-spark-emr-q-")
+    try:
+        svc = MockEMRService(os.path.join(tmp, "emr"))
+        lines = t.documents.select(
+            F.regexp_replace("text", r"[\r\n]+", " ").alias("value"),
+            (F.crc32(F.col("doc_id").cast("string")) % 2).alias("half"),
+        )
+        counts: dict = {}
+        cluster_ids = []
+        for half in (0, 1):
+            in_dir = os.path.join(tmp, "in-%d" % half)
+            (
+                lines.filter(F.col("half") == half).select("value")
+                .repartition(1).write.text(in_dir)
+            )
+            runner = EMRJobRunner(
+                MRWordFreqCount(),
+                input_paths=[os.path.join(in_dir, "part-*")],
+                emr_client=svc.emr_client(),
+                s3_client=svc.s3_client(),
+                cloud_tmp_dir="s3://mrjob-spark-tmp/",
+                pool_clusters=True,
+                check_cluster_every=0.0,
+                num_reducers=2,
+            )
+            with runner:
+                for w, c in runner.cat_output():
+                    counts[w] = counts.get(w, 0) + int(c)
+                cluster_ids.append(runner.get_cluster_id())
+        same_cluster = (
+            len(set(cluster_ids)) == 1 and len(svc.clusters) == 1
+        )
+        rows = [(w, c, same_cluster) for w, c in counts.items()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("same_cluster", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
