@@ -373,6 +373,27 @@ class SparkMRJob:
 
         return EMRJobRunner(self, **kwargs)
 
+    def make_dataproc_runner(self, **kwargs):
+        """Build a :class:`DataprocJobRunner` — upload to GCS, create/
+        join a Dataproc cluster, submit one ``hadoopJob`` per step
+        through the jobs API, stream the chunked driver output, and
+        read results from GCS (the reference's ``-r dataproc``,
+        ``mrjob/dataproc.py``). Clients must be injected in this
+        environment (``cluster_client=``/``job_client=``/
+        ``storage_client=``/``logging_client=`` — tests use
+        :class:`mrjob_spark.testing.mockdataproc.MockDataprocService`).
+
+        :param kwargs: ``input_paths``, ``output_dir``,
+            ``cluster_name``, ``project_id``, ``region``,
+            ``cloud_tmp_dir``, ``image_version``, ``instance_type``,
+            ``num_core_instances``, ``max_mins_idle``,
+            ``check_cluster_every``, ``num_reducers``, ``jobconf``,
+            ``cmdenv``, ``setup``, ...
+        """
+        from mrjob_spark.dataflow.dataproc import DataprocJobRunner
+
+        return DataprocJobRunner(self, **kwargs)
+
     # ------------------------------------------------------------------
     # distributed-cache path resolution (inside tasks)
     # ------------------------------------------------------------------
@@ -504,7 +525,8 @@ class SparkMRJob:
         )
         parser.add_argument(
             "-r", "--runner",
-            choices=("spark", "inline", "local", "hadoop", "emr"),
+            choices=("spark", "inline", "local", "hadoop", "emr",
+                     "dataproc"),
             default="spark",
             help="inline = single-process, no Spark (dev/test; "
                  "mrjob/inline.py:60-120); local = subprocess-per-task "
@@ -513,7 +535,9 @@ class SparkMRJob:
                  "hadoop jar <streaming jar> (mrjob/hadoop.py:324-482); "
                  "emr = S3 uploads + EMR cluster steps (mrjob/emr.py; "
                  "needs boto3 creds, or $MOCK_EMR_BASE_DIR for the "
-                 "executing mock service)",
+                 "executing mock service); dataproc = GCS uploads + "
+                 "Dataproc jobs API (mrjob/dataproc.py; "
+                 "$MOCK_DATAPROC_BASE_DIR for the executing mock)",
         )
         parser.add_argument("--hadoop-bin", default=None,
                             help="hadoop launcher (default: "
@@ -763,6 +787,44 @@ class SparkMRJob:
                 kwargs["s3_client"] = svc.s3_client()
                 kwargs["check_cluster_every"] = 0.001
             return self.make_emr_runner(**kwargs)
+
+        if opts.runner == "dataproc":
+            kwargs = dict(
+                input_paths=list(opts.input) or ["-"],
+                output_dir=opts.output_dir,
+                region=_opt("region", opts.region, "us-central1"),
+                cluster_name=_opt("cluster_id", opts.cluster_id),
+                cloud_tmp_dir=_opt("cloud_tmp_dir", opts.cloud_tmp_dir),
+                instance_type=_opt(
+                    "instance_type", opts.instance_type, "n1-standard-1"
+                ),
+                num_core_instances=_opt(
+                    "num_core_instances", opts.num_core_instances, 2
+                ),
+                max_mins_idle=_opt(
+                    "max_mins_idle", opts.max_mins_idle, 10.0
+                ),
+                num_reducers=_opt("num_reducers", opts.num_reducers),
+                jobconf=jobconf,
+                conf_jobconf=conf_jobconf,
+                cmdenv=cmdenv,
+                setup=setup,
+            )
+            mock_base = os.environ.get("MOCK_DATAPROC_BASE_DIR")
+            if mock_base:
+                from mrjob_spark.testing.mockdataproc import (
+                    MockDataprocService,
+                )
+
+                svc = MockDataprocService(mock_base)
+                kwargs.update(
+                    cluster_client=svc.cluster_client(),
+                    job_client=svc.job_client(),
+                    storage_client=svc.storage_client(),
+                    logging_client=svc.logging_client(),
+                    check_cluster_every=0.0,
+                )
+            return self.make_dataproc_runner(**kwargs)
 
         if opts.runner == "local":
             return self.make_local_runner(

@@ -113,13 +113,14 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new or semantically changed in round 7: the -r hadoop and -r emr
-    # runners' control-plane queries (wordcount through hadoop jar /
-    # pooled EMR steps against the executing mock clusters), the
-    # tight-radius (≥0.8 cosine) embedding near-dup production query
-    # (VERDICT r6 task 4) and q8_market_share, whose fixture-pinned
-    # fact-table broadcasts were dropped for the q9/q12 scale-adaptive
-    # policy (VERDICT r6 task 2)
+    # new or semantically changed in round 7: the -r hadoop, -r emr and
+    # -r dataproc runners' control-plane queries (wordcount through
+    # hadoop jar / pooled EMR steps / the Dataproc jobs API against the
+    # executing mock clusters), the tight-radius (≥0.8 cosine) embedding
+    # near-dup production query (VERDICT r6 task 4) and q8_market_share,
+    # whose fixture-pinned fact-table broadcasts were dropped for the
+    # q9/q12 scale-adaptive policy (VERDICT r6 task 2)
+    "mr_dataproc_topword",
     "mr_emr_wordfreq",
     "mr_hadoop_wordfreq",
     "l2_embedding_neardup_tight",
@@ -179,11 +180,12 @@ _DRIVER_PRIORITY = [
     "q6_forecast_revenue",
     "q13_customer_distribution",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # q22_sales_opportunity and q19_disjunctive_join (both r4-green)
-    # yielded their slots to the round-7 mr_hadoop_wordfreq /
-    # mr_emr_wordfreq leads; still inside the freshness horizon, first
-    # in line with the 8 deferred r4 singles for the round-8 window
+    # q22_sales_opportunity, q19_disjunctive_join and
+    # q17_small_quantity_revenue (all r4-green) yielded their slots to
+    # the round-7 mr_hadoop_wordfreq / mr_emr_wordfreq /
+    # mr_dataproc_topword leads; still inside the freshness horizon,
+    # first in line with the 8 deferred r4 singles for the round-8
+    # window
 ]
 
 

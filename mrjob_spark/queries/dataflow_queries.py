@@ -19,6 +19,7 @@ from mrjob_spark.dataflow.examples import (
     MRWordFreqCount,
     MRWordFreqSparkFilter,
 )
+from mrjob_spark.dataflow.job import SparkMRJob
 from mrjob_spark.queries import Tables, query
 
 _WORDS_SQL = (
@@ -508,6 +509,99 @@ def mr_emr_wordfreq(spark, sf_dir):
             T.StructField("word", T.StringType()),
             T.StructField("cnt", T.LongType()),
             T.StructField("same_cluster", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+class MRTopWord(SparkMRJob):
+    """wordcount → global argmax, the 2-step chain shape: step 1's
+    output crosses the cloud store into step 2's input."""
+
+    def steps(self):
+        from mrjob_spark.dataflow.step import MRStep
+
+        return [
+            MRStep(mapper=self.wc_map, reducer=self.wc_reduce),
+            MRStep(reducer=self.top_reduce),
+        ]
+
+    def wc_map(self, _, line):
+        import re as _re
+
+        for w in _re.findall(r"[a-z]+", line.lower()):
+            yield w, 1
+
+    def wc_reduce(self, w, counts):
+        yield None, (sum(counts), w)
+
+    def top_reduce(self, _, pairs):
+        yield max(pairs)
+
+
+@query(
+    "mr_dataproc_topword",
+    sql=f"""
+    SELECT CAST(cnt AS BIGINT) AS cnt, word FROM (
+        SELECT word, count(*) AS cnt FROM ({_WORDS_SQL}) GROUP BY word
+    ) ORDER BY cnt DESC, word DESC LIMIT 1
+    """,
+)
+def mr_dataproc_topword(spark, sf_dir):
+    """A TWO-step job through the ``-r dataproc`` runner
+    (``mrjob/dataproc.py``) against the executing mock service
+    (:mod:`mrjob_spark.testing.mockdataproc`): wordcount, then a global
+    argmax whose input is the first job's output ON THE CLOUD STORE —
+    so this row oracle-checks the jobs-API control plane end to end
+    (GCS uploads, cluster create→RUNNING poll, one ``hadoopJob``
+    per step with the shared streaming-arg body, the chunked
+    ``driveroutput.*`` incremental reader, counter parsing from the
+    driver log, and step-output chaining between jobs). The argmax
+    tie-break (max count, then lexicographically greatest word) is
+    stated identically in the oracle's ORDER BY.
+
+    Scale note: like the other cloud runners, the driver moves command
+    lines, driver-log chunks, and counters; per-task Python re-entry is
+    the reference's own cluster cost, priced here deliberately."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mrjob_spark.dataflow.dataproc import DataprocJobRunner
+    from mrjob_spark.testing.mockdataproc import MockDataprocService
+
+    t = Tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mrjob-spark-dataproc-q-")
+    try:
+        svc = MockDataprocService(os.path.join(tmp, "dataproc"))
+        in_dir = os.path.join(tmp, "in")
+        (
+            t.documents.select(
+                F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+            )
+            .repartition(2)
+            .write.text(in_dir)
+        )
+        runner = DataprocJobRunner(
+            MRTopWord(),
+            input_paths=[os.path.join(in_dir, "part-*")],
+            cluster_client=svc.cluster_client(),
+            job_client=svc.job_client(),
+            storage_client=svc.storage_client(),
+            logging_client=svc.logging_client(),
+            check_cluster_every=0.0,
+            num_reducers=2,
+        )
+        with runner:
+            rows = [(int(cnt), w) for cnt, w in runner.cat_output()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("word", T.StringType()),
         ]
     )
     return spark.createDataFrame(rows, schema)

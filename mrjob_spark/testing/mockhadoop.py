@@ -69,14 +69,14 @@ def _to_real(uri: str) -> str:
     """hdfs/s3 URI/path → path under $MOCK_HDFS_ROOT.
 
     An ``hdfs://host:port/p`` authority is a namenode address — not part
-    of the file's identity — so it's stripped. An ``s3://bucket/key``
-    authority IS the bucket, so it maps to a first path component
-    (``$MOCK_HDFS_ROOT/bucket/key``) — which is also how the mock EMR
-    service lays buckets out, so EMR steps and ``fs`` commands see one
-    store."""
+    of the file's identity — so it's stripped. An ``s3://bucket/key`` /
+    ``gs://bucket/key`` authority IS the bucket, so it maps to a first
+    path component (``$MOCK_HDFS_ROOT/bucket/key``) — which is also how
+    the mock EMR/Dataproc services lay buckets out, so cloud steps and
+    ``fs`` commands see one store."""
     if "://" in uri:
         scheme, rest = uri.split("://", 1)
-        if scheme in ("s3", "s3a", "s3n"):
+        if scheme in ("s3", "s3a", "s3n", "gs"):
             path = "/" + rest
         else:
             # strip authority (host:port or empty)
@@ -93,7 +93,7 @@ def _to_real(uri: str) -> str:
 def _to_uri(real: str) -> str:
     rel = os.path.relpath(real, hdfs_root())
     scheme = os.environ.get("MOCK_FS_SCHEME", "hdfs")
-    if scheme in ("s3", "s3a", "s3n"):
+    if scheme in ("s3", "s3a", "s3n", "gs"):
         return "%s://%s" % (scheme, rel.replace(os.sep, "/"))
     return "hdfs:///" + rel.replace(os.sep, "/")
 
