@@ -18,6 +18,10 @@ that make sense for this engine:
 * ``spark-submit [-r runner] [options] <script.py|app.jar> [args]`` — the
   reference's drop-in spark-submit replacement with mrjob extras
   (``mrjob/tools/spark_submit.py``); see :mod:`mrjob_spark.spark_submit`.
+* the EMR cluster-admin tools (``mrjob/tools/emr/*`` →
+  :mod:`mrjob_spark.emr_tools`): ``create-cluster``,
+  ``terminate-cluster``, ``terminate-idle-clusters``,
+  ``audit-emr-usage``, ``report-long-jobs``, ``s3-tmpwatch``.
 
 Invoke as ``python -m mrjob_spark <subcommand>`` (``__main__.py``).
 """
@@ -76,6 +80,33 @@ def _spark_submit(args: list) -> int:
     from mrjob_spark.spark_submit import main as spark_submit_main
 
     return spark_submit_main(args)
+
+
+def _emr_tool(name: str, description: str, fn_name: str):
+    @_command(name, description)
+    def tool(args: list, _fn_name=fn_name) -> int:
+        import mrjob_spark.emr_tools as emr_tools
+
+        return getattr(emr_tools, _fn_name)(args)
+
+    return tool
+
+
+_emr_tool("create-cluster",
+          "Create a persistent pooled EMR cluster (prints its id)",
+          "create_cluster_main")
+_emr_tool("terminate-cluster", "Terminate an EMR cluster by id",
+          "terminate_cluster_main")
+_emr_tool("terminate-idle-clusters",
+          "Reap WAITING EMR clusters idle past a threshold",
+          "terminate_idle_clusters_main")
+_emr_tool("audit-emr-usage", "Per-cluster and per-pool usage report",
+          "audit_usage_main")
+_emr_tool("report-long-jobs",
+          "EMR steps pending/running longer than a threshold",
+          "report_long_jobs_main")
+_emr_tool("s3-tmpwatch", "Delete S3 objects older than an age",
+          "s3_tmpwatch_main")
 
 
 @_command("diagnose", "Extract the probable cause from a failed job's log")

@@ -100,6 +100,96 @@ class PooledClusterSelfTerminated(Exception):
     """A pooled cluster died under our job (spot loss)."""
 
 
+def build_cluster_params(
+    name: str,
+    release_label: str = "emr-6.9.0",
+    instance_type: str = "m5.xlarge",
+    master_instance_type: Optional[str] = None,
+    num_core_instances: int = 2,
+    ec2_key_pair: Optional[str] = None,
+    applications: Optional[list] = None,
+    bootstrap: Optional[list] = None,
+    tags: Optional[dict] = None,
+    log_uri: str = "",
+    keep_alive: bool = False,
+    max_mins_idle: float = 10.0,
+    pool_name: Optional[str] = None,
+    pool_hash: Optional[str] = None,
+    step_concurrency_level: int = 1,
+    extra_cluster_params: Optional[dict] = None,
+) -> dict:
+    """One ``run_job_flow`` request (boto3 shape) — shared by the runner
+    and the ``mrjob create-cluster`` tool so a tool-made persistent
+    cluster is poolable by jobs with the matching config hash."""
+    tag_list = [
+        {"Key": k, "Value": str(v)} for k, v in sorted(
+            (tags or {}).items()
+        )
+    ]
+    if pool_name is not None:
+        tag_list += [
+            {"Key": _POOL_NAME_TAG, "Value": pool_name},
+        ]
+        if pool_hash is not None:
+            tag_list += [{"Key": _POOL_HASH_TAG, "Value": pool_hash}]
+    instances = {
+        "MasterInstanceType": master_instance_type or instance_type,
+        "SlaveInstanceType": instance_type,
+        "InstanceCount": 1 + num_core_instances,
+        "KeepJobFlowAliveWhenNoSteps": keep_alive,
+    }
+    if ec2_key_pair:
+        instances["Ec2KeyName"] = ec2_key_pair
+    params = {
+        "Name": name,
+        "ReleaseLabel": release_label,
+        "LogUri": log_uri,
+        "Applications": [
+            {"Name": a} for a in (applications or ["Hadoop"])
+        ],
+        "Instances": instances,
+        "Tags": tag_list,
+        "BootstrapActions": [
+            {
+                "Name": "bootstrap %d" % i,
+                "ScriptBootstrapAction": {"Path": line, "Args": []},
+            }
+            for i, line in enumerate(bootstrap or [])
+        ],
+    }
+    if step_concurrency_level != 1:
+        params["StepConcurrencyLevel"] = step_concurrency_level
+    if keep_alive:
+        params["AutoTerminationPolicy"] = {
+            "IdleTimeout": int(max_mins_idle * 60)
+        }
+    # opt-in arbitrary params, the reference's extra_cluster_params
+    # (mrjob/cloud.py:359-369): top-level keys set or (None) delete
+    for key, value in (extra_cluster_params or {}).items():
+        if value is None:
+            params.pop(key, None)
+        else:
+            params[key] = value
+    return params
+
+
+def pool_config_hash(
+    release_label: str,
+    instance_type: str,
+    master_instance_type: str,
+    num_core_instances: int,
+    applications: list,
+    bootstrap: list,
+) -> str:
+    """Everything that must match for two jobs to share a cluster (the
+    role of the reference's pool hash, mrjob/pool.py)."""
+    spec = json.dumps([
+        release_label, instance_type, master_instance_type,
+        num_core_instances, sorted(applications), list(bootstrap),
+    ], sort_keys=True)
+    return hashlib.md5(spec.encode("utf-8")).hexdigest()
+
+
 class EMRJobRunner(StreamingStepRenderer):
     """EMR runner with the same surface as the other four
     (``run`` / ``cat_output`` / ``counters`` / context manager).
@@ -353,17 +443,11 @@ class EMRJobRunner(StreamingStepRenderer):
     # --- pooling ----------------------------------------------------------
 
     def _pool_hash(self) -> str:
-        """Everything that must match for two jobs to share a cluster
-        (the role of the reference's pool hash, mrjob/pool.py)."""
-        spec = json.dumps([
-            self._release_label,
-            self._instance_type,
-            self._master_instance_type,
-            self._num_core_instances,
-            sorted(self._applications),
-            self._bootstrap,
-        ], sort_keys=True)
-        return hashlib.md5(spec.encode("utf-8")).hexdigest()
+        return pool_config_hash(
+            self._release_label, self._instance_type,
+            self._master_instance_type, self._num_core_instances,
+            self._applications, self._bootstrap,
+        )
 
     @staticmethod
     def _tags_dict(cluster: dict) -> dict:
@@ -440,52 +524,23 @@ class EMRJobRunner(StreamingStepRenderer):
 
     def _cluster_params(self) -> dict:
         """The ``run_job_flow`` request (boto3 shape)."""
-        keep_alive = self._pool_clusters
-        tags = [
-            {"Key": k, "Value": str(v)} for k, v in sorted(
-                self._tags.items()
-            )
-        ]
-        if self._pool_clusters:
-            tags += [
-                {"Key": _POOL_NAME_TAG, "Value": self._pool_name},
-                {"Key": _POOL_HASH_TAG, "Value": self._pool_hash()},
-            ]
-        instances = {
-            "MasterInstanceType": self._master_instance_type,
-            "SlaveInstanceType": self._instance_type,
-            "InstanceCount": 1 + self._num_core_instances,
-            "KeepJobFlowAliveWhenNoSteps": keep_alive,
-        }
-        if self._ec2_key_pair:
-            instances["Ec2KeyName"] = self._ec2_key_pair
-        params = {
-            "Name": self._job_key,
-            "ReleaseLabel": self._release_label,
-            "LogUri": self._cloud_log_dir,
-            "Applications": [{"Name": a} for a in self._applications],
-            "Instances": instances,
-            "Tags": tags,
-            "BootstrapActions": [
-                {
-                    "Name": "bootstrap %d" % i,
-                    "ScriptBootstrapAction": {"Path": line, "Args": []},
-                }
-                for i, line in enumerate(self._bootstrap)
-            ],
-        }
-        if keep_alive:
-            params["AutoTerminationPolicy"] = {
-                "IdleTimeout": int(self._max_mins_idle * 60)
-            }
-        # opt-in arbitrary params, the reference's extra_cluster_params
-        # (mrjob/cloud.py:359-369): top-level keys set or (None) delete
-        for key, value in self._extra_cluster_params.items():
-            if value is None:
-                params.pop(key, None)
-            else:
-                params[key] = value
-        return params
+        return build_cluster_params(
+            name=self._job_key,
+            release_label=self._release_label,
+            instance_type=self._instance_type,
+            master_instance_type=self._master_instance_type,
+            num_core_instances=self._num_core_instances,
+            ec2_key_pair=self._ec2_key_pair,
+            applications=self._applications,
+            bootstrap=self._bootstrap,
+            tags=self._tags,
+            log_uri=self._cloud_log_dir,
+            keep_alive=self._pool_clusters,
+            max_mins_idle=self._max_mins_idle,
+            pool_name=self._pool_name if self._pool_clusters else None,
+            pool_hash=self._pool_hash() if self._pool_clusters else None,
+            extra_cluster_params=self._extra_cluster_params,
+        )
 
     def _launch(self, use_pool: bool = True) -> None:
         if use_pool and self._pool_clusters and not self._cluster_id:
@@ -765,4 +820,9 @@ class EMRJobRunner(StreamingStepRenderer):
         return False
 
 
-__all__ = ["EMRJobRunner", "PooledClusterSelfTerminated"]
+__all__ = [
+    "EMRJobRunner",
+    "PooledClusterSelfTerminated",
+    "build_cluster_params",
+    "pool_config_hash",
+]

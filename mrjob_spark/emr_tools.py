@@ -1,0 +1,367 @@
+"""EMR cluster-admin tools (reference ``mrjob/tools/emr/*``), exposed as
+``mrjob`` umbrella subcommands:
+
+* ``create-cluster`` — a persistent (WAITING) cluster, pool-tagged so
+  jobs with the matching config hash can join it
+  (``mrjob/tools/emr/create_cluster.py``).
+* ``terminate-cluster <id>`` — ``terminate_cluster.py``.
+* ``terminate-idle-clusters`` — reap WAITING clusters idle past a
+  threshold; honors ``--dry-run``, ``--pool-name``, ``--pooled-only``
+  and SKIPS clusters another job holds a non-expired pool lock on
+  (``terminate_idle_clusters.py``; the lock skip is the 0.6.x behavior
+  that stopped the tool racing job submission).
+* ``audit-emr-usage`` — per-cluster and per-pool usage report
+  (``audit_usage.py``, the basic-summary slice: state, age, steps;
+  the reference's normalized-instance-hour billing math needs the EC2
+  compute-unit tables, out of scope without AWS).
+* ``report-long-jobs`` — steps running/pending longer than a threshold
+  (``report_long_jobs.py``).
+* ``s3-tmpwatch <age> <uri>`` — delete objects under a prefix older
+  than the age (``s3_tmpwatch.py``; age spec like ``30d``, ``12h``,
+  ``90m``).
+
+``mrboss`` (run a shell command on every node over SSH) is out of scope
+by environment — no SSH, documented in SURVEY §1.4.
+
+Every command takes the clients from ``$MOCK_EMR_BASE_DIR`` (the
+executing mock service) when set, else builds boto3 clients on
+``--region`` — the same dual path as ``-r emr`` itself. The
+calculation functions take explicit clients + ``now`` so tests drive
+them deterministically on the mock's fake clock.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+from mrjob_spark.dataflow.emr import (
+    _POOL_HASH_TAG,
+    _POOL_LOCK_TAG,
+    _POOL_NAME_TAG,
+    _parse_s3_uri,
+    build_cluster_params,
+    pool_config_hash,
+)
+
+_ACTIVE_STATES = ["STARTING", "BOOTSTRAPPING", "RUNNING", "WAITING"]
+
+
+def _to_epoch(value) -> float:
+    """boto3 returns datetimes, the mock returns epoch floats."""
+    if value is None:
+        return 0.0
+    if isinstance(value, (int, float)):
+        return float(value)
+    return value.timestamp()
+
+
+def _tags(cluster: dict) -> dict:
+    return {t["Key"]: t["Value"] for t in cluster.get("Tags") or []}
+
+
+def _clients(region=None):
+    """(emr_client, s3_client, now) — mock when $MOCK_EMR_BASE_DIR is
+    set, boto3 otherwise."""
+    mock_base = os.environ.get("MOCK_EMR_BASE_DIR")
+    if mock_base:
+        from mrjob_spark.testing.mockemr import MockEMRService
+
+        svc = MockEMRService(mock_base)
+        return svc.emr_client(), svc.s3_client(), svc.now
+    import boto3
+
+    return (
+        boto3.client("emr", region_name=region),
+        boto3.client("s3", region_name=region),
+        time.time(),
+    )
+
+
+# ---------------------------------------------------------------------
+# calculations (client-driven, `now`-explicit: unit-testable on the mock)
+# ---------------------------------------------------------------------
+
+
+def iter_active_clusters(emr):
+    for summary in emr.list_clusters(
+        ClusterStates=_ACTIVE_STATES
+    ).get("Clusters") or []:
+        yield emr.describe_cluster(ClusterId=summary["Id"])["Cluster"]
+
+
+def cluster_idle_seconds(emr, cluster: dict, now: float) -> float:
+    """Seconds since the cluster last did anything: the end of its last
+    step, else its creation. A cluster with PENDING/RUNNING steps is
+    never idle (returns 0)."""
+    last = _to_epoch(
+        cluster.get("Status", {}).get("Timeline", {})
+        .get("CreationDateTime")
+    )
+    for step in emr.list_steps(ClusterId=cluster["Id"]).get("Steps") or []:
+        state = step["Status"]["State"]
+        if state in ("PENDING", "RUNNING"):
+            return 0.0
+        end = _to_epoch(step["Status"].get("Timeline", {})
+                        .get("EndDateTime"))
+        last = max(last, end)
+    return max(0.0, now - last)
+
+
+def cluster_is_locked(cluster: dict, now_real: float | None = None) -> bool:
+    """A non-expired ``__mrjob_pool_lock`` means a job is between
+    finding this cluster and its steps starting — don't reap it."""
+    lock = _tags(cluster).get(_POOL_LOCK_TAG)
+    if not lock:
+        return False
+    try:
+        _job_key, expiry = lock.rsplit(" ", 1)
+        return float(expiry) > (now_real if now_real is not None
+                                else time.time())
+    except ValueError:
+        return False  # unparseable lock: ignore, like the runner
+
+
+def find_idle_clusters(
+    emr, now: float, max_mins_idle: float = 10.0,
+    pool_name: str | None = None, pooled_only: bool = False,
+) -> list:
+    """(cluster, idle_seconds) pairs over the reap threshold."""
+    out = []
+    for cluster in iter_active_clusters(emr):
+        if cluster["Status"]["State"] != "WAITING":
+            continue
+        tags = _tags(cluster)
+        if pooled_only and _POOL_NAME_TAG not in tags:
+            continue
+        if pool_name is not None and tags.get(_POOL_NAME_TAG) != pool_name:
+            continue
+        if cluster_is_locked(cluster):
+            continue
+        idle = cluster_idle_seconds(emr, cluster, now)
+        if idle > max_mins_idle * 60:
+            out.append((cluster, idle))
+    return out
+
+
+def collect_usage(emr, now: float) -> list:
+    """Basic per-cluster summaries (the reference's
+    ``_cluster_to_basic_summary`` slice)."""
+    rows = []
+    for summary in emr.list_clusters().get("Clusters") or []:
+        cluster = emr.describe_cluster(ClusterId=summary["Id"])["Cluster"]
+        steps = emr.list_steps(ClusterId=cluster["Id"]).get("Steps") or []
+        created = _to_epoch(
+            cluster["Status"].get("Timeline", {}).get("CreationDateTime")
+        )
+        tags = _tags(cluster)
+        rows.append({
+            "id": cluster["Id"],
+            "name": cluster.get("Name", ""),
+            "state": cluster["Status"]["State"],
+            "created": created,
+            "age_hours": max(0.0, now - created) / 3600.0,
+            "num_steps": len(steps),
+            "pool": tags.get(_POOL_NAME_TAG),
+        })
+    return rows
+
+
+def find_long_jobs(emr, now: float, min_hours: float) -> list:
+    """(cluster_id, step, state, hours) for steps PENDING/RUNNING longer
+    than *min_hours* (the reference's report_long_jobs)."""
+    out = []
+    for cluster in iter_active_clusters(emr):
+        for step in emr.list_steps(
+            ClusterId=cluster["Id"]
+        ).get("Steps") or []:
+            state = step["Status"]["State"]
+            if state == "RUNNING":
+                since = _to_epoch(step["Status"].get("Timeline", {})
+                                  .get("StartDateTime"))
+            elif state == "PENDING":
+                since = _to_epoch(step["Status"].get("Timeline", {})
+                                  .get("CreationDateTime"))
+            else:
+                continue
+            hours = max(0.0, now - since) / 3600.0
+            if hours >= min_hours:
+                out.append((cluster["Id"], step, state, hours))
+    return out
+
+
+_AGE_RE = re.compile(r"^(\d+(?:\.\d+)?)([dhm]?)$")
+_AGE_UNIT = {"d": 86400.0, "h": 3600.0, "m": 60.0, "": 86400.0}
+
+
+def parse_age(spec: str) -> float:
+    """``30d`` / ``12h`` / ``90m`` / bare days → seconds (the
+    s3_tmpwatch age syntax)."""
+    m = _AGE_RE.match(spec)
+    if not m:
+        raise ValueError("bad age %r (want e.g. 30d, 12h, 90m)" % spec)
+    return float(m.group(1)) * _AGE_UNIT[m.group(2)]
+
+
+def s3_tmpwatch(s3, uri: str, age_secs: float, dry_run: bool = False,
+                now_real: float | None = None) -> list:
+    """Delete objects under *uri* older than *age_secs*; returns the
+    affected keys. Ages come from object LastModified (real time — the
+    store's own stamps, not the mock clock)."""
+    now_real = time.time() if now_real is None else now_real
+    bucket, prefix = _parse_s3_uri(uri)
+    doomed = []
+    resp = s3.list_objects_v2(Bucket=bucket, Prefix=prefix)
+    for obj in resp.get("Contents") or []:
+        if now_real - _to_epoch(obj.get("LastModified")) > age_secs:
+            doomed.append(obj["Key"])
+            if not dry_run:
+                s3.delete_object(Bucket=bucket, Key=obj["Key"])
+    return doomed
+
+
+# ---------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------
+
+
+def _flagval(args: list, *names, default=None):
+    for name in names:
+        if name in args:
+            i = args.index(name)
+            args.pop(i)
+            return args.pop(i)
+    return default
+
+
+def create_cluster_main(args: list) -> int:
+    args = list(args)
+    region = _flagval(args, "--region")
+    pool_name = _flagval(args, "--pool-name", default="default")
+    release_label = _flagval(args, "--release-label",
+                             default="emr-6.9.0")
+    instance_type = _flagval(args, "--instance-type", default="m5.xlarge")
+    num_core = int(_flagval(args, "--num-core-instances", default="2"))
+    max_idle = float(_flagval(args, "--max-mins-idle", default="10"))
+    log_uri = _flagval(args, "--cloud-log-dir",
+                       default="s3://mrjob-spark-tmp/logs/")
+    emr, _s3, _now = _clients(region)
+    params = build_cluster_params(
+        name="mrjob-create-cluster.%d" % time.time_ns(),
+        release_label=release_label,
+        instance_type=instance_type,
+        num_core_instances=num_core,
+        log_uri=log_uri,
+        keep_alive=True,
+        max_mins_idle=max_idle,
+        pool_name=pool_name,
+        pool_hash=pool_config_hash(
+            release_label, instance_type, instance_type, num_core,
+            ["Hadoop"], [],
+        ),
+    )
+    cluster_id = emr.run_job_flow(**params)["JobFlowId"]
+    print(cluster_id)
+    return 0
+
+
+def terminate_cluster_main(args: list) -> int:
+    args = list(args)
+    region = _flagval(args, "--region")
+    if len(args) != 1:
+        print("usage: mrjob terminate-cluster [--region R] <cluster id>",
+              file=sys.stderr)
+        return 2
+    emr, _s3, _now = _clients(region)
+    emr.terminate_job_flows(JobFlowIds=[args[0]])
+    print("Terminated cluster %s" % args[0], file=sys.stderr)
+    return 0
+
+
+def terminate_idle_clusters_main(args: list) -> int:
+    args = list(args)
+    region = _flagval(args, "--region")
+    max_idle = float(_flagval(args, "--max-mins-idle", default="10"))
+    pool_name = _flagval(args, "--pool-name")
+    pooled_only = "--pooled-only" in args
+    dry_run = "--dry-run" in args
+    quiet = "-q" in args or "--quiet" in args
+    emr, _s3, now = _clients(region)
+    reaped = find_idle_clusters(
+        emr, now, max_mins_idle=max_idle, pool_name=pool_name,
+        pooled_only=pooled_only,
+    )
+    for cluster, idle in reaped:
+        if not dry_run:
+            emr.terminate_job_flows(JobFlowIds=[cluster["Id"]])
+        if not quiet:
+            print("%s %s (%s; idle for %d:%02d:%02d)" % (
+                "Would terminate" if dry_run else "Terminated",
+                cluster["Id"], cluster.get("Name", ""),
+                idle // 3600, idle % 3600 // 60, idle % 60,
+            ), file=sys.stderr)
+    return 0
+
+
+def audit_usage_main(args: list) -> int:
+    args = list(args)
+    region = _flagval(args, "--region")
+    emr, _s3, now = _clients(region)
+    rows = collect_usage(emr, now)
+    print("%-14s %-9s %9s %6s %-10s %s" % (
+        "id", "state", "age_hrs", "steps", "pool", "name"
+    ))
+    for row in rows:
+        print("%-14s %-9s %9.1f %6d %-10s %s" % (
+            row["id"], row["state"], row["age_hours"],
+            row["num_steps"], row["pool"] or "-", row["name"],
+        ))
+    by_pool: dict = {}
+    for row in rows:
+        key = row["pool"] or "(unpooled)"
+        agg = by_pool.setdefault(key, [0, 0.0])
+        agg[0] += 1
+        agg[1] += row["age_hours"]
+    print("\nusage by pool:")
+    for pool in sorted(by_pool):
+        n, hours = by_pool[pool]
+        print("  %-12s %3d clusters %9.1f cluster-hours"
+              % (pool, n, hours))
+    return 0
+
+
+def report_long_jobs_main(args: list) -> int:
+    args = list(args)
+    region = _flagval(args, "--region")
+    min_hours = float(_flagval(args, "--min-hours", default="24"))
+    emr, _s3, now = _clients(region)
+    for cluster_id, step, state, hours in find_long_jobs(
+        emr, now, min_hours
+    ):
+        print("%s: %s in %s for %.1f hours (%s)" % (
+            cluster_id, step["Id"], state, hours,
+            step.get("Name", ""),
+        ))
+    return 0
+
+
+def s3_tmpwatch_main(args: list) -> int:
+    args = list(args)
+    region = _flagval(args, "--region")
+    dry_run = "--dry-run" in args
+    positional = [a for a in args if not a.startswith("-")]
+    if len(positional) != 2:
+        print("usage: mrjob s3-tmpwatch [--dry-run] <age (30d/12h/90m)>"
+              " <s3 uri>", file=sys.stderr)
+        return 2
+    age, uri = positional
+    _emr, s3, _now = _clients(region)
+    doomed = s3_tmpwatch(s3, uri, parse_age(age), dry_run=dry_run)
+    for key in doomed:
+        print("%s s3://%s/%s" % (
+            "Would delete" if dry_run else "Deleted",
+            _parse_s3_uri(uri)[0], key,
+        ), file=sys.stderr)
+    return 0

@@ -115,7 +115,13 @@ class MockS3Client:
                 key = os.path.relpath(full, base).replace(os.sep, "/")
                 if key.startswith(Prefix):
                     contents.append(
-                        {"Key": key, "Size": os.path.getsize(full)}
+                        {
+                            "Key": key,
+                            "Size": os.path.getsize(full),
+                            # epoch float, not datetime: callers accept
+                            # both shapes (tools_emr._to_epoch)
+                            "LastModified": os.path.getmtime(full),
+                        }
                     )
         contents.sort(key=lambda c: c["Key"])
         return {"Contents": contents, "KeyCount": len(contents)}

@@ -1,0 +1,271 @@
+"""EMR cluster-admin tools (reference ``mrjob/tools/emr/*``) — the
+umbrella subcommands over the executing mock service, plus the
+client-driven calculation functions against hand-built client stubs
+(deterministic timestamps without racing the mock's per-call clock)."""
+
+import os
+import time
+
+import pytest
+
+from mrjob_spark.cmd import main as umbrella_main
+from mrjob_spark.dataflow.emr import EMRJobRunner
+from mrjob_spark.dataflow.job import SparkMRJob
+from mrjob_spark.dataflow.step import MRStep
+from mrjob_spark.emr_tools import (
+    cluster_idle_seconds,
+    cluster_is_locked,
+    find_idle_clusters,
+    find_long_jobs,
+    parse_age,
+    s3_tmpwatch,
+)
+from mrjob_spark.testing.mockemr import MockEMRService
+
+
+class MRWordFreq(SparkMRJob):
+    def steps(self):
+        return [MRStep(mapper=self.m, reducer=self.r)]
+
+    def m(self, _, line):
+        for w in line.split():
+            yield w.lower(), 1
+
+    def r(self, w, counts):
+        yield w, sum(counts)
+
+
+# ---------------------------------------------------------------------
+# calculation functions against a stub client
+# ---------------------------------------------------------------------
+
+
+class StubEMR:
+    """Minimal boto3-shaped client over literal dicts — timestamps are
+    whatever the test says they are."""
+
+    def __init__(self, clusters, steps_by_cluster):
+        self._clusters = {c["Id"]: c for c in clusters}
+        self._steps = steps_by_cluster
+        self.terminated = []
+
+    def list_clusters(self, ClusterStates=None, **_):
+        return {"Clusters": [
+            {"Id": c["Id"], "Name": c.get("Name", ""), "Status": c["Status"]}
+            for c in self._clusters.values()
+            if not ClusterStates or c["Status"]["State"] in ClusterStates
+        ]}
+
+    def describe_cluster(self, ClusterId):
+        return {"Cluster": self._clusters[ClusterId]}
+
+    def list_steps(self, ClusterId, **_):
+        return {"Steps": self._steps.get(ClusterId, [])}
+
+    def terminate_job_flows(self, JobFlowIds):
+        self.terminated += JobFlowIds
+
+
+def _cluster(cid, state="WAITING", created=1000.0, tags=None):
+    return {
+        "Id": cid, "Name": cid, "StepConcurrencyLevel": 1,
+        "Status": {"State": state, "StateChangeReason": {},
+                   "Timeline": {"CreationDateTime": created}},
+        "Tags": [{"Key": k, "Value": v} for k, v in (tags or {}).items()],
+    }
+
+
+def _step(sid, state, created=1000.0, start=None, end=None):
+    tl = {"CreationDateTime": created}
+    if start is not None:
+        tl["StartDateTime"] = start
+    if end is not None:
+        tl["EndDateTime"] = end
+    return {"Id": sid, "Name": sid, "Status": {"State": state,
+                                               "Timeline": tl}}
+
+
+def test_idle_seconds_uses_last_step_end():
+    emr = StubEMR(
+        [_cluster("j-1", created=1000.0)],
+        {"j-1": [_step("s-1", "COMPLETED", end=5000.0)]},
+    )
+    c = emr.describe_cluster("j-1")["Cluster"]
+    assert cluster_idle_seconds(emr, c, now=8000.0) == 3000.0
+
+
+def test_active_steps_mean_not_idle():
+    emr = StubEMR(
+        [_cluster("j-1", created=1000.0)],
+        {"j-1": [_step("s-1", "RUNNING", start=1500.0)]},
+    )
+    c = emr.describe_cluster("j-1")["Cluster"]
+    assert cluster_idle_seconds(emr, c, now=999999.0) == 0.0
+
+
+def test_find_idle_skips_locked_and_filters_pool():
+    fresh_lock = "job.key %f" % (time.time() + 60)
+    stale_lock = "job.key %f" % (time.time() - 60)
+    emr = StubEMR(
+        [
+            _cluster("j-idle", tags={"__mrjob_pool_name": "default"}),
+            _cluster("j-locked", tags={"__mrjob_pool_name": "default",
+                                       "__mrjob_pool_lock": fresh_lock}),
+            _cluster("j-stale-lock",
+                     tags={"__mrjob_pool_name": "default",
+                           "__mrjob_pool_lock": stale_lock}),
+            _cluster("j-other-pool",
+                     tags={"__mrjob_pool_name": "nightly"}),
+            _cluster("j-unpooled"),
+            _cluster("j-busy"),
+        ],
+        {"j-busy": [_step("s-1", "RUNNING", start=1500.0)]},
+    )
+    got = find_idle_clusters(emr, now=999999.0, max_mins_idle=10,
+                             pool_name="default")
+    assert sorted(c["Id"] for c, _ in got) == ["j-idle", "j-stale-lock"]
+
+    got = find_idle_clusters(emr, now=999999.0, max_mins_idle=10,
+                             pooled_only=True)
+    assert sorted(c["Id"] for c, _ in got) == [
+        "j-idle", "j-other-pool", "j-stale-lock"
+    ]
+    assert cluster_is_locked(emr.describe_cluster("j-locked")["Cluster"])
+
+
+def test_find_long_jobs():
+    emr = StubEMR(
+        [_cluster("j-1", state="RUNNING")],
+        {"j-1": [
+            _step("s-running", "RUNNING", start=0.0),
+            _step("s-pending", "PENDING", created=0.0),
+            _step("s-done", "COMPLETED", start=0.0, end=10.0),
+        ]},
+    )
+    got = find_long_jobs(emr, now=2 * 3600.0, min_hours=1.0)
+    assert sorted((sid["Id"], state) for _, sid, state, _ in got) == [
+        ("s-pending", "PENDING"), ("s-running", "RUNNING"),
+    ]
+    assert all(abs(hours - 2.0) < 0.01 for _, _, _, hours in got)
+
+
+def test_parse_age():
+    assert parse_age("30d") == 30 * 86400
+    assert parse_age("12h") == 12 * 3600
+    assert parse_age("90m") == 90 * 60
+    assert parse_age("7") == 7 * 86400
+    with pytest.raises(ValueError):
+        parse_age("soon")
+
+
+# ---------------------------------------------------------------------
+# end-to-end over the mock service + umbrella command
+# ---------------------------------------------------------------------
+
+
+def test_create_cluster_tool_then_job_pools_onto_it(
+    tmp_path, monkeypatch, capsys,
+):
+    base = tmp_path / "emr"
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(base))
+    rc = umbrella_main(["mrjob", "create-cluster"])
+    assert rc == 0
+    cluster_id = capsys.readouterr().out.strip()
+    assert cluster_id.startswith("j-")
+
+    svc = MockEMRService(base)
+    svc.sleep(1)
+    svc.sleep(1)  # STARTING → BOOTSTRAPPING → WAITING
+    assert svc.clusters[cluster_id]["Status"]["State"] == "WAITING"
+
+    # a pooled job with the default config must JOIN the tool's cluster
+    # (same pool hash) instead of creating its own
+    src = tmp_path / "in.txt"
+    src.write_text("apple banana apple\n")
+    runner = EMRJobRunner(
+        MRWordFreq(), input_paths=[str(src)],
+        emr_client=svc.emr_client(), s3_client=svc.s3_client(),
+        pool_clusters=True, check_cluster_every=0.0,
+    )
+    with runner:
+        runner.run()
+        assert runner.get_cluster_id() == cluster_id
+        assert sorted(runner.cat_output())[0] == ("apple", 2)
+
+
+def test_terminate_cluster_tool(tmp_path, monkeypatch, capsys):
+    base = tmp_path / "emr"
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(base))
+    assert umbrella_main(["mrjob", "create-cluster"]) == 0
+    cluster_id = capsys.readouterr().out.strip()
+    assert umbrella_main(
+        ["mrjob", "terminate-cluster", cluster_id]
+    ) == 0
+    svc = MockEMRService(base)
+    assert svc.clusters[cluster_id]["Status"]["State"] == "TERMINATED"
+
+
+def test_terminate_idle_clusters_tool(tmp_path, monkeypatch, capsys):
+    base = tmp_path / "emr"
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(base))
+    # a generous self-termination policy, so the EXTERNAL reaper (the
+    # tool under test) is the thing that terminates it
+    assert umbrella_main(["mrjob", "create-cluster",
+                          "--max-mins-idle", "1440"]) == 0
+    cluster_id = capsys.readouterr().out.strip()
+    svc = MockEMRService(base)
+    svc.sleep(1)
+    svc.sleep(1)
+    assert svc.clusters[cluster_id]["Status"]["State"] == "WAITING"
+    svc.sleep(30 * 60)  # half an hour idle on the fake clock
+
+    # dry run: reported but alive
+    assert umbrella_main(["mrjob", "terminate-idle-clusters",
+                          "--max-mins-idle", "10", "--dry-run"]) == 0
+    svc2 = MockEMRService(base)
+    assert svc2.clusters[cluster_id]["Status"]["State"] == "WAITING"
+
+    assert umbrella_main(["mrjob", "terminate-idle-clusters",
+                          "--max-mins-idle", "10"]) == 0
+    svc3 = MockEMRService(base)
+    assert svc3.clusters[cluster_id]["Status"]["State"].startswith(
+        "TERMINATED"
+    )
+
+
+def test_audit_usage_tool(tmp_path, monkeypatch, capsys):
+    base = tmp_path / "emr"
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(base))
+    assert umbrella_main(["mrjob", "create-cluster"]) == 0
+    cluster_id = capsys.readouterr().out.strip()
+    assert umbrella_main(["mrjob", "audit-emr-usage"]) == 0
+    out = capsys.readouterr().out
+    assert cluster_id in out
+    assert "usage by pool" in out
+    assert "default" in out
+
+
+def test_s3_tmpwatch(tmp_path):
+    svc = MockEMRService(tmp_path / "emr")
+    s3 = svc.s3_client()
+    s3.create_bucket(Bucket="b")
+    s3.put_object(Bucket="b", Key="tmp/old.txt", Body=b"x")
+    s3.put_object(Bucket="b", Key="tmp/new.txt", Body=b"y")
+    s3.put_object(Bucket="b", Key="keep/old.txt", Body=b"z")
+    # age the old objects on disk (LastModified comes from mtime)
+    old = time.time() - 10 * 86400
+    for key in ("tmp/old.txt", "keep/old.txt"):
+        os.utime(s3._path("b", key), (old, old))
+
+    doomed = s3_tmpwatch(s3, "s3://b/tmp/", parse_age("7d"),
+                         dry_run=True)
+    assert doomed == ["tmp/old.txt"]
+    assert s3.list_objects_v2(Bucket="b", Prefix="tmp/")["KeyCount"] == 2
+
+    doomed = s3_tmpwatch(s3, "s3://b/tmp/", parse_age("7d"))
+    assert doomed == ["tmp/old.txt"]
+    keys = [o["Key"] for o in s3.list_objects_v2(
+        Bucket="b", Prefix=""
+    )["Contents"]]
+    assert "tmp/old.txt" not in keys
+    assert "tmp/new.txt" in keys and "keep/old.txt" in keys
