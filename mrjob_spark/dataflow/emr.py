@@ -581,18 +581,67 @@ class EMRJobRunner(StreamingStepRenderer):
             },
         }
 
+    def _build_spark_step(
+        self, step, step_num: int, num_steps: int, inputs, output_uri,
+    ) -> dict:
+        """X6 Spark apps as EMR steps (the reference's
+        ``_spark_step_hadoop_jar_step``, ``mrjob/emr.py:1375-1378``):
+        ``command-runner.jar`` launching ``spark-submit`` with the
+        EMR-hard-coded ``--master yarn --deploy-mode cluster``
+        (``mrjob/emr.py:1395-1402`` — cluster mode, else the driver
+        can't read S3). The app target (script or jar) is uploaded to
+        S3 first; INPUT/OUTPUT sentinels in args interpolate to S3
+        URIs, and free-form apps (no sentinels — the ``mrjob
+        spark-submit -r emr`` shape) own their IO."""
+        from mrjob_spark.dataflow.step import INPUT, OUTPUT
+
+        in_arg = ",".join(inputs)
+        args = [
+            str(a).replace(INPUT, in_arg).replace(OUTPUT, output_uri)
+            for a in step.args
+        ]
+        submit_args = ["spark-submit", "--master", "yarn",
+                       "--deploy-mode", "cluster"]
+        # user spark_args follow the hard-coded pair; spark-submit takes
+        # the LAST occurrence of a switch, so explicit overrides win
+        submit_args += [str(a) for a in step.spark_args]
+        for k, v in sorted(step.jobconf.items()):
+            submit_args += ["--conf", "%s=%s" % (k, v)]
+        target = getattr(step, "script", None) or step.jar
+        uploaded = self._upload(target)
+        if getattr(step, "main_class", None):
+            submit_args += ["--class", step.main_class]
+        submit_args += [uploaded] + args
+        return {
+            "Name": "%s: Step %d of %d" % (
+                self._job_key, step_num + 1, num_steps
+            ),
+            "ActionOnFailure": self._action_on_failure(),
+            "HadoopJarStep": {
+                "Jar": _COMMAND_RUNNER_JAR,
+                "Args": submit_args,
+            },
+        }
+
     # --- execution --------------------------------------------------------
 
     def run(self) -> "EMRJobRunner":
-        from mrjob_spark.dataflow.step import MRStep
+        from mrjob_spark.dataflow.step import (
+            MRStep,
+            SparkJarStep,
+            SparkScriptStep,
+        )
 
         if self._ran:
             return self
         steps = self.job.steps()
         for step in steps:
-            if not isinstance(step, MRStep):
+            if not isinstance(
+                step, (MRStep, SparkScriptStep, SparkJarStep)
+            ):
                 raise NotImplementedError(
-                    "-r emr runs streaming (MRStep) steps; %r needs the"
+                    "-r emr runs streaming (MRStep) and Spark-app"
+                    " (SparkScriptStep/SparkJarStep) steps; %r needs the"
                     " Spark runner" % type(step).__name__
                 )
             if getattr(step, "mapper_raw", None):
@@ -623,6 +672,8 @@ class EMRJobRunner(StreamingStepRenderer):
         return self
 
     def _run_on_cluster(self, steps, files, archives, inputs) -> None:
+        from mrjob_spark.dataflow.step import MRStep
+
         self._launch()
         inputs = list(inputs)
         submit: list = []
@@ -632,10 +683,16 @@ class EMRJobRunner(StreamingStepRenderer):
                 self.output_dir if last
                 else self._job_tmp + "step-output/%04d/" % step_num
             )
-            submit.append(self._build_streaming_step(
-                step, step_num, len(steps), files, archives, inputs,
-                output_uri.rstrip("/"),
-            ))
+            if isinstance(step, MRStep):
+                submit.append(self._build_streaming_step(
+                    step, step_num, len(steps), files, archives, inputs,
+                    output_uri.rstrip("/"),
+                ))
+            else:
+                submit.append(self._build_spark_step(
+                    step, step_num, len(steps), inputs,
+                    output_uri.rstrip("/"),
+                ))
             inputs = [output_uri.rstrip("/")]
 
         emr = self.make_emr_client()

@@ -91,7 +91,7 @@ _TOOL_SWITCHES = {
     "--deprecated": 0,
 }
 
-_RUNNERS = ("spark", "inline", "local", "hadoop")
+_RUNNERS = ("spark", "inline", "local", "hadoop", "emr")
 _DEFAULT_RUNNER = "spark"
 
 _USAGE = (
@@ -176,14 +176,16 @@ class SubmitPlan:
         )
         return ["/bin/sh", "-c", script]
 
-    def build_step(self):
+    def build_step(self, include_master: bool = True):
         """The X6 step this submission is equivalent to (used by the
-        inline route and available for embedding into larger jobs)."""
+        inline and EMR routes and available for embedding into larger
+        jobs). ``include_master=False`` leaves the master to the target
+        runner (EMR hard-codes ``yarn``/``cluster`` itself)."""
         from mrjob_spark.dataflow.step import SparkJarStep, SparkScriptStep
 
-        spark_args = ["--master", self.master] + [
-            str(a) for a in self.spark_args
-        ]
+        spark_args = (
+            ["--master", self.master] if include_master else []
+        ) + [str(a) for a in self.spark_args]
         if self.files:
             spark_args += ["--files", ",".join(self.files)]
         if self.archives:
@@ -417,6 +419,46 @@ def main(cl_args: list | None = None) -> int:
     if not plan.target:
         _print_help()
         return 0
+
+    if plan.runner == "emr":
+        # submit as an EMR step: command-runner.jar spark-submit with
+        # the EMR-hard-coded yarn/cluster mode (the reference's
+        # spark-submit -r emr path); clients come from
+        # $MOCK_EMR_BASE_DIR or boto3 (same dual path as -r emr jobs)
+        from mrjob_spark.dataflow.emr import EMRJobRunner
+        from mrjob_spark.dataflow.job import SparkMRJob
+        from mrjob_spark.emr_tools import _clients
+
+        step = plan.build_step(include_master=False)
+
+        class _SubmitJob(SparkMRJob):
+            def steps(self):
+                return [step]
+
+        emr_client, s3_client, _now = _clients()
+        runner = EMRJobRunner(
+            _SubmitJob(), input_paths=[os.devnull],
+            emr_client=emr_client, s3_client=s3_client,
+            cmdenv=plan.cmdenv, setup=plan.setup,
+            check_cluster_every=(
+                0.001 if os.environ.get("MOCK_EMR_BASE_DIR") else 30.0
+            ),
+        )
+        try:
+            with runner:
+                runner.run()
+                if not plan.quiet:
+                    print(
+                        "ran %s as step %s on cluster %s" % (
+                            plan.target, runner._step_ids[-1],
+                            runner.get_cluster_id(),
+                        ),
+                        file=sys.stderr,
+                    )
+            return 0
+        except RuntimeError as e:
+            print(str(e), file=sys.stderr)
+            return 1
 
     if plan.runner == "inline":
         # route through the inline runner as a one-step X6 job: same

@@ -445,12 +445,16 @@ class MockEMRService:
         if os.path.basename(jar) == COMMAND_RUNNER_JAR and args and \
                 args[0] == "hadoop-streaming":
             streaming_args = args[1:]
+        elif os.path.basename(jar) == COMMAND_RUNNER_JAR and args and \
+                args[0] == "spark-submit":
+            self._execute_spark_submit_step(c, step, args)
+            return
         elif "streaming" in os.path.basename(jar):
             streaming_args = args
         else:
             self._finish_step(
-                c, step, 1, b"", b"mockemr: only hadoop-streaming steps"
-                b" are executed by this mock\n",
+                c, step, 1, b"", b"mockemr: only hadoop-streaming and"
+                b" spark-submit steps are executed by this mock\n",
             )
             return
 
@@ -479,6 +483,44 @@ class MockEMRService:
             )
         finally:
             shutil.rmtree(log_dir, ignore_errors=True)
+
+    def _execute_spark_submit_step(self, c: dict, step: dict,
+                                   args: list) -> None:
+        """Run a ``command-runner.jar spark-submit …`` step with a REAL
+        local spark-submit: the cluster-mode pair ``--master yarn
+        --deploy-mode cluster`` is rewritten to ``--master local[2]``
+        (this mock has no YARN), and every ``s3://bucket/key`` operand
+        is mapped to its path in the on-disk store — so the app actually
+        reads its S3 inputs and writes its S3 outputs. Costed like the
+        x6 family: one spark-submit cold start per step."""
+        import shutil as _shutil
+
+        rewritten: list = []
+        i = 1  # skip the 'spark-submit' marker
+        while i < len(args):
+            a = str(args[i])
+            if a == "--master":
+                rewritten += ["--master", "local[2]"]
+                i += 2
+                continue
+            if a == "--deploy-mode":
+                i += 2  # client mode implied locally
+                continue
+            if a.startswith(("s3://", "s3a://", "s3n://")):
+                rest = a.split("://", 1)[1]
+                a = os.path.join(self.s3_root, rest.replace("/", os.sep))
+            rewritten.append(a)
+            i += 1
+
+        submit = _shutil.which("spark-submit") or os.path.join(
+            os.environ.get("SPARK_HOME", "/opt/spark"), "bin",
+            "spark-submit",
+        )
+        proc = subprocess.run(
+            [submit] + rewritten, capture_output=True,
+        )
+        self._finish_step(c, step, proc.returncode, proc.stdout,
+                          proc.stderr)
 
     def _finish_step(self, c: dict, step: dict, returncode: int,
                      stdout: bytes, stderr: bytes,

@@ -402,3 +402,55 @@ def test_counters_match_inline_reporter_side_channel(svc, tmp_path):
     inline.run()
     assert emr_app == inline.counters().get("app", {})
     assert emr_app == {"lines": 2}
+
+
+def test_spark_script_step_on_emr_cluster(svc, tmp_path):
+    """X6 on EMR: a streaming step chains into a SparkScriptStep
+    rendered as command-runner.jar spark-submit (yarn/cluster on AWS;
+    the mock rewrites to a REAL local spark-submit with s3:// operands
+    mapped into the store) — output crosses S3 both ways."""
+    import textwrap
+
+    from mrjob_spark.dataflow.step import INPUT, OUTPUT, SparkScriptStep
+
+    script = tmp_path / "upper.py"
+    script.write_text(textwrap.dedent("""
+        import sys
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+        (spark.sparkContext.textFile(sys.argv[1])
+            .map(lambda line: line.upper())
+            .saveAsTextFile(sys.argv[2]))
+        spark.stop()
+    """))
+
+    class MRCountThenUpper(SparkMRJob):
+        def steps(self):
+            return [
+                MRStep(mapper=self.m, reducer=self.r),
+                SparkScriptStep(script=str(script),
+                                args=[INPUT, OUTPUT]),
+            ]
+
+        def m(self, _, line):
+            for w in line.split():
+                yield w.lower(), 1
+
+        def r(self, w, counts):
+            yield w, sum(counts)
+
+    src = tmp_path / "in.txt"
+    src.write_text("apple banana apple\n")
+    with _runner(svc, MRCountThenUpper(), str(src)) as r:
+        got = sorted(r.cat_output())
+    # wordcount pairs, uppercased by the Spark app: ["APPLE", 2] …
+    assert got == [("APPLE", 2), ("BANANA", 1)], got
+    # the step really was a command-runner spark-submit in yarn/cluster
+    step = svc.clusters[r.get_cluster_id()]["_steps"][1]
+    args = step["HadoopJarStep"]["Args"]
+    assert args[0] == "spark-submit"
+    assert args[1:5] == ["--master", "yarn", "--deploy-mode", "cluster"]
+    assert step["HadoopJarStep"]["Jar"] == "command-runner.jar"
+    assert any(a.startswith("s3://") and a.endswith("upper.py")
+               for a in args)

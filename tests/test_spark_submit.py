@@ -377,3 +377,30 @@ def test_submit_plan_is_picklable_shape():
     assert isinstance(plan, SubmitPlan)
     d = plan.build_step().description(0)
     assert d["type"] == "spark_script"
+
+
+def test_emr_route_submits_command_runner_step(
+    fake_submit, tmp_path, monkeypatch, capsys,
+):
+    """-r emr: the tool runs the app as an EMR step (command-runner
+    spark-submit). The mock cluster executes it through the PATH
+    spark-submit with --master rewritten local and s3:// operands
+    mapped into the on-disk store."""
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(tmp_path / "emr"))
+    app = tmp_path / "app.py"
+    app.write_text("print('hi')")
+    rc = main(["--no-conf", "-r", "emr", "--name", "viaemr",
+               str(app), "argQ"])
+    assert rc == 0
+    lines = fake_submit.read_text().splitlines()
+    i = lines.index("--master")
+    assert lines[i + 1] == "local[2]"          # rewritten by the mock
+    assert "--deploy-mode" not in lines        # dropped locally
+    assert "viaemr" in lines and "argQ" in lines
+    # the app path the child saw is the S3 object mapped into the
+    # on-disk store (the runner's cleanup removes it after the run)
+    mapped = [ln for ln in lines if ln.endswith("app.py")]
+    assert mapped and str(tmp_path / "emr") in mapped[0]
+    assert "/s3/" in mapped[0]
+    err = capsys.readouterr().err
+    assert "on cluster j-" in err
