@@ -253,6 +253,15 @@ class DataprocJobRunner(StreamingStepRenderer):
         self._uploaded_uris: dict = {}
         self._ran = False
 
+    @property
+    def fs(self):
+        """Driver-side GCS filesystem (the reference's ``runner.fs``
+        surface, ``mrjob/fs/gcs.py``) over the same storage client the
+        runner uses."""
+        from mrjob_spark.dataflow.objectstore import ObjectStoreFS
+
+        return ObjectStoreFS(self._storage, scheme="gs")
+
     # --- GCS helpers ------------------------------------------------------
 
     def _ensure_bucket(self, bucket: str) -> None:

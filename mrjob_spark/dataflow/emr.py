@@ -338,6 +338,15 @@ class EMRJobRunner(StreamingStepRenderer):
             self._s3_client = boto3.client("s3", region_name=self._region)
         return self._s3_client
 
+    @property
+    def fs(self):
+        """Driver-side S3 filesystem (the reference's ``runner.fs``
+        surface, ``mrjob/fs/s3.py``) over the same client the runner
+        uses."""
+        from mrjob_spark.dataflow.objectstore import ObjectStoreFS
+
+        return ObjectStoreFS(self.make_s3_client(), scheme="s3")
+
     # --- S3 helpers ------------------------------------------------------
 
     def _ensure_bucket(self, bucket: str) -> None:

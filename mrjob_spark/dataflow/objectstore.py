@@ -1,0 +1,165 @@
+"""Driver-side object-store filesystem over a boto3-shaped client —
+the ``runner.fs`` surface for the cloud runners (reference
+``mrjob/fs/s3.py`` and ``mrjob/fs/gcs.py``; one class serves both here
+because the runners speak to duck-typed clients with one shape).
+
+Same helper set as :class:`mrjob_spark.fs.HadoopFilesystem` and the
+``-r hadoop`` runner's :class:`~mrjob_spark.dataflow.hdfs.
+HadoopClientFS`: ``ls / exists / du / cat / cat_lines / md5sum / put /
+get / rm / mkdir / touchz``, glob support limited to a trailing ``*``
+segment plus prefix listing (the reference's S3 ls is also
+prefix-driven — object stores have no real directories, so ``ls`` of a
+"directory" URI lists the prefix, ``mrjob/fs/s3.py:122-163``).
+
+Memory stays O(object) on the driver: ``cat`` streams one object at a
+time and ``cat_lines`` yields line by line; ``.gz`` objects decompress
+transparently like every other runner's cat path.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import gzip
+import hashlib
+import os
+import posixpath
+from typing import Iterator, Optional
+
+
+def _split_uri(uri: str) -> tuple:
+    if "://" not in str(uri):
+        raise ValueError("object-store paths need a scheme: %r" % uri)
+    scheme, rest = str(uri).split("://", 1)
+    bucket, _, key = rest.partition("/")
+    return scheme, bucket, key
+
+
+class ObjectStoreFS:
+    """``ObjectStoreFS(client, scheme="s3")`` — *client* is any
+    boto3-shaped object client (real boto3, the mock EMR S3 client, or
+    the mock GCS storage client, which shares the shape)."""
+
+    def __init__(self, client, scheme: str = "s3"):
+        self.client = client
+        self.scheme = scheme
+
+    def can_handle_path(self, path: str) -> bool:
+        return str(path).startswith(self.scheme + "://")
+
+    # -- listing --------------------------------------------------------
+
+    def _iter_keys(self, bucket: str, prefix: str) -> Iterator[dict]:
+        resp = self.client.list_objects_v2(Bucket=bucket, Prefix=prefix)
+        yield from resp.get("Contents") or []
+
+    def ls(self, path_glob: str) -> Iterator[str]:
+        """URIs under *path_glob*. A glob applies fnmatch per key
+        relative to the fixed prefix before the first wildcard; a
+        plain URI lists its prefix (object-store 'directory'
+        semantics)."""
+        scheme, bucket, key = _split_uri(path_glob)
+        wild = min(
+            (key.index(c) for c in "*?[" if c in key), default=None
+        )
+        if wild is None:
+            prefix, pattern = key, None
+        else:
+            prefix, pattern = key[:wild], key
+        for obj in self._iter_keys(bucket, prefix):
+            if pattern is not None and not (
+                fnmatch.fnmatch(obj["Key"], pattern)
+                or fnmatch.fnmatch(obj["Key"], pattern.rstrip("/") + "/*")
+            ):
+                continue
+            yield "%s://%s/%s" % (scheme, bucket, obj["Key"])
+
+    def exists(self, path_glob: str) -> bool:
+        for _ in self.ls(path_glob):
+            return True
+        return False
+
+    def du(self, path_glob: str) -> int:
+        scheme, bucket, key = _split_uri(path_glob)
+        total = 0
+        for uri in self.ls(path_glob):
+            _, b, k = _split_uri(uri)
+            for obj in self._iter_keys(b, k):
+                if obj["Key"] == k:
+                    total += obj.get("Size", 0)
+        return total
+
+    # -- reading ----------------------------------------------------------
+
+    def _read(self, uri: str) -> bytes:
+        _, bucket, key = _split_uri(uri)
+        body = self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        if key.endswith(".gz"):
+            body = gzip.decompress(body)
+        return body
+
+    def cat(self, path_glob: str) -> Iterator[bytes]:
+        """One bytes chunk per matching object (driver memory is
+        bounded by the largest single object, as with hadoop fs -cat)."""
+        for uri in sorted(self.ls(path_glob)):
+            yield self._read(uri)
+
+    def cat_lines(self, path_glob: str) -> Iterator[bytes]:
+        for chunk in self.cat(path_glob):
+            for line in chunk.splitlines():
+                yield line
+
+    def md5sum(self, path: str) -> str:
+        return hashlib.md5(self._read(path)).hexdigest()
+
+    # -- writing ------------------------------------------------------------
+
+    def put(self, local_path: str, dest: str) -> None:
+        _, bucket, key = _split_uri(dest)
+        if key.endswith("/") or not key:
+            key = posixpath.join(key, os.path.basename(local_path))
+        self.client.upload_file(
+            Filename=local_path, Bucket=bucket, Key=key
+        )
+
+    def get(self, src: str, local_path: str) -> None:
+        with open(local_path, "wb") as fh:
+            fh.write(self._read(src))
+
+    def touchz(self, path: str) -> None:
+        _, bucket, key = _split_uri(path)
+        self.client.put_object(Bucket=bucket, Key=key, Body=b"")
+
+    def mkdir(self, path: str) -> None:
+        """Object stores have no directories; the reference creates the
+        bucket if needed and otherwise no-ops (mrjob/fs/s3.py:187-202)."""
+        _, bucket, _ = _split_uri(path)
+        try:
+            self.client.head_bucket(Bucket=bucket)
+        except Exception:
+            self.client.create_bucket(Bucket=bucket)
+
+    def rm(self, path_glob: str) -> None:
+        """Remove matching objects AND everything under them when the
+        URI names a 'directory' prefix (the reference's recursive
+        default for cloud tmp cleanup)."""
+        _, bucket, key = _split_uri(path_glob)
+        doomed = set()
+        for uri in self.ls(path_glob):
+            _, _, k = _split_uri(uri)
+            doomed.add(k)
+        if not doomed and key:
+            prefix = key if key.endswith("/") else key + "/"
+            for obj in self._iter_keys(bucket, prefix):
+                doomed.add(obj["Key"])
+        for k in sorted(doomed):
+            self.client.delete_object(Bucket=bucket, Key=k)
+
+    # -- retry facade (same contract as HadoopFilesystem.retrying) ---------
+
+    def retrying(self, retry_if=None, **retry_kwargs) -> "ObjectStoreFS":
+        from mrjob_spark.retry import RetryWrapper
+
+        return RetryWrapper(self, retry_if=retry_if, **retry_kwargs)
+
+
+__all__ = ["ObjectStoreFS"]
