@@ -175,19 +175,89 @@ def build_cluster_params(
 
 def pool_config_hash(
     release_label: str,
-    instance_type: str,
-    master_instance_type: str,
-    num_core_instances: int,
     applications: list,
     bootstrap: list,
 ) -> str:
-    """Everything that must match for two jobs to share a cluster (the
-    role of the reference's pool hash, mrjob/pool.py)."""
+    """Everything that must match EXACTLY for two jobs to share a
+    cluster (the role of the reference's pool hash, mrjob/pool.py):
+    software identity — release label, applications, bootstrap.
+    Instance SHAPE is deliberately not in the hash: like the reference,
+    a bigger cluster satisfies a smaller request
+    (:func:`instances_satisfy`), so a fleet's one big pooled cluster
+    serves many differently-sized jobs."""
     spec = json.dumps([
-        release_label, instance_type, master_instance_type,
-        num_core_instances, sorted(applications), list(bootstrap),
+        release_label, sorted(applications), list(bootstrap),
     ], sort_keys=True)
     return hashlib.md5(spec.encode("utf-8")).hexdigest()
+
+
+#: per-instance-type (memory GiB, vCPUs) for the satisfaction check —
+#: public AWS specs for the common general/compute/memory families.
+#: The reference vendors the full catalog (mrjob/aws.py); this subset
+#: covers the shapes the runner defaults to, and UNKNOWN types fall
+#: back to exact-type matching (the reference's rule too).
+EC2_INSTANCE_SPECS = {
+    "m4.large": (8, 2), "m4.xlarge": (16, 4), "m4.2xlarge": (32, 8),
+    "m4.4xlarge": (64, 16),
+    "m5.large": (8, 2), "m5.xlarge": (16, 4), "m5.2xlarge": (32, 8),
+    "m5.4xlarge": (64, 16), "m5.8xlarge": (128, 32),
+    "m5.12xlarge": (192, 48),
+    "c5.large": (4, 2), "c5.xlarge": (8, 4), "c5.2xlarge": (16, 8),
+    "c5.4xlarge": (32, 16), "c5.9xlarge": (72, 36),
+    "r5.large": (16, 2), "r5.xlarge": (32, 4), "r5.2xlarge": (64, 8),
+    "r5.4xlarge": (128, 16),
+}
+
+
+def instances_satisfy(
+    actual_groups: list, requested_type: str, requested_count: int,
+) -> bool:
+    """Do a cluster's actual instance groups satisfy a request for
+    ``requested_count`` core instances of ``requested_type``? The
+    reference's two-axis rule (``mrjob/pool.py:197-252``):
+
+    * MEMORY is per-instance — every worker must fit the same
+      partitions the requested type would, so each actual CORE/TASK
+      group's type needs ≥ the requested type's memory (same type
+      always passes; unknown types fail the memory axis unless equal);
+    * CPU is aggregate — total worker vCPUs ≥ requested count × the
+      requested type's vCPUs (more smaller-counted bigger boxes are
+      fine). For an unknown requested type, count exact-type instances
+      instead."""
+    workers = [
+        g for g in actual_groups
+        if g.get("InstanceGroupType") in ("CORE", "TASK")
+    ]
+    if not workers:
+        return False
+
+    req_spec = EC2_INSTANCE_SPECS.get(requested_type)
+    for g in workers:
+        if g.get("InstanceType") == requested_type:
+            continue
+        spec = EC2_INSTANCE_SPECS.get(g.get("InstanceType"))
+        if req_spec is None or spec is None or spec[0] < req_spec[0]:
+            return False
+
+    def count(g):
+        return g.get("RunningInstanceCount",
+                     g.get("RequestedInstanceCount", 0))
+
+    if req_spec is not None:
+        requested_cpu = requested_count * req_spec[1]
+        actual_cpu = sum(
+            count(g) * EC2_INSTANCE_SPECS.get(
+                g.get("InstanceType"), (0, 0)
+            )[1]
+            for g in workers
+        )
+    else:
+        requested_cpu = requested_count
+        actual_cpu = sum(
+            count(g) for g in workers
+            if g.get("InstanceType") == requested_type
+        )
+    return actual_cpu >= requested_cpu
 
 
 class EMRJobRunner(StreamingStepRenderer):
@@ -453,9 +523,7 @@ class EMRJobRunner(StreamingStepRenderer):
 
     def _pool_hash(self) -> str:
         return pool_config_hash(
-            self._release_label, self._instance_type,
-            self._master_instance_type, self._num_core_instances,
-            self._applications, self._bootstrap,
+            self._release_label, self._applications, self._bootstrap,
         )
 
     @staticmethod
@@ -524,6 +592,16 @@ class EMRJobRunner(StreamingStepRenderer):
             if tags.get(_POOL_NAME_TAG) != self._pool_name:
                 continue
             if tags.get(_POOL_HASH_TAG) != want_hash:
+                continue
+            # the hash matched software identity; instance SHAPE is a
+            # satisfaction check — a bigger cluster serves a smaller
+            # request (mrjob/pool.py:106-252)
+            groups = emr.list_instance_groups(
+                ClusterId=cluster["Id"]
+            ).get("InstanceGroups") or []
+            if not instances_satisfy(
+                groups, self._instance_type, self._num_core_instances
+            ):
                 continue
             if self._attempt_to_lock_cluster(cluster):
                 return cluster["Id"]

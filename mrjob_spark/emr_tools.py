@@ -257,10 +257,7 @@ def create_cluster_main(args: list) -> int:
         keep_alive=True,
         max_mins_idle=max_idle,
         pool_name=pool_name,
-        pool_hash=pool_config_hash(
-            release_label, instance_type, instance_type, num_core,
-            ["Hadoop"], [],
-        ),
+        pool_hash=pool_config_hash(release_label, ["Hadoop"], []),
     )
     cluster_id = emr.run_job_flow(**params)["JobFlowId"]
     print(cluster_id)

@@ -289,6 +289,25 @@ class MockEMRService:
             })
         return {"Clusters": out}
 
+    def api_list_instance_groups(self, ClusterId: str):
+        c = self._cluster(ClusterId)
+        inst = c.get("_instances") or {}
+        n_core = max(0, inst.get("InstanceCount", 1) - 1)
+        groups = [{
+            "InstanceGroupType": "MASTER",
+            "InstanceType": inst.get("MasterInstanceType", ""),
+            "RequestedInstanceCount": 1,
+            "RunningInstanceCount": 1,
+        }]
+        if n_core:
+            groups.append({
+                "InstanceGroupType": "CORE",
+                "InstanceType": inst.get("SlaveInstanceType", ""),
+                "RequestedInstanceCount": n_core,
+                "RunningInstanceCount": n_core,
+            })
+        return {"InstanceGroups": groups}
+
     def api_terminate_job_flows(self, JobFlowIds):
         for cid in JobFlowIds:
             c = self._cluster(cid)

@@ -454,3 +454,56 @@ def test_spark_script_step_on_emr_cluster(svc, tmp_path):
     assert step["HadoopJarStep"]["Jar"] == "command-runner.jar"
     assert any(a.startswith("s3://") and a.endswith("upper.py")
                for a in args)
+
+
+# ---------------------------------------------------------------------
+# instance-shape satisfaction (mrjob/pool.py:106-252)
+# ---------------------------------------------------------------------
+
+
+def test_bigger_pooled_cluster_serves_smaller_request(svc, input_file):
+    # 2× m5.2xlarge (32 GiB / 8 vCPU each) left WAITING…
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 instance_type="m5.2xlarge",
+                 num_core_instances=2) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    # …satisfies a request for 4× m5.xlarge (same 16 total vCPUs,
+    # per-instance memory 32 ≥ 16): reuse, not a new cluster
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 instance_type="m5.xlarge",
+                 num_core_instances=4) as r2:
+        r2.run()
+        assert r2.get_cluster_id() == cid1
+    assert len(svc.clusters) == 1
+
+
+def test_smaller_pooled_cluster_rejected(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 instance_type="m5.xlarge",
+                 num_core_instances=2) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    # r5.xlarge wants 32 GiB per instance; the waiting m5.xlarge has 16
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 instance_type="r5.xlarge",
+                 num_core_instances=2) as r2:
+        r2.run()
+        assert r2.get_cluster_id() != cid1
+    assert len(svc.clusters) == 2
+
+
+def test_unknown_instance_type_requires_exact_match(svc, input_file):
+    from mrjob_spark.dataflow.emr import instances_satisfy
+
+    groups = [
+        {"InstanceGroupType": "MASTER", "InstanceType": "x9.mega",
+         "RunningInstanceCount": 1},
+        {"InstanceGroupType": "CORE", "InstanceType": "x9.mega",
+         "RunningInstanceCount": 3},
+    ]
+    # exact unknown type: counted by instances
+    assert instances_satisfy(groups, "x9.mega", 3)
+    assert not instances_satisfy(groups, "x9.mega", 4)
+    # unknown actual vs known requested: memory axis can't verify
+    assert not instances_satisfy(groups, "m5.xlarge", 1)
