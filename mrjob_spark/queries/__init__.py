@@ -113,79 +113,62 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new or semantically changed in round 7: the -r hadoop, -r emr and
-    # -r dataproc runners' control-plane queries (wordcount through
-    # hadoop jar / pooled EMR steps / the Dataproc jobs API against the
-    # executing mock clusters), the tight-radius (≥0.8 cosine) embedding
-    # near-dup production query (VERDICT r6 task 4) and q8_market_share,
-    # whose fixture-pinned fact-table broadcasts were dropped for the
-    # q9/q12 scale-adaptive policy (VERDICT r6 task 2)
-    "mr_dataproc_topword",
-    "mr_emr_wordfreq",
-    "mr_hadoop_wordfreq",
-    "l2_embedding_neardup_tight",
-    "q8_market_share",
-    # the 10 r3-greens past the freshness horizon (VERDICT r6 task 1):
-    # the 7 the tripwire names plus the 3 whose one-round rotation-queue
-    # deferral is spent
-    "l2_minhash_lsh_pairs",
-    "l1_dedup_clusters",
-    "x6_spark_step",
-    "s7_json_roundtrip",
-    "o1_o2_partition_layout",
-    "s10_partitioned_sink",
-    "s6_hadoop_input_format",
-    "s7_orc_roundtrip",
-    "x1_udtf_tokenize",
-    "x2_udaf_quantiles",
-    # r4-greens, next-stalest on the board (registration order). 38 of 46
-    # fit; the 8 deferred (p3_filter_predicate, p7_project_rename,
-    # a3_count_per_group, a4_global_agg, a5_argmax_per_group, a6_distinct,
-    # a7_stats_per_group, u2_except_all) are single-operator relational
-    # queries with no join/window/Python machinery — still inside the
-    # freshness horizon today, first in line for the round-8 window when
-    # CORRECTNESS_r07 advances it
-    "s7_parquet_scan_pushdown",
-    "a1_pricing_summary",
-    "a9_rollup",
-    "a9_cube",
-    "a11_exact_percentiles",
-    "o4_global_sort_limit",
-    "o6_topk_per_group",
-    "o7_deterministic_sample",
-    "j1_join_agg",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "sql3_portable_windows",
-    "a9_grouping_sets",
-    "l2_span_dedup",
-    "l2_span_dedup_capped",
-    "l5_repetition_filter",
-    "l4_vocab_coverage",
-    "l8_token_mask",
-    "l8_global_shuffle",
-    "l8_pipeline_end_to_end",
-    "l8_sequence_packing_scalable",
-    "l3_embedding_quantize",
-    "l3_knn_two_stage",
-    "l4_bigram_lm",
-    "l5_lm_perplexity",
-    "l8_epoch_schedule",
-    "x7_jar_step",
-    "a8_o3_counters_sorted",
-    "st10_stream_pipeline",
-    "s9_compressed_sink",
-    "s13_bucketed_join",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    # q22_sales_opportunity, q19_disjunctive_join and
-    # q17_small_quantity_revenue (all r4-green) yielded their slots to
-    # the round-7 mr_hadoop_wordfreq / mr_emr_wordfreq /
-    # mr_dataproc_topword leads; still inside the freshness horizon,
-    # first in line with the 8 deferred r4 singles for the round-8
-    # window
+    # the 11 stale r4-greens the freshness tripwire names (VERDICT r7
+    # task 1): the 8 single-operator relational queries deferred in round
+    # 7 plus the 3 q-series rows that yielded their slots to the round-7
+    # control-plane leads
+    "p3_filter_predicate",
+    "p7_project_rename",
+    "a3_count_per_group",
+    "a4_global_agg",
+    "a5_argmax_per_group",
+    "a6_distinct",
+    "a7_stats_per_group",
+    "u2_except_all",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_join",
+    "q22_sales_opportunity",
+    # the 47 r5-greens cross the freshness horizon the moment
+    # CORRECTNESS_r08 lands (horizon advances to 6), so the rest of the
+    # window is r5 re-verification, registration order; the overflow that
+    # cannot fit sits in _ROTATION_QUEUE as the explicit ordered backlog
+    # for round 9
+    "j2_broadcast_star",
+    "j6_asof_join",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_sessionization",
+    "l1_exact_dedup",
+    "l1_normalized_dedup",
+    "l2_simhash",
+    "l2_jaccard_pairs",
+    "l3_knn_bruteforce",
+    "l3_knn_bucketed",
+    "l3_knn_lsh",
+    "l4_token_stats",
+    "w1_ranking_scalable",
+    "w4_range_frame_scalable",
+    "x1_dataflow_wordcount",
+    "x2_dataflow_most_used_word",
+    "o3_dataflow_sorted_dates",
+    "x5_dataflow_pipe_grep",
+    "a8_dataflow_counters",
+    "s4_s5_file_attribution",
+    "s1_s2_gzip_text_scan",
+    "mr_next_word_stats",
+    "o5_dataflow_head_per_group",
+    "l3_kmeans_assign",
+    "mr_text_classifier",
+    "x6_spark_script",
+    "l2_minhash_lsh_capped",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "l1_dedup_clusters_capped",
+    "j5_range_join_bucketed",
+    "l2_embedding_neardup_ivf",
 ]
 
 
@@ -193,11 +176,25 @@ _DRIVER_PRIORITY = [
 #: here is an explicit acknowledgment, enforced by tests/test_registry.py:
 #: a query may sit beyond the window ONLY if it was driver-green before or
 #: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). Round 7: empty — the three round-6
-#: queue entries rejoined the window (their one-round deferral is spent)
-#: and every other out-of-window query's latest green is inside the
-#: freshness horizon, so nothing needs an acknowledgment slot.
-_ROTATION_QUEUE: list[str] = []
+#: (VERDICT r2 "what's wrong" #1). Round 8: 58 names (11 r4 + 47 r5) go
+#: stale at the r08 horizon but only 50 fit the window, so the overflow —
+#: micro set-op/window/join queries riding the stable relational.py and
+#: windows.py paths, each shadowed by an in-window query on the same code
+#: path (u2_except_all, w1/w4 *_scalable twins, j4/j7) — is deferred one
+#: round and rejoins the round-9 window first.
+_ROTATION_QUEUE: list[str] = [
+    "u2_intersect",
+    "u2_except",
+    "j3_semi_join",
+    "j3_anti_join",
+    "j4_left_outer_join",
+    "j7_star_join",
+    "w1_ranking",
+    "w2_lag_lead",
+    "w3_running_total",
+    "w4_range_frame",
+    "a10_approx_count_distinct",
+]
 
 
 #: Registration (module) order, preserved before the driver-priority
