@@ -63,6 +63,7 @@ from mrjob_spark.dataflow.hadoop import (
     _zip_package,
     interpret_driver_stderr,
 )
+from mrjob_spark.dataflow.objectstore import iter_objects, key_within
 
 #: where Dataproc images keep the streaming jar (the reference's
 #: _HADOOP_STREAMING_JAR_URI, mrjob/dataproc.py:96-99)
@@ -215,7 +216,10 @@ class DataprocJobRunner(StreamingStepRenderer):
         self._leave_cluster_running = leave_cluster_running
         self._libjars = list(libjars or [])
         self._hadoop_extra_args = list(hadoop_extra_args or [])
-        self._python_bin = list(python_bin or [sys.executable])
+        # tasks run on Dataproc nodes, not the driver machine — default
+        # to 'python3' like the reference's non-local runners
+        # (mrjob/bin.py:191-205), never sys.executable's absolute path
+        self._python_bin = list(python_bin or ["python3"])
         self._bootstrap_sys_path = bootstrap_sys_path
 
         merged = dict(conf_jobconf or {})
@@ -272,9 +276,9 @@ class DataprocJobRunner(StreamingStepRenderer):
 
     def _gs_ls(self, prefix_uri: str) -> Iterator[str]:
         bucket, prefix = _parse_gs_uri(prefix_uri)
-        resp = self._storage.list_objects_v2(Bucket=bucket, Prefix=prefix)
-        for obj in resp.get("Contents") or []:
-            yield "gs://%s/%s" % (bucket, obj["Key"])
+        for obj in iter_objects(self._storage, bucket, prefix):
+            if key_within(obj["Key"], prefix):
+                yield "gs://%s/%s" % (bucket, obj["Key"])
 
     def _gs_read(self, uri: str) -> bytes:
         bucket, key = _parse_gs_uri(uri)
@@ -284,9 +288,13 @@ class DataprocJobRunner(StreamingStepRenderer):
 
     def _gs_rm_prefix(self, prefix_uri: str) -> None:
         bucket, prefix = _parse_gs_uri(prefix_uri)
-        resp = self._storage.list_objects_v2(Bucket=bucket, Prefix=prefix)
-        for obj in resp.get("Contents") or []:
-            self._storage.delete_object(Bucket=bucket, Key=obj["Key"])
+        doomed = [
+            obj["Key"]
+            for obj in iter_objects(self._storage, bucket, prefix)
+            if key_within(obj["Key"], prefix)
+        ]
+        for key in doomed:
+            self._storage.delete_object(Bucket=bucket, Key=key)
 
     # --- uploads (same set as -r hadoop / -r emr) --------------------------
 

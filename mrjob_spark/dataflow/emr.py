@@ -60,6 +60,7 @@ from mrjob_spark.dataflow.hadoop import (
     _zip_package,
     interpret_driver_stderr,
 )
+from mrjob_spark.dataflow.objectstore import iter_objects, key_within
 
 #: the 4.x+ intermediary jar EMR launches everything through
 _COMMAND_RUNNER_JAR = "command-runner.jar"
@@ -71,6 +72,17 @@ _POOL_LOCK_TAG = "__mrjob_pool_lock"
 
 #: how long a pool lock is honored (mrjob/pool.py _CLUSTER_LOCK_SECS)
 _CLUSTER_LOCK_SECS = 60.0
+
+#: settle time between writing the lock tag and the verification
+#: describe (mrjob/pool.py _WAIT_AFTER_ADD_TAG): two racing writers must
+#: each see the other's overwrite, or both conclude they hold the lock
+_WAIT_AFTER_ADD_TAG = 10.0
+
+#: how long to keep re-trying S3 log fetches after a step finishes —
+#: real EMR delivers step/container logs to the LogUri with a
+#: multi-minute delay (the reference's _wait_for_logs_on_s3,
+#: mrjob/emr.py:2112)
+_LOG_WAIT_SECS = 600.0
 
 #: cluster states that can accept/run steps
 _ACTIVE_CLUSTER_STATES = ("STARTING", "BOOTSTRAPPING", "RUNNING", "WAITING")
@@ -349,7 +361,10 @@ class EMRJobRunner(StreamingStepRenderer):
         self._emr_action_on_failure = emr_action_on_failure
         self._libjars = list(libjars or [])
         self._hadoop_extra_args = list(hadoop_extra_args or [])
-        self._python_bin = list(python_bin or [sys.executable])
+        # cluster tasks run on EMR nodes where the driver machine's
+        # sys.executable path does not exist; the reference defaults
+        # non-local runners to 'python3' (mrjob/bin.py:191-205)
+        self._python_bin = list(python_bin or ["python3"])
         self._bootstrap_sys_path = bootstrap_sys_path
 
         merged = dict(conf_jobconf or {})
@@ -443,18 +458,23 @@ class EMRJobRunner(StreamingStepRenderer):
 
     def _s3_ls(self, prefix_uri: str) -> Iterator[str]:
         bucket, prefix = _parse_s3_uri(prefix_uri)
-        resp = self.make_s3_client().list_objects_v2(
-            Bucket=bucket, Prefix=prefix
-        )
-        for obj in resp.get("Contents") or []:
-            yield "s3://%s/%s" % (bucket, obj["Key"])
+        for obj in iter_objects(self.make_s3_client(), bucket, prefix):
+            if key_within(obj["Key"], prefix):
+                yield "s3://%s/%s" % (bucket, obj["Key"])
 
     def _s3_rm_prefix(self, prefix_uri: str) -> None:
+        """Recursive rm bounded at the path segment: ``rm`` of the
+        output dir on the spot-loss retry must never delete sibling
+        keys that merely extend the string (ADVICE r7)."""
         bucket, prefix = _parse_s3_uri(prefix_uri)
         s3 = self.make_s3_client()
-        resp = s3.list_objects_v2(Bucket=bucket, Prefix=prefix)
-        for obj in resp.get("Contents") or []:
-            s3.delete_object(Bucket=bucket, Key=obj["Key"])
+        doomed = [
+            obj["Key"]
+            for obj in iter_objects(s3, bucket, prefix)
+            if key_within(obj["Key"], prefix)
+        ]
+        for key in doomed:
+            s3.delete_object(Bucket=bucket, Key=key)
 
     # --- uploads ---------------------------------------------------------
 
@@ -533,9 +553,8 @@ class EMRJobRunner(StreamingStepRenderer):
     def _attempt_to_lock_cluster(self, cluster: dict) -> bool:
         """The reference's tag-based lock dance
         (``mrjob/pool.py:589-711``): honor a non-expired lock, write
-        ours, re-describe, and proceed only if ours survived. (The
-        reference sleeps between write and check; against the mock the
-        re-describe IS the passage of time.)"""
+        ours, wait out the settle window, re-describe, and proceed only
+        if ours survived."""
         emr = self.make_emr_client()
         cluster_id = cluster["Id"]
         if cluster["Status"]["State"] != "WAITING":
@@ -556,6 +575,11 @@ class EMRJobRunner(StreamingStepRenderer):
             ResourceId=cluster_id,
             Tags=[{"Key": _POOL_LOCK_TAG, "Value": our_lock}],
         )
+        # settle before verifying, so a racing writer's overwrite is
+        # visible (mrjob/pool.py:650-665); check_cluster_every == 0
+        # (the mock convention) skips the wait
+        if self.check_cluster_every:
+            time.sleep(_WAIT_AFTER_ADD_TAG)
         cluster = emr.describe_cluster(ClusterId=cluster_id)["Cluster"]
         if cluster["Status"]["State"] not in ("WAITING", "RUNNING"):
             return False
@@ -858,14 +882,34 @@ class EMRJobRunner(StreamingStepRenderer):
             self._cloud_log_dir, self._cluster_id, step_id
         )
 
+    def _wait_for_logs_on_s3(self, fetch, deadline_secs=_LOG_WAIT_SECS):
+        """Real EMR ships logs to the LogUri minutes after the step
+        finishes; retry *fetch* (returns a truthy result or raises)
+        with bounded waiting, like the reference's _wait_for_logs_on_s3
+        (mrjob/emr.py:2112). check_cluster_every == 0 (mock) → one try."""
+        deadline = time.time() + (
+            deadline_secs if self.check_cluster_every else 0
+        )
+        while True:
+            try:
+                result = fetch()
+                if result:
+                    return result
+            except Exception:
+                pass
+            if time.time() >= deadline:
+                return None
+            time.sleep(self.check_cluster_every)
+
     def _interpret_step_logs(self, step_id: str) -> dict:
         """Counters + ids from the step's driver stderr on S3 — the
         same text ``-r hadoop`` reads from the subprocess."""
-        try:
-            text = self._s3_read(
+        text = self._wait_for_logs_on_s3(
+            lambda: self._s3_read(
                 self._step_log_prefix(step_id) + "stderr.gz"
             ).decode("utf-8", "replace")
-        except Exception:
+        )
+        if text is None:
             return {}
         interp = interpret_driver_stderr(text)
         interp["step_id"] = step_id
@@ -880,16 +924,19 @@ class EMRJobRunner(StreamingStepRenderer):
         prefix = "%s%s/containers/" % (
             self._cloud_log_dir, self._cluster_id
         )
-        texts = []
-        try:
+
+        def fetch():
+            texts = []
             for uri in self._s3_ls(prefix):
                 if uri.endswith(("stderr.gz", "syslog.gz", "stderr",
                                  "syslog")):
                     texts.append(
                         self._s3_read(uri).decode("utf-8", "replace")
                     )
-        except Exception:
-            return None, None
+            return texts
+
+        # container logs also reach the LogUri with delay on real EMR
+        texts = self._wait_for_logs_on_s3(fetch)
         if not texts:
             return None, None
         joined = "\n".join(texts)

@@ -314,7 +314,11 @@ class HadoopJobRunner(StreamingStepRenderer):
         self._hadoop_extra_args = list(hadoop_extra_args or [])
         self._hadoop_log_dirs = list(hadoop_log_dirs or [])
         self._libjars = list(libjars or [])
-        self._python_bin = list(python_bin or [sys.executable])
+        # streaming tasks execute on cluster nodes, so the default must
+        # be a name resolvable THERE — 'python3', like the reference's
+        # non-local runners (mrjob/bin.py:191-205) — never the driver
+        # machine's sys.executable path
+        self._python_bin = list(python_bin or ["python3"])
         self._bootstrap_sys_path = bootstrap_sys_path
 
         merged = dict(conf_jobconf or {})

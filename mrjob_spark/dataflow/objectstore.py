@@ -34,6 +34,39 @@ def _split_uri(uri: str) -> tuple:
     return scheme, bucket, key
 
 
+def iter_objects(client, bucket: str, prefix: str = "") -> Iterator[dict]:
+    """Paginate ``list_objects_v2`` to exhaustion. Real S3/GCS return at
+    most 1000 keys per call with ``IsTruncated`` + ``NextContinuationToken``
+    (the reference auto-paginates via ``bucket.objects.filter`` /
+    ``_boto3_paginate``, mrjob/fs/s3.py / mrjob/emr.py); a single-call
+    consumer silently drops job output past 1000 part files. Every
+    listing in the cloud runners and tools goes through here."""
+    token = None
+    while True:
+        kwargs = {"Bucket": bucket, "Prefix": prefix}
+        if token:
+            kwargs["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kwargs)
+        yield from resp.get("Contents") or []
+        if not resp.get("IsTruncated"):
+            return
+        token = resp.get("NextContinuationToken")
+        if not token:  # defensive: truncated but token-less response
+            return
+
+
+def key_within(key: str, prefix: str) -> bool:
+    """True when *key* IS the object *prefix* names or lives under it as
+    a path 'directory' — rejects sibling keys that merely share the
+    string prefix (``out-old/x`` vs ``out``). The reference enforces the
+    same boundary by fnmatching ``path_glob`` and ``path_glob + '/*'``
+    (mrjob/fs/s3.py:142-162); without it, ``rm`` of a trailing-slash-less
+    output dir deletes unrelated sibling-prefix data."""
+    if not prefix or prefix.endswith("/"):
+        return key.startswith(prefix)
+    return key == prefix or key.startswith(prefix + "/")
+
+
 class ObjectStoreFS:
     """``ObjectStoreFS(client, scheme="s3")`` — *client* is any
     boto3-shaped object client (real boto3, the mock EMR S3 client, or
@@ -49,14 +82,14 @@ class ObjectStoreFS:
     # -- listing --------------------------------------------------------
 
     def _iter_keys(self, bucket: str, prefix: str) -> Iterator[dict]:
-        resp = self.client.list_objects_v2(Bucket=bucket, Prefix=prefix)
-        yield from resp.get("Contents") or []
+        yield from iter_objects(self.client, bucket, prefix)
 
     def ls(self, path_glob: str) -> Iterator[str]:
         """URIs under *path_glob*. A glob applies fnmatch per key
         relative to the fixed prefix before the first wildcard; a
-        plain URI lists its prefix (object-store 'directory'
-        semantics)."""
+        plain URI lists itself plus everything under it as a
+        'directory' — NOT sibling keys that merely extend the string
+        (mrjob/fs/s3.py:142-162 boundary rule)."""
         scheme, bucket, key = _split_uri(path_glob)
         wild = min(
             (key.index(c) for c in "*?[" if c in key), default=None
@@ -66,7 +99,10 @@ class ObjectStoreFS:
         else:
             prefix, pattern = key[:wild], key
         for obj in self._iter_keys(bucket, prefix):
-            if pattern is not None and not (
+            if pattern is None:
+                if not key_within(obj["Key"], key):
+                    continue
+            elif not (
                 fnmatch.fnmatch(obj["Key"], pattern)
                 or fnmatch.fnmatch(obj["Key"], pattern.rstrip("/") + "/*")
             ):
@@ -80,13 +116,17 @@ class ObjectStoreFS:
 
     def du(self, path_glob: str) -> int:
         scheme, bucket, key = _split_uri(path_glob)
-        total = 0
+        matched = set()
         for uri in self.ls(path_glob):
-            _, b, k = _split_uri(uri)
-            for obj in self._iter_keys(b, k):
-                if obj["Key"] == k:
-                    total += obj.get("Size", 0)
-        return total
+            _, _, k = _split_uri(uri)
+            matched.add(k)
+        wild = min((key.index(c) for c in "*?[" if c in key), default=None)
+        prefix = key if wild is None else key[:wild]
+        return sum(
+            obj.get("Size", 0)
+            for obj in self._iter_keys(bucket, prefix)
+            if obj["Key"] in matched
+        )
 
     # -- reading ----------------------------------------------------------
 
@@ -141,16 +181,14 @@ class ObjectStoreFS:
     def rm(self, path_glob: str) -> None:
         """Remove matching objects AND everything under them when the
         URI names a 'directory' prefix (the reference's recursive
-        default for cloud tmp cleanup)."""
+        default for cloud tmp cleanup). ``ls`` already enforces the
+        sibling-prefix boundary, so ``rm`` of ``.../out`` can never
+        touch ``.../out-old``."""
         _, bucket, key = _split_uri(path_glob)
         doomed = set()
         for uri in self.ls(path_glob):
             _, _, k = _split_uri(uri)
             doomed.add(k)
-        if not doomed and key:
-            prefix = key if key.endswith("/") else key + "/"
-            for obj in self._iter_keys(bucket, prefix):
-                doomed.add(obj["Key"])
         for k in sorted(doomed):
             self.client.delete_object(Bucket=bucket, Key=k)
 
@@ -162,4 +200,4 @@ class ObjectStoreFS:
         return RetryWrapper(self, retry_if=retry_if, **retry_kwargs)
 
 
-__all__ = ["ObjectStoreFS"]
+__all__ = ["ObjectStoreFS", "iter_objects", "key_within"]

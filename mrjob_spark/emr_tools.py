@@ -45,6 +45,7 @@ from mrjob_spark.dataflow.emr import (
     build_cluster_params,
     pool_config_hash,
 )
+from mrjob_spark.dataflow.objectstore import iter_objects, key_within
 
 _ACTIVE_STATES = ["STARTING", "BOOTSTRAPPING", "RUNNING", "WAITING"]
 
@@ -213,8 +214,11 @@ def s3_tmpwatch(s3, uri: str, age_secs: float, dry_run: bool = False,
     now_real = time.time() if now_real is None else now_real
     bucket, prefix = _parse_s3_uri(uri)
     doomed = []
-    resp = s3.list_objects_v2(Bucket=bucket, Prefix=prefix)
-    for obj in resp.get("Contents") or []:
+    # paginated + boundary-checked: a >1000-key tmp dir must not leave
+    # stragglers, and `tmp` must not sweep a sibling `tmp-keep` (ADVICE r7)
+    for obj in list(iter_objects(s3, bucket, prefix)):
+        if not key_within(obj["Key"], prefix):
+            continue
         if now_real - _to_epoch(obj.get("LastModified")) > age_secs:
             doomed.append(obj["Key"])
             if not dry_run:

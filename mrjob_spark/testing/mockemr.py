@@ -72,6 +72,10 @@ class MockS3Client:
 
     def __init__(self, root: str):
         self.root = root
+        #: max keys per list_objects_v2 page (real S3 caps at 1000).
+        #: Tests shrink this to force multi-page listings so any
+        #: consumer that forgets to paginate loses keys loudly.
+        self.page_size = 1000
         os.makedirs(root, exist_ok=True)
 
     def _path(self, bucket: str, key: str = "") -> str:
@@ -106,7 +110,12 @@ class MockS3Client:
         with open(path, "rb") as fh:
             return {"Body": io.BytesIO(fh.read())}
 
-    def list_objects_v2(self, Bucket: str, Prefix: str = "", **_):
+    def list_objects_v2(self, Bucket: str, Prefix: str = "",
+                        ContinuationToken: str = "", MaxKeys: int = 0, **_):
+        """Paginated like the real API: at most ``MaxKeys`` (default
+        ``self.page_size``, real S3's 1000) keys per call, with
+        ``IsTruncated`` + ``NextContinuationToken`` (a start-after key,
+        which is how real tokens behave modulo opacity)."""
         base = self._path(Bucket)
         contents = []
         for dirpath, _, names in os.walk(base):
@@ -124,7 +133,18 @@ class MockS3Client:
                         }
                     )
         contents.sort(key=lambda c: c["Key"])
-        return {"Contents": contents, "KeyCount": len(contents)}
+        if ContinuationToken:
+            contents = [c for c in contents if c["Key"] > ContinuationToken]
+        page_size = MaxKeys or self.page_size
+        page, rest = contents[:page_size], contents[page_size:]
+        resp = {
+            "Contents": page,
+            "KeyCount": len(page),
+            "IsTruncated": bool(rest),
+        }
+        if rest:
+            resp["NextContinuationToken"] = page[-1]["Key"]
+        return resp
 
     def delete_object(self, Bucket: str, Key: str, **_):
         path = self._path(Bucket, Key)

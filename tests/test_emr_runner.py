@@ -507,3 +507,106 @@ def test_unknown_instance_type_requires_exact_match(svc, input_file):
     assert not instances_satisfy(groups, "x9.mega", 4)
     # unknown actual vs known requested: memory axis can't verify
     assert not instances_satisfy(groups, "m5.xlarge", 1)
+
+
+# ---------------------------------------------------------------------
+# ADVICE r7 regressions: lock settle window, delayed S3 log delivery,
+# cloud python_bin defaults
+# ---------------------------------------------------------------------
+
+
+def test_lock_dance_waits_out_the_settle_window(svc, input_file,
+                                                monkeypatch):
+    """Two racing writers must each see the other's tag overwrite;
+    the reference sleeps _WAIT_AFTER_ADD_TAG=10s between write and
+    verification describe (mrjob/pool.py:650-665). check_cluster_every
+    == 0 (the mock convention) skips the wait entirely."""
+    import time as _time
+
+    from mrjob_spark.dataflow import emr as emr_mod
+
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True) as r1:
+        r1.run()
+        cid = r1.get_cluster_id()
+    svc.sleep(1)  # settle to WAITING
+
+    slept = []
+    monkeypatch.setattr(_time, "sleep", lambda s: slept.append(s))
+
+    cluster = svc.emr_client().describe_cluster(ClusterId=cid)["Cluster"]
+    r2 = _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 check_cluster_every=5.0)
+    assert r2._attempt_to_lock_cluster(cluster)
+    assert emr_mod._WAIT_AFTER_ADD_TAG in slept
+
+    # mock path: no settle sleep at all
+    slept.clear()
+    r2._cluster_id = cid  # _release_cluster_lock untags THIS cluster
+    r2._release_cluster_lock()
+    r3 = _runner(svc, MRWordFreq(), input_file, pool_clusters=True)
+    cluster = svc.emr_client().describe_cluster(ClusterId=cid)["Cluster"]
+    assert r3._attempt_to_lock_cluster(cluster)
+    assert slept == []
+    r3._release_cluster_lock()
+
+
+def test_step_log_fetch_retries_until_delivery(svc, input_file,
+                                               monkeypatch):
+    """Real EMR ships step logs to the LogUri minutes after the step
+    finishes (the reference's _wait_for_logs_on_s3, mrjob/emr.py:2112);
+    a single immediate read would find nothing."""
+    import gzip as _gzip
+    import time as _time
+
+    with _runner(svc, MRWordFreq(), input_file) as r:
+        r.run()
+        step_id = r._step_ids[-1]
+        prefix = r._step_log_prefix(step_id)
+        bucket, key = prefix.replace("s3://", "").split("/", 1)
+        stderr_key = key + "stderr.gz"
+        body = svc.s3_client().get_object(
+            Bucket=bucket, Key=stderr_key
+        )["Body"].read()
+
+        # simulate delayed delivery: remove the log, re-deliver it only
+        # after two poll sleeps have elapsed
+        svc.s3_client().delete_object(Bucket=bucket, Key=stderr_key)
+        calls = []
+
+        def delayed_sleep(secs):
+            calls.append(secs)
+            if len(calls) == 2:
+                svc.s3_client().put_object(
+                    Bucket=bucket, Key=stderr_key, Body=body
+                )
+
+        monkeypatch.setattr(_time, "sleep", delayed_sleep)
+        r.check_cluster_every = 0.01
+        interp = r._interpret_step_logs(step_id)
+        assert len(calls) >= 2
+        counters = interp.get("counters") or {}
+        assert counters  # parsed the re-delivered log
+
+        # mock path (check_cluster_every == 0): one try, no sleeps
+        svc.s3_client().delete_object(Bucket=bucket, Key=stderr_key)
+        calls.clear()
+        r.check_cluster_every = 0.0
+        assert r._interpret_step_logs(step_id) == {}
+        assert calls == []
+        svc.s3_client().put_object(Bucket=bucket, Key=stderr_key,
+                                   Body=body)
+        _ = _gzip  # (body already gzipped by the mock layout)
+
+
+def test_cloud_python_bin_defaults_to_python3(svc, input_file, tmp_path):
+    """Task commands execute on cluster nodes where the driver
+    machine's sys.executable path doesn't exist; the reference
+    defaults non-local runners to 'python3' (mrjob/bin.py:191-205)."""
+    import sys
+
+    r = _runner(svc, MRWordFreq(), input_file)
+    assert r._python_bin == ["python3"]
+    # explicit override still wins
+    r2 = _runner(svc, MRWordFreq(), input_file,
+                 python_bin=[sys.executable])
+    assert r2._python_bin == [sys.executable]

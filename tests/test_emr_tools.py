@@ -269,3 +269,27 @@ def test_s3_tmpwatch(tmp_path):
     )["Contents"]]
     assert "tmp/old.txt" not in keys
     assert "tmp/new.txt" in keys and "keep/old.txt" in keys
+
+
+def test_s3_tmpwatch_paginates_and_respects_boundary(tmp_path):
+    """ADVICE r7: >1000-key tmp dirs must not leave stragglers behind
+    one page, and `tmp` must not sweep a sibling `tmp-keep`."""
+    import os
+    import time
+
+    svc = MockEMRService(tmp_path / "emr")
+    s3 = svc.s3_client()
+    s3.create_bucket(Bucket="b")
+    for i in range(7):
+        s3.put_object(Bucket="b", Key="tmp/f-%d" % i, Body=b"x")
+    s3.put_object(Bucket="b", Key="tmp-keep/f", Body=b"x")
+    old = time.time() - 10 * 86400
+    for i in range(7):
+        os.utime(s3._path("b", "tmp/f-%d" % i), (old, old))
+    os.utime(s3._path("b", "tmp-keep/f"), (old, old))
+
+    s3.page_size = 2  # 8 matching keys -> multiple pages
+    doomed = s3_tmpwatch(s3, "s3://b/tmp", parse_age("7d"))
+    assert sorted(doomed) == ["tmp/f-%d" % i for i in range(7)]
+    keys = [o["Key"] for o in s3.list_objects_v2(Bucket="b")["Contents"]]
+    assert keys == ["tmp-keep/f"]

@@ -96,3 +96,105 @@ def test_runner_fs_property(tmp_path):
     # retry facade proxies through (same contract as HadoopFilesystem)
     wrapped = runner.fs.retrying(retry_if=lambda e: False)
     assert wrapped.exists("s3://mybucket/a")
+
+
+# ---------------------------------------------------------------------
+# pagination + prefix-boundary (ADVICE r7: real S3 caps listings at
+# 1000 keys/page; non-glob prefix listings must not match sibling keys)
+# ---------------------------------------------------------------------
+
+
+def test_listing_paginates(tmp_path):
+    client = MockS3Client(str(tmp_path / "store"))
+    client.create_bucket(Bucket="b")
+    for i in range(7):
+        client.put_object(Bucket="b", Key="out/part-%05d" % i, Body=b"x\n")
+    client.page_size = 2  # 7 keys → 4 pages; a single-call consumer sees 2
+    fs = ObjectStoreFS(client, scheme="s3")
+
+    assert len(list(fs.ls("s3://b/out/"))) == 7
+    assert len(list(fs.ls("s3://b/out/part-*"))) == 7
+    assert fs.du("s3://b/out/") == 14
+    assert len(list(fs.cat("s3://b/out/"))) == 7
+    fs.rm("s3://b/out")
+    assert not fs.exists("s3://b/out/part-*")
+
+
+def test_mock_pagination_contract(tmp_path):
+    # the mock's wire shape itself: IsTruncated + NextContinuationToken
+    client = MockS3Client(str(tmp_path / "store"))
+    client.create_bucket(Bucket="b")
+    for key in ("a", "b", "c"):
+        client.put_object(Bucket="b", Key=key, Body=b"1")
+    page1 = client.list_objects_v2(Bucket="b", MaxKeys=2)
+    assert [o["Key"] for o in page1["Contents"]] == ["a", "b"]
+    assert page1["IsTruncated"]
+    page2 = client.list_objects_v2(
+        Bucket="b", ContinuationToken=page1["NextContinuationToken"]
+    )
+    assert [o["Key"] for o in page2["Contents"]] == ["c"]
+    assert not page2["IsTruncated"]
+    assert "NextContinuationToken" not in page2
+
+
+def test_ls_and_rm_respect_path_boundary(tmp_path):
+    # mrjob/fs/s3.py:142-162: ls of s3://b/out matches out and out/*,
+    # never the sibling out-old/* — so rm of a trailing-slash-less
+    # output dir can't delete unrelated data
+    from mrjob_spark.dataflow.objectstore import key_within
+
+    # the boundary predicate itself (file-backed mock can't hold an
+    # object at `out` AND under `out/` simultaneously)
+    assert key_within("out", "out")
+    assert key_within("out/part-0", "out")
+    assert key_within("out/part-0", "out/")
+    assert not key_within("out-old/part-0", "out")
+    assert not key_within("output2/part-0", "out")
+    assert key_within("anything/x", "")  # bucket root
+
+    client = MockS3Client(str(tmp_path / "store"))
+    client.create_bucket(Bucket="b")
+    client.put_object(Bucket="b", Key="out/part-00000", Body=b"x")
+    client.put_object(Bucket="b", Key="out-old/part-00000", Body=b"keep")
+    client.put_object(Bucket="b", Key="output2/part-00000", Body=b"keep")
+    fs = ObjectStoreFS(client, scheme="s3")
+
+    assert sorted(fs.ls("s3://b/out")) == ["s3://b/out/part-00000"]
+    assert fs.du("s3://b/out") == 1
+    fs.rm("s3://b/out")
+    assert not fs.exists("s3://b/out")
+    assert fs.exists("s3://b/out-old/part-00000")
+    assert fs.exists("s3://b/output2/part-00000")
+
+
+def test_runner_rm_prefix_respects_boundary(tmp_path):
+    # the spot-loss retry path rm's output_dir without a trailing slash
+    from mrjob_spark.dataflow.emr import EMRJobRunner
+    from mrjob_spark.dataflow.job import SparkMRJob
+    from mrjob_spark.dataflow.step import MRStep
+    from mrjob_spark.testing.mockemr import MockEMRService
+
+    class MRWC(SparkMRJob):
+        def steps(self):
+            return [MRStep(mapper=self.m)]
+
+        def m(self, _, line):
+            yield line, 1
+
+    svc = MockEMRService(tmp_path / "emr")
+    s3 = svc.s3_client()
+    s3.create_bucket(Bucket="b")
+    for i in range(5):
+        s3.put_object(Bucket="b", Key="run/out/p-%d" % i, Body=b"x")
+    s3.put_object(Bucket="b", Key="run/out-keep/p", Body=b"keep")
+    s3.page_size = 2
+    runner = EMRJobRunner(
+        MRWC(), input_paths=["x"],
+        emr_client=svc.emr_client(), s3_client=s3,
+    )
+    assert len(list(runner._s3_ls("s3://b/run/out"))) == 5
+    runner._s3_rm_prefix("s3://b/run/out")
+    assert list(runner._s3_ls("s3://b/run/out")) == []
+    assert list(runner._s3_ls("s3://b/run/out-keep")) == [
+        "s3://b/run/out-keep/p"
+    ]
