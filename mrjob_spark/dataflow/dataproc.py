@@ -422,17 +422,51 @@ class DataprocJobRunner(StreamingStepRenderer):
 
     # --- execution ------------------------------------------------------------
 
+    def _jar_step_hadoop_job(self, step, inputs: list,
+                             output_uri: str) -> dict:
+        """The reference's ``_jar_step_job_kwarg`` shape
+        (``mrjob/dataproc.py:594-614``): a ``hadoopJob`` running the
+        user's jar, with INPUT/OUTPUT interpolated to GCS URIs and
+        GENERIC_ARGS to the ``-D`` property list. The API can't take
+        ``mainClass`` and ``mainJarFileUri`` together, so a main class
+        rides ``jarFileUris`` instead."""
+        from mrjob_spark.dataflow.step import GENERIC_ARGS, INPUT, OUTPUT
+
+        in_arg = ",".join(inputs)
+        props = ["-D%s=%s" % (k, v)
+                 for k, v in sorted(step.jobconf.items())]
+        args: list = []
+        for a in step.args:
+            if a == GENERIC_ARGS:
+                args.extend(props)
+            else:
+                args.append(
+                    str(a).replace(INPUT, in_arg).replace(OUTPUT,
+                                                          output_uri)
+                )
+        jar = step.jar
+        if "://" not in jar:
+            jar = self._upload(jar)
+        hadoop_job: dict = {"args": args}
+        if step.main_class:
+            hadoop_job["jarFileUris"] = [jar]
+            hadoop_job["mainClass"] = step.main_class
+        else:
+            hadoop_job["mainJarFileUri"] = jar
+        return hadoop_job
+
     def run(self) -> "DataprocJobRunner":
-        from mrjob_spark.dataflow.step import MRStep
+        from mrjob_spark.dataflow.step import JarStep, MRStep
 
         if self._ran:
             return self
         steps = self.job.steps()
         for step in steps:
-            if not isinstance(step, MRStep):
+            if not isinstance(step, (MRStep, JarStep)):
                 raise NotImplementedError(
-                    "-r dataproc runs streaming (MRStep) steps; %r needs"
-                    " the Spark runner" % type(step).__name__
+                    "-r dataproc runs streaming (MRStep) and jar"
+                    " (JarStep) steps; %r needs the Spark runner"
+                    % type(step).__name__
                 )
             if getattr(step, "mapper_raw", None):
                 raise NotImplementedError(
@@ -450,10 +484,18 @@ class DataprocJobRunner(StreamingStepRenderer):
                 self.output_dir if last
                 else self._job_tmp + "step-output/%04d/" % step_num
             )
-            body = self._streaming_step_body(
-                step, step_num, files, archives, inputs,
-                output_uri.rstrip("/"),
-            )
+            if isinstance(step, MRStep):
+                hadoop_job = {
+                    "args": self._streaming_step_body(
+                        step, step_num, files, archives, inputs,
+                        output_uri.rstrip("/"),
+                    ),
+                    "mainJarFileUri": _HADOOP_STREAMING_JAR_URI,
+                }
+            else:
+                hadoop_job = self._jar_step_hadoop_job(
+                    step, inputs, output_uri.rstrip("/")
+                )
             job_id = "%s---step-%05d-of-%05d" % (
                 prefix, step_num + 1, len(steps)
             )
@@ -461,10 +503,7 @@ class DataprocJobRunner(StreamingStepRenderer):
                 self._project_id, self._region, {
                     "reference": {"jobId": job_id},
                     "placement": {"clusterName": self._cluster_name},
-                    "hadoopJob": {
-                        "args": body,
-                        "mainJarFileUri": _HADOOP_STREAMING_JAR_URI,
-                    },
+                    "hadoopJob": hadoop_job,
                 },
             )
             self._job_ids.append(job_id)

@@ -734,10 +734,46 @@ class EMRJobRunner(StreamingStepRenderer):
             },
         }
 
+    def _build_jar_step(self, step, step_num: int, num_steps: int,
+                        inputs: list, output_uri: str) -> dict:
+        """Plain X7 ``'jar'`` step: the reference submits the user's jar
+        AS the HadoopJarStep jar (``mrjob/emr.py`` ``_build_step`` jar
+        branch) — no command-runner indirection — with INPUT/OUTPUT
+        interpolated to S3 URIs and GENERIC_ARGS to the ``-D`` property
+        list, and MainClass passed through when set."""
+        from mrjob_spark.dataflow.step import GENERIC_ARGS, INPUT, OUTPUT
+
+        in_arg = ",".join(inputs)
+        props = ["-D%s=%s" % (k, v)
+                 for k, v in sorted(step.jobconf.items())]
+        args: list = []
+        for a in step.args:
+            if a == GENERIC_ARGS:
+                args.extend(props)
+            else:
+                args.append(
+                    str(a).replace(INPUT, in_arg).replace(OUTPUT,
+                                                          output_uri)
+                )
+        jar = step.jar
+        if "://" not in jar:  # local jar → upload beside the job files
+            jar = self._upload(jar)
+        hadoop_jar_step = {"Jar": jar, "Args": args}
+        if step.main_class:
+            hadoop_jar_step["MainClass"] = step.main_class
+        return {
+            "Name": "%s: Step %d of %d" % (
+                self._job_key, step_num + 1, num_steps
+            ),
+            "ActionOnFailure": self._action_on_failure(),
+            "HadoopJarStep": hadoop_jar_step,
+        }
+
     # --- execution --------------------------------------------------------
 
     def run(self) -> "EMRJobRunner":
         from mrjob_spark.dataflow.step import (
+            JarStep,
             MRStep,
             SparkJarStep,
             SparkScriptStep,
@@ -748,12 +784,12 @@ class EMRJobRunner(StreamingStepRenderer):
         steps = self.job.steps()
         for step in steps:
             if not isinstance(
-                step, (MRStep, SparkScriptStep, SparkJarStep)
+                step, (MRStep, JarStep, SparkScriptStep, SparkJarStep)
             ):
                 raise NotImplementedError(
-                    "-r emr runs streaming (MRStep) and Spark-app"
-                    " (SparkScriptStep/SparkJarStep) steps; %r needs the"
-                    " Spark runner" % type(step).__name__
+                    "-r emr runs streaming (MRStep), jar (JarStep) and"
+                    " Spark-app (SparkScriptStep/SparkJarStep) steps; %r"
+                    " needs the Spark runner" % type(step).__name__
                 )
             if getattr(step, "mapper_raw", None):
                 raise NotImplementedError(
@@ -783,7 +819,7 @@ class EMRJobRunner(StreamingStepRenderer):
         return self
 
     def _run_on_cluster(self, steps, files, archives, inputs) -> None:
-        from mrjob_spark.dataflow.step import MRStep
+        from mrjob_spark.dataflow.step import JarStep, MRStep
 
         self._launch()
         inputs = list(inputs)
@@ -797,6 +833,11 @@ class EMRJobRunner(StreamingStepRenderer):
             if isinstance(step, MRStep):
                 submit.append(self._build_streaming_step(
                     step, step_num, len(steps), files, archives, inputs,
+                    output_uri.rstrip("/"),
+                ))
+            elif isinstance(step, JarStep):
+                submit.append(self._build_jar_step(
+                    step, step_num, len(steps), inputs,
                     output_uri.rstrip("/"),
                 ))
             else:

@@ -514,6 +514,80 @@ def mr_emr_wordfreq(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+@query(
+    "x7_jar_step_emr",
+    sql=f"""
+    SELECT upper(word) AS word, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_WORDS_SQL}) GROUP BY upper(word)
+    """,
+)
+def x7_jar_step_emr(spark, sf_dir):
+    """X7 on the cloud (VERDICT r7 task 2): the streaming → jar →
+    streaming chain from ``x7_jar_step`` routed through the ``-r emr``
+    control plane against the executing mock EMR service. The user's
+    jar is uploaded to S3 and submitted AS the HadoopJarStep jar — the
+    reference's plain ``'jar'`` step shape (``mrjob/emr.py``
+    ``_build_step``; Dataproc twin per ``mrjob/dataproc.py:594-614``,
+    covered by test_dataproc_runner.py) — with INPUT/OUTPUT sentinels
+    interpolated to the S3 step-output URIs, MainClass passed through,
+    and the mock resolving ``s3://`` operands the way cluster-side
+    EMRFS would before running the REAL JVM. The oracle states the
+    jar's observable effect relationally: upper() is injective on
+    lowercase tokens, so regrouping on the uppercased keys preserves
+    counts.
+
+    Scale note: the jar runs ON the cluster between two streaming
+    shuffles; the driver moves step descriptions and counters only —
+    job data crosses steps through S3, never the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mrjob_spark.dataflow.emr import EMRJobRunner
+    from mrjob_spark.dataflow.examples import MRWordFreqJarUpper
+    from mrjob_spark.dataflow.jartools import (
+        UPPERCASE_LINES_JAVA,
+        compile_jar,
+    )
+    from mrjob_spark.testing.mockemr import MockEMRService
+
+    t = Tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mrjob-spark-emr-jar-q-")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        (
+            t.documents.select(
+                F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+            )
+            .repartition(2)
+            .write.text(in_dir)
+        )
+        svc = MockEMRService(os.path.join(tmp, "emr"))
+        jar = compile_jar(UPPERCASE_LINES_JAVA, "UpperCaseLines")
+        runner = EMRJobRunner(
+            MRWordFreqJarUpper(jar),
+            input_paths=[os.path.join(in_dir, "part-*")],
+            emr_client=svc.emr_client(),
+            s3_client=svc.s3_client(),
+            cloud_tmp_dir="s3://mrjob-spark-tmp/",
+            check_cluster_every=0.0,
+            num_reducers=2,
+        )
+        with runner:
+            rows = [(w, int(c)) for w, c in runner.cat_output()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 class MRTopWord(SparkMRJob):
     """wordcount → global argmax, the 2-step chain shape: step 1's
     output crosses the cloud store into step 2's input."""

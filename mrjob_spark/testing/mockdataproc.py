@@ -143,11 +143,17 @@ class MockDataprocService:
         hadoop_job = job.get("hadoopJob") or {}
         main_jar = hadoop_job.get("mainJarFileUri", "")
         args = list(hadoop_job.get("args") or [])
+        if main_jar and "streaming" not in os.path.basename(main_jar) \
+                or hadoop_job.get("mainClass"):
+            # a custom-jar hadoopJob (the reference's 'jar' steps,
+            # mrjob/dataproc.py:594-614)
+            self._execute_jar_job(job, hadoop_job, args)
+            return
         if "streaming" not in os.path.basename(main_jar):
             job["status"] = {
                 "state": "ERROR",
                 "details": "mockdataproc executes only hadoop-streaming"
-                           " jobs, got %r" % main_jar,
+                           " and custom-jar jobs, got %r" % main_jar,
             }
             return
 
@@ -182,6 +188,56 @@ class MockDataprocService:
                 }
         finally:
             shutil.rmtree(log_dir, ignore_errors=True)
+
+    def _map_gs_operand(self, a: str) -> str:
+        """``gs://bucket/key`` (incl. comma-joined path lists) → on-disk
+        store path: the mock's stand-in for the cluster-side GCS
+        connector."""
+        parts = []
+        for part in str(a).split(","):
+            if part.startswith("gs://"):
+                rest = part.split("://", 1)[1]
+                part = os.path.join(
+                    self.gcs_root, rest.replace("/", os.sep)
+                )
+            parts.append(part)
+        return ",".join(parts)
+
+    def _execute_jar_job(self, job: dict, hadoop_job: dict,
+                         args: list):
+        """Run a custom-jar ``hadoopJob`` as a REAL java process.
+        ``mainClass`` + ``jarFileUris`` → ``java -cp jar Main``;
+        ``mainJarFileUri`` → ``java -jar`` (the API forbids combining
+        them); gs:// operands resolve through the store like the GCS
+        connector would on a real cluster."""
+        main_class = hadoop_job.get("mainClass")
+        if main_class:
+            jar = (hadoop_job.get("jarFileUris") or [""])[0]
+        else:
+            jar = hadoop_job.get("mainJarFileUri", "")
+        jar_path = self._map_gs_operand(jar)
+        mapped = [self._map_gs_operand(a) for a in args]
+        java = os.path.join(
+            os.environ.get("JAVA_HOME", ""), "bin", "java"
+        )
+        if not os.path.exists(java):
+            java = shutil.which("java") or "java"
+        cmd = [java]
+        if main_class:
+            cmd += ["-cp", jar_path, main_class]
+        else:
+            cmd += ["-jar", jar_path]
+        cmd += mapped
+        proc = subprocess.run(cmd, capture_output=True)
+        self._write_driver_output(job, proc.stderr)
+        if proc.returncode == 0:
+            job["status"] = {"state": "DONE"}
+        else:
+            job["status"] = {
+                "state": "ERROR",
+                "details": "Google Cloud Dataproc Agent reports job"
+                           " failure.",
+            }
 
     def _write_driver_output(self, job: dict, stderr: bytes):
         uri = job["driverOutputResourceUri"]

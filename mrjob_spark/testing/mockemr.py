@@ -490,10 +490,16 @@ class MockEMRService:
             return
         elif "streaming" in os.path.basename(jar):
             streaming_args = args
+        elif jar.endswith(".jar") and \
+                os.path.basename(jar) != COMMAND_RUNNER_JAR:
+            # a plain custom HadoopJarStep (the reference's 'jar' steps)
+            self._execute_plain_jar_step(c, step, jar, args)
+            return
         else:
             self._finish_step(
-                c, step, 1, b"", b"mockemr: only hadoop-streaming and"
-                b" spark-submit steps are executed by this mock\n",
+                c, step, 1, b"", b"mockemr: only hadoop-streaming,"
+                b" spark-submit and custom-jar steps are executed by"
+                b" this mock\n",
             )
             return
 
@@ -522,6 +528,48 @@ class MockEMRService:
             )
         finally:
             shutil.rmtree(log_dir, ignore_errors=True)
+
+    def _map_s3_operand(self, a: str) -> str:
+        """Map ``s3://bucket/key`` (including comma-joined path lists,
+        the Hadoop multi-input shape) to its on-disk store path — the
+        mock's stand-in for cluster-side EMRFS resolution."""
+        parts = []
+        for part in str(a).split(","):
+            if part.startswith(("s3://", "s3a://", "s3n://")):
+                rest = part.split("://", 1)[1]
+                part = os.path.join(
+                    self.s3_root, rest.replace("/", os.sep)
+                )
+            parts.append(part)
+        return ",".join(parts)
+
+    def _execute_plain_jar_step(self, c: dict, step: dict, jar: str,
+                                args: list) -> None:
+        """Run a custom HadoopJarStep (reference ``'jar'`` steps,
+        mrjob/emr.py HadoopJarStep) as a REAL java process: the jar is
+        resolved from the store, s3:// operands map to store paths (on
+        a real cluster ``hadoop jar`` resolves them through EMRFS), and
+        MainClass selects ``-cp jar Main`` over ``-jar``."""
+        import shutil as _shutil
+
+        jar_path = self._map_s3_operand(jar)
+        mapped = [self._map_s3_operand(a) for a in args]
+        java = os.path.join(
+            os.environ.get("JAVA_HOME", ""), "bin", "java"
+        )
+        if not os.path.exists(java):
+            java = _shutil.which("java") or "java"
+        main_class = step["HadoopJarStep"].get("MainClass")
+        cmd = [java]
+        if main_class:
+            cmd += ["-cp", jar_path, main_class]
+        else:
+            cmd += ["-jar", jar_path]
+        cmd += mapped
+        proc = subprocess.run(cmd, capture_output=True)
+        self._finish_step(
+            c, step, proc.returncode, proc.stdout, proc.stderr
+        )
 
     def _execute_spark_submit_step(self, c: dict, step: dict,
                                    args: list) -> None:

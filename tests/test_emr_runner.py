@@ -610,3 +610,62 @@ def test_cloud_python_bin_defaults_to_python3(svc, input_file, tmp_path):
     r2 = _runner(svc, MRWordFreq(), input_file,
                  python_bin=[sys.executable])
     assert r2._python_bin == [sys.executable]
+
+
+# ---------------------------------------------------------------------
+# plain JarStep on EMR (VERDICT r7 task 2; reference mrjob/emr.py
+# HadoopJarStep branch)
+# ---------------------------------------------------------------------
+
+
+def _jar_upper_job():
+    from mrjob_spark.dataflow.examples import MRWordFreqJarUpper
+    from mrjob_spark.dataflow.jartools import (
+        UPPERCASE_LINES_JAVA,
+        compile_jar,
+        have_jdk,
+    )
+
+    if not have_jdk():
+        pytest.skip("no JDK in this environment")
+    return MRWordFreqJarUpper(
+        compile_jar(UPPERCASE_LINES_JAVA, "UpperCaseLines")
+    )
+
+
+def test_jar_step_shape_on_emr(svc, input_file):
+    """The reference submits the user's jar AS the HadoopJarStep jar —
+    no command-runner indirection — with MainClass passed through and
+    INPUT/OUTPUT interpolated to S3 URIs (mirrors
+    test_step_shape_and_arg_order)."""
+    r = _runner(svc, _jar_upper_job(), input_file)
+    r.run()
+    steps = svc.clusters[r.get_cluster_id()]["_steps"]
+    assert len(steps) == 3
+    jar_step = steps[1]["HadoopJarStep"]
+    assert jar_step["Jar"].startswith("s3://")   # uploaded local jar
+    assert jar_step["Jar"].endswith(".jar")
+    assert jar_step["Jar"] != "command-runner.jar"
+    assert jar_step["MainClass"] == "UpperCaseLines"
+    in_arg, out_arg = jar_step["Args"]
+    # INPUT = previous streaming step's output; OUTPUT = next step's input
+    assert in_arg.startswith("s3://") and "step-output/0000" in in_arg
+    assert out_arg.startswith("s3://") and "step-output/0001" in out_arg
+    streaming_args = steps[2]["HadoopJarStep"]["Args"]
+    assert streaming_args[streaming_args.index("-input") + 1] == out_arg
+    r.cleanup()
+
+
+def test_jar_step_executes_end_to_end_on_emr(svc, input_file):
+    """streaming → jar → streaming through the mock EMR control plane
+    must agree with the inline runner (which already oracle-checks the
+    same job in x7_jar_step)."""
+    job = _jar_upper_job()
+    with _runner(svc, job, input_file) as r:
+        got = sorted(r.cat_output())
+    inline = _jar_upper_job().make_inline_runner(
+        input_paths=[input_file]
+    )
+    inline.run()
+    assert got == sorted(inline.cat_output())
+    assert got[0] == ("APPLE", 3)
