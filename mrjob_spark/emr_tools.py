@@ -147,9 +147,72 @@ def find_idle_clusters(
     return out
 
 
+def cluster_nih(cluster: dict, steps: list, now: float) -> dict:
+    """Normalized-instance-hour accounting for one cluster — the
+    reference's math (``mrjob/tools/emr/audit_usage.py:149-166,
+    330-500``): the API's ``NormalizedInstanceHours`` counts FULL hours,
+    so the per-second rate is ``nih / (ceil(ran_hours) * 3600)``;
+    'used' time is bootstrap (created→ready) plus each started step's
+    run; each interval is billed until the NEXT interval starts (the
+    last until the cluster's billing end: at least one minute, rounded
+    up to the next second); ``bbnu`` — billed-but-not-used — is the
+    difference. Returns ``{"nih_billed", "nih_used", "nih_bbnu"}``."""
+    import math
+
+    timeline = cluster["Status"].get("Timeline", {})
+    created = _to_epoch(timeline.get("CreationDateTime"))
+    ready = timeline.get("ReadyDateTime")
+    end = timeline.get("EndDateTime")
+    nih = float(cluster.get("NormalizedInstanceHours") or 0)
+    if created is None or not nih:
+        return {"nih_billed": 0.0, "nih_used": 0.0, "nih_bbnu": 0.0}
+    ran = max(0.0, (_to_epoch(end) if end else now) - created)
+    full_hours = max(1, math.ceil(ran / 3600.0))
+    nih_per_sec = nih / (full_hours * 3600.0)
+    cluster_end_billing = created + max(math.ceil(ran), 60.0)
+
+    # bootstrap interval, then one per STARTED step (a step that never
+    # got a StartDateTime ends the walk; a cancelled step on a finished
+    # cluster is credited 0 usage)
+    intervals = [{
+        "start": created,
+        "end": _to_epoch(ready) if ready else (
+            _to_epoch(end) if end else now
+        ),
+    }]
+    for step in steps:
+        st = step["Status"].get("Timeline", {})
+        start = st.get("StartDateTime")
+        if start is None:
+            break
+        step_end = st.get("EndDateTime")
+        if step_end is None:
+            step_end = start if end else now
+        intervals.append({
+            "start": _to_epoch(start), "end": _to_epoch(step_end),
+        })
+    for i in range(len(intervals) - 1):
+        intervals[i]["end_billing"] = intervals[i + 1]["start"]
+    intervals[-1]["end_billing"] = cluster_end_billing
+
+    used = sum(
+        nih_per_sec * max(0.0, iv["end"] - iv["start"])
+        for iv in intervals
+    )
+    billed = sum(
+        nih_per_sec * max(0.0, iv["end_billing"] - iv["start"])
+        for iv in intervals
+    )
+    return {
+        "nih_billed": billed,
+        "nih_used": used,
+        "nih_bbnu": billed - used,
+    }
+
+
 def collect_usage(emr, now: float) -> list:
     """Basic per-cluster summaries (the reference's
-    ``_cluster_to_basic_summary`` slice)."""
+    ``_cluster_to_basic_summary`` slice) plus the NIH billing columns."""
     rows = []
     for summary in emr.list_clusters().get("Clusters") or []:
         cluster = emr.describe_cluster(ClusterId=summary["Id"])["Cluster"]
@@ -158,7 +221,7 @@ def collect_usage(emr, now: float) -> list:
             cluster["Status"].get("Timeline", {}).get("CreationDateTime")
         )
         tags = _tags(cluster)
-        rows.append({
+        row = {
             "id": cluster["Id"],
             "name": cluster.get("Name", ""),
             "state": cluster["Status"]["State"],
@@ -166,7 +229,9 @@ def collect_usage(emr, now: float) -> list:
             "age_hours": max(0.0, now - created) / 3600.0,
             "num_steps": len(steps),
             "pool": tags.get(_POOL_NAME_TAG),
-        })
+        }
+        row.update(cluster_nih(cluster, steps, now))
+        rows.append(row)
     return rows
 
 
@@ -311,25 +376,37 @@ def audit_usage_main(args: list) -> int:
     region = _flagval(args, "--region")
     emr, _s3, now = _clients(region)
     rows = collect_usage(emr, now)
-    print("%-14s %-9s %9s %6s %-10s %s" % (
-        "id", "state", "age_hrs", "steps", "pool", "name"
+    print("%-14s %-9s %9s %6s %9s %9s %9s %-10s %s" % (
+        "id", "state", "age_hrs", "steps",
+        "nih_bill", "nih_used", "nih_bbnu", "pool", "name"
     ))
     for row in rows:
-        print("%-14s %-9s %9.1f %6d %-10s %s" % (
+        print("%-14s %-9s %9.1f %6d %9.2f %9.2f %9.2f %-10s %s" % (
             row["id"], row["state"], row["age_hours"],
-            row["num_steps"], row["pool"] or "-", row["name"],
+            row["num_steps"], row["nih_billed"], row["nih_used"],
+            row["nih_bbnu"], row["pool"] or "-", row["name"],
         ))
     by_pool: dict = {}
     for row in rows:
         key = row["pool"] or "(unpooled)"
-        agg = by_pool.setdefault(key, [0, 0.0])
+        agg = by_pool.setdefault(key, [0, 0.0, 0.0, 0.0, 0.0])
         agg[0] += 1
         agg[1] += row["age_hours"]
+        agg[2] += row["nih_billed"]
+        agg[3] += row["nih_used"]
+        agg[4] += row["nih_bbnu"]
     print("\nusage by pool:")
     for pool in sorted(by_pool):
-        n, hours = by_pool[pool]
+        n, hours, billed, used, bbnu = by_pool[pool]
         print("  %-12s %3d clusters %9.1f cluster-hours"
-              % (pool, n, hours))
+              " %9.2f nih_billed %9.2f nih_used %9.2f nih_bbnu"
+              % (pool, n, hours, billed, used, bbnu))
+    # the reference's headline totals (audit_usage.py:149-166)
+    print("\ntotals: %.2f nih_billed, %.2f nih_used, %.2f nih_bbnu" % (
+        sum(r["nih_billed"] for r in rows),
+        sum(r["nih_used"] for r in rows),
+        sum(r["nih_bbnu"] for r in rows),
+    ))
     return 0
 
 

@@ -294,9 +294,40 @@ class MockEMRService:
         self.clusters[cluster_id] = cluster
         return {"JobFlowId": cluster_id}
 
+    #: EMR's public instance-normalization factors (units per hour by
+    #: size suffix): small=1, medium=2, large=4, xlarge=8, 2xlarge=16…
+    _NORM_UNITS = {
+        "small": 1, "medium": 2, "large": 4, "xlarge": 8,
+        "2xlarge": 16, "4xlarge": 32, "8xlarge": 64, "16xlarge": 128,
+    }
+
+    def _normalized_instance_hours(self, c: dict) -> int:
+        """Like real EMR: billed by the FULL hour (ceil) times the
+        summed normalization units of all instances, updated while the
+        cluster runs and frozen at termination."""
+        import math
+
+        timeline = c["Status"].get("Timeline", {})
+        created = timeline.get("CreationDateTime", self.now)
+        end = timeline.get("EndDateTime") or self.now
+        full_hours = max(1, math.ceil((end - created) / 3600.0))
+        inst = c.get("_instances") or {}
+        count = inst.get("InstanceCount", 1)
+
+        def units(itype: str) -> int:
+            suffix = str(itype).rsplit(".", 1)[-1]
+            return self._NORM_UNITS.get(suffix, 4)
+
+        total_units = units(inst.get("MasterInstanceType", "")) + max(
+            0, count - 1
+        ) * units(inst.get("SlaveInstanceType", ""))
+        return full_hours * total_units
+
     def api_describe_cluster(self, ClusterId: str):
         c = self._cluster(ClusterId)
         public = {k: v for k, v in c.items() if not k.startswith("_")}
+        public["NormalizedInstanceHours"] = \
+            self._normalized_instance_hours(c)
         return {"Cluster": public}
 
     def api_list_clusters(self, ClusterStates=None, **_):

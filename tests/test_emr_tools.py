@@ -293,3 +293,113 @@ def test_s3_tmpwatch_paginates_and_respects_boundary(tmp_path):
     assert sorted(doomed) == ["tmp/f-%d" % i for i in range(7)]
     keys = [o["Key"] for o in s3.list_objects_v2(Bucket="b")["Contents"]]
     assert keys == ["tmp-keep/f"]
+
+
+# ---------------------------------------------------------------------
+# normalized instance hours (VERDICT r7 task 5; reference
+# mrjob/tools/emr/audit_usage.py:149-166,330-500)
+# ---------------------------------------------------------------------
+
+
+def _stub_cluster(created, ready=None, end=None, nih=16):
+    timeline = {"CreationDateTime": created}
+    if ready is not None:
+        timeline["ReadyDateTime"] = ready
+    if end is not None:
+        timeline["EndDateTime"] = end
+    return {
+        "Id": "j-STUB",
+        "Status": {"State": "TERMINATED" if end else "RUNNING",
+                   "Timeline": timeline},
+        "NormalizedInstanceHours": nih,
+    }
+
+
+def _stub_step(start=None, end=None):
+    timeline = {}
+    if start is not None:
+        timeline["StartDateTime"] = start
+    if end is not None:
+        timeline["EndDateTime"] = end
+    return {"Id": "s-STUB", "Status": {"Timeline": timeline}}
+
+
+def test_cluster_nih_literal_timestamps():
+    from mrjob_spark.emr_tools import cluster_nih
+
+    # created t=0, bootstrapped by t=600, one step 600→1800, cluster
+    # terminated at exactly one full hour; NIH=16 → rate 16/3600 per s.
+    # used = bootstrap 600s + step 1200s = 1800s → 8.0; billed: bootstrap
+    # billed until the step starts (600s), the step until cluster end
+    # billing (3000s) → the whole hour → 16.0; bbnu = 8.0
+    got = cluster_nih(
+        _stub_cluster(0.0, ready=600.0, end=3600.0, nih=16),
+        [_stub_step(start=600.0, end=1800.0)],
+        now=86400.0,
+    )
+    assert got == {"nih_billed": 16.0, "nih_used": 8.0, "nih_bbnu": 8.0}
+
+
+def test_cluster_nih_running_and_cancelled_edges():
+    from mrjob_spark.emr_tools import cluster_nih
+
+    # still-RUNNING cluster: ran=1800s → 1 full hour; step still running
+    # counts used time up to `now`; billing end = created + max(ran, 60)
+    got = cluster_nih(
+        _stub_cluster(0.0, ready=600.0, nih=8),
+        [_stub_step(start=600.0)],
+        now=1800.0,
+    )
+    rate = 8 / 3600.0
+    assert got["nih_used"] == pytest.approx(rate * 1800)
+    assert got["nih_billed"] == pytest.approx(rate * 1800)
+    assert got["nih_bbnu"] == pytest.approx(0.0)
+
+    # cancelled step on a terminated cluster: credited 0 usage; a step
+    # that never started ends the interval walk (reference's `break`)
+    got = cluster_nih(
+        _stub_cluster(0.0, ready=600.0, end=3600.0, nih=4),
+        [_stub_step(start=900.0), _stub_step()],
+        now=86400.0,
+    )
+    rate = 4 / 3600.0
+    assert got["nih_used"] == pytest.approx(rate * 600)  # bootstrap only
+    assert got["nih_billed"] == pytest.approx(rate * 3600)
+
+    # no NIH / no timeline → all zeros, no crash
+    assert cluster_nih({"Status": {}}, [], now=0.0) == {
+        "nih_billed": 0.0, "nih_used": 0.0, "nih_bbnu": 0.0,
+    }
+
+
+def test_audit_usage_reports_nih_columns(tmp_path, monkeypatch, capsys):
+    from mrjob_spark.emr_tools import collect_usage
+
+    svc = MockEMRService(tmp_path / "emr")
+    emr = svc.emr_client()
+    emr.run_job_flow(
+        Name="MRStub.user.1", Instances={
+            "MasterInstanceType": "m5.xlarge",
+            "SlaveInstanceType": "m5.xlarge",
+            "InstanceCount": 3,
+            "KeepJobFlowAliveWhenNoSteps": True,
+        },
+    )
+    svc.sleep(1)  # STARTING → RUNNING-ish state advance
+    cluster = emr.describe_cluster(
+        ClusterId=list(svc.clusters)[0]
+    )["Cluster"]
+    # mock normalization: 3 × xlarge (8 units each) × ceil(hours)
+    assert cluster["NormalizedInstanceHours"] == 24
+    (row,) = collect_usage(emr, now=svc.now)
+    assert row["nih_billed"] > 0
+    assert row["nih_used"] >= 0
+    assert row["nih_bbnu"] == pytest.approx(
+        row["nih_billed"] - row["nih_used"]
+    )
+    # the CLI surfaces the three NIH columns and headline totals
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(tmp_path / "emr"))
+    assert umbrella_main(["mrjob", "audit-emr-usage"]) == 0
+    out = capsys.readouterr().out
+    for col in ("nih_bill", "nih_used", "nih_bbnu", "totals:"):
+        assert col in out
