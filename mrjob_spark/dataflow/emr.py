@@ -129,6 +129,7 @@ def build_cluster_params(
     pool_hash: Optional[str] = None,
     step_concurrency_level: int = 1,
     extra_cluster_params: Optional[dict] = None,
+    instance_fleets: Optional[list] = None,
 ) -> dict:
     """One ``run_job_flow`` request (boto3 shape) — shared by the runner
     and the ``mrjob create-cluster`` tool so a tool-made persistent
@@ -144,12 +145,20 @@ def build_cluster_params(
         ]
         if pool_hash is not None:
             tag_list += [{"Key": _POOL_HASH_TAG, "Value": pool_hash}]
-    instances = {
-        "MasterInstanceType": master_instance_type or instance_type,
-        "SlaveInstanceType": instance_type,
-        "InstanceCount": 1 + num_core_instances,
-        "KeepJobFlowAliveWhenNoSteps": keep_alive,
-    }
+    if instance_fleets:
+        # fleet request: weighted-capacity API shape, mutually exclusive
+        # with the uniform-group fields (the real API's rule too)
+        instances = {
+            "InstanceFleets": [dict(f) for f in instance_fleets],
+            "KeepJobFlowAliveWhenNoSteps": keep_alive,
+        }
+    else:
+        instances = {
+            "MasterInstanceType": master_instance_type or instance_type,
+            "SlaveInstanceType": instance_type,
+            "InstanceCount": 1 + num_core_instances,
+            "KeepJobFlowAliveWhenNoSteps": keep_alive,
+        }
     if ec2_key_pair:
         instances["Ec2KeyName"] = ec2_key_pair
     params = {
@@ -272,6 +281,71 @@ def instances_satisfy(
     return actual_cpu >= requested_cpu
 
 
+def instance_fleets_satisfy(actual_fleets: list,
+                            req_fleets: list) -> bool:
+    """Fleet-request vs fleet-cluster pooling satisfaction — the
+    reference's rules (``mrjob/pool.py:257-345``), per role:
+
+    * the actual fleet may only run instance types the request lists,
+      and each shared type must carry the SAME ``WeightedCapacity``
+      (capacity arithmetic is meaningless across different weights);
+    * provisioned capacity must cover the targets — surplus on-demand
+      units may stand in for missing spot units (the converse never
+      holds: spot can't satisfy an on-demand target);
+    * roles the cluster has but the request omits are held to a relaxed
+      twin of the request: CORE inherits a MASTER-only request, TASK
+      inherits CORE with zero capacity targets (tasks must still be
+      shaped right, but idle task fleets cost the request nothing).
+    """
+    if not (
+        isinstance(req_fleets, (list, tuple))
+        and all(
+            isinstance(f, dict) and "InstanceFleetType" in f
+            for f in req_fleets
+        )
+    ):
+        return False
+    a = {f.get("InstanceFleetType"): f for f in actual_fleets or []}
+    r = {f["InstanceFleetType"]: dict(f) for f in req_fleets}
+    if not a:
+        return False
+    missing = set(a) - set(r)
+    if "CORE" in missing and list(r) == ["MASTER"]:
+        r["CORE"] = r["MASTER"]
+    if "TASK" in missing and "CORE" in r:
+        r["TASK"] = dict(
+            r["CORE"], TargetOnDemandCapacity=0, TargetSpotCapacity=0
+        )
+    if set(a) != set(r):
+        return False
+
+    for role, req in r.items():
+        actual = a[role]
+        actual_specs = {
+            s.get("InstanceType"): s
+            for s in actual.get("InstanceTypeSpecifications") or []
+        }
+        req_specs = {
+            s.get("InstanceType"): s
+            for s in req.get("InstanceTypeConfigs") or []
+        }
+        if set(actual_specs) - set(req_specs):
+            return False
+        for itype, spec in actual_specs.items():
+            if spec.get("WeightedCapacity", 1) != \
+                    req_specs[itype].get("WeightedCapacity", 1):
+                return False
+        on_demand = actual.get("ProvisionedOnDemandCapacity", 0)
+        spot = actual.get("ProvisionedSpotCapacity", 0)
+        want_od = req.get("TargetOnDemandCapacity", 0) or 0
+        want_spot = req.get("TargetSpotCapacity", 0) or 0
+        if want_od > on_demand:
+            return False
+        if want_spot > spot + (on_demand - want_od):
+            return False
+    return True
+
+
 class EMRJobRunner(StreamingStepRenderer):
     """EMR runner with the same surface as the other four
     (``run`` / ``cat_output`` / ``counters`` / context manager).
@@ -314,6 +388,7 @@ class EMRJobRunner(StreamingStepRenderer):
         instance_type: str = "m5.xlarge",
         master_instance_type: Optional[str] = None,
         num_core_instances: int = 2,
+        instance_fleets: Optional[list] = None,
         ec2_key_pair: Optional[str] = None,
         applications: Optional[list] = None,
         bootstrap: Optional[list] = None,
@@ -346,6 +421,7 @@ class EMRJobRunner(StreamingStepRenderer):
         self._instance_type = instance_type
         self._master_instance_type = master_instance_type or instance_type
         self._num_core_instances = num_core_instances
+        self._instance_fleets = list(instance_fleets or [])
         self._ec2_key_pair = ec2_key_pair
         self._applications = list(applications or ["Hadoop"])
         self._bootstrap = list(bootstrap or [])
@@ -619,14 +695,32 @@ class EMRJobRunner(StreamingStepRenderer):
                 continue
             # the hash matched software identity; instance SHAPE is a
             # satisfaction check — a bigger cluster serves a smaller
-            # request (mrjob/pool.py:106-252)
-            groups = emr.list_instance_groups(
-                ClusterId=cluster["Id"]
-            ).get("InstanceGroups") or []
-            if not instances_satisfy(
-                groups, self._instance_type, self._num_core_instances
-            ):
-                continue
+            # request (mrjob/pool.py:106-345). Collection types must
+            # agree: weighted-fleet capacity and uniform-group counts
+            # don't convert
+            is_fleet_cluster = cluster.get(
+                "InstanceCollectionType", "INSTANCE_GROUP"
+            ) == "INSTANCE_FLEET"
+            if self._instance_fleets:
+                if not is_fleet_cluster:
+                    continue
+                fleets = emr.list_instance_fleets(
+                    ClusterId=cluster["Id"]
+                ).get("InstanceFleets") or []
+                if not instance_fleets_satisfy(
+                    fleets, self._instance_fleets
+                ):
+                    continue
+            else:
+                if is_fleet_cluster:
+                    continue
+                groups = emr.list_instance_groups(
+                    ClusterId=cluster["Id"]
+                ).get("InstanceGroups") or []
+                if not instances_satisfy(
+                    groups, self._instance_type, self._num_core_instances
+                ):
+                    continue
             if self._attempt_to_lock_cluster(cluster):
                 return cluster["Id"]
         return None
@@ -641,6 +735,7 @@ class EMRJobRunner(StreamingStepRenderer):
             instance_type=self._instance_type,
             master_instance_type=self._master_instance_type,
             num_core_instances=self._num_core_instances,
+            instance_fleets=self._instance_fleets or None,
             ec2_key_pair=self._ec2_key_pair,
             applications=self._applications,
             bootstrap=self._bootstrap,

@@ -312,15 +312,26 @@ class MockEMRService:
         end = timeline.get("EndDateTime") or self.now
         full_hours = max(1, math.ceil((end - created) / 3600.0))
         inst = c.get("_instances") or {}
-        count = inst.get("InstanceCount", 1)
 
         def units(itype: str) -> int:
             suffix = str(itype).rsplit(".", 1)[-1]
             return self._NORM_UNITS.get(suffix, 4)
 
-        total_units = units(inst.get("MasterInstanceType", "")) + max(
-            0, count - 1
-        ) * units(inst.get("SlaveInstanceType", ""))
+        fleets = inst.get("InstanceFleets")
+        if fleets:
+            # a weighted capacity unit ≈ one xlarge-equivalent (8 units)
+            total_units = 8 * sum(
+                (f.get("TargetOnDemandCapacity", 0)
+                 + f.get("TargetSpotCapacity", 0)) or 1
+                for f in fleets
+            )
+        else:
+            count = inst.get("InstanceCount", 1)
+            total_units = units(
+                inst.get("MasterInstanceType", "")
+            ) + max(0, count - 1) * units(
+                inst.get("SlaveInstanceType", "")
+            )
         return full_hours * total_units
 
     def api_describe_cluster(self, ClusterId: str):
@@ -328,7 +339,46 @@ class MockEMRService:
         public = {k: v for k, v in c.items() if not k.startswith("_")}
         public["NormalizedInstanceHours"] = \
             self._normalized_instance_hours(c)
+        public["InstanceCollectionType"] = (
+            "INSTANCE_FLEET"
+            if (c.get("_instances") or {}).get("InstanceFleets")
+            else "INSTANCE_GROUP"
+        )
         return {"Cluster": public}
+
+    def api_list_instance_fleets(self, ClusterId: str):
+        """Fleet clusters only (the real API errors on group clusters):
+        each requested fleet comes back fully provisioned — targets met,
+        every configured type present as a specification."""
+        c = self._cluster(ClusterId)
+        fleets = []
+        for req in (c.get("_instances") or {}).get(
+            "InstanceFleets"
+        ) or []:
+            fleets.append({
+                "InstanceFleetType": req.get("InstanceFleetType"),
+                "InstanceTypeSpecifications": [
+                    {
+                        "InstanceType": cfg.get("InstanceType"),
+                        "WeightedCapacity": cfg.get(
+                            "WeightedCapacity", 1
+                        ),
+                    }
+                    for cfg in req.get("InstanceTypeConfigs") or []
+                ],
+                "ProvisionedOnDemandCapacity": req.get(
+                    "TargetOnDemandCapacity", 0
+                ),
+                "ProvisionedSpotCapacity": req.get(
+                    "TargetSpotCapacity", 0
+                ),
+            })
+        if not fleets:
+            raise MockClientError(
+                "InvalidRequestException: cluster %s does not use"
+                " instance fleets" % ClusterId
+            )
+        return {"InstanceFleets": fleets}
 
     def api_list_clusters(self, ClusterStates=None, **_):
         out = []
@@ -343,6 +393,11 @@ class MockEMRService:
     def api_list_instance_groups(self, ClusterId: str):
         c = self._cluster(ClusterId)
         inst = c.get("_instances") or {}
+        if inst.get("InstanceFleets"):
+            raise MockClientError(
+                "InvalidRequestException: cluster %s does not use"
+                " instance groups" % ClusterId
+            )
         n_core = max(0, inst.get("InstanceCount", 1) - 1)
         groups = [{
             "InstanceGroupType": "MASTER",

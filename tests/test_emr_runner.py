@@ -669,3 +669,131 @@ def test_jar_step_executes_end_to_end_on_emr(svc, input_file):
     inline.run()
     assert got == sorted(inline.cat_output())
     assert got[0] == ("APPLE", 3)
+
+
+# ---------------------------------------------------------------------
+# instance-fleet pooling (VERDICT r7 task 6; reference
+# mrjob/pool.py:257-345 fleet satisfaction)
+# ---------------------------------------------------------------------
+
+_CORE_FLEET = {
+    "InstanceFleetType": "CORE",
+    "TargetOnDemandCapacity": 4,
+    "TargetSpotCapacity": 0,
+    "InstanceTypeConfigs": [
+        {"InstanceType": "m5.xlarge", "WeightedCapacity": 1},
+        {"InstanceType": "m5.2xlarge", "WeightedCapacity": 2},
+    ],
+}
+_MASTER_FLEET = {
+    "InstanceFleetType": "MASTER",
+    "TargetOnDemandCapacity": 1,
+    "InstanceTypeConfigs": [{"InstanceType": "m5.xlarge"}],
+}
+
+
+def _fleet_kwargs(**over):
+    kwargs = {"pool_clusters": True,
+              "instance_fleets": [_MASTER_FLEET, _CORE_FLEET]}
+    kwargs.update(over)
+    return kwargs
+
+
+def test_fleet_cluster_pooled_reuse(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file,
+                 **_fleet_kwargs()) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    svc.sleep(1)
+    assert svc.clusters[cid1]["Status"]["State"] == "WAITING"
+    cluster = svc.emr_client().describe_cluster(
+        ClusterId=cid1
+    )["Cluster"]
+    assert cluster["InstanceCollectionType"] == "INSTANCE_FLEET"
+
+    # a second fleet job with a SMALLER capacity target reuses it
+    smaller = dict(_CORE_FLEET, TargetOnDemandCapacity=2)
+    with _runner(svc, MRWordFreq(), input_file,
+                 **_fleet_kwargs(
+                     instance_fleets=[_MASTER_FLEET, smaller]
+                 )) as r2:
+        r2.run()
+        got = sorted(r2.cat_output())
+        assert r2.get_cluster_id() == cid1
+    assert len(svc.clusters) == 1
+    assert got[0] == ("apple", 3)
+
+
+def test_fleet_request_never_pools_onto_group_cluster(svc, input_file):
+    with _runner(svc, MRWordFreq(), input_file,
+                 pool_clusters=True) as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    svc.sleep(1)
+    with _runner(svc, MRWordFreq(), input_file,
+                 **_fleet_kwargs()) as r2:
+        r2.run()
+        assert r2.get_cluster_id() != cid1
+    # and the converse: a group request skips the WAITING fleet cluster
+    svc.sleep(1)
+    with _runner(svc, MRWordFreq(), input_file,
+                 pool_clusters=True) as r3:
+        r3.run()
+        assert r3.get_cluster_id() == cid1  # back on the group cluster
+
+
+def test_fleet_satisfaction_rules():
+    from mrjob_spark.dataflow.emr import instance_fleets_satisfy
+
+    actual = [
+        {"InstanceFleetType": "MASTER",
+         "InstanceTypeSpecifications": [
+             {"InstanceType": "m5.xlarge", "WeightedCapacity": 1}],
+         "ProvisionedOnDemandCapacity": 1},
+        {"InstanceFleetType": "CORE",
+         "InstanceTypeSpecifications": [
+             {"InstanceType": "m5.2xlarge", "WeightedCapacity": 2}],
+         "ProvisionedOnDemandCapacity": 4,
+         "ProvisionedSpotCapacity": 0},
+    ]
+    req = [_MASTER_FLEET, _CORE_FLEET]
+    # provisioned 4 on-demand covers target 4; types ⊆ request; weights equal
+    assert instance_fleets_satisfy(actual, req)
+
+    # bigger capacity target than provisioned → no
+    too_big = [_MASTER_FLEET, dict(_CORE_FLEET,
+                                   TargetOnDemandCapacity=8)]
+    assert not instance_fleets_satisfy(actual, too_big)
+
+    # surplus on-demand may serve a spot target…
+    spotty = [_MASTER_FLEET, dict(_CORE_FLEET,
+                                  TargetOnDemandCapacity=2,
+                                  TargetSpotCapacity=2)]
+    assert instance_fleets_satisfy(actual, spotty)
+    # …but spot can never serve an on-demand target
+    spot_cluster = [dict(actual[0]),
+                    dict(actual[1], ProvisionedOnDemandCapacity=0,
+                         ProvisionedSpotCapacity=4)]
+    assert not instance_fleets_satisfy(spot_cluster, req)
+
+    # a type the request doesn't list → no
+    alien = [dict(actual[0]),
+             dict(actual[1], InstanceTypeSpecifications=[
+                 {"InstanceType": "c5.4xlarge", "WeightedCapacity": 2}])]
+    assert not instance_fleets_satisfy(alien, req)
+
+    # same type, different weighted capacity → no
+    reweighted = [dict(actual[0]),
+                  dict(actual[1], InstanceTypeSpecifications=[
+                      {"InstanceType": "m5.2xlarge",
+                       "WeightedCapacity": 4}])]
+    assert not instance_fleets_satisfy(reweighted, req)
+
+    # extra TASK fleet on the cluster: held to zero-capacity CORE shape
+    with_task = actual + [{
+        "InstanceFleetType": "TASK",
+        "InstanceTypeSpecifications": [
+            {"InstanceType": "m5.xlarge", "WeightedCapacity": 1}],
+        "ProvisionedOnDemandCapacity": 0,
+    }]
+    assert instance_fleets_satisfy(with_task, req)
