@@ -114,8 +114,10 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 
 _DRIVER_PRIORITY = [
     # NEW in round 8: plain JarStep routed through the -r emr control
-    # plane (VERDICT r7 task 2)
+    # plane (VERDICT r7 task 2) and the planted true-near-duplicate ANN
+    # regime at cosine ≥ 0.8 (VERDICT r7 task 4)
     "x7_jar_step_emr",
+    "l2_embedding_neardup_planted",
     # the 11 stale r4-greens the freshness tripwire names (VERDICT r7
     # task 1): the 8 single-operator relational queries deferred in round
     # 7 plus the 3 q-series rows that yielded their slots to the round-7

@@ -1115,20 +1115,23 @@ def j5_range_join_bucketed(spark, sf_dir):
     )
 
 
-def _sql_neardup_ivf(seed_sql: str, probe: int, threshold: float = 0.4) -> str:
+def _sql_neardup_ivf(seed_sql: str, probe: int, threshold: float = 0.4,
+                     source: str = "embeddings",
+                     source_cte: str = "") -> str:
     """DuckDB oracle for the IVF near-dup family: full quantized k-means
     (``seed_sql`` names the seed-centroid CTE body, one exact integer
     update round, ``rn <= probe`` multi-probe final assignment) +
     candidate join + cosine — parameterized so the cheap tier (k=20,
-    probe=2), the production default (k=20, probe=3), and the tight-radius
-    sf-adaptive tier (k=⌈n/125⌉, probe=4, threshold 0.5) share one
-    audited template."""
+    probe=2), the production default (k=20, probe=3), the tight-radius
+    sf-adaptive tier (k=⌈n/125⌉, probe=4, threshold 0.5), and the
+    planted high-similarity tier (``source_cte`` unions deterministic
+    perturbed twins into ``source``) share one audited template."""
     return f"""
-    WITH q AS (
+    WITH {source_cte}q AS (
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                               x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
-        FROM embeddings
+        FROM {source}
     ), c0 AS (
         {seed_sql}
     ), d0 AS (
@@ -1171,8 +1174,8 @@ def _sql_neardup_ivf(seed_sql: str, probe: int, threshold: float = 0.4) -> str:
            (floor((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                           CAST(eb.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) AS cosine
     FROM cand
-    JOIN embeddings ea ON ea.vec_id = id_a
-    JOIN embeddings eb ON eb.vec_id = id_b
+    JOIN {source} ea ON ea.vec_id = id_a
+    JOIN {source} eb ON eb.vec_id = id_b
     WHERE (floor((list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                          CAST(eb.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000) >= {threshold}
 """
@@ -1197,17 +1200,20 @@ _NEARDUP_IVF_HI_SQL = _sql_neardup_ivf(
 )
 
 
-def _ivf_neardup_pairs(t, k: int, probe: int, threshold: float):
+def _ivf_neardup_pairs(t, k: int, probe: int, threshold: float,
+                       emb=None):
     """Shared body of the IVF near-dup tiers: deterministic fixed-point
     k-means (k cells, 1 Lloyd round, top-``probe`` multi-probe assignment),
     same-cell candidate pairs, then an exact-cosine verify join at
     ``threshold``. One corpus scan feeds clustering, and the verify join
-    touches only candidate ids — the corpus never self-joins."""
+    touches only candidate ids — the corpus never self-joins. ``emb``
+    overrides the corpus (the planted tier passes an augmented frame)."""
     from mrjob_spark.functions.vectors import dot, l2_norm
     from mrjob_spark.operators.clustering import kmeans_assign
     from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
-    assign = kmeans_assign(t.embeddings, k=k, iters=1, probe=probe).select(
+    emb_src = emb if emb is not None else t.embeddings
+    assign = kmeans_assign(emb_src, k=k, iters=1, probe=probe).select(
         "vec_id", "cluster"
     )
     x, y = assign.alias("x"), assign.alias("y")
@@ -1222,7 +1228,7 @@ def _ivf_neardup_pairs(t, k: int, probe: int, threshold: float):
         )
         .distinct()
     )
-    emb = parallelize_narrow_scan(t.embeddings.select("vec_id", "embedding"))
+    emb = parallelize_narrow_scan(emb_src.select("vec_id", "embedding"))
     ea = emb.select(
         F.col("vec_id").alias("_ia"),
         F.col("embedding").alias("_va"),
@@ -1331,3 +1337,73 @@ def l2_embedding_neardup_tight(spark, sf_dir):
     n = t.embeddings.count()
     k = max(16, _math.ceil(n / 125))
     return _ivf_neardup_pairs(t, k=k, probe=4, threshold=0.5)
+
+
+#: planted high-similarity tier: every 20th vector gets a deterministic
+#: perturbed twin (coords at 0-based positions ≡ 0 mod 5 zeroed — ~20%
+#: of squared mass, so cosine(orig, twin) ≈ √0.8 ≈ 0.89, measured min
+#: 0.81 on the fixtures), ids offset by 1e9 to stay disjoint. Zeroing is
+#: EXACT in both engines (no float arithmetic to disagree on); DuckDB's
+#: lambda index is 1-based, hence (i % 5) = 1.
+_NEARDUP_PLANTED_SQL = _sql_neardup_ivf(
+    seed_sql="""SELECT vec_id AS cluster, qv AS cv FROM q
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id
+            LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT))
+                   FROM q))""",
+    probe=4,
+    threshold=0.8,
+    source="all_emb",
+    source_cte="""base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings
+    ), planted AS (
+        SELECT vec_id + 1000000000 AS vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              (x, i) -> CASE WHEN (i % 5) = 1
+                                        THEN 0.0 ELSE x END) AS embedding
+        FROM embeddings WHERE vec_id % 20 = 0
+    ), all_emb AS (
+        SELECT * FROM base UNION ALL SELECT * FROM planted
+    ), """,
+)
+
+
+@query("l2_embedding_neardup_planted", sql=_NEARDUP_PLANTED_SQL)
+def l2_embedding_neardup_planted(spark, sf_dir):
+    """The TRUE near-duplicate regime, oracle-checked (VERDICT r7 task
+    4): SCALE.md §12 shows the fixtures contain no pairs above cosine
+    0.68, so this query PLANTS them — every 20th vector gains a
+    deterministic perturbed twin (one in five coordinates zeroed: ~20%
+    of squared mass, cosine ≈ 0.89, measured min 0.81; id offset 1e9)
+    — then runs the sf-adaptive tight tier at cosine ≥ 0.8. Zeroing
+    involves no float arithmetic, so Spark and DuckDB derive
+    bit-identical twins and the whole plan (k-means cells, candidate
+    join, exact-cosine verify) must agree pair-for-pair.
+
+    This is the c ≥ 2.2 regime (true-pair distance ≈ 0.47 vs 1-NN
+    distance ≈ 1.02), where the LSH lower bound ρ ≤ 1/(2c²-1) ≈ 0.11
+    permits properly sub-linear candidate generation — and the
+    sf-adaptive cells deliver it: near-identical twins quantize into
+    the same cell, so planted pairs survive blocking while candidate
+    volume grows at the measured b ≈ 1.1 exponent of the tight tier
+    (SCALE.md §12). Contrast with the 0.5-threshold tier, where true
+    pairs sit AT the 1-NN scale (c ≈ 1.43) and sub-linear high recall
+    is information-theoretically unavailable."""
+    import math as _math
+
+    t = Tables(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = t.embeddings.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i % 5 == 0, F.lit(0.0)).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(planted)
+    n = t.embeddings.count()
+    n_aug = n + -(-n // 20)  # base + planted twins, no second scan
+    k = max(16, _math.ceil(n_aug / 125))
+    return _ivf_neardup_pairs(t, k=k, probe=4, threshold=0.8, emb=aug)

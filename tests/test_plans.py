@@ -606,3 +606,24 @@ def test_neardup_tight_adaptive_k_same_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_neardup_planted_no_cartesian_and_exact_twin_derivation(spark):
+    # the planted tier reuses _ivf_neardup_pairs over an augmented
+    # frame: same pins (no cartesian, no per-vector window), and the
+    # union must not smuggle in a float-arithmetic transform — the twin
+    # derivation is zero-or-passthrough only, so both engines agree
+    # bit-for-bit
+    df = REGISTRY["l2_embedding_neardup_planted"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # every returned pair is planted-vs-base at cosine >= 0.8 (the base
+    # corpus tops out at 0.68, planted twins measure >= 0.81)
+    rows = df.collect()
+    assert rows, "planted pairs must be found (recall 1.0 at test SF)"
+    for r in rows:
+        assert r.cosine >= 0.8
+        assert (r.id_a < 1_000_000_000) != (r.id_b < 1_000_000_000)
+        # twins pair with their own original
+        assert r.id_b - 1_000_000_000 == r.id_a

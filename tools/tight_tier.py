@@ -65,8 +65,25 @@ def kmeans_topn(Q, ids, k, probe, iters=1):
     }
 
 
-def run_sf(path, threshold, probe):
+def plant_twins(ids, V, every=20, zero_mod=5, offset=1_000_000_000):
+    """The l2_embedding_neardup_planted derivation: every ``every``-th
+    vector gains a twin with coords at 0-based positions ≡ 0 (mod
+    ``zero_mod``) zeroed (~1/zero_mod of squared mass → cosine ≈
+    √(1−1/zero_mod)), id offset to stay disjoint. Exact — no float
+    arithmetic."""
+    sel = ids % every == 0
+    twins = V[sel].copy()
+    twins[:, ::zero_mod] = 0.0
+    return (
+        np.concatenate([ids, ids[sel] + offset]),
+        np.concatenate([V, twins]),
+    )
+
+
+def run_sf(path, threshold, probe, plant=False):
     ids, V = load(path)
+    if plant:
+        ids, V = plant_twins(ids, V)
     n = len(ids)
     Q = np.floor(V * 1000 + 0.5).astype(np.int64)
     k = max(16, math.ceil(n / 125))
@@ -115,12 +132,18 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--probe", type=int, default=4)
     ap.add_argument(
+        "--plant", action="store_true",
+        help="union in the deterministic perturbed twins and measure"
+             " the true near-duplicate regime"
+             " (l2_embedding_neardup_planted; use --threshold 0.8)",
+    )
+    ap.add_argument(
         "--sf-dirs",
         default="/root/testdata/sf0.01,/root/testdata/sf0.1,fixtures/sf1",
     )
     args = ap.parse_args()
     counts = [
-        run_sf(p, args.threshold, args.probe)
+        run_sf(p, args.threshold, args.probe, plant=args.plant)
         for p in args.sf_dirs.split(",")
     ]
     if len(counts) >= 2 and counts[-2]:
