@@ -259,6 +259,23 @@ REPRESENTATIVE_T7 = [
     "l8_epoch_schedule",
 ]
 
+#: round-8 eighth tier (--tier 8, VERDICT r7 task 3): the control-plane
+#: queries and the round-8 additions. At sf1 the three cloud/hadoop rows
+#: push 50k documents through the EXECUTING mock clusters — multi-split
+#: uploads, many-task streaming execution, stderr.gz counter aggregation,
+#: pooled-cluster reuse, jar execution against the object store — exactly
+#: where runner-scale bugs (split boundaries, buffer limits, poll loops,
+#: pagination) would hide at 10× the unit-test volume. The planted-twin
+#: ANN row re-proves the sub-linear high-similarity regime's values at
+#: 1000× the oracle scale.
+REPRESENTATIVE_T8 = [
+    "mr_hadoop_wordfreq",
+    "mr_emr_wordfreq",
+    "mr_dataproc_topword",
+    "x7_jar_step_emr",
+    "l2_embedding_neardup_planted",
+]
+
 
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
@@ -356,7 +373,7 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument(
         "--tier", default="1",
-        choices=("1", "2", "3", "4", "5", "6", "7", "all"),
+        choices=("1", "2", "3", "4", "5", "6", "7", "8", "all"),
     )
     args = ap.parse_args()
 
@@ -368,9 +385,10 @@ def main() -> int:
         "5": REPRESENTATIVE_T5,
         "6": REPRESENTATIVE_T6,
         "7": REPRESENTATIVE_T7,
+        "8": REPRESENTATIVE_T8,
         "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3
         + REPRESENTATIVE_T4 + REPRESENTATIVE_T5 + REPRESENTATIVE_T6
-        + REPRESENTATIVE_T7,
+        + REPRESENTATIVE_T7 + REPRESENTATIVE_T8,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
