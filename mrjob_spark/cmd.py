@@ -107,6 +107,8 @@ _emr_tool("report-long-jobs",
           "report_long_jobs_main")
 _emr_tool("s3-tmpwatch", "Delete S3 objects older than an age",
           "s3_tmpwatch_main")
+_emr_tool("boss", "Run a command on every node of an EMR cluster",
+          "boss_main")
 
 
 @_command("diagnose", "Extract the probable cause from a failed job's log")

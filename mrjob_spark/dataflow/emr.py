@@ -50,6 +50,7 @@ import hashlib
 import json
 import os
 import posixpath
+import re
 import sys
 import tempfile
 import time
@@ -410,6 +411,10 @@ class EMRJobRunner(StreamingStepRenderer):
         hadoop_extra_args: Optional[list] = None,
         python_bin: Optional[list] = None,
         bootstrap_sys_path: bool = True,
+        ec2_key_pair_file: Optional[str] = None,
+        ssh_bin: Optional[list] = None,
+        ssh_add_bin: Optional[list] = None,
+        ssh_env: Optional[dict] = None,
         **_ignored,
     ):
         self.job = job
@@ -442,6 +447,13 @@ class EMRJobRunner(StreamingStepRenderer):
         # non-local runners to 'python3' (mrjob/bin.py:191-205)
         self._python_bin = list(python_bin or ["python3"])
         self._bootstrap_sys_path = bootstrap_sys_path
+        # SSH log channel (reference mrjob/emr.py:670-700): only wired
+        # up when a key pair file is given, like the reference
+        self._ec2_key_pair_file = ec2_key_pair_file
+        self._ssh_bin = list(ssh_bin or ["ssh"])
+        self._ssh_add_bin = list(ssh_add_bin) if ssh_add_bin else None
+        self._ssh_env = dict(ssh_env or {})
+        self._fs = None
 
         merged = dict(conf_jobconf or {})
         merged.update(job.JOBCONF)
@@ -501,12 +513,116 @@ class EMRJobRunner(StreamingStepRenderer):
 
     @property
     def fs(self):
-        """Driver-side S3 filesystem (the reference's ``runner.fs``
-        surface, ``mrjob/fs/s3.py``) over the same client the runner
-        uses."""
+        """Driver-side filesystem (the reference's ``runner.fs``
+        surface): S3 over the runner's own client, plus — when an
+        ``ec2_key_pair_file`` is configured, exactly the reference's
+        gate (mrjob/emr.py:678-683) — an ``ssh`` scheme for reading
+        cluster-node logs before S3 delivery catches up. Sub-systems
+        stay addressable by name (``fs.s3``, ``fs.ssh``)."""
         from mrjob_spark.dataflow.objectstore import ObjectStoreFS
+        from mrjob_spark.dataflow.sshfs import CompositeFS, SSHFilesystem
 
-        return ObjectStoreFS(self.make_s3_client(), scheme="s3")
+        if self._fs is None:
+            fs = CompositeFS()
+            if self._ec2_key_pair_file:
+                ssh = SSHFilesystem(
+                    self._ssh_bin,
+                    self._ec2_key_pair_file,
+                    ssh_add_bin=self._ssh_add_bin,
+                    env=self._ssh_env,
+                )
+                # log dirs are root-owned on AMI 4.3+ (reference
+                # mrjob/emr.py:1513-1515); every label we run is newer
+                if self._release_label_gte("4.3.0"):
+                    ssh.use_sudo_over_ssh()
+                fs.add_fs("ssh", ssh)
+            fs.add_fs(
+                "s3", ObjectStoreFS(self.make_s3_client(), scheme="s3")
+            )
+            self._fs = fs
+        return self._fs
+
+    def _release_label_gte(self, version: str) -> bool:
+        m = re.match(r"emr-(\d+(?:\.\d+)*)", self._release_label or "")
+        if not m:
+            return False
+        have = [int(x) for x in m.group(1).split(".")]
+        want = [int(x) for x in version.split(".")]
+        return have >= want
+
+    def _address_of_master(self) -> Optional[str]:
+        """The cluster master's public DNS name (where SSH lands)."""
+        if not self._cluster_id:
+            return None
+        cluster = self.make_emr_client().describe_cluster(
+            ClusterId=self._cluster_id
+        )["Cluster"]
+        return cluster.get("MasterPublicDnsName") or None
+
+    def _ssh_worker_hosts(self) -> list:
+        """Private addresses of RUNNING core/task nodes — reached by
+        chaining through the master (``master!worker``), since they
+        live on the cluster's private subnet (mrjob/emr.py:2089-2110)."""
+        emr = self.make_emr_client()
+        hosts: list = []
+        marker = None
+        while True:
+            kwargs = dict(
+                ClusterId=self._cluster_id,
+                InstanceGroupTypes=["CORE", "TASK"],
+                InstanceStates=["RUNNING"],
+            )
+            if marker:
+                kwargs["Marker"] = marker
+            resp = emr.list_instances(**kwargs)
+            for inst in resp.get("Instances") or []:
+                addr = inst.get("PrivateIpAddress") or \
+                    inst.get("PrivateDnsName")
+                if addr:
+                    hosts.append(addr)
+            marker = resp.get("Marker")
+            if not marker:
+                return hosts
+
+    #: YARN resource manager port (emr-4+ images; the reference's
+    #: _IMAGE_VERSION_TO_SSH_TUNNEL_CONFIG, mrjob/emr.py:112-133)
+    _RESOURCE_MANAGER_PORT = 8088
+
+    def ssh_tunnel_args(self, bind_port: int,
+                        open_tunnel: bool = False) -> Optional[list]:
+        """The argv that forwards ``localhost:<bind_port>`` to the YARN
+        resource manager web UI on the master's INTERNAL address
+        (VPC setups resolve the public name differently — reference
+        mrjob/emr.py:871-909). Rendering only: actually launching the
+        tunnel needs a reachable cluster, so callers own the Popen.
+        ``open_tunnel`` listens on all interfaces (``-g -4``), the
+        reference's ``ssh_tunnel_is_open``."""
+        if not self._ec2_key_pair_file:
+            return None
+        master = self._address_of_master()
+        if not master:
+            return None
+        resp = self.make_emr_client().list_instances(
+            ClusterId=self._cluster_id, InstanceGroupTypes=["MASTER"],
+        )
+        instances = resp.get("Instances") or []
+        internal = (
+            instances[0].get("PrivateIpAddress") if instances else None
+        ) or master
+        args = list(self._ssh_bin) + [
+            "-o", "VerifyHostKeyDNS=no",
+            "-o", "StrictHostKeyChecking=no",
+            "-o", "ExitOnForwardFailure=yes",
+            "-o", "UserKnownHostsFile=%s" % os.devnull,
+            "-L", "%d:%s:%d" % (
+                bind_port, internal, self._RESOURCE_MANAGER_PORT,
+            ),
+            "-N", "-n", "-q",
+        ]
+        if open_tunnel:
+            args += ["-g", "-4"]
+        args += ["-i", self._ec2_key_pair_file, "hadoop@%s" % master]
+        return args
 
     # --- S3 helpers ------------------------------------------------------
 
@@ -1037,24 +1153,83 @@ class EMRJobRunner(StreamingStepRenderer):
                 return None
             time.sleep(self.check_cluster_every)
 
+    def _ssh_read_step_stderr(self, step_id: str) -> Optional[str]:
+        """Read the step's driver stderr straight off the master's disk
+        (``/mnt/var/log/hadoop/steps/<step-id>/stderr``) — available the
+        moment the step ends, minutes before S3 delivery. The
+        reference's log strategy tries SSH first for exactly this
+        reason (mrjob/emr.py:2040-2080, _stream_step_log_dirs)."""
+        if not self._ec2_key_pair_file:
+            return None
+        try:
+            master = self._address_of_master()
+            if not master:
+                return None
+            uri = "ssh://%s/mnt/var/log/hadoop/steps/%s/stderr" % (
+                master, step_id,
+            )
+            chunks = list(self.fs.ssh.cat(uri))
+        except IOError:
+            return None
+        if not chunks:
+            return None
+        return b"".join(chunks).decode("utf-8", "replace")
+
     def _interpret_step_logs(self, step_id: str) -> dict:
-        """Counters + ids from the step's driver stderr on S3 — the
-        same text ``-r hadoop`` reads from the subprocess."""
-        text = self._wait_for_logs_on_s3(
-            lambda: self._s3_read(
-                self._step_log_prefix(step_id) + "stderr.gz"
-            ).decode("utf-8", "replace")
-        )
+        """Counters + ids from the step's driver stderr — over SSH from
+        the master's disk when a key pair is configured (immediate),
+        else from S3 with bounded delivery waiting. Same text either
+        way: what ``-r hadoop`` reads from the subprocess."""
+        text = self._ssh_read_step_stderr(step_id)
+        if text is None:
+            text = self._wait_for_logs_on_s3(
+                lambda: self._s3_read(
+                    self._step_log_prefix(step_id) + "stderr.gz"
+                ).decode("utf-8", "replace")
+            )
         if text is None:
             return {}
         interp = interpret_driver_stderr(text)
         interp["step_id"] = step_id
         return interp
 
+    def _ssh_container_log_texts(self) -> list:
+        """Container logs straight off the nodes' disks
+        (``/mnt/var/log/hadoop-yarn/containers/`` on the master and —
+        chained through it — every core/task node), before S3 delivery.
+        The reference streams task-log dirs the same way with
+        ``ssh_to_workers=True`` (mrjob/emr.py:1957-1976)."""
+        if not self._ec2_key_pair_file:
+            return []
+        master = self._address_of_master()
+        if not master:
+            return []
+        addresses = [master]
+        try:
+            addresses += [
+                "%s!%s" % (master, w) for w in self._ssh_worker_hosts()
+            ]
+        except IOError:
+            pass
+        texts = []
+        for addr in addresses:
+            uri = "ssh://%s/mnt/var/log/hadoop-yarn/containers" % addr
+            try:
+                for f in self.fs.ssh.ls(uri):
+                    if f.endswith(("stderr", "syslog", "stderr.gz",
+                                   "syslog.gz")):
+                        texts.append(b"".join(
+                            self.fs.ssh.cat(f)
+                        ).decode("utf-8", "replace"))
+            except IOError:
+                continue
+        return texts
+
     def _probable_cause(self, step_id: str) -> tuple:
-        """Scan the cluster's container logs on S3 through the shared
-        task-log pattern library (the reference reads the same S3
-        layout, ``mrjob/logs``)."""
+        """Scan the cluster's container logs through the shared
+        task-log pattern library (the reference reads the same
+        layouts, ``mrjob/logs``) — node disks over SSH first, then the
+        S3 LogUri copy."""
         from mrjob_spark.dataflow.errors import extract_probable_cause
 
         prefix = "%s%s/containers/" % (
@@ -1072,7 +1247,9 @@ class EMRJobRunner(StreamingStepRenderer):
             return texts
 
         # container logs also reach the LogUri with delay on real EMR
-        texts = self._wait_for_logs_on_s3(fetch)
+        texts = self._ssh_container_log_texts()
+        if not texts:
+            texts = self._wait_for_logs_on_s3(fetch)
         if not texts:
             return None, None
         joined = "\n".join(texts)

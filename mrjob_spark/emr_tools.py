@@ -20,8 +20,12 @@
   than the age (``s3_tmpwatch.py``; age spec like ``30d``, ``12h``,
   ``90m``).
 
-``mrboss`` (run a shell command on every node over SSH) is out of scope
-by environment — no SSH, documented in SURVEY §1.4.
+* ``boss CLUSTER_ID "command"`` — run a command on the master and every
+  worker over SSH (workers chained through the master) and store each
+  node's stdout/stderr under an output dir (``mrboss.py``). Tests drive
+  it end-to-end against the executing mock ssh binary
+  (:mod:`mrjob_spark.testing.mockssh`), the same way the reference
+  tests mrboss against its fake ssh.
 
 Every command takes the clients from ``$MOCK_EMR_BASE_DIR`` (the
 executing mock service) when set, else builds boto3 clients on
@@ -422,6 +426,98 @@ def report_long_jobs_main(args: list) -> int:
             cluster_id, step["Id"], state, hours,
             step.get("Name", ""),
         ))
+    return 0
+
+
+def boss_addresses(emr, cluster_id: str) -> list:
+    """SSH addresses for every node: the master plain, each running
+    core/task node chained through it (``master!worker``) — the
+    reference's ``mrboss`` address build
+    (``mrjob/tools/emr/mrboss.py:115-125``)."""
+    master = emr.describe_cluster(
+        ClusterId=cluster_id
+    )["Cluster"].get("MasterPublicDnsName")
+    if not master:
+        raise IOError("cluster %s has no master address" % cluster_id)
+    addresses = [master]
+    marker = None
+    while True:
+        kwargs = dict(
+            ClusterId=cluster_id,
+            InstanceGroupTypes=["CORE", "TASK"],
+            InstanceStates=["RUNNING"],
+        )
+        if marker:
+            kwargs["Marker"] = marker
+        resp = emr.list_instances(**kwargs)
+        for inst in resp.get("Instances") or []:
+            addr = inst.get("PrivateIpAddress") or \
+                inst.get("PrivateDnsName")
+            if addr:
+                addresses.append("%s!%s" % (master, addr))
+        marker = resp.get("Marker")
+        if not marker:
+            return addresses
+
+
+def run_on_all_nodes(emr, cluster_id: str, ssh_fs, output_dir: str,
+                     cmd_args: list, echo=None) -> list:
+    """Run *cmd_args* on the master and every worker of *cluster_id*,
+    saving each node's stdout/stderr under *output_dir* — master under
+    ``master/``, workers under ``worker <addr>/`` (the reference's
+    layout, mrjob/tools/emr/mrboss.py:127-146). Returns the addresses
+    reached."""
+    reached = []
+    for addr in boss_addresses(emr, cluster_id):
+        stdout, stderr = ssh_fs.run(addr, list(cmd_args))
+        if echo:
+            echo("---")
+            echo("Command completed on %s." % addr)
+            echo(stderr.decode("utf-8", "replace").rstrip("\n"))
+        if "!" in addr:
+            base = os.path.join(output_dir,
+                                "worker " + addr.split("!")[1])
+        else:
+            base = os.path.join(output_dir, "master")
+        os.makedirs(base, exist_ok=True)
+        with open(os.path.join(base, "stdout"), "wb") as fh:
+            fh.write(stdout)
+        with open(os.path.join(base, "stderr"), "wb") as fh:
+            fh.write(stderr)
+        reached.append(addr)
+    return reached
+
+
+def boss_main(args: list) -> int:
+    """``mrjob boss CLUSTER_ID [options] "command string"`` — run a
+    command on every node of the cluster over SSH and store per-node
+    stdout/stderr (reference ``mrjob/tools/emr/mrboss.py``)."""
+    import shlex
+
+    from mrjob_spark.dataflow.sshfs import SSHFilesystem
+
+    args = list(args)
+    region = _flagval(args, "--region")
+    output_dir = _flagval(args, "-o", "--output-dir")
+    key_file = _flagval(args, "--ec2-key-pair-file")
+    ssh_bin = _flagval(args, "--ssh-bin", default="ssh")
+    ssh_add_bin = _flagval(args, "--ssh-add-bin")
+    positional = [a for a in args if not a.startswith("-")]
+    if len(positional) != 2 or not key_file:
+        print('usage: mrjob boss --ec2-key-pair-file KEY [--ssh-bin SSH]'
+              ' [-o DIR] CLUSTER_ID "command string"', file=sys.stderr)
+        return 2
+    cluster_id, cmd_string = positional
+    emr, _s3, _now = _clients(region)
+    fs = SSHFilesystem(
+        shlex.split(ssh_bin), key_file,
+        ssh_add_bin=shlex.split(ssh_add_bin) if ssh_add_bin else None,
+    )
+    out = os.path.abspath(output_dir or cluster_id)
+    run_on_all_nodes(
+        emr, cluster_id, fs, out, shlex.split(cmd_string),
+        echo=lambda line: print(line, file=sys.stderr),
+    )
     return 0
 
 

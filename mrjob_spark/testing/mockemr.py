@@ -186,14 +186,24 @@ class MockEMRService:
     :param tick_secs: fake-clock advance per API call.
     """
 
-    def __init__(self, base_dir, tick_secs: float = 10.0):
+    def __init__(self, base_dir, tick_secs: float = 10.0,
+                 log_delivery_lag_secs: float = 0.0):
         base_dir = str(base_dir)
         self.base_dir = base_dir
         self.s3_root = os.path.join(base_dir, "s3")
         self.s3 = MockS3Client(self.s3_root)
+        #: one directory per cluster node, for the mock ssh binary
+        #: (``MOCK_SSH_ROOT``); node disks get logs the moment a step
+        #: ends, while S3 'delivery' can lag (below) — real EMR's shape
+        self.nodes_root = os.path.join(base_dir, "nodes")
+        os.makedirs(self.nodes_root, exist_ok=True)
         self._state_path = os.path.join(base_dir, "emr_state.json")
         self.now = 1_000_000.0
         self.tick_secs = tick_secs
+        #: fake-clock seconds between a step finishing and its logs
+        #: appearing at the S3 LogUri (real EMR: multiple minutes);
+        #: node-disk copies are immediate either way
+        self.log_delivery_lag_secs = log_delivery_lag_secs
         self.clusters: dict = {}
         self._seq = 0
         self._load()
@@ -268,6 +278,20 @@ class MockEMRService:
         cluster_id = self._next_id("j")
         instances = params.get("Instances") or {}
         auto_policy = params.get("AutoTerminationPolicy") or {}
+        master_dns = "master.%s.mock" % cluster_id
+        if instances.get("InstanceFleets"):
+            n_core = sum(
+                (f.get("TargetOnDemandCapacity", 0)
+                 + f.get("TargetSpotCapacity", 0)) or 0
+                for f in instances["InstanceFleets"]
+                if f.get("InstanceFleetType") in ("CORE", "TASK")
+            ) or 1
+        else:
+            n_core = max(0, instances.get("InstanceCount", 1) - 1)
+        core_hosts = [
+            "10-0-0-%d.%s.mock" % (i + 1, cluster_id)
+            for i in range(n_core)
+        ]
         cluster = {
             "Id": cluster_id,
             "Name": params.get("Name", ""),
@@ -284,15 +308,57 @@ class MockEMRService:
             "AutoTerminate": not instances.get(
                 "KeepJobFlowAliveWhenNoSteps", False
             ),
-            "MasterPublicDnsName": "mock-master.local",
+            "MasterPublicDnsName": master_dns,
+            "_core_hosts": core_hosts,
             "_instances": instances,
             "_bootstrap": params.get("BootstrapActions") or [],
             "_idle_timeout": auto_policy.get("IdleTimeout"),
             "_steps": [],
+            "_pending_logs": [],
             "_last_activity": self.now,
         }
+        # nodes get on-disk filesystems the mock ssh binary can land on
+        for host in [master_dns] + core_hosts:
+            os.makedirs(os.path.join(self.nodes_root, host), exist_ok=True)
         self.clusters[cluster_id] = cluster
         return {"JobFlowId": cluster_id}
+
+    def api_list_instances(self, ClusterId: str, InstanceGroupTypes=None,
+                           InstanceStates=None, **_):
+        """The shape ``_ssh_worker_hosts`` reads (the reference paginates
+        ``list_instances`` for CORE/TASK RUNNING nodes and collects
+        ``PrivateIpAddress``, mrjob/emr.py:2089-2110)."""
+        c = self._cluster(ClusterId)
+        running = not c["Status"]["State"].startswith("TERMINAT")
+        state = "RUNNING" if running else "TERMINATED"
+        instances = [{
+            "Id": "ci-%s-0" % ClusterId,
+            "InstanceGroupType": "MASTER",
+            "PublicDnsName": c["MasterPublicDnsName"],
+            "PrivateDnsName": c["MasterPublicDnsName"],
+            "PrivateIpAddress": c["MasterPublicDnsName"],
+            "Status": {"State": state},
+        }]
+        for i, host in enumerate(c.get("_core_hosts") or []):
+            instances.append({
+                "Id": "ci-%s-%d" % (ClusterId, i + 1),
+                "InstanceGroupType": "CORE",
+                "PublicDnsName": "",
+                "PrivateDnsName": host,
+                "PrivateIpAddress": host,
+                "Status": {"State": state},
+            })
+        if InstanceGroupTypes:
+            instances = [
+                x for x in instances
+                if x["InstanceGroupType"] in InstanceGroupTypes
+            ]
+        if InstanceStates:
+            instances = [
+                x for x in instances
+                if x["Status"]["State"] in InstanceStates
+            ]
+        return {"Instances": instances}
 
     #: EMR's public instance-normalization factors (units per hour by
     #: size suffix): small=1, medium=2, large=4, xlarge=8, 2xlarge=16…
@@ -503,7 +569,24 @@ class MockEMRService:
 
     def _advance_all(self) -> None:
         for c in list(self.clusters.values()):
+            self._flush_due_logs(c)
             self._advance(c)
+
+    def _flush_due_logs(self, c: dict) -> None:
+        """Deliver lagged step logs to S3 once the fake clock passes
+        their due time (real EMR ships LogUri files minutes late)."""
+        import base64
+
+        still_pending = []
+        for entry in c.get("_pending_logs") or []:
+            if self.now >= entry["due"]:
+                self.s3.put_object(
+                    Bucket=entry["bucket"], Key=entry["key"],
+                    Body=base64.b64decode(entry["b64"]),
+                )
+            else:
+                still_pending.append(entry)
+        c["_pending_logs"] = still_pending
 
     def _advance(self, c: dict) -> None:
         state = c["Status"]["State"]
@@ -719,31 +802,57 @@ class MockEMRService:
                     self._set_state(s, "CANCELLED")
         # CONTINUE: later steps still run
 
+    def _put_log(self, c: dict, bucket: str, key: str,
+                 body: bytes) -> None:
+        """S3 log write, through the delivery lag when configured."""
+        import base64
+
+        if not self.log_delivery_lag_secs:
+            self.s3.put_object(Bucket=bucket, Key=key, Body=body)
+            return
+        c.setdefault("_pending_logs", []).append({
+            "due": self.now + self.log_delivery_lag_secs,
+            "bucket": bucket, "key": key,
+            "b64": base64.b64encode(body).decode("ascii"),
+        })
+
+    def _node_write(self, host: str, rel_path: str, body: bytes) -> None:
+        full = os.path.join(self.nodes_root, host, rel_path.lstrip("/"))
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as fh:
+            fh.write(body)
+
     def _write_step_logs(self, c: dict, step: dict, stdout: bytes,
                          stderr: bytes,
                          container_log_dir: str | None) -> None:
+        # the master's disk gets the step logs the moment the step ends
+        # (real EMR: /mnt/var/log/hadoop/steps/<step-id>/, uncompressed),
+        # which is why the runner's SSH fetch beats waiting on S3
+        master = c.get("MasterPublicDnsName")
+        if master:
+            node_base = "/mnt/var/log/hadoop/steps/%s" % step["Id"]
+            self._node_write(master, node_base + "/stderr", stderr)
+            self._node_write(master, node_base + "/syslog", stdout)
+
         log_uri = c.get("LogUri")
-        if not log_uri:
-            return
-        bucket, prefix = _parse_s3_uri(log_uri)
-        base = "%s%s/steps/%s" % (
-            prefix if not prefix or prefix.endswith("/") else prefix + "/",
-            c["Id"], step["Id"],
-        )
-        self.s3.put_object(
-            Bucket=bucket, Key=base + "/stderr.gz",
-            Body=gzip.compress(stderr),
-        )
-        self.s3.put_object(
-            Bucket=bucket, Key=base + "/syslog.gz",
-            Body=gzip.compress(stdout),
-        )
-        self.s3.put_object(
-            Bucket=bucket, Key=base + "/controller.gz",
-            Body=gzip.compress(
-                json.dumps({"exit_code_source": "mockemr"}).encode()
-            ),
-        )
+        bucket = prefix = None
+        if log_uri:
+            bucket, prefix = _parse_s3_uri(log_uri)
+            base = "%s%s/steps/%s" % (
+                prefix if not prefix or prefix.endswith("/")
+                else prefix + "/",
+                c["Id"], step["Id"],
+            )
+            self._put_log(c, bucket, base + "/stderr.gz",
+                          gzip.compress(stderr))
+            self._put_log(c, bucket, base + "/syslog.gz",
+                          gzip.compress(stdout))
+            self._put_log(
+                c, bucket, base + "/controller.gz",
+                gzip.compress(
+                    json.dumps({"exit_code_source": "mockemr"}).encode()
+                ),
+            )
         if not container_log_dir:
             return
         m = _APP_ID_RE.search(stderr.decode("utf-8", "replace"))
@@ -751,17 +860,33 @@ class MockEMRService:
         userlogs = os.path.join(container_log_dir, "userlogs")
         if not os.path.isdir(userlogs):
             return
-        cprefix = "%s%s/containers/%s" % (
-            prefix if not prefix or prefix.endswith("/") else prefix + "/",
-            c["Id"], app_id,
-        )
-        for dirpath, _, names in os.walk(userlogs):
-            for name in names:
+        # container logs land on the worker that ran them (round-robin
+        # across core nodes; master if the cluster has none) and reach
+        # S3 through the same delivery lag
+        hosts = c.get("_core_hosts") or ([master] if master else [])
+        for n, (dirpath, _, names) in enumerate(
+            sorted(os.walk(userlogs))
+        ):
+            for name in sorted(names):
                 full = os.path.join(dirpath, name)
                 container = os.path.basename(dirpath)
                 with open(full, "rb") as fh:
-                    self.s3.put_object(
-                        Bucket=bucket,
-                        Key="%s/%s/%s.gz" % (cprefix, container, name),
-                        Body=gzip.compress(fh.read()),
+                    body = fh.read()
+                if hosts:
+                    self._node_write(
+                        hosts[n % len(hosts)],
+                        "/mnt/var/log/hadoop-yarn/containers/%s/%s/%s"
+                        % (app_id, container, name),
+                        body,
+                    )
+                if bucket is not None:
+                    cprefix = "%s%s/containers/%s" % (
+                        prefix if not prefix or prefix.endswith("/")
+                        else prefix + "/",
+                        c["Id"], app_id,
+                    )
+                    self._put_log(
+                        c, bucket,
+                        "%s/%s/%s.gz" % (cprefix, container, name),
+                        gzip.compress(body),
                     )

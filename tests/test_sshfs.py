@@ -1,0 +1,398 @@
+"""SSH filesystem + mrboss + the EMR runner's SSH-first log channel,
+driven end-to-end against the EXECUTING mock ssh binary
+(:mod:`mrjob_spark.testing.mockssh`) and the mock EMR service.
+
+Behavioral contract: reference ``mrjob/fs/ssh.py`` (command rendering,
+chained ``master!worker`` addressing, agent discipline, sudo),
+``mrjob/tools/emr/mrboss.py`` (per-node fan-out + output layout), and
+``mrjob/emr.py:2040-2090`` (SSH log dirs tried before waiting on S3
+delivery). The reference tests these against a fake ssh binary too
+(``tests/mockssh.py``); this mock executes the remote command for real
+against per-host node directories."""
+
+import gzip
+import json
+import os
+import sys
+
+import pytest
+
+from mrjob_spark.dataflow.emr import EMRJobRunner
+from mrjob_spark.dataflow.job import SparkMRJob
+from mrjob_spark.dataflow.sshfs import (
+    CompositeFS,
+    SSHFilesystem,
+    parse_ssh_uri,
+)
+from mrjob_spark.dataflow.step import MRStep
+from mrjob_spark.testing.mockemr import MockEMRService
+
+SSH_BIN = [sys.executable, "-m", "mrjob_spark.testing.mockssh"]
+SSH_ADD_BIN = SSH_BIN + ["add"]
+
+
+@pytest.fixture
+def net(tmp_path, monkeypatch):
+    """A two-host mock network with some log files planted, plus the
+    env the fake binary reads. Returns (root, env)."""
+    root = tmp_path / "net"
+    master = root / "master.j-X.mock"
+    worker = root / "10-0-0-1.j-X.mock"
+    (master / "mnt/var/log/hadoop/steps/s-1").mkdir(parents=True)
+    (master / "mnt/var/log/hadoop/steps/s-1/stderr").write_text(
+        "log4j stderr\n"
+    )
+    (worker / "mnt/var/log/hadoop-yarn/containers/app_1/c_1").mkdir(
+        parents=True
+    )
+    (worker / "mnt/var/log/hadoop-yarn/containers/app_1/c_1"
+     / "syslog").write_text("container syslog\n")
+    key = tmp_path / "key.pem"
+    key.write_text("FAKE KEY\n")
+    import mrjob_spark
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        mrjob_spark.__file__)))
+    env = {
+        "MOCK_SSH_ROOT": str(root),
+        "MOCK_SSH_CMD_LOG": str(tmp_path / "ssh_cmd.log"),
+        "MOCK_SSH_REFUSE_CHAIN": "1",
+        "PYTHONPATH": repo_root + os.pathsep
+        + os.environ.get("PYTHONPATH", ""),
+    }
+    return root, str(key), env
+
+
+def _fs(net, **kwargs):
+    root, key, env = net
+    return SSHFilesystem(
+        SSH_BIN, key, ssh_add_bin=SSH_ADD_BIN, env=env, **kwargs
+    )
+
+
+def _cmd_log(net):
+    root, key, env = net
+    path = env["MOCK_SSH_CMD_LOG"]
+    if not os.path.exists(path):
+        return []
+    return [json.loads(line) for line in open(path)]
+
+
+# ---------------------------------------------------------------------
+# command rendering (the wire contract, reference fs/ssh.py:68-104)
+# ---------------------------------------------------------------------
+
+
+def test_ssh_args_single_hop(net):
+    root, key, env = net
+    argv = _fs(net).ssh_args("master.j-X.mock", ["cat", "/x"])
+    assert argv[:len(SSH_BIN)] == SSH_BIN
+    assert argv[len(SSH_BIN):len(SSH_BIN) + 2] == ["-i", key]
+    assert "hadoop@master.j-X.mock" in argv
+    assert "-A" in argv
+    assert ["StrictHostKeyChecking=no", "VerifyHostKeyDNS=no"] == [
+        a.split("=")[0] + "=no" for a in argv
+        if a.startswith(("StrictHostKeyChecking", "VerifyHostKeyDNS"))
+    ]
+    assert argv[-2:] == ["cat", "/x"]
+
+
+def test_ssh_args_chained_hop_and_sudo(net):
+    root, key, env = net
+    fs = _fs(net)
+    fs.use_sudo_over_ssh()
+    argv = fs.ssh_args("m.mock!w.mock", ["find", "/logs"])
+    # key only on the first hop; the second rides agent forwarding
+    assert argv.count("-i") == 1
+    assert argv.count("-A") == 2
+    assert argv.index("hadoop@m.mock") < argv.index("hadoop@w.mock")
+    # known-hosts: /dev/null-equivalent on hop 1, literal on hop 2
+    assert "UserKnownHostsFile=/dev/null" in argv
+    assert argv[-3:] == ["sudo", "find", "/logs"]
+
+
+def test_parse_ssh_uri():
+    assert parse_ssh_uri("ssh://a!b/c/d") == ("a!b", "/c/d")
+    with pytest.raises(ValueError):
+        parse_ssh_uri("s3://bucket/key")
+
+
+# ---------------------------------------------------------------------
+# execution against the mock network
+# ---------------------------------------------------------------------
+
+
+def test_ls_cat_exists_on_master(net):
+    fs = _fs(net)
+    uris = list(fs.ls("ssh://master.j-X.mock/mnt/var/log/hadoop/steps"))
+    assert uris == [
+        "ssh://master.j-X.mock/mnt/var/log/hadoop/steps/s-1/stderr"
+    ]
+    assert b"".join(fs.cat(uris[0])) == b"log4j stderr\n"
+    assert fs.exists(uris[0])
+    assert not fs.exists("ssh://master.j-X.mock/no/such/dir")
+
+
+def test_gz_decompresses_transparently(net):
+    root, key, env = net
+    gz = root / "master.j-X.mock" / "mnt/var/log/x.gz"
+    gz.write_bytes(gzip.compress(b"zipped body"))
+    assert b"".join(_fs(net).cat(
+        "ssh://master.j-X.mock/mnt/var/log/x.gz"
+    )) == b"zipped body"
+
+
+def test_chained_hop_reaches_worker_after_ssh_add(net):
+    """master!worker traverses two hops; the fake refuses the second
+    (identity-less) hop unless ssh-add stored the key first — pinning
+    that the fs layer really loads the agent before chained calls."""
+    fs = _fs(net)
+    uris = list(fs.ls(
+        "ssh://master.j-X.mock!10-0-0-1.j-X.mock"
+        "/mnt/var/log/hadoop-yarn/containers"
+    ))
+    assert uris == [
+        "ssh://master.j-X.mock!10-0-0-1.j-X.mock"
+        "/mnt/var/log/hadoop-yarn/containers/app_1/c_1/syslog"
+    ]
+    assert b"container syslog\n" in b"".join(fs.cat(uris[0]))
+    log = _cmd_log(net)
+    add_idx = next(i for i, e in enumerate(log) if "ssh_add" in e)
+    chain_idx = next(
+        i for i, e in enumerate(log)
+        if e.get("host") == "10-0-0-1.j-X.mock"
+    )
+    assert add_idx < chain_idx
+
+
+def test_unresolvable_host_is_ioerror(net):
+    fs = _fs(net)
+    with pytest.raises(IOError, match="resolve"):
+        fs.run("ghost.mock", ["echo", "hi"])
+
+
+def test_mutators_raise(net):
+    fs = _fs(net)
+    for call in (
+        lambda: fs.rm("ssh://master.j-X.mock/x"),
+        lambda: fs.mkdir("ssh://master.j-X.mock/x"),
+        lambda: fs.touchz("ssh://master.j-X.mock/x"),
+        lambda: fs.du("ssh://master.j-X.mock/x"),
+        lambda: fs.md5sum("ssh://master.j-X.mock/x"),
+    ):
+        with pytest.raises(IOError):
+            call()
+
+
+def test_composite_fs_routes_by_scheme(net, tmp_path):
+    from mrjob_spark.dataflow.objectstore import ObjectStoreFS
+    from mrjob_spark.testing.mockemr import MockS3Client
+
+    s3 = MockS3Client(str(tmp_path / "store"))
+    s3.create_bucket(Bucket="b")
+    s3.put_object(Bucket="b", Key="k", Body=b"s3 body")
+    fs = CompositeFS()
+    fs.add_fs("ssh", _fs(net))
+    fs.add_fs("s3", ObjectStoreFS(s3, scheme="s3"))
+    assert fs.can_handle_path("ssh://h/p") and fs.can_handle_path("s3://b/k")
+    assert b"".join(fs.cat("s3://b/k")) == b"s3 body"
+    assert b"".join(fs.cat(
+        "ssh://master.j-X.mock/mnt/var/log/hadoop/steps/s-1/stderr"
+    )) == b"log4j stderr\n"
+    with pytest.raises(IOError, match="no filesystem"):
+        fs.ls("hdfs:///nope")
+    # the retry facade wraps retry-capable sub-fs and keeps ssh raw
+    wrapped = fs.retrying(retry_if=lambda e: False)
+    assert wrapped.exists("s3://b/k")
+    assert wrapped.ssh is fs.ssh
+
+
+# ---------------------------------------------------------------------
+# EMR runner integration: counters + diagnosis via SSH before S3
+# ---------------------------------------------------------------------
+
+
+class MRWordFreq(SparkMRJob):
+    def steps(self):
+        return [MRStep(mapper=self.m, reducer=self.r)]
+
+    def m(self, _, line):
+        for w in line.split():
+            yield w.lower(), 1
+
+    def r(self, w, counts):
+        yield w, sum(counts)
+
+
+class MRBoom(SparkMRJob):
+    def steps(self):
+        return [MRStep(mapper=self.m, reducer=self.r)]
+
+    def m(self, _, line):
+        yield "k", line
+
+    def r(self, key, values):
+        raise ValueError("exploding reducer on purpose")
+
+
+def _ssh_env(svc, tmp_path):
+    import mrjob_spark
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        mrjob_spark.__file__)))
+    return {
+        "MOCK_SSH_ROOT": svc.nodes_root,
+        "MOCK_SSH_CMD_LOG": str(tmp_path / "emr_ssh.log"),
+        "PYTHONPATH": repo_root + os.pathsep
+        + os.environ.get("PYTHONPATH", ""),
+    }
+
+
+def _ssh_runner(svc, job, input_file, tmp_path, **kwargs):
+    key = tmp_path / "emr_key.pem"
+    key.write_text("FAKE KEY\n")
+    return EMRJobRunner(
+        job,
+        input_paths=[input_file],
+        emr_client=svc.emr_client(),
+        s3_client=svc.s3_client(),
+        check_cluster_every=0.0,
+        ec2_key_pair_file=str(key),
+        ssh_bin=SSH_BIN,
+        ssh_add_bin=SSH_ADD_BIN,
+        ssh_env=_ssh_env(svc, tmp_path),
+        **kwargs,
+    )
+
+
+@pytest.fixture
+def input_file(tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("apple Banana apple\ncherry banana APPLE\n")
+    return str(p)
+
+
+def test_counters_via_ssh_before_s3_delivery(tmp_path, input_file):
+    """With S3 log delivery lagging (real EMR: minutes), a key-pair
+    runner still gets counters the moment the step ends — read off the
+    master's disk over SSH. The no-SSH runner gets nothing from the
+    same cluster state, proving the channel is the ssh one."""
+    svc = MockEMRService(tmp_path / "emr", log_delivery_lag_secs=1e9)
+    r = _ssh_runner(svc, MRWordFreq(), input_file, tmp_path)
+    with r:
+        got = sorted(r.cat_output())
+        counters = r.counters()
+    assert got[0] == ("apple", 3)
+    assert counters["Map-Reduce Framework"]["Map input records"] == 2
+    # the lag really withheld the S3 copy
+    assert not list(r._s3_ls(r._cloud_log_dir))
+    # and the bytes came through the fake ssh: sudo'd cat of the
+    # master's step stderr (emr-6.9.0 >= AMI 4.3 → sudo, issue #1244)
+    log = [json.loads(line)
+           for line in open(_ssh_env(svc, tmp_path)["MOCK_SSH_CMD_LOG"])]
+    cats = [e for e in log if e.get("cmd", [None])[0] == "cat"]
+    assert any("/mnt/var/log/hadoop/steps/" in e["cmd"][1] for e in cats)
+    assert all(e["sudo"] for e in cats)
+
+
+def test_probable_cause_via_ssh_container_logs(tmp_path, input_file):
+    """Failure diagnosis with S3 delivery lagging: the container logs
+    are read off the nodes' disks — workers chained through the master
+    (ssh_to_workers, reference mrjob/emr.py:1957-1976). Pooled, so the
+    cluster stays WAITING after CANCEL_AND_WAIT and its nodes are still
+    up to SSH into; a TERMINATE_CLUSTER failure takes the nodes with it
+    and diagnosis rightly falls back to waiting on S3."""
+    svc = MockEMRService(tmp_path / "emr", log_delivery_lag_secs=1e9)
+    r = _ssh_runner(svc, MRBoom(), input_file, tmp_path,
+                    pool_clusters=True)
+    with pytest.raises(RuntimeError) as exc_info:
+        r.run()
+    assert "exploding reducer on purpose" in str(exc_info.value)
+    r.cleanup()
+    log = [json.loads(line)
+           for line in open(_ssh_env(svc, tmp_path)["MOCK_SSH_CMD_LOG"])]
+    hops = {e.get("host") for e in log if "host" in e}
+    # at least one chained worker hop fetched container logs
+    assert any(h.startswith("10-0-0-") for h in hops)
+
+
+def test_no_key_pair_means_no_ssh(tmp_path, input_file):
+    """Without ec2_key_pair_file the runner never tries SSH (the
+    reference's gate) and falls back to S3 logs."""
+    svc = MockEMRService(tmp_path / "emr")
+    r = EMRJobRunner(
+        MRWordFreq(), input_paths=[input_file],
+        emr_client=svc.emr_client(), s3_client=svc.s3_client(),
+        check_cluster_every=0.0,
+    )
+    with r:
+        r.run()
+        assert r.counters()["Map-Reduce Framework"]["Map input records"] \
+            == 2
+    assert not hasattr(r.fs, "ssh")
+
+
+def test_ssh_tunnel_args_shape(tmp_path, input_file):
+    svc = MockEMRService(tmp_path / "emr")
+    r = _ssh_runner(svc, MRWordFreq(), input_file, tmp_path)
+    with r:
+        r.run()
+        argv = r.ssh_tunnel_args(40001)
+        open_argv = r.ssh_tunnel_args(40001, open_tunnel=True)
+        master = r._address_of_master()
+    assert argv[:len(SSH_BIN)] == SSH_BIN
+    assert "-L" in argv
+    fwd = argv[argv.index("-L") + 1]
+    assert fwd.startswith("40001:") and fwd.endswith(":8088")
+    assert argv[-1] == "hadoop@%s" % master
+    for flag in ("-N", "-n", "-q"):
+        assert flag in argv
+    assert "ExitOnForwardFailure=yes" in argv
+    assert "-g" not in argv and "-g" in open_argv and "-4" in open_argv
+
+
+# ---------------------------------------------------------------------
+# mrboss
+# ---------------------------------------------------------------------
+
+
+def test_boss_runs_on_every_node(tmp_path, input_file, monkeypatch):
+    """`mrjob boss` fans the command out to the master and each core
+    node (chained), storing per-node stdout/stderr in the reference's
+    output layout."""
+    svc = MockEMRService(tmp_path / "emr")
+    r = _ssh_runner(svc, MRWordFreq(), input_file, tmp_path,
+                    pool_clusters=True)
+    r.run()
+    cid = r.get_cluster_id()
+
+    env = _ssh_env(svc, tmp_path)
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(tmp_path / "emr"))
+    from mrjob_spark.emr_tools import boss_main
+
+    out_dir = tmp_path / "boss_out"
+    key = tmp_path / "emr_key.pem"
+    rc = boss_main([
+        "--ec2-key-pair-file", str(key),
+        "--ssh-bin", " ".join(SSH_BIN),
+        "--ssh-add-bin", " ".join(SSH_ADD_BIN),
+        "-o", str(out_dir),
+        cid, "echo hello-from-node",
+    ])
+    assert rc == 0
+    master_out = (out_dir / "master" / "stdout").read_bytes()
+    assert master_out == b"hello-from-node\n"
+    worker_dirs = [d for d in os.listdir(out_dir) if d.startswith("worker ")]
+    assert len(worker_dirs) == 2  # default num_core_instances
+    for d in worker_dirs:
+        assert (out_dir / d / "stdout").read_bytes() \
+            == b"hello-from-node\n"
+    r.cleanup()
+
+
+def test_boss_usage_error():
+    from mrjob_spark.emr_tools import boss_main
+
+    assert boss_main(["j-123", "echo hi"]) == 2  # no key file
