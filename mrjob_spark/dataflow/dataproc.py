@@ -192,6 +192,7 @@ class DataprocJobRunner(StreamingStepRenderer):
         hadoop_extra_args: Optional[list] = None,
         python_bin: Optional[list] = None,
         bootstrap_sys_path: bool = True,
+        cloud_api_backoff: Optional[float] = None,
         **_ignored,
     ):
         if not (cluster_client and job_client and storage_client):
@@ -200,12 +201,22 @@ class DataprocJobRunner(StreamingStepRenderer):
                 " this environment (google-cloud-dataproc isn't installed;"
                 " see mrjob_spark.testing.mockdataproc.MockDataprocService)"
             )
+        from mrjob_spark.dataflow.cloudretry import wrap_cloud_client
+
         self.job = job
         self.input_paths = list(input_paths or [])
-        self._clusters = cluster_client
-        self._jobs = job_client
-        self._storage = storage_client
-        self._logging = logging_client
+        # control-plane calls retry on throttles/transient faults (429
+        # = rateLimitExceeded is steady-state at fleet concurrency)
+        self._clusters = wrap_cloud_client(
+            cluster_client, backoff=cloud_api_backoff
+        )
+        self._jobs = wrap_cloud_client(job_client,
+                                       backoff=cloud_api_backoff)
+        self._storage = wrap_cloud_client(storage_client,
+                                          backoff=cloud_api_backoff)
+        self._logging = logging_client and wrap_cloud_client(
+            logging_client, backoff=cloud_api_backoff
+        )
         self._project_id = project_id
         self._region = region
         self._image_version = image_version

@@ -415,12 +415,25 @@ class EMRJobRunner(StreamingStepRenderer):
         ssh_bin: Optional[list] = None,
         ssh_add_bin: Optional[list] = None,
         ssh_env: Optional[dict] = None,
+        cloud_api_backoff: Optional[float] = None,
         **_ignored,
     ):
+        from mrjob_spark.dataflow.cloudretry import wrap_cloud_client
+
         self.job = job
         self.input_paths = list(input_paths or [])
-        self._emr_client = emr_client
-        self._s3_client = s3_client
+        # control-plane calls retry on throttles/transient faults — at
+        # fleet concurrency ThrottlingException on describe_step is
+        # steady-state, not an anomaly (reference _wrap_aws_client,
+        # mrjob/aws.py:258); injected mocks get wrapped the same way so
+        # tests exercise the loop
+        self._cloud_api_backoff = cloud_api_backoff
+        self._emr_client = emr_client and wrap_cloud_client(
+            emr_client, backoff=cloud_api_backoff
+        )
+        self._s3_client = s3_client and wrap_cloud_client(
+            s3_client, backoff=cloud_api_backoff
+        )
         self._region = region
         self._release_label = release_label
         self._instance_type = instance_type
@@ -499,8 +512,11 @@ class EMRJobRunner(StreamingStepRenderer):
         if self._emr_client is None:
             import boto3  # real-AWS path; tests always inject the mock
 
-            self._emr_client = boto3.client(
-                "emr", region_name=self._region
+            from mrjob_spark.dataflow.cloudretry import wrap_cloud_client
+
+            self._emr_client = wrap_cloud_client(
+                boto3.client("emr", region_name=self._region),
+                backoff=self._cloud_api_backoff,
             )
         return self._emr_client
 
@@ -508,7 +524,12 @@ class EMRJobRunner(StreamingStepRenderer):
         if self._s3_client is None:
             import boto3
 
-            self._s3_client = boto3.client("s3", region_name=self._region)
+            from mrjob_spark.dataflow.cloudretry import wrap_cloud_client
+
+            self._s3_client = wrap_cloud_client(
+                boto3.client("s3", region_name=self._region),
+                backoff=self._cloud_api_backoff,
+            )
         return self._s3_client
 
     @property
