@@ -114,10 +114,14 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 
 _DRIVER_PRIORITY = [
     # NEW in round 8: plain JarStep routed through the -r emr control
-    # plane (VERDICT r7 task 2) and the planted true-near-duplicate ANN
-    # regime at cosine ≥ 0.8 (VERDICT r7 task 4)
+    # plane (VERDICT r7 task 2), the planted true-near-duplicate ANN
+    # regime at cosine ≥ 0.8 (VERDICT r7 task 4), SemDeDup-style
+    # semantic pruning verdicts, and DSIR-style hashed-feature
+    # importance selection
     "x7_jar_step_emr",
     "l2_embedding_neardup_planted",
+    "l2_semdedup_prune",
+    "l8_dsir_select",
     # the 11 stale r4-greens the freshness tripwire names (VERDICT r7
     # task 1): the 8 single-operator relational queries deferred in round
     # 7 plus the 3 q-series rows that yielded their slots to the round-7
@@ -173,7 +177,6 @@ _DRIVER_PRIORITY = [
     "q21_waiting_suppliers",
     "l1_dedup_clusters_capped",
     "j5_range_join_bucketed",
-    "l2_embedding_neardup_ivf",
 ]
 
 
@@ -188,6 +191,9 @@ _DRIVER_PRIORITY = [
 #: path (u2_except_all, w1/w4 *_scalable twins, j4/j7) — is deferred one
 #: round and rejoins the round-9 window first.
 _ROTATION_QUEUE: list[str] = [
+    # displaced by the round-8 SemDeDup/DSIR leads; its k-means +
+    # candidate-join machinery stays in-window via l2_semdedup_prune
+    "l2_embedding_neardup_ivf",
     "u2_intersect",
     "u2_except",
     "j3_semi_join",

@@ -1407,3 +1407,77 @@ def l2_embedding_neardup_planted(spark, sf_dir):
     n_aug = n + -(-n // 20)  # base + planted twins, no second scan
     k = max(16, _math.ceil(n_aug / 125))
     return _ivf_neardup_pairs(t, k=k, probe=4, threshold=0.8, emb=aug)
+
+
+#: SemDeDup-style pruning pairs: pure within-cluster comparison
+#: (probe=1 — each vector lives in exactly ONE cell, the paper's
+#: semantics) at a threshold the fixture geometry keeps non-degenerate
+#: (natural pairs top out at cosine 0.68; 0.45 yields real drop sets at
+#: the driver's sf0.01 and at sf0.1). Cell count is SF-ADAPTIVE like the
+#: tight tier — k = max(16, ⌈n/125⌉) holds expected cell size constant,
+#: so within-cell pair volume stays linear-ish in the corpus (the paper
+#: scales clusters with the corpus for the same reason: ~100k clusters
+#: over LAION). Fixed k=16 measured 125.9 s at sf1 vs 32.8 s adaptive.
+_SEMDEDUP_PAIRS_SQL = _sql_neardup_ivf(
+    seed_sql="""SELECT vec_id AS cluster, qv AS cv FROM q
+        WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id
+            LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT))
+                   FROM q))""",
+    probe=1,
+    threshold=0.45,
+)
+
+_SEMDEDUP_SQL = f"""
+    WITH drops AS (
+        SELECT id_b AS vec_id, min(id_a) AS kept_twin,
+               max(cosine) AS max_cosine
+        FROM ({_SEMDEDUP_PAIRS_SQL}) p
+        GROUP BY id_b
+    )
+    SELECT e.vec_id, (d.vec_id IS NULL) AS kept, d.kept_twin, d.max_cosine
+    FROM embeddings e LEFT JOIN drops d ON d.vec_id = e.vec_id
+"""
+
+
+@query("l2_semdedup_prune", sql=_SEMDEDUP_SQL)
+def l2_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embeddings with k-means, compare pairs
+    ONLY within their cluster (probe=1 — the paper's exact blocking),
+    and emit a per-item training-set verdict — ``kept`` plus, for
+    dropped items, the surviving ``kept_twin`` and the ``max_cosine``
+    that doomed them. The keep rule is deterministic keep-lowest-id
+    (the house rule every dedup operator here uses; the paper keeps the
+    item farthest from the centroid — a config choice, not a structural
+    one, and RNG-free ids are what make the oracle possible).
+
+    Scale shape: identical to the tight IVF tier — one corpus scan
+    feeds the deterministic fixed-point k-means with SF-ADAPTIVE cell
+    count k = max(16, ⌈n/125⌉) (expected cell size constant ⇒ within-
+    cell pair volume linear-ish in the corpus; fixed k=16 measured
+    125.9 s at sf1 vs 32.8 s adaptive), and the
+    verdict join is drops-sized: bounded by the duplicate rate, so AQE
+    broadcasts it against the corpus-sized id spine. The output is one
+    row per corpus item — the artifact a training pipeline consumes
+    directly as its keep-list."""
+    import math as _math
+
+    t = Tables(spark, sf_dir)
+    n = t.embeddings.count()
+    k = max(16, _math.ceil(n / 125))
+    pairs = _ivf_neardup_pairs(t, k=k, probe=1, threshold=0.45)
+    drops = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("kept_twin"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    return (
+        t.embeddings.select("vec_id")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("kept_twin").isNull().alias("kept"),
+            "kept_twin",
+            "max_cosine",
+        )
+    )

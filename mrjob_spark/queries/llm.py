@@ -2193,3 +2193,127 @@ def l8_epoch_schedule(spark, sf_dir):
         )
         .select("doc_id", "source", "epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: DSIR-style hashed-feature importance selection
+# ---------------------------------------------------------------------------
+
+#: hashed-feature space size. DSIR uses 10k buckets over n-grams at
+#: web scale; 256 keeps the model table trivially broadcastable while
+#: the 31-word fixture vocab still spreads collision-free enough to
+#: separate the language distributions.
+_DSIR_BUCKETS = 256
+
+_DSIR_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               {sql_hex_hash32('t')} % {_DSIR_BUCKETS} AS bucket
+        FROM (SELECT doc_id, lang, unnest({sql_tokens('text')}) AS t
+              FROM documents)
+    ), src AS (
+        SELECT bucket, count(*) AS c FROM tok GROUP BY bucket
+    ), tgt AS (
+        SELECT bucket, count(*) AS c FROM tok WHERE lang = 'en'
+        GROUP BY bucket
+    ), totals AS (
+        SELECT (SELECT sum(c) FROM src) AS s_tot,
+               (SELECT coalesce(sum(c), 0) FROM tgt) AS t_tot
+    ), model AS (
+        SELECT src.bucket,
+               {sql_rnd(f'''ln((coalesce(tgt.c, 0) + 1.0)
+                            / (totals.t_tot + {_DSIR_BUCKETS}))
+                        - ln((src.c + 1.0)
+                             / (totals.s_tot + {_DSIR_BUCKETS}))''', 6)}
+                   AS ratio
+        FROM src LEFT JOIN tgt ON tgt.bucket = src.bucket
+        CROSS JOIN totals
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {sql_rnd(sql_davg('ratio'), 6)} AS log_importance,
+           ({sql_rnd(sql_davg('ratio'), 6)} >= 0) AS selected
+    FROM tok JOIN model USING (bucket)
+    GROUP BY doc_id
+"""
+
+
+@query("l8_dsir_select", sql=_DSIR_SQL)
+def l8_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the mean hashed-feature log importance ratio between a TARGET
+    distribution (here: the ``lang = 'en'`` slice — "select me data that
+    looks like this") and the raw corpus, then flag the documents whose
+    ratio favors the target. Tokens hash into a fixed bucket space
+    (collisions and all — the hashing IS the method), each distribution
+    is a bucket histogram with add-one smoothing, and a document's
+    ``log_importance`` is the mean over its tokens of
+    ``ln p_target(bucket) - ln p_source(bucket)``. The paper then
+    samples ∝ weight with Gumbel noise; the deterministic twin selects
+    on the weight's sign (more target-like than not), keeping the
+    operator RNG-free so the oracle can reproduce every verdict
+    (``l8_weighted_mixture`` makes the same determinism trade).
+
+    Scale shape: one corpus scan explodes tokens (in-row tokenization,
+    JVM-side); BOTH histograms partial-aggregate map-side to ≤256 rows;
+    the model join is a broadcast of a 256-row table; the per-doc mean
+    is one partial-agg shuffle on doc_id. Nothing grows with the corpus
+    but the two count shuffles — the model is CONSTANT-sized by
+    construction, which is the reason DSIR hashes features in the first
+    place. Cross-engine determinism: the f2/perplexity precedent (ln
+    under rnd6 is bit-stable here), DECIMAL(38,6) mean, portable
+    rounding at every emitted float."""
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(hex_hash32(F.col("t")), F.lit(_DSIR_BUCKETS)).alias("bucket"),
+    )
+    src = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_c"))
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_c"))
+    )
+    # totals via an unpartitioned window over the ≤256-row model frame —
+    # bounded by construction (the vocab-bounded-window precedent)
+    whole = Window.partitionBy()
+    model = (
+        src.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("s_c"),
+            F.coalesce(F.col("t_c"), F.lit(0)).alias("t_c"),
+        )
+        .select(
+            "bucket",
+            rnd(
+                F.log(
+                    (F.col("t_c") + 1.0)
+                    / (F.sum("t_c").over(whole) + F.lit(_DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("s_c") + 1.0)
+                    / (F.sum("s_c").over(whole) + F.lit(_DSIR_BUCKETS))
+                ),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    log_imp = rnd(davg("ratio"), 6)
+    return (
+        tok.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            log_imp.alias("log_importance"),
+            (log_imp >= 0).alias("selected"),
+        )
+    )

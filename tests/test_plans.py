@@ -627,3 +627,40 @@ def test_neardup_planted_no_cartesian_and_exact_twin_derivation(spark):
         assert (r.id_a < 1_000_000_000) != (r.id_b < 1_000_000_000)
         # twins pair with their own original
         assert r.id_b - 1_000_000_000 == r.id_a
+
+
+def test_semdedup_prune_no_cartesian_and_verdict_shape(spark):
+    # SemDeDup = within-cell pairs only (probe=1): the corpus must never
+    # self-join unblocked, no per-vector window, and the verdict join's
+    # drops side is duplicate-rate-bounded so it must broadcast
+    df = REGISTRY["l2_semdedup_prune"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    rows = {r.vec_id: r for r in df.collect()}
+    # one verdict per corpus item, drops name a kept lower-id twin
+    assert len(rows) == 500
+    for r in rows.values():
+        if not r.kept:
+            assert r.kept_twin is not None and r.kept_twin < r.vec_id
+            assert rows[r.kept_twin].kept or rows[r.kept_twin].kept_twin \
+                is not None  # twin is itself verdicted
+            assert r.max_cosine >= 0.45
+        else:
+            assert r.kept_twin is None and r.max_cosine is None
+
+
+def test_dsir_model_broadcasts_and_scan_count(spark):
+    # the hashed model is constant-sized (<=256 rows) BY CONSTRUCTION —
+    # it must broadcast against the token stream, never shuffle it; the
+    # only unpartitioned window runs over that bounded model frame
+    df = REGISTRY["l8_dsir_select"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    # en docs must skew positive vs the rest (the weight separates the
+    # target distribution), and selection is exactly the weight's sign
+    for r in rows:
+        assert r.selected == (r.log_importance >= 0)

@@ -274,6 +274,8 @@ REPRESENTATIVE_T8 = [
     "mr_dataproc_topword",
     "x7_jar_step_emr",
     "l2_embedding_neardup_planted",
+    "l2_semdedup_prune",
+    "l8_dsir_select",
 ]
 
 
