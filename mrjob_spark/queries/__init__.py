@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = [
     "l2_embedding_neardup_planted",
     "l2_semdedup_prune",
     "l8_dsir_select",
+    "l4_bpe_train",
     # the 11 stale r4-greens the freshness tripwire names (VERDICT r7
     # task 1): the 8 single-operator relational queries deferred in round
     # 7 plus the 3 q-series rows that yielded their slots to the round-7
@@ -176,7 +177,6 @@ _DRIVER_PRIORITY = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "l1_dedup_clusters_capped",
-    "j5_range_join_bucketed",
 ]
 
 
@@ -191,9 +191,11 @@ _DRIVER_PRIORITY = [
 #: path (u2_except_all, w1/w4 *_scalable twins, j4/j7) — is deferred one
 #: round and rejoins the round-9 window first.
 _ROTATION_QUEUE: list[str] = [
-    # displaced by the round-8 SemDeDup/DSIR leads; its k-means +
-    # candidate-join machinery stays in-window via l2_semdedup_prune
+    # displaced by the round-8 SemDeDup/DSIR/BPE leads; ivf's k-means +
+    # candidate-join machinery stays in-window via l2_semdedup_prune and
+    # j5's bucketed-band machinery via the in-window range/asof family
     "l2_embedding_neardup_ivf",
+    "j5_range_join_bucketed",
     "u2_intersect",
     "u2_except",
     "j3_semi_join",

@@ -2317,3 +2317,127 @@ def l8_dsir_select(spark, sf_dir):
             (log_imp >= 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition: distributed BPE merge training (the tokenizer artifact)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_MERGES = 12
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """DuckDB twin of the BPE trainer: the same word-count base, then one
+    (pair-count → argmax → merge-apply) CTE triple per round. An empty
+    best-pair CTE (pairs ran dry) empties every later round, so both
+    engines emit the same short merge table."""
+    parts = [f"""WITH w AS (
+        SELECT w, count(*) AS cnt FROM (
+            SELECT unnest({sql_tokens('text')}) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+    ), m0 AS (
+        SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, cnt
+        FROM w
+    )"""]
+    for r in range(n_merges):
+        parts.append(f""", p{r} AS (
+        SELECT l, r2, sum(cnt) AS c FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, greatest(len(a), 1)),
+                                         i -> a[i])) AS l,
+                   unnest(list_transform(range(1, greatest(len(a), 1)),
+                                         i -> a[i + 1])) AS r2
+            FROM (SELECT string_split(syms, ' ') AS a, cnt FROM m{r})
+        ) GROUP BY l, r2
+    ), b{r} AS (
+        SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1
+    ), m{r + 1} AS (
+        SELECT regexp_replace(syms, '\\b' || l || ' ' || r2 || '\\b',
+                              l || r2, 'g') AS syms, cnt
+        FROM m{r}, b{r}
+    )""")
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({r + 1} AS BIGINT) AS rank, l AS left_sym,
+                   r2 AS right_sym, l || r2 AS merged,
+                   CAST(c AS BIGINT) AS pair_count FROM b{r}"""
+        for r in range(n_merges)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("l4_bpe_train", sql=_bpe_train_sql(_BPE_TRAIN_MERGES))
+def l4_bpe_train(spark, sf_dir):
+    """BPE merge TRAINING (Sennrich et al. 2016 — the distributed
+    tokenizer-construction step ``l4_bpe_token_count`` only estimates):
+    learn the first N merge rules from the corpus and emit the merge
+    table — rank, pair, merged symbol, weighted pair count — the
+    artifact a tokenizer ships.
+
+    The scale story is the classic one and the reason BPE is trainable
+    at 100 TB at all: after ONE corpus scan collapses the text to the
+    word-frequency table, every round runs on the VOCAB (bounded:
+    ~millions of types against billions of tokens — cached here via
+    ``persist`` exactly like the k-means centroid precedent keeps
+    constant state). Per round: in-row adjacent-pair extraction
+    (``zip_with`` over shifted slices, the bigram idiom), one
+    vocab-sized partial-agg shuffle, a ONE-ROW argmax collect (count
+    desc, pair asc — deterministic, RNG-free), and a map-side
+    leftmost-greedy merge via ``\\b``-anchored ``regexp_replace``
+    (symbols are ``[a-z]+`` by the word filter, so word-boundary
+    anchoring is exact in BOTH regex engines — Java and RE2 share
+    ``\\b`` for ASCII). Deviations from the reference formulation,
+    both deliberate: no ``</w>`` end-of-word marker (its ``<``/``>``
+    would break the portable boundary anchoring; merges then never
+    cross word ends anyway since words are separate rows), and greedy
+    left-to-right application — the semantics ``replaceAll`` and RE2's
+    global replace share, making the oracle exact."""
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base = words.select(
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("syms"),
+        "cnt",
+    ).persist()
+    state = base
+    try:
+        merges = []
+        for r in range(_BPE_TRAIN_MERGES):
+            arr = F.split(F.col("syms"), " ")
+            n = F.greatest(F.size(arr) - 1, F.lit(0))
+            prs = F.zip_with(
+                F.slice(arr, 1, n),
+                F.slice(arr, 2, n),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+            best = (
+                state.select("cnt", F.explode(prs).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((r + 1, b["l"], b["r"], b["l"] + b["r"], int(b["c"])))
+            state = state.select(
+                F.regexp_replace(
+                    F.col("syms"),
+                    "\\b%s %s\\b" % (b["l"], b["r"]),
+                    b["l"] + b["r"],
+                ).alias("syms"),
+                "cnt",
+            )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )

@@ -677,3 +677,70 @@ def test_signbit_band_pairs_planted_neardups(spark):
     assert cand < 0.5 * all_pairs, (
         f"candidate volume {cand}/{all_pairs} not sub-half — banding broken"
     )
+
+
+# ---------------------------------------------------------------------
+# BPE merge training: third-implementation differential. The DuckDB
+# oracle re-derives the merge table declaratively; this pins the
+# SEMANTICS against the classic imperative algorithm (Sennrich et al.
+# 2016: argmax pair by weighted count, leftmost-greedy non-overlapping
+# application) written independently in plain Python.
+# ---------------------------------------------------------------------
+
+
+def _python_bpe(word_counts: dict, n_merges: int) -> list:
+    import re
+
+    state = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict = {}
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, l, r, l + r, c))
+        new_state: dict = {}
+        for syms, cnt in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_state[key] = new_state.get(key, 0) + cnt
+        state = new_state
+    return out
+
+
+def test_bpe_train_matches_imperative_reference(spark):
+    import re
+
+    import pyarrow.parquet as pq
+
+    from mrjob_spark.queries import REGISTRY
+    from mrjob_spark.queries.llm import _BPE_TRAIN_MERGES
+
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(sf + "/documents.parquet", columns=["text"])
+    counts: dict = {}
+    for text in texts.column("text").to_pylist():
+        for w in re.split(r"[^a-z0-9']+", text.lower()):
+            if w and re.fullmatch(r"[a-z]+", w):
+                counts[w] = counts.get(w, 0) + 1
+    expected = _python_bpe(counts, _BPE_TRAIN_MERGES)
+
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in REGISTRY["l4_bpe_train"].fn(spark, sf).collect()
+    ]
+    assert got == expected

@@ -276,6 +276,7 @@ REPRESENTATIVE_T8 = [
     "l2_embedding_neardup_planted",
     "l2_semdedup_prune",
     "l8_dsir_select",
+    "l4_bpe_train",
 ]
 
 
