@@ -184,11 +184,17 @@ class SSHFilesystem:
 
     def cat(self, path: str) -> Iterator[bytes]:
         """Yield the file's bytes (one chunk; log files are bounded).
-        ``.gz`` decompresses transparently like every other fs here."""
+        ``.gz``/``.bz2`` decompress transparently like every other fs
+        here (the reference's cat path runs ``mrjob/cat.py:decompress``
+        on SSH reads too)."""
+        import bz2
+
         address, fs_path = parse_ssh_uri(path)
         stdout, _ = self.run(address, ["cat", fs_path])
         if fs_path.endswith(".gz"):
             stdout = gzip.decompress(stdout)
+        elif fs_path.endswith(".bz2"):
+            stdout = bz2.decompress(stdout)
         if stdout:
             yield stdout
 

@@ -133,13 +133,21 @@ def test_ls_cat_exists_on_master(net):
     assert not fs.exists("ssh://master.j-X.mock/no/such/dir")
 
 
-def test_gz_decompresses_transparently(net):
+def test_gz_and_bz2_decompress_transparently(net):
+    import bz2
+
     root, key, env = net
     gz = root / "master.j-X.mock" / "mnt/var/log/x.gz"
     gz.write_bytes(gzip.compress(b"zipped body"))
-    assert b"".join(_fs(net).cat(
+    bz = root / "master.j-X.mock" / "mnt/var/log/x.bz2"
+    bz.write_bytes(bz2.compress(b"bzipped body"))
+    fs = _fs(net)
+    assert b"".join(fs.cat(
         "ssh://master.j-X.mock/mnt/var/log/x.gz"
     )) == b"zipped body"
+    assert b"".join(fs.cat(
+        "ssh://master.j-X.mock/mnt/var/log/x.bz2"
+    )) == b"bzipped body"
 
 
 def test_chained_hop_reaches_worker_after_ssh_add(net):
