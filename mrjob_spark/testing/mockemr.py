@@ -13,7 +13,10 @@ object store), and the step + container logs land gzipped in the
 cluster's ``LogUri`` bucket in EMR's own layout::
 
     <log prefix>/<cluster id>/steps/<step id>/stderr.gz      (driver log4j)
-    <log prefix>/<cluster id>/steps/<step id>/syslog.gz
+    <log prefix>/<cluster id>/steps/<step id>/syslog.gz      (same records —
+        real EMR's step syslog is the driver's log4j file appender, and
+        it is where the REFERENCE's counter interpreter reads)
+    <log prefix>/<cluster id>/steps/<step id>/stdout.gz
     <log prefix>/<cluster id>/containers/<application id>/<container>/
         {stderr,syslog}.gz
 
@@ -400,9 +403,24 @@ class MockEMRService:
             )
         return full_hours * total_units
 
+    #: what real EMR reports per application on DescribeCluster when the
+    #: request named the app without a version (AWS resolves it from the
+    #: release); Hadoop matches the executing mock engine's version
+    _APP_VERSIONS = {"Hadoop": "3.3.6", "Spark": "3.4.0"}
+
     def api_describe_cluster(self, ClusterId: str):
         c = self._cluster(ClusterId)
         public = {k: v for k, v in c.items() if not k.startswith("_")}
+        apps = list(public.get("Applications") or [])
+        if not any(a.get("Name") == "Hadoop" for a in apps):
+            # every EMR release ships Hadoop: DescribeCluster reports it
+            # even when RunJobFlow didn't name it
+            apps.insert(0, {"Name": "Hadoop"})
+        public["Applications"] = [
+            dict(a, Version=a.get("Version")
+                 or self._APP_VERSIONS.get(a.get("Name"), "0"))
+            for a in apps
+        ]
         public["NormalizedInstanceHours"] = \
             self._normalized_instance_hours(c)
         public["InstanceCollectionType"] = (
@@ -623,9 +641,23 @@ class MockEMRService:
             c["_last_activity"] = self.now
             return
         # no work left
-        if c["AutoTerminate"]:
+        if c["AutoTerminate"] and c["_steps"]:
+            # "terminate after the last step completes" — the real
+            # KeepJobFlowAliveWhenNoSteps=False contract
             self._set_state(c, "TERMINATING")
             return
+        if c["AutoTerminate"]:
+            # no steps EVER added: real EMR doesn't vanish the moment
+            # provisioning ends — clients (the reference included) make
+            # several describe/tag calls between run_job_flow and
+            # add_job_flow_steps. Grant a provisioning-scale grace
+            # window before reaping a stepless throwaway cluster.
+            created = c["Status"]["Timeline"].get(
+                "CreationDateTime", self.now
+            )
+            if self.now - created > 120.0:
+                self._set_state(c, "TERMINATING")
+                return
         if state != "WAITING":
             self._set_state(
                 c, "WAITING", "", "Cluster ready to run steps."
@@ -832,7 +864,11 @@ class MockEMRService:
         if master:
             node_base = "/mnt/var/log/hadoop/steps/%s" % step["Id"]
             self._node_write(master, node_base + "/stderr", stderr)
-            self._node_write(master, node_base + "/syslog", stdout)
+            self._node_write(master, node_base + "/stdout", stdout)
+            # real EMR: the step syslog is the driver's log4j appender
+            # file — same record stream the console (stderr) shows, and
+            # where the reference's syslog interpreter reads counters
+            self._node_write(master, node_base + "/syslog", stderr)
 
         log_uri = c.get("LogUri")
         bucket = prefix = None
@@ -845,8 +881,10 @@ class MockEMRService:
             )
             self._put_log(c, bucket, base + "/stderr.gz",
                           gzip.compress(stderr))
-            self._put_log(c, bucket, base + "/syslog.gz",
+            self._put_log(c, bucket, base + "/stdout.gz",
                           gzip.compress(stdout))
+            self._put_log(c, bucket, base + "/syslog.gz",
+                          gzip.compress(stderr))
             self._put_log(
                 c, bucket, base + "/controller.gz",
                 gzip.compress(

@@ -50,6 +50,10 @@ import sys
 import tempfile
 import time
 
+#: per-process container sequence; 1 is the application master on a
+#: real cluster, tasks start at 2
+_CONTAINER_SEQ = 1
+
 _STREAMING_JAR_RE = re.compile(r"^hadoop.*streaming.*(?<!-sources)\.jar$")
 
 
@@ -402,8 +406,17 @@ def _run_task(cmd: str, stdin_bytes: bytes, workdir: str, env: dict,
     )
     diag = counters.absorb_reporter(proc.stderr)
     if log_dir:
+        # real YARN container ids are all-digit groups
+        # (container_<clusterts>_<app>_<attempt>_<seq>, seq 1 = the AM);
+        # log-path matchers — the reference's included — key on that
+        # shape, so the mock's names must carry it
+        global _CONTAINER_SEQ
+        _CONTAINER_SEQ += 1
         cdir = os.path.join(
-            log_dir, "userlogs", app_id, "container_%s" % task_name
+            log_dir, "userlogs", app_id,
+            "container_%s_01_%06d" % (
+                app_id[len("application_"):], _CONTAINER_SEQ,
+            ),
         )
         os.makedirs(cdir, exist_ok=True)
         with open(os.path.join(cdir, "stderr"), "wb") as fh:
@@ -419,10 +432,22 @@ def _run_task(cmd: str, stdin_bytes: bytes, workdir: str, env: dict,
                     "%s INFO [main] org.apache.hadoop.streaming.PipeMapRed:"
                     " PipeMapRed failed!\n" % ts
                 )
+                # the record carries the stack frames a real PipeMapRed
+                # logs — task-log interpreters (the reference's
+                # _JAVA_TRACEBACK_RE included) key on the '\tat
+                # Class.method(File.java:N)' continuation lines
                 fh.write(
                     "%s ERROR [main] org.apache.hadoop.streaming.PipeMapRed:"
                     " java.lang.RuntimeException: PipeMapRed"
                     ".waitOutputThreads(): subprocess failed with code %d\n"
+                    "\tat org.apache.hadoop.streaming.PipeMapRed"
+                    ".waitOutputThreads(PipeMapRed.java:326)\n"
+                    "\tat org.apache.hadoop.streaming.PipeMapRed"
+                    ".mapRedFinished(PipeMapRed.java:539)\n"
+                    "\tat org.apache.hadoop.streaming.PipeReducer"
+                    ".close(PipeReducer.java:134)\n"
+                    "\tat org.apache.hadoop.mapred.ReduceTask"
+                    ".runOldReducer(ReduceTask.java:453)\n"
                     % (ts, proc.returncode)
                 )
     return proc.returncode, proc.stdout.splitlines()

@@ -797,3 +797,121 @@ def test_fleet_satisfaction_rules():
         "ProvisionedOnDemandCapacity": 0,
     }]
     assert instance_fleets_satisfy(with_task, req)
+
+
+# ---------------------------------------------------------------------------
+# the REFERENCE's own EMR runner against the same executing mock service
+# ---------------------------------------------------------------------------
+
+REFERENCE = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FAKEBOTO3 = os.path.join(REPO_ROOT, "mrjob_spark", "testing", "fakeboto3")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "mrjob")),
+    reason="reference not available",
+)
+class TestReferenceEMRRunnerOnMock:
+    """Run the REFERENCE mrjob's EMRJobRunner — unmodified — against our
+    executing mock EMR/S3 service, through the fake ``boto3``/``botocore``
+    shim (mrjob_spark/testing/fakeboto3). Passing proves the mock speaks
+    enough real EMR for the reference's whole control plane to work:
+    uploads through the s3 resource surface, run_job_flow / add_tags /
+    add_job_flow_steps / the describe_step poll loop, streaming-step
+    execution, counter fetch from the step SYSLOG in the S3 log layout,
+    output streaming, cleanup, and termination — and that the reference
+    and this repo compute the same job on the same EMR."""
+
+    def _ref_env(self, base_dir):
+        return dict(
+            os.environ,
+            MOCK_EMR_BASE_DIR=str(base_dir),
+            PYTHONPATH=os.pathsep.join(
+                [FAKEBOTO3, REFERENCE, REPO_ROOT,
+                 os.environ.get("PYTHONPATH", "")]
+            ),
+        )
+
+    def _ref_emr_argv(self, script, input_txt):
+        import sys as _sys
+
+        return [
+            _sys.executable, script, "-r", "emr", "--no-conf",
+            "--iam-instance-profile", "EMR_EC2_DefaultRole",
+            "--iam-service-role", "EMR_DefaultRole",
+            "--cloud-tmp-dir", "s3://mrjob-ref-tmp/tmp/",
+            "--check-cluster-every", "0.01",
+            "--cloud-fs-sync-secs", "0",
+            "--no-bootstrap-mrjob",
+            "--python-bin", _sys.executable,
+            input_txt,
+        ]
+
+    def test_reference_emr_runner_agrees(self, tmp_path, input_file):
+        import json as _json
+        import subprocess as _sp
+
+        script = os.path.join(
+            REFERENCE, "mrjob", "examples", "mr_word_freq_count.py"
+        )
+        proc = _sp.run(
+            self._ref_emr_argv(script, input_file),
+            stdout=_sp.PIPE, stderr=_sp.PIPE,
+            env=self._ref_env(tmp_path / "emr"), timeout=240,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-4000:]
+        ref_pairs = sorted(
+            tuple(_json.loads(f) for f in ln.split(b"\t"))
+            for ln in proc.stdout.splitlines() if ln
+        )
+
+        # the same job through OUR -r emr on a fresh mock
+        svc = MockEMRService(tmp_path / "emr2")
+        with _runner(svc, MRWordFreq(), input_file) as r:
+            ours = sorted(r.cat_output())
+        assert ref_pairs == ours
+        assert ref_pairs[0] == ("apple", 3)
+
+        # the reference fetched real counters from the mock's S3 log
+        # layout (step syslog = the driver's log4j appender)
+        stderr = proc.stderr.decode()
+        assert "Counters: " in stderr
+        assert "Map input records" in stderr
+
+        # and the reference really drove the full lifecycle
+        for line in ("Created new cluster", "Added EMR tags",
+                     "Terminating cluster"):
+            assert line in stderr, stderr[-4000:]
+
+    def test_reference_emr_failure_diagnosis_reads_mock_task_logs(
+            self, tmp_path):
+        import subprocess as _sp
+        import textwrap
+
+        # a job whose reducer explodes; the reference must surface the
+        # probable cause from the container logs OUR mock wrote to S3
+        script = tmp_path / "mr_boom_ref.py"
+        script.write_text(textwrap.dedent("""\
+            from mrjob.job import MRJob
+
+            class MRBoomRef(MRJob):
+                def mapper(self, _, line):
+                    yield "k", line
+
+                def reducer(self, key, values):
+                    raise ValueError("exploding reducer on purpose")
+
+            if __name__ == "__main__":
+                MRBoomRef.run()
+        """))
+        inp = tmp_path / "in.txt"
+        inp.write_text("a b\nc d\n")
+        proc = _sp.run(
+            self._ref_emr_argv(str(script), str(inp)),
+            stdout=_sp.PIPE, stderr=_sp.PIPE,
+            env=self._ref_env(tmp_path / "emr"), timeout=240,
+        )
+        assert proc.returncode != 0
+        stderr = proc.stderr.decode()
+        assert "exploding reducer on purpose" in stderr, stderr[-4000:]
