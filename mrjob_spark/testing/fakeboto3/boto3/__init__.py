@@ -71,11 +71,34 @@ def _translate(ex: Exception, op: str) -> ClientError:
     )
 
 
+class _Paginator:
+    """boto3-shaped paginator over a Marker-style API method (the mock
+    returns complete pages, so this usually yields once — but it honors
+    Marker if a method ever returns one)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def paginate(self, **kwargs):
+        marker = None
+        while True:
+            if marker:
+                kwargs["Marker"] = marker
+            page = self._fn(**kwargs)
+            yield page
+            marker = page.get("Marker") if isinstance(page, dict) else None
+            if not marker:
+                return
+
+
 class _Translating:
     """Proxy that re-raises the mock's errors as ClientError."""
 
     def __init__(self, inner):
         self._inner = inner
+
+    def get_paginator(self, operation_name):
+        return _Paginator(getattr(self, operation_name))
 
     def __getattr__(self, name):
         from mrjob_spark.testing.mockemr import MockClientError

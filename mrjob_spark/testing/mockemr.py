@@ -289,6 +289,14 @@ class MockEMRService:
                 for f in instances["InstanceFleets"]
                 if f.get("InstanceFleetType") in ("CORE", "TASK")
             ) or 1
+        elif instances.get("InstanceGroups"):
+            # the request's THIRD shape (real RunJobFlow accepts all
+            # three): explicit instance groups with InstanceRole
+            n_core = sum(
+                g.get("InstanceCount", 0)
+                for g in instances["InstanceGroups"]
+                if g.get("InstanceRole") in ("CORE", "TASK")
+            )
         else:
             n_core = max(0, instances.get("InstanceCount", 1) - 1)
         core_hosts = [
@@ -394,6 +402,11 @@ class MockEMRService:
                  + f.get("TargetSpotCapacity", 0)) or 1
                 for f in fleets
             )
+        elif inst.get("InstanceGroups"):
+            total_units = sum(
+                g.get("InstanceCount", 1) * units(g.get("InstanceType", ""))
+                for g in inst["InstanceGroups"]
+            )
         else:
             count = inst.get("InstanceCount", 1)
             total_units = units(
@@ -411,6 +424,13 @@ class MockEMRService:
     def api_describe_cluster(self, ClusterId: str):
         c = self._cluster(ClusterId)
         public = {k: v for k, v in c.items() if not k.startswith("_")}
+        inst_attrs = {}
+        if (c.get("_instances") or {}).get("Ec2KeyName"):
+            inst_attrs["Ec2KeyName"] = c["_instances"]["Ec2KeyName"]
+        if (c.get("_instances") or {}).get("Ec2SubnetId"):
+            inst_attrs["Ec2SubnetId"] = c["_instances"]["Ec2SubnetId"]
+        # always present on the real API (pool matching indexes into it)
+        public["Ec2InstanceAttributes"] = inst_attrs
         apps = list(public.get("Applications") or [])
         if not any(a.get("Name") == "Hadoop" for a in apps):
             # every EMR release ships Hadoop: DescribeCluster reports it
@@ -482,10 +502,27 @@ class MockEMRService:
                 "InvalidRequestException: cluster %s does not use"
                 " instance groups" % ClusterId
             )
+        if inst.get("InstanceGroups"):
+            # explicit-groups request shape: report what was asked for
+            return {"InstanceGroups": [
+                {
+                    "InstanceGroupType": g.get("InstanceRole"),
+                    "InstanceType": g.get("InstanceType", ""),
+                    "Market": g.get("Market", "ON_DEMAND"),
+                    **({"BidPrice": g["BidPrice"]}
+                       if g.get("BidPrice") else {}),
+                    "RequestedInstanceCount": g.get("InstanceCount", 1),
+                    "RunningInstanceCount": g.get("InstanceCount", 1),
+                }
+                for g in inst["InstanceGroups"]
+            ]}
         n_core = max(0, inst.get("InstanceCount", 1) - 1)
+        # real ListInstanceGroups always reports the purchase Market
+        # (pool satisfaction checks read it, reference mrjob/pool.py:174)
         groups = [{
             "InstanceGroupType": "MASTER",
             "InstanceType": inst.get("MasterInstanceType", ""),
+            "Market": "ON_DEMAND",
             "RequestedInstanceCount": 1,
             "RunningInstanceCount": 1,
         }]
@@ -493,6 +530,7 @@ class MockEMRService:
             groups.append({
                 "InstanceGroupType": "CORE",
                 "InstanceType": inst.get("SlaveInstanceType", ""),
+                "Market": "ON_DEMAND",
                 "RequestedInstanceCount": n_core,
                 "RunningInstanceCount": n_core,
             })

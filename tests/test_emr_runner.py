@@ -915,3 +915,66 @@ class TestReferenceEMRRunnerOnMock:
         assert proc.returncode != 0
         stderr = proc.stderr.decode()
         assert "exploding reducer on purpose" in stderr, stderr[-4000:]
+
+    def test_reference_pooling_reuses_our_mock_cluster(self, tmp_path,
+                                                       input_file):
+        """TWO pooled reference jobs: the second must join the cluster
+        the first left WAITING — the reference's whole pool protocol
+        (name-suffix matching, instance-group satisfaction, description
+        matching, tag locking) running against our mock EMR. read_logs
+        is off because a live pooled cluster makes the reference wait
+        10 real minutes for S3 log sync (the SSH test below covers the
+        no-wait path)."""
+        import subprocess as _sp
+
+        script = os.path.join(
+            REFERENCE, "mrjob", "examples", "mr_word_freq_count.py"
+        )
+        argv = self._ref_emr_argv(script, input_file) + [
+            "--pool-clusters", "--max-mins-idle", "60", "--no-read-logs",
+        ]
+        env = self._ref_env(tmp_path / "emr")
+        first = _sp.run(argv, stdout=_sp.PIPE, stderr=_sp.PIPE, env=env,
+                        timeout=240)
+        assert first.returncode == 0, first.stderr.decode()[-4000:]
+        assert "Created new cluster" in first.stderr.decode()
+        second = _sp.run(argv, stdout=_sp.PIPE, stderr=_sp.PIPE, env=env,
+                         timeout=240)
+        assert second.returncode == 0, second.stderr.decode()[-4000:]
+        stderr2 = second.stderr.decode()
+        assert "Adding our job to existing cluster" in stderr2
+        assert "Created new cluster" not in stderr2
+        assert sorted(second.stdout.splitlines()) == \
+            sorted(first.stdout.splitlines())
+
+    def test_reference_fetches_counters_over_our_mock_ssh(self, tmp_path,
+                                                          input_file):
+        """With a key pair + our mock ssh binary, the reference reads
+        the step syslog straight off the master node dir our mock EMR
+        wrote — no 10-minute S3 sync wait, even though the pooled
+        cluster is still up. Chains three of our mocks (EMR service,
+        node disks, ssh binary) under the reference's unmodified
+        control plane."""
+        import subprocess as _sp
+        import sys as _sys
+
+        key = tmp_path / "key.pem"
+        key.write_text("FAKE KEY\n")
+        script = os.path.join(
+            REFERENCE, "mrjob", "examples", "mr_word_freq_count.py"
+        )
+        argv = self._ref_emr_argv(script, input_file) + [
+            "--pool-clusters", "--max-mins-idle", "60",
+            "--ec2-key-pair-file", str(key),
+            "--ssh-bin",
+            "%s -m mrjob_spark.testing.mockssh" % _sys.executable,
+        ]
+        env = self._ref_env(tmp_path / "emr")
+        env["MOCK_SSH_ROOT"] = str(tmp_path / "emr" / "nodes")
+        proc = _sp.run(argv, stdout=_sp.PIPE, stderr=_sp.PIPE, env=env,
+                       timeout=240)
+        assert proc.returncode == 0, proc.stderr.decode()[-4000:]
+        stderr = proc.stderr.decode()
+        assert "Parsing step log: ssh://" in stderr
+        assert "Counters: " in stderr
+        assert "Waiting 10 minutes" not in stderr
