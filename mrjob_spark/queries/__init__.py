@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = [
     "l2_semdedup_prune",
     "l8_dsir_select",
     "l4_bpe_train",
+    "mr_emr_reference_differential",
     # the 11 stale r4-greens the freshness tripwire names (VERDICT r7
     # task 1): the 8 single-operator relational queries deferred in round
     # 7 plus the 3 q-series rows that yielded their slots to the round-7
@@ -176,7 +177,6 @@ _DRIVER_PRIORITY = [
     "q12_priority_class",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
-    "l1_dedup_clusters_capped",
 ]
 
 
@@ -196,6 +196,7 @@ _ROTATION_QUEUE: list[str] = [
     # j5's bucketed-band machinery via the in-window range/asof family
     "l2_embedding_neardup_ivf",
     "j5_range_join_bucketed",
+    "l1_dedup_clusters_capped",
     "u2_intersect",
     "u2_except",
     "j3_semi_join",

@@ -679,3 +679,117 @@ def mr_dataproc_topword(spark, sf_dir):
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "mr_emr_reference_differential",
+    sql=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM ({_WORDS_SQL}) GROUP BY word
+    """,
+)
+def mr_emr_reference_differential(spark, sf_dir):
+    """The strongest compatibility claim, driver-checked EVERY round:
+    the REFERENCE's own unmodified ``EMRJobRunner`` runs the wordcount
+    against OUR executing mock EMR service — through the just-enough
+    boto3/botocore shim (:mod:`mrjob_spark.testing.fakeboto3`) — and its
+    output must equal the SQL tokenizer oracle. The subprocess drives
+    the reference's whole control plane for real: uploads through the
+    s3 resource surface, run_job_flow, pool tags, the describe_step
+    poll loop, streaming execution via mockhadoop, counter fetch from
+    the step syslog in the S3 log layout, output streaming, cleanup,
+    and cluster termination. A regression in the mock's EMR fidelity,
+    the shim, or the streaming engine flips this row red.
+
+    Costed like the other control-plane rows (per-task Python re-entry,
+    plus one extra interpreter for the reference driver itself). The
+    reference tree is required — this row is exactly as portable as
+    the repo's reference-differential test suite."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    reference = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+    script = os.path.join(
+        reference, "mrjob", "examples", "mr_word_freq_count.py"
+    )
+    if not os.path.isfile(script):
+        raise FileNotFoundError(
+            "reference tree not found at %r (set MRJOB_REFERENCE_PATH)"
+            % reference
+        )
+    import mrjob_spark
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        mrjob_spark.__file__)))
+    fakeboto3 = os.path.join(
+        repo_root, "mrjob_spark", "testing", "fakeboto3"
+    )
+
+    t = Tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="mrjob-spark-refemr-q-")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        (
+            t.documents.select(
+                F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+            )
+            .repartition(2)
+            .write.text(in_dir)
+        )
+        inputs = sorted(
+            os.path.join(in_dir, n) for n in os.listdir(in_dir)
+            if n.startswith("part-")
+        )
+        env = dict(
+            os.environ,
+            MOCK_EMR_BASE_DIR=os.path.join(tmp, "emr"),
+            PYTHONPATH=os.pathsep.join(
+                [fakeboto3, reference, repo_root,
+                 os.environ.get("PYTHONPATH", "")]
+            ),
+        )
+        proc = subprocess.run(
+            [
+                sys.executable, script, "-r", "emr", "--no-conf",
+                "--iam-instance-profile", "EMR_EC2_DefaultRole",
+                "--iam-service-role", "EMR_DefaultRole",
+                "--cloud-tmp-dir", "s3://mrjob-ref-tmp/tmp/",
+                "--check-cluster-every", "0",
+                "--cloud-fs-sync-secs", "0",
+                "--no-bootstrap-mrjob",
+                "--python-bin", sys.executable,
+                "--jobconf", "mapreduce.job.reduces=2",
+            ] + inputs,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            timeout=600,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                "reference EMR run failed (rc=%d):\n%s"
+                % (proc.returncode,
+                   proc.stderr.decode("utf-8", "replace")[-4000:])
+            )
+        rows = [
+            (json.loads(k), int(json.loads(v)))
+            for k, v in (
+                line.split(b"\t")
+                for line in proc.stdout.splitlines() if line
+            )
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

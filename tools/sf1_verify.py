@@ -277,6 +277,7 @@ REPRESENTATIVE_T8 = [
     "l2_semdedup_prune",
     "l8_dsir_select",
     "l4_bpe_train",
+    "mr_emr_reference_differential",
 ]
 
 
