@@ -978,3 +978,28 @@ class TestReferenceEMRRunnerOnMock:
         assert "Parsing step log: ssh://" in stderr
         assert "Counters: " in stderr
         assert "Waiting 10 minutes" not in stderr
+
+    def test_reference_spark_step_runs_on_mock_emr(self, tmp_path,
+                                                   input_file):
+        """The reference's SPARK path too: mr_spark_wordcount renders a
+        command-runner.jar spark-submit step, our mock executes it with
+        a REAL local spark-submit (master rewritten, s3:// operands
+        mapped into the store), and the reference streams the result
+        back from S3. One spark-submit cold start — priced like x6."""
+        import ast
+        import subprocess as _sp
+
+        script = os.path.join(
+            REFERENCE, "mrjob", "examples", "mr_spark_wordcount.py"
+        )
+        proc = _sp.run(
+            self._ref_emr_argv(script, input_file),
+            stdout=_sp.PIPE, stderr=_sp.PIPE,
+            env=self._ref_env(tmp_path / "emr"), timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-4000:]
+        pairs = sorted(
+            ast.literal_eval(ln)
+            for ln in proc.stdout.decode().splitlines() if ln
+        )
+        assert pairs == [("apple", 3), ("banana", 2), ("cherry", 1)]
