@@ -84,10 +84,14 @@ def _spark_submit(args: list) -> int:
 
 def _emr_tool(name: str, description: str, fn_name: str):
     @_command(name, description)
-    def tool(args: list, _fn_name=fn_name) -> int:
+    def tool(args: list, _fn_name=fn_name, _name=name) -> int:
         import mrjob_spark.emr_tools as emr_tools
 
-        return getattr(emr_tools, _fn_name)(args)
+        try:
+            return getattr(emr_tools, _fn_name)(args)
+        except emr_tools.UsageError as ex:
+            print("mrjob %s: %s" % (_name, ex), file=sys.stderr)
+            return 2
 
     return tool
 

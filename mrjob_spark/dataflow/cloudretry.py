@@ -31,8 +31,12 @@ import ssl
 
 from mrjob_spark.retry import RetryWrapper
 
-#: the reference's throttle pacing (mrjob/aws.py:215-218): ~a day of
-#: tries before giving up — a throttled fleet clears, a dead API doesn't
+#: the reference's throttle pacing (mrjob/aws.py:215-218). With the
+#: 1200 s per-sleep cap both RetryWrappers apply (theirs,
+#: mrjob/retry.py:29, and ours), 20 tries at 20 s × 1.5^k totals
+#: ~3.6 HOURS before giving up — a throttled fleet clears well inside
+#: that, a dead API doesn't. (The reference's own "about a day" comment
+#: overstates its behavior: it, too, caps each sleep at 20 minutes.)
 CLOUD_BACKOFF = 20.0
 CLOUD_BACKOFF_MULTIPLIER = 1.5
 CLOUD_MAX_TRIES = 20

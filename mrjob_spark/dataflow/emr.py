@@ -569,6 +569,12 @@ class EMRJobRunner(StreamingStepRenderer):
             return False
         have = [int(x) for x in m.group(1).split(".")]
         want = [int(x) for x in version.split(".")]
+        # right-pad with zeros: a two-component label like emr-4.3 must
+        # compare equal to 4.3.0, not lexicographically-less (round-8
+        # ADVICE — the boundary release lost sudo-over-ssh)
+        width = max(len(have), len(want))
+        have += [0] * (width - len(have))
+        want += [0] * (width - len(want))
         return have >= want
 
     def _address_of_master(self) -> Optional[str]:

@@ -146,13 +146,6 @@ class SSHFilesystem:
         except OSError as ex:
             raise IOError(ex.strerror)
 
-    def _finish(self, proc: subprocess.Popen) -> None:
-        stderr = proc.stderr.read()
-        proc.stdout.close()
-        proc.stderr.close()
-        if proc.wait() != 0:
-            raise IOError(stderr.decode("utf-8", "replace"))
-
     def run(self, address: str, cmd_args: list) -> tuple:
         """Run a bounded-output command; ``(stdout, stderr)`` bytes, or
         ``IOError`` on nonzero exit. The ``mrjob boss`` channel."""
@@ -167,20 +160,58 @@ class SSHFilesystem:
     def ls(self, path_glob: str) -> Iterator[str]:
         """Stream ``ssh://`` URIs of every file at/under the path. Plain
         ``find -L <path> -type f`` on the node — no shell, no glob
-        expansion server-side (same contract as the reference)."""
+        expansion server-side (same contract as the reference).
+
+        The child is ALWAYS reaped, even when the caller abandons the
+        generator mid-iteration, and stderr is drained concurrently on
+        a thread — a remote ``find`` spewing more than a pipe buffer of
+        permission-denied noise to stderr must not deadlock the stdout
+        stream (both were real leaks: round-8 ADVICE).
+        """
+        import threading
+
         address, path = parse_ssh_uri(path_glob)
         proc = self._launch(address, ["find", "-L", path, "-type", "f"])
-        for line in proc.stdout:
-            name = line.decode("utf-8", "replace").rstrip("\n")
-            if name:
-                yield "ssh://%s%s" % (address, name)
-        self._finish(proc)
+        stderr_buf: list = []
+        drainer = threading.Thread(
+            target=lambda: stderr_buf.append(proc.stderr.read()), daemon=True
+        )
+        drainer.start()
+        drained = False
+        try:
+            for line in proc.stdout:
+                name = line.decode("utf-8", "replace").rstrip("\n")
+                if name:
+                    yield "ssh://%s%s" % (address, name)
+            drained = True
+        finally:
+            proc.stdout.close()
+            if not drained and proc.poll() is None:
+                # generator abandoned mid-stream: the caller no longer
+                # wants output, so exit status is meaningless — just stop
+                # the child and reap it (no zombie, no leaked fds)
+                proc.terminate()
+            proc.wait()
+            drainer.join()
+            proc.stderr.close()
+            if drained and proc.returncode != 0:
+                stderr = stderr_buf[0] if stderr_buf else b""
+                raise IOError(stderr.decode("utf-8", "replace"))
 
     def exists(self, path_glob: str) -> bool:
+        # bounded probe instead of any(self.ls(...)): `-print -quit` stops
+        # the remote find at the first match, and run() communicate()s so
+        # the child is fully reaped (round-8 ADVICE: the any() short-circuit
+        # abandoned the ls generator, leaking the ssh subprocess)
+        address, path = parse_ssh_uri(path_glob)
         try:
-            return any(self.ls(path_glob))
+            stdout, _ = self.run(
+                address,
+                ["find", "-L", path, "-type", "f", "-print", "-quit"],
+            )
         except IOError:
             return False
+        return bool(stdout.strip())
 
     def cat(self, path: str) -> Iterator[bytes]:
         """Yield the file's bytes (one chunk; log files are bounded).

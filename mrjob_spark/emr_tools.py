@@ -300,13 +300,37 @@ def s3_tmpwatch(s3, uri: str, age_secs: float, dry_run: bool = False,
 # ---------------------------------------------------------------------
 
 
+class UsageError(Exception):
+    """Malformed tool command line. The umbrella dispatcher prints this
+    and exits 2 — a trailing flag with no value or a typo'd option must
+    not surface as an IndexError traceback or a silently-misparsed
+    positional (round-8 ADVICE)."""
+
+
 def _flagval(args: list, *names, default=None):
     for name in names:
         if name in args:
             i = args.index(name)
             args.pop(i)
+            if i >= len(args):
+                raise UsageError("option %s requires a value" % name)
             return args.pop(i)
     return default
+
+
+def _positionals(args: list, known_switches=()) -> list:
+    """Remaining positional args after ``_flagval`` extraction, rejecting
+    any unrecognized leading-dash option explicitly — ``--typo value``
+    used to leave ``value`` in the positionals where it was silently
+    misparsed as a cluster id or command string."""
+    unknown = [
+        a for a in args
+        if a.startswith("-") and a != "-" and a not in known_switches
+    ]
+    if unknown:
+        raise UsageError(
+            "unrecognized option(s): %s" % " ".join(unknown))
+    return [a for a in args if not a.startswith("-") or a == "-"]
 
 
 def create_cluster_main(args: list) -> int:
@@ -502,7 +526,7 @@ def boss_main(args: list) -> int:
     key_file = _flagval(args, "--ec2-key-pair-file")
     ssh_bin = _flagval(args, "--ssh-bin", default="ssh")
     ssh_add_bin = _flagval(args, "--ssh-add-bin")
-    positional = [a for a in args if not a.startswith("-")]
+    positional = _positionals(args)
     if len(positional) != 2 or not key_file:
         print('usage: mrjob boss --ec2-key-pair-file KEY [--ssh-bin SSH]'
               ' [-o DIR] CLUSTER_ID "command string"', file=sys.stderr)
@@ -525,7 +549,7 @@ def s3_tmpwatch_main(args: list) -> int:
     args = list(args)
     region = _flagval(args, "--region")
     dry_run = "--dry-run" in args
-    positional = [a for a in args if not a.startswith("-")]
+    positional = _positionals(args, known_switches=("--dry-run",))
     if len(positional) != 2:
         print("usage: mrjob s3-tmpwatch [--dry-run] <age (30d/12h/90m)>"
               " <s3 uri>", file=sys.stderr)

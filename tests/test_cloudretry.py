@@ -227,3 +227,26 @@ def test_dataproc_job_survives_throttling(tmp_path):
         got = sorted(r.cat_output())
     assert got[0] == ("apple", 3)
     assert jobs.throttles > 0
+
+
+def test_documented_retry_horizon_is_three_and_a_half_hours():
+    """The module docstring claims the reference's '20 s -> 20 min'
+    pacing; the constants' comment claims ~3.6 hours total. Pin the
+    arithmetic so neither drifts from the actual RetryWrapper behavior
+    (round-8 ADVICE: the old comment said '~a day', which is what the
+    reference's source COMMENT says but not what its 1200 s per-sleep
+    cap actually does)."""
+    from mrjob_spark.dataflow.cloudretry import (
+        CLOUD_BACKOFF,
+        CLOUD_BACKOFF_MULTIPLIER,
+        CLOUD_MAX_TRIES,
+    )
+    from mrjob_spark.retry import DEFAULT_MAX_BACKOFF
+
+    wait = CLOUD_BACKOFF
+    total = 0.0
+    for _ in range(CLOUD_MAX_TRIES - 1):  # sleeps between tries
+        total += min(wait, DEFAULT_MAX_BACKOFF)
+        wait = min(wait * CLOUD_BACKOFF_MULTIPLIER, DEFAULT_MAX_BACKOFF)
+    assert DEFAULT_MAX_BACKOFF == 1200  # the 20-minute per-sleep cap
+    assert 3.0 * 3600 < total < 4.0 * 3600  # ~3.6 h, nowhere near a day

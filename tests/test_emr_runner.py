@@ -1003,3 +1003,19 @@ class TestReferenceEMRRunnerOnMock:
             for ln in proc.stdout.decode().splitlines() if ln
         )
         assert pairs == [("apple", 3), ("banana", 2), ("cherry", 1)]
+
+
+def test_release_label_gte_pads_short_labels():
+    """emr-4.3 must compare as 4.3.0 at the sudo-over-ssh boundary —
+    the old list comparison read [4, 3] < [4, 3, 0] (round-8 ADVICE)."""
+    r = EMRJobRunner.__new__(EMRJobRunner)
+    r._release_label = "emr-4.3"
+    assert r._release_label_gte("4.3.0")
+    assert r._release_label_gte("4.3")
+    assert not r._release_label_gte("4.3.1")
+    r._release_label = "emr-4.3.0"
+    assert r._release_label_gte("4.3")
+    r._release_label = "emr-4.2.9"
+    assert not r._release_label_gte("4.3.0")
+    r._release_label = None
+    assert not r._release_label_gte("4.3.0")

@@ -173,6 +173,84 @@ def test_chained_hop_reaches_worker_after_ssh_add(net):
     assert add_idx < chain_idx
 
 
+def test_abandoned_ls_generator_reaps_the_child(net, monkeypatch):
+    """exists()-style short-circuits used to abandon the ls generator,
+    leaving the ssh child a zombie with open pipes (round-8 ADVICE).
+    Closing the generator mid-stream must reap the process."""
+    import subprocess as sp
+
+    fs = _fs(net)
+    launched = []
+    real_popen = sp.Popen
+
+    def spy_popen(*args, **kwargs):
+        proc = real_popen(*args, **kwargs)
+        launched.append(proc)
+        return proc
+
+    monkeypatch.setattr(sp, "Popen", spy_popen)
+    gen = fs.ls("ssh://master.j-X.mock/mnt/var/log")
+    next(gen)  # one item, then walk away
+    gen.close()
+    assert len(launched) == 1
+    # reaped: wait() already called, returncode populated, pipes closed
+    assert launched[0].returncode is not None
+    assert launched[0].stdout.closed and launched[0].stderr.closed
+
+
+def test_exists_probe_is_bounded_and_reaped(net, monkeypatch):
+    """exists() runs a `-print -quit` find through run() (communicate —
+    fully reaped), not an abandoned streaming ls."""
+    import subprocess as sp
+
+    fs = _fs(net)
+    launched = []
+    real_popen = sp.Popen
+
+    def spy_popen(argv, **kwargs):
+        launched.append(argv)
+        return real_popen(argv, **kwargs)
+
+    monkeypatch.setattr(sp, "Popen", spy_popen)
+    assert fs.exists("ssh://master.j-X.mock/mnt/var/log/hadoop/steps")
+    assert not fs.exists("ssh://master.j-X.mock/nope")
+    for argv in launched:
+        assert argv[-2:] == ["-print", "-quit"]
+
+
+def test_stderr_flood_does_not_deadlock_ls(net, monkeypatch):
+    """A remote find writing more than a pipe buffer to stderr while
+    stdout streams (permission-denied noise on a deep log tree) must not
+    block the child: stderr drains on a thread (round-8 ADVICE)."""
+    import subprocess as sp
+    import sys as _sys
+
+    fs = _fs(net)
+    script = (
+        "import sys\n"
+        "sys.stderr.write('x' * 262144)\n"  # 4x a 64 KiB pipe buffer
+        "sys.stderr.flush()\n"
+        "for i in range(5): print('/logs/f%d' % i)\n"
+    )
+    monkeypatch.setattr(
+        fs,
+        "_launch",
+        lambda address, cmd_args: sp.Popen(
+            [_sys.executable, "-c", script],
+            stdout=sp.PIPE,
+            stderr=sp.PIPE,
+        ),
+    )
+    uris = list(fs.ls("ssh://master.j-X.mock/logs"))
+    assert uris == ["ssh://master.j-X.mock/logs/f%d" % i for i in range(5)]
+
+
+def test_ls_nonzero_exit_raises_with_stderr(net):
+    fs = _fs(net)
+    with pytest.raises(IOError):
+        list(fs.ls("ssh://master.j-X.mock/no/such/dir"))
+
+
 def test_unresolvable_host_is_ioerror(net):
     fs = _fs(net)
     with pytest.raises(IOError, match="resolve"):
@@ -404,3 +482,27 @@ def test_boss_usage_error():
     from mrjob_spark.emr_tools import boss_main
 
     assert boss_main(["j-123", "echo hi"]) == 2  # no key file
+
+
+def test_boss_malformed_flags_are_usage_errors(capsys):
+    """Round-8 ADVICE: a trailing flag with no value raised IndexError,
+    and an unrecognized `--typo value` left `value` in the positionals
+    where it was silently misparsed as the cluster id. Both must be
+    explicit usage errors now (exit 2 via the umbrella dispatcher)."""
+    from mrjob_spark.cmd import main as umbrella_main
+    from mrjob_spark.emr_tools import UsageError, boss_main
+
+    # trailing flag, no value
+    with pytest.raises(UsageError, match="requires a value"):
+        boss_main(["j-123", "echo hi", "--ec2-key-pair-file"])
+    # unknown flag taking a value must not shift the positionals
+    with pytest.raises(UsageError, match="unrecognized"):
+        boss_main(
+            ["--ec2-key-pair-file", "k.pem", "--typo", "oops",
+             "j-123", "echo hi"]
+        )
+    # the umbrella command turns both into exit code 2, not a traceback
+    rc = umbrella_main(
+        ["mrjob", "boss", "j-123", "echo hi", "--ec2-key-pair-file"])
+    assert rc == 2
+    assert "requires a value" in capsys.readouterr().err
