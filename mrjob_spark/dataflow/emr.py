@@ -48,6 +48,7 @@ import getpass
 import gzip
 import hashlib
 import json
+import logging
 import os
 import posixpath
 import re
@@ -62,6 +63,8 @@ from mrjob_spark.dataflow.hadoop import (
     interpret_driver_stderr,
 )
 from mrjob_spark.dataflow.objectstore import iter_objects, key_within
+
+_log = logging.getLogger(__name__)
 
 #: the 4.x+ intermediary jar EMR launches everything through
 _COMMAND_RUNNER_JAR = "command-runner.jar"
@@ -131,6 +134,9 @@ def build_cluster_params(
     step_concurrency_level: int = 1,
     extra_cluster_params: Optional[dict] = None,
     instance_fleets: Optional[list] = None,
+    job_flow_role: Optional[str] = None,
+    service_role: Optional[str] = None,
+    image_id: Optional[str] = None,
 ) -> dict:
     """One ``run_job_flow`` request (boto3 shape) — shared by the runner
     and the ``mrjob create-cluster`` tool so a tool-made persistent
@@ -179,6 +185,12 @@ def build_cluster_params(
             for i, line in enumerate(bootstrap or [])
         ],
     }
+    if job_flow_role:
+        params["JobFlowRole"] = job_flow_role
+    if service_role:
+        params["ServiceRole"] = service_role
+    if image_id:
+        params["CustomAmiId"] = image_id
     if step_concurrency_level != 1:
         params["StepConcurrencyLevel"] = step_concurrency_level
     if keep_alive:
@@ -199,16 +211,20 @@ def pool_config_hash(
     release_label: str,
     applications: list,
     bootstrap: list,
+    image_id: Optional[str] = None,
 ) -> str:
     """Everything that must match EXACTLY for two jobs to share a
     cluster (the role of the reference's pool hash, mrjob/pool.py):
-    software identity — release label, applications, bootstrap.
+    software identity — release label, applications, bootstrap, and
+    the custom AMI when one is set (a machine image IS software;
+    the reference hashes ``image_id`` too, mrjob/emr.py:2788).
     Instance SHAPE is deliberately not in the hash: like the reference,
     a bigger cluster satisfies a smaller request
     (:func:`instances_satisfy`), so a fleet's one big pooled cluster
     serves many differently-sized jobs."""
     spec = json.dumps([
         release_label, sorted(applications), list(bootstrap),
+        image_id,
     ], sort_keys=True)
     return hashlib.md5(spec.encode("utf-8")).hexdigest()
 
@@ -382,6 +398,8 @@ class EMRJobRunner(StreamingStepRenderer):
         output_dir: Optional[str] = None,
         emr_client=None,
         s3_client=None,
+        iam_client=None,
+        ec2_client=None,
         region: Optional[str] = None,
         cloud_tmp_dir: Optional[str] = None,
         cloud_log_dir: Optional[str] = None,
@@ -391,6 +409,9 @@ class EMRJobRunner(StreamingStepRenderer):
         num_core_instances: int = 2,
         instance_fleets: Optional[list] = None,
         ec2_key_pair: Optional[str] = None,
+        iam_instance_profile: Optional[str] = None,
+        iam_service_role: Optional[str] = None,
+        image_id: Optional[str] = None,
         applications: Optional[list] = None,
         bootstrap: Optional[list] = None,
         extra_cluster_params: Optional[dict] = None,
@@ -434,8 +455,23 @@ class EMRJobRunner(StreamingStepRenderer):
         self._s3_client = s3_client and wrap_cloud_client(
             s3_client, backoff=cloud_api_backoff
         )
+        self._iam_client = iam_client and wrap_cloud_client(
+            iam_client, backoff=cloud_api_backoff
+        )
+        self._ec2_client = ec2_client and wrap_cloud_client(
+            ec2_client, backoff=cloud_api_backoff
+        )
+        self._iam_instance_profile = iam_instance_profile
+        self._iam_service_role = iam_service_role
+        self._image_id = image_id
         self._region = region
         self._release_label = release_label
+        if image_id and not self._release_label_gte("5.7.0"):
+            # the reference warns rather than fails (mrjob/emr.py:376-379)
+            _log.warning(
+                "custom AMIs (image_id) need EMR release 5.7.0+;"
+                " %s will probably not boot from %s",
+                release_label, image_id)
         self._instance_type = instance_type
         self._master_instance_type = master_instance_type or instance_type
         self._num_core_instances = num_core_instances
@@ -531,6 +567,89 @@ class EMRJobRunner(StreamingStepRenderer):
                 backoff=self._cloud_api_backoff,
             )
         return self._s3_client
+
+    def make_iam_client(self):
+        if self._iam_client is None:
+            import boto3
+
+            from mrjob_spark.dataflow.cloudretry import wrap_cloud_client
+
+            self._iam_client = wrap_cloud_client(
+                boto3.client("iam", region_name=self._region),
+                backoff=self._cloud_api_backoff,
+            )
+        return self._iam_client
+
+    def make_ec2_client(self):
+        if self._ec2_client is None:
+            import boto3
+
+            from mrjob_spark.dataflow.cloudretry import wrap_cloud_client
+
+            self._ec2_client = wrap_cloud_client(
+                boto3.client("ec2", region_name=self._region),
+                backoff=self._cloud_api_backoff,
+            )
+        return self._ec2_client
+
+    # --- IAM roles -----------------------------------------------------
+
+    def _resolve_instance_profile(self) -> str:
+        """Instance profile for the cluster's EC2 nodes: the explicit
+        opt, else get-or-create a content-matching ``mrjob-spark-…``
+        profile, else — when the account can't touch IAM (403) — the
+        console's default name (reference mrjob/emr.py:1271-1283)."""
+        from mrjob_spark.dataflow.cloudretry import client_error_status
+        from mrjob_spark.dataflow.iam import (
+            FALLBACK_INSTANCE_PROFILE,
+            get_or_create_instance_profile,
+        )
+
+        if self._iam_instance_profile:
+            return self._iam_instance_profile
+        if self._iam_client is None and self._region is None:
+            # injected-client run (mock EMR/S3, no IAM surface): use the
+            # console defaults instead of dialing real AWS from a mock
+            return FALLBACK_INSTANCE_PROFILE
+        try:
+            client = self.make_iam_client()
+        except ImportError:
+            # no AWS SDK here at all — same downgrade as a denied API
+            return FALLBACK_INSTANCE_PROFILE
+        try:
+            return get_or_create_instance_profile(client)
+        except Exception as ex:
+            if client_error_status(ex) != 403:
+                raise
+            _log.warning(
+                "can't access IAM API, using default instance profile:"
+                " %s", FALLBACK_INSTANCE_PROFILE)
+            return FALLBACK_INSTANCE_PROFILE
+
+    def _resolve_service_role(self) -> str:
+        from mrjob_spark.dataflow.cloudretry import client_error_status
+        from mrjob_spark.dataflow.iam import (
+            FALLBACK_SERVICE_ROLE,
+            get_or_create_service_role,
+        )
+
+        if self._iam_service_role:
+            return self._iam_service_role
+        if self._iam_client is None and self._region is None:
+            return FALLBACK_SERVICE_ROLE
+        try:
+            client = self.make_iam_client()
+        except ImportError:
+            return FALLBACK_SERVICE_ROLE
+        try:
+            return get_or_create_service_role(client)
+        except Exception as ex:
+            if client_error_status(ex) != 403:
+                raise
+            _log.warning(
+                "can't access IAM API, using default service role: %s",
+                FALLBACK_SERVICE_ROLE)
+            return FALLBACK_SERVICE_ROLE
 
     @property
     def fs(self):
@@ -763,6 +882,7 @@ class EMRJobRunner(StreamingStepRenderer):
     def _pool_hash(self) -> str:
         return pool_config_hash(
             self._release_label, self._applications, self._bootstrap,
+            image_id=self._image_id,
         )
 
     @staticmethod
@@ -889,6 +1009,9 @@ class EMRJobRunner(StreamingStepRenderer):
             pool_name=self._pool_name if self._pool_clusters else None,
             pool_hash=self._pool_hash() if self._pool_clusters else None,
             extra_cluster_params=self._extra_cluster_params,
+            job_flow_role=self._resolve_instance_profile(),
+            service_role=self._resolve_service_role(),
+            image_id=self._image_id,
         )
 
     def _launch(self, use_pool: bool = True) -> None:

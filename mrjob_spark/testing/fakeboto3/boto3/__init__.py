@@ -18,9 +18,13 @@ create_bucket / get_bucket_location / list_buckets), and
 ``resource('s3')`` (Bucket.objects.filter, Object get/put/delete/
 upload_file/e_tag/content_length). Errors surface as real-shaped
 ``botocore.exceptions.ClientError`` so callers' except clauses and
-retry classifiers behave as on AWS. ``client('iam')`` is deliberately
-absent: pass ``--iam-instance-profile``/``--iam-service-role`` so the
-reference skips IAM, which the mock does not model.
+retry classifiers behave as on AWS. ``client('iam')`` maps to the
+mock's account-level role store, so the reference's own
+``mrjob/iam.py`` get-or-create path runs unmodified (list_roles /
+create_role / attach_role_policy / list_attached_role_policies /
+list_instance_profiles / create_instance_profile /
+add_role_to_instance_profile, Marker-paginated); ``client('ec2')``
+serves ``describe_images`` for base-AMI discovery.
 """
 
 from __future__ import annotations
@@ -36,6 +40,8 @@ _ERROR_SHAPES = {
     "NoSuchBucket": ("NoSuchBucket", 404),
     "NoSuchKey": ("NoSuchKey", 404),
     "no such cluster": ("InvalidRequestException", 400),
+    "EntityAlreadyExists": ("EntityAlreadyExists", 409),
+    "NoSuchEntity": ("NoSuchEntity", 404),
 }
 
 
@@ -145,9 +151,12 @@ def client(service_name, **_kwargs):
         return _Translating(svc.emr_client())
     if service_name == "s3":
         return _S3ClientExtras(svc)
+    if service_name == "iam":
+        return _Translating(svc.iam_client())
+    if service_name == "ec2":
+        return _Translating(svc.ec2_client())
     raise NotImplementedError(
-        "fake boto3 models 'emr' and 's3' only (got %r); for IAM-free"
-        " runs pass explicit instance profile / service role opts"
+        "fake boto3 models 'emr', 's3', 'iam' and 'ec2' (got %r)"
         % service_name
     )
 

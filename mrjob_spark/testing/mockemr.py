@@ -52,7 +52,17 @@ _APP_ID_RE = re.compile(r"application_\d+_\d+")
 
 
 class MockClientError(Exception):
-    """Stands in for botocore ClientError (same role, no botocore dep)."""
+    """Stands in for botocore ClientError (same role, no botocore dep).
+
+    ``response``, when given, mirrors the botocore shape
+    (``{"Error": {"Code": ..., "HTTPStatusCode": ...}}``) so the
+    engine's duck-typed classifiers (:mod:`cloudretry`) read it like
+    the real thing."""
+
+    def __init__(self, message: str, response: dict | None = None):
+        super().__init__(message)
+        if response is not None:
+            self.response = response
 
 
 def _parse_s3_uri(uri: str) -> tuple:
@@ -182,6 +192,90 @@ class MockEMRClient:
         return call
 
 
+class MockIAMClient:
+    """boto3-``iam``-shaped view over the service's account-level role
+    store (``iam_api_*`` methods). ``deny`` simulates an account whose
+    credentials can drive EMR but not IAM — every call raises the
+    botocore-shaped 403 the runner's fallback path keys on."""
+
+    def __init__(self, service: "MockEMRService", deny: bool = False):
+        self._svc = service
+        self._deny = deny
+
+    def __getattr__(self, name):
+        method = getattr(self._svc, "iam_api_" + name, None)
+        if method is None:
+            raise AttributeError(name)
+
+        def call(**kwargs):
+            if self._deny:
+                raise MockClientError(
+                    "User is not authorized to perform iam:%s" % name,
+                    response={"Error": {
+                        "Code": "AccessDenied", "HTTPStatusCode": 403,
+                    }},
+                )
+            self._svc._on_call()
+            try:
+                return method(**kwargs)
+            finally:
+                self._svc._save()
+
+        return call
+
+
+class MockEC2Client:
+    """boto3-``ec2``-shaped view (``ec2_api_*`` methods) — just enough
+    for base-AMI discovery (``describe_images``)."""
+
+    def __init__(self, service: "MockEMRService"):
+        self._svc = service
+
+    def __getattr__(self, name):
+        method = getattr(self._svc, "ec2_api_" + name, None)
+        if method is None:
+            raise AttributeError(name)
+        return lambda **kwargs: method(**kwargs)
+
+
+#: the mock EC2 image catalog: a realistic mix so the base-AMI filter
+#: has something to reject — newest-stable first is what callers must
+#: get back, NOT catalog order
+MOCK_EC2_IMAGES = [
+    {"ImageId": "ami-older", "Name": "amzn-ami-hvm-2017.03.0-x86_64-ebs",
+     "Architecture": "x86_64", "RootDeviceType": "ebs",
+     "VirtualizationType": "hvm", "CreationDate": "2017-03-01T00:00:00Z",
+     "BlockDeviceMappings": [{"DeviceName": "/dev/xvda"}],
+     "Description": "Amazon Linux AMI 2017.03.0"},
+    {"ImageId": "ami-newest", "Name": "amzn-ami-hvm-2018.03.0-x86_64-ebs",
+     "Architecture": "x86_64", "RootDeviceType": "ebs",
+     "VirtualizationType": "hvm", "CreationDate": "2018-03-01T00:00:00Z",
+     "BlockDeviceMappings": [{"DeviceName": "/dev/xvda"}],
+     "Description": "Amazon Linux AMI 2018.03.0"},
+    # rejects: release-candidate version string
+    {"ImageId": "ami-rc", "Name": "amzn-ami-hvm-2018.03.rc-1-x86_64-ebs",
+     "Architecture": "x86_64", "RootDeviceType": "ebs",
+     "VirtualizationType": "hvm", "CreationDate": "2018-02-20T00:00:00Z",
+     "BlockDeviceMappings": [{"DeviceName": "/dev/xvda"}]},
+    # rejects: Amazon Linux 2 naming
+    {"ImageId": "ami-al2", "Name": "amzn2-ami-hvm-2.0-x86_64-ebs",
+     "Architecture": "x86_64", "RootDeviceType": "ebs",
+     "VirtualizationType": "hvm", "CreationDate": "2018-06-01T00:00:00Z",
+     "BlockDeviceMappings": [{"DeviceName": "/dev/xvda"}]},
+    # rejects: two volumes
+    {"ImageId": "ami-2vol", "Name": "amzn-ami-hvm-2017.09.0-x86_64-ebs",
+     "Architecture": "x86_64", "RootDeviceType": "ebs",
+     "VirtualizationType": "hvm", "CreationDate": "2017-09-01T00:00:00Z",
+     "BlockDeviceMappings": [{"DeviceName": "/dev/xvda"},
+                             {"DeviceName": "/dev/xvdb"}]},
+    # rejects: no CreationDate
+    {"ImageId": "ami-nodate", "Name": "amzn-ami-hvm-2017.06.0-x86_64-ebs",
+     "Architecture": "x86_64", "RootDeviceType": "ebs",
+     "VirtualizationType": "hvm", "CreationDate": "",
+     "BlockDeviceMappings": [{"DeviceName": "/dev/xvda"}]},
+]
+
+
 class MockEMRService:
     """The cluster state store + executor behind :class:`MockEMRClient`.
 
@@ -208,6 +302,10 @@ class MockEMRService:
         #: node-disk copies are immediate either way
         self.log_delivery_lag_secs = log_delivery_lag_secs
         self.clusters: dict = {}
+        #: account-level IAM store: role name -> {"document": dict,
+        #: "policy_arns": [...]}, profile name -> {"roles": [names]}
+        self.iam_roles: dict = {}
+        self.iam_profiles: dict = {}
         self._seq = 0
         self._load()
 
@@ -223,13 +321,17 @@ class MockEMRService:
         self.now = max(self.now, state["now"])
         self._seq = max(self._seq, state["seq"])
         self.clusters = state["clusters"]
+        self.iam_roles = state.get("iam_roles", {})
+        self.iam_profiles = state.get("iam_profiles", {})
 
     def _save(self) -> None:
         tmp = self._state_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
                 {"now": self.now, "seq": self._seq,
-                 "clusters": self.clusters}, fh,
+                 "clusters": self.clusters,
+                 "iam_roles": self.iam_roles,
+                 "iam_profiles": self.iam_profiles}, fh,
             )
         os.replace(tmp, self._state_path)
 
@@ -240,6 +342,12 @@ class MockEMRService:
 
     def s3_client(self) -> MockS3Client:
         return self.s3
+
+    def iam_client(self, deny: bool = False) -> MockIAMClient:
+        return MockIAMClient(self, deny=deny)
+
+    def ec2_client(self) -> MockEC2Client:
+        return MockEC2Client(self)
 
     # -- clock ----------------------------------------------------------
 
@@ -321,6 +429,9 @@ class MockEMRService:
             ),
             "MasterPublicDnsName": master_dns,
             "_core_hosts": core_hosts,
+            "_job_flow_role": params.get("JobFlowRole"),
+            "_service_role": params.get("ServiceRole"),
+            "_custom_ami_id": params.get("CustomAmiId"),
             "_instances": instances,
             "_bootstrap": params.get("BootstrapActions") or [],
             "_idle_timeout": auto_policy.get("IdleTimeout"),
@@ -429,8 +540,15 @@ class MockEMRService:
             inst_attrs["Ec2KeyName"] = c["_instances"]["Ec2KeyName"]
         if (c.get("_instances") or {}).get("Ec2SubnetId"):
             inst_attrs["Ec2SubnetId"] = c["_instances"]["Ec2SubnetId"]
+        if c.get("_job_flow_role"):
+            # DescribeCluster reports the instance profile here
+            inst_attrs["IamInstanceProfile"] = c["_job_flow_role"]
         # always present on the real API (pool matching indexes into it)
         public["Ec2InstanceAttributes"] = inst_attrs
+        if c.get("_service_role"):
+            public["ServiceRole"] = c["_service_role"]
+        if c.get("_custom_ami_id"):
+            public["CustomAmiId"] = c["_custom_ami_id"]
         apps = list(public.get("Applications") or [])
         if not any(a.get("Name") == "Hadoop" for a in apps):
             # every EMR release ships Hadoop: DescribeCluster reports it
@@ -609,6 +727,114 @@ class MockEMRService:
         return {"Steps": list(reversed(steps))}
 
     # -- lifecycle ---------------------------------------------------------
+
+    # -- API: IAM (account-level role store; page size forced small so
+    # callers' Marker/IsTruncated walks actually get exercised) ----------
+
+    _IAM_PAGE = 2
+
+    def _iam_page(self, items: list, result_key: str, Marker=None,
+                  **_) -> dict:
+        start = int(Marker or 0)
+        page = items[start:start + self._IAM_PAGE]
+        resp = {result_key: page}
+        if start + self._IAM_PAGE < len(items):
+            resp["IsTruncated"] = True
+            resp["Marker"] = str(start + self._IAM_PAGE)
+        return resp
+
+    def _iam_role_entry(self, name: str) -> dict:
+        role = self.iam_roles[name]
+        return {
+            "RoleName": name,
+            "Arn": "arn:aws:iam::123456789012:role/%s" % name,
+            "AssumeRolePolicyDocument": role["document"],
+        }
+
+    def iam_api_list_roles(self, **kwargs):
+        names = sorted(self.iam_roles)
+        return self._iam_page(
+            [self._iam_role_entry(n) for n in names], "Roles", **kwargs)
+
+    def iam_api_create_role(self, RoleName, AssumeRolePolicyDocument,
+                            **_):
+        if RoleName in self.iam_roles:
+            raise MockClientError(
+                "EntityAlreadyExists: role %s" % RoleName,
+                response={"Error": {"Code": "EntityAlreadyExists",
+                                    "HTTPStatusCode": 409}},
+            )
+        # boto3 returns the document URL-decoded as a dict on reads but
+        # accepts a JSON string on writes — store decoded, like AWS
+        self.iam_roles[RoleName] = {
+            "document": json.loads(AssumeRolePolicyDocument),
+            "policy_arns": [],
+        }
+        return {"Role": self._iam_role_entry(RoleName)}
+
+    def iam_api_attach_role_policy(self, RoleName, PolicyArn, **_):
+        if RoleName not in self.iam_roles:
+            raise MockClientError("NoSuchEntity: %s" % RoleName)
+        arns = self.iam_roles[RoleName]["policy_arns"]
+        if PolicyArn not in arns:
+            arns.append(PolicyArn)
+        return {}
+
+    def iam_api_list_attached_role_policies(self, RoleName, **kwargs):
+        if RoleName not in self.iam_roles:
+            raise MockClientError("NoSuchEntity: %s" % RoleName)
+        attached = [
+            {"PolicyArn": arn, "PolicyName": arn.rsplit("/", 1)[-1]}
+            for arn in self.iam_roles[RoleName]["policy_arns"]
+        ]
+        return self._iam_page(attached, "AttachedPolicies", **kwargs)
+
+    def iam_api_list_instance_profiles(self, **kwargs):
+        profiles = [
+            {
+                "InstanceProfileName": name,
+                "Arn": "arn:aws:iam::123456789012:instance-profile/%s"
+                       % name,
+                "Roles": [self._iam_role_entry(r)
+                          for r in prof["roles"]],
+            }
+            for name, prof in sorted(self.iam_profiles.items())
+        ]
+        return self._iam_page(profiles, "InstanceProfiles", **kwargs)
+
+    def iam_api_create_instance_profile(self, InstanceProfileName, **_):
+        if InstanceProfileName in self.iam_profiles:
+            raise MockClientError(
+                "EntityAlreadyExists: %s" % InstanceProfileName)
+        self.iam_profiles[InstanceProfileName] = {"roles": []}
+        return {}
+
+    def iam_api_add_role_to_instance_profile(self, InstanceProfileName,
+                                             RoleName, **_):
+        if InstanceProfileName not in self.iam_profiles:
+            raise MockClientError(
+                "NoSuchEntity: %s" % InstanceProfileName)
+        if RoleName not in self.iam_roles:
+            raise MockClientError("NoSuchEntity: %s" % RoleName)
+        self.iam_profiles[InstanceProfileName]["roles"].append(RoleName)
+        return {}
+
+    # -- API: EC2 (base-AMI discovery) -----------------------------------
+
+    def ec2_api_describe_images(self, Owners=None, Filters=None, **_):
+        images = list(MOCK_EC2_IMAGES)
+        attr_for = {
+            "architecture": "Architecture",
+            "root-device-type": "RootDeviceType",
+            "virtualization-type": "VirtualizationType",
+        }
+        for f in Filters or []:
+            attr = attr_for.get(f.get("Name"))
+            if attr is None:
+                continue
+            values = f.get("Values") or []
+            images = [i for i in images if i.get(attr) in values]
+        return {"Images": images}
 
     def self_terminate(self, cluster_id: str) -> None:
         """Simulate the master node dying (spot loss) — the message shape

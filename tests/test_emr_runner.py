@@ -884,6 +884,52 @@ class TestReferenceEMRRunnerOnMock:
                      "Terminating cluster"):
             assert line in stderr, stderr[-4000:]
 
+    def test_reference_auto_creates_iam_roles_on_our_mock(
+            self, tmp_path, input_file):
+        """Drop the explicit role flags: the reference's own
+        ``mrjob/iam.py`` get-or-create path must run against our mock
+        IAM through the fakeboto3 shim — paginated role scan, create,
+        attach policy, wrap in an instance profile — and a second run
+        must MATCH the first run's roles instead of creating more."""
+        import json as _json
+        import subprocess as _sp
+
+        script = os.path.join(
+            REFERENCE, "mrjob", "examples", "mr_word_freq_count.py"
+        )
+        argv = self._ref_emr_argv(script, input_file)
+        for flag in ("--iam-instance-profile", "--iam-service-role"):
+            i = argv.index(flag)
+            del argv[i:i + 2]
+        env = self._ref_env(tmp_path / "emr")
+
+        proc = _sp.run(argv, stdout=_sp.PIPE, stderr=_sp.PIPE,
+                       env=env, timeout=240)
+        assert proc.returncode == 0, proc.stderr.decode()[-4000:]
+        pairs = sorted(
+            tuple(_json.loads(f) for f in ln.split(b"\t"))
+            for ln in proc.stdout.splitlines() if ln
+        )
+        assert pairs[0] == ("apple", 3)
+        stderr = proc.stderr.decode()
+        assert "Auto-created service role mrjob-" in stderr
+        assert "Auto-created instance profile mrjob-" in stderr
+
+        svc = MockEMRService(tmp_path / "emr")
+        assert len(svc.iam_roles) == 2
+        assert len(svc.iam_profiles) == 1
+        cluster = list(svc.clusters.values())[0]
+        assert cluster["_service_role"] in svc.iam_roles
+        assert cluster["_job_flow_role"] in svc.iam_profiles
+
+        # second run: content-matched, not re-created
+        proc2 = _sp.run(argv, stdout=_sp.PIPE, stderr=_sp.PIPE,
+                        env=env, timeout=240)
+        assert proc2.returncode == 0, proc2.stderr.decode()[-4000:]
+        assert "Auto-created" not in proc2.stderr.decode()
+        svc = MockEMRService(tmp_path / "emr")
+        assert len(svc.iam_roles) == 2
+
     def test_reference_emr_failure_diagnosis_reads_mock_task_logs(
             self, tmp_path):
         import subprocess as _sp
@@ -1003,6 +1049,143 @@ class TestReferenceEMRRunnerOnMock:
             for ln in proc.stdout.decode().splitlines() if ln
         )
         assert pairs == [("apple", 3), ("banana", 2), ("cherry", 1)]
+
+
+# ---------------------------------------------------------------------
+# IAM role bootstrap + custom AMIs (reference mrjob/iam.py, mrjob/ami.py)
+# ---------------------------------------------------------------------
+
+
+def test_roles_auto_created_then_reused(svc, input_file):
+    """No roles in the account: the first run creates a mrjob-spark-*
+    service role and instance profile and launches with them. A second
+    run MATCHES the existing ones by content — no new roles, no
+    versioning (the reference's idempotence rule, mrjob/iam.py:90-130)."""
+    with _runner(svc, MRWordFreq(), input_file,
+                 iam_client=svc.iam_client()) as r1:
+        r1.run()
+        c1 = svc.clusters[r1.get_cluster_id()]
+    assert c1["_job_flow_role"].startswith("mrjob-spark-")
+    assert c1["_service_role"].startswith("mrjob-spark-")
+    assert c1["_job_flow_role"] != c1["_service_role"]
+    assert len(svc.iam_roles) == 2
+    assert svc.iam_profiles[c1["_job_flow_role"]]["roles"] == [
+        c1["_job_flow_role"]]
+
+    with _runner(svc, MRWordFreq(), input_file,
+                 iam_client=svc.iam_client()) as r2:
+        r2.run()
+        c2 = svc.clusters[r2.get_cluster_id()]
+    assert c2["_job_flow_role"] == c1["_job_flow_role"]
+    assert c2["_service_role"] == c1["_service_role"]
+    assert len(svc.iam_roles) == 2  # reused, not re-created
+
+    # DescribeCluster surfaces them in the real API's fields
+    desc = svc.emr_client().describe_cluster(
+        ClusterId=r2.get_cluster_id())["Cluster"]
+    assert desc["ServiceRole"] == c1["_service_role"]
+    assert desc["Ec2InstanceAttributes"]["IamInstanceProfile"] == \
+        c1["_job_flow_role"]
+
+
+def test_explicit_role_opts_never_touch_iam(svc, input_file):
+    # deny=True raises 403 on ANY call, so passing both opts proves the
+    # IAM API is not consulted at all
+    with _runner(svc, MRWordFreq(), input_file,
+                 iam_client=svc.iam_client(deny=True),
+                 iam_instance_profile="MyProfile",
+                 iam_service_role="MyServiceRole") as r:
+        r.run()
+        c = svc.clusters[r.get_cluster_id()]
+    assert c["_job_flow_role"] == "MyProfile"
+    assert c["_service_role"] == "MyServiceRole"
+    assert svc.iam_roles == {}
+
+
+def test_iam_denied_falls_back_to_console_default_roles(svc, input_file):
+    """An account whose credentials drive EMR but not IAM (403) gets the
+    console's default role names instead of a dead job (reference
+    mrjob/emr.py:1276-1294)."""
+    with _runner(svc, MRWordFreq(), input_file,
+                 iam_client=svc.iam_client(deny=True)) as r:
+        r.run()
+        c = svc.clusters[r.get_cluster_id()]
+    assert c["_job_flow_role"] == "EMR_EC2_DefaultRole"
+    assert c["_service_role"] == "EMR_DefaultRole"
+
+
+def test_no_iam_client_falls_back(svc, input_file):
+    # injected-client run with no IAM surface: console default names,
+    # never a real-AWS dial-out from a mock-backed job
+    with _runner(svc, MRWordFreq(), input_file) as r:
+        r.run()
+        c = svc.clusters[r.get_cluster_id()]
+    assert c["_job_flow_role"] == "EMR_EC2_DefaultRole"
+    assert c["_service_role"] == "EMR_DefaultRole"
+
+
+def test_custom_ami_reaches_run_job_flow_and_pool_hash(svc, input_file):
+    """image_id flows to CustomAmiId, and a custom AMI is part of the
+    pooled software identity — jobs on different images must not share
+    a cluster (the reference hashes image_id, mrjob/emr.py:2788)."""
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 image_id="ami-newest") as r1:
+        r1.run()
+        cid1 = r1.get_cluster_id()
+    assert svc.clusters[cid1]["_custom_ami_id"] == "ami-newest"
+    assert svc.emr_client().describe_cluster(
+        ClusterId=cid1)["Cluster"]["CustomAmiId"] == "ami-newest"
+    svc.sleep(1)
+
+    # different image: new cluster
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 image_id="ami-older") as r2:
+        r2.run()
+        assert r2.get_cluster_id() != cid1
+    svc.sleep(1)
+
+    # same image: pooled reuse
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 image_id="ami-newest") as r3:
+        r3.run()
+        assert r3.get_cluster_id() == cid1
+
+
+def test_describe_base_emr_images_filters_and_sorts(svc):
+    from mrjob_spark.dataflow.iam import describe_base_emr_images
+
+    images = describe_base_emr_images(svc.ec2_client())
+    # newest stable Amazon Linux 1 first; rc/AL2/multi-volume/undated
+    # catalog entries are all rejected
+    assert [i["ImageId"] for i in images] == ["ami-newest", "ami-older"]
+
+
+def test_iam_listings_paginate(svc):
+    """The mock pages at 2 entries, so a 3-role account exercises the
+    Marker walk in the engine's _paginate (and the reference's
+    _boto3_paginate through fakeboto3)."""
+    from mrjob_spark.dataflow.iam import (
+        SERVICE_ROLE_DOCUMENT,
+        SERVICE_ROLE_POLICY_ARN,
+        get_or_create_service_role,
+    )
+
+    iam = svc.iam_client()
+    import json as _json
+
+    # two decoy roles sort BEFORE the real one (page 1), so a
+    # non-paginating scan would create a duplicate instead of matching
+    for name in ("aaa-decoy", "bbb-decoy"):
+        iam.create_role(
+            RoleName=name,
+            AssumeRolePolicyDocument=_json.dumps({"Version": "x"}),
+        )
+    real = get_or_create_service_role(iam)  # creates mrjob-spark-*
+    assert get_or_create_service_role(iam) == real  # found via page 2
+    docs = {n for n, r in svc.iam_roles.items()
+            if r["document"] == SERVICE_ROLE_DOCUMENT
+            and r["policy_arns"] == [SERVICE_ROLE_POLICY_ARN]}
+    assert docs == {real}
 
 
 def test_release_label_gte_pads_short_labels():
