@@ -699,6 +699,74 @@ def span_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    para_w: int = 12,
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup, CCNet-style (Wenzek et al.
+    2020): cut every document into disjoint ``para_w``-token paragraphs,
+    hash each, and keep only the FIRST occurrence of every distinct
+    paragraph — first meaning the smallest ``(doc_id, para_idx)`` — so
+    shared boilerplate survives exactly once in the whole corpus.
+    Returns ``(doc_id, n_paras, n_kept)``; a mostly-boilerplate document
+    shows ``n_kept << n_paras``.
+
+    Differs from :func:`span_dedup` (an audit: which docs carry
+    duplicated spans) in that this picks a canonical surviving copy, the
+    removal decision a cleaning pipeline applies.
+
+    Scale shape (100 TB): paragraphs build in-row (zero shuffle), the
+    global first-occurrence is a ``min(struct(doc_id, para_idx))``
+    hash aggregate — partial-agg combines map-side, so a boilerplate
+    paragraph appearing in 10^8 documents is one accumulator cell per
+    partition, never a sorted window partition — and both the aggregate
+    and the verdict probe hang off the SAME explicit repartition, so the
+    corpus is scanned and tokenized once (AQE exchange reuse, the
+    span_dedup pattern). The join back on ``para_h`` is skew-split by
+    AQE where a hash is hot."""
+    from mrjob_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n_paras = F.ceil(F.size(toks) / F.lit(float(para_w))).cast("int")
+    paras = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda j: F.array_join(
+                F.slice(toks, j * para_w + 1, para_w), " "),
+        )
+    )
+    per_para = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(paras, F.md5)).alias("para_idx", "para_h"),
+    )
+    # same load-bearing shape as span_dedup's cutoff path: one explicit
+    # repartition feeds both the aggregate and the probe
+    shuffled = per_para.where(F.col("para_h").isNotNull()).repartition(
+        F.col("para_h")
+    )
+    firsts = shuffled.groupBy("para_h").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first")
+    )
+    return (
+        shuffled.join(firsts, "para_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(
+                F.when(
+                    (F.col("first.doc_id") == F.col("doc_id"))
+                    & (F.col("first.para_idx") == F.col("para_idx")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2d: embedding-cosine near-dup
 # ---------------------------------------------------------------------------

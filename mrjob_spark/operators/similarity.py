@@ -291,6 +291,217 @@ def two_stage_topk(
     )
 
 
+def _pq_sq_l2(a, b):
+    """Exact integer squared-L2 between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_unit_fixed_point(vec):
+    """L2-normalize then quantize to the fixed-point grid: on the unit
+    sphere, squared-L2 is monotone in cosine (d² = 2 − 2cos), so the
+    integer ADC ranking agrees with the cosine ranking the re-rank and
+    the audit use. Without this, a large-norm corpus vector scores far
+    from everything and PQ recall craters on non-normalized fixtures."""
+    from mrjob_spark.operators.clustering import quantize_fixed_point
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = F.transform(vec, lambda x: x.cast("double") / norm)
+    return quantize_fixed_point(unit)
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str,
+                   m: int, d_sub: int) -> DataFrame:
+    """(id, sub, sv): each unit-normalized fixed-point vector cut into
+    ``m`` disjoint ``d_sub``-dim subvectors, in-row."""
+    qv = _pq_unit_fixed_point(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("__pq_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(qv, s * d_sub + 1, d_sub),
+            )
+        ).alias("sub", "sv"),
+    )
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the m×k-row
+    codebook, score in-row, keep the (dist, code)-min via one
+    partial-aggregable ``min(struct)`` — the clustering.py shape."""
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        "__pq_id", "sub",
+        F.struct(
+            _pq_sq_l2(F.col("sv"), F.col("cw")).alias("dist"),
+            F.col("code").alias("code"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy("__pq_id", "sub")
+        .agg(F.min("dc").alias("dc"))
+        .select(
+            "__pq_id", "sub",
+            F.col("dc.code").alias("code"),
+            F.col("dc.dist").alias("dist"),
+        )
+    )
+
+
+def product_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    m: int = 4,
+    codebook_k: int = 8,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector is cut
+    into ``m`` subvectors, each subspace gets its own ``codebook_k``-word
+    codebook (deterministic fixed-point Lloyd's, one refinement round,
+    smallest-id init — the clustering.py recipe), and the corpus is
+    stored as ``m`` one-byte codes per vector. Queries score the corpus
+    by ASYMMETRIC distance: the query's exact subvector-to-codeword
+    distances form an ``m × codebook_k`` lookup table, and a corpus
+    vector's approximate distance is ``m`` table lookups summed — no
+    vector math per corpus row at query time. The ``candidates`` best
+    per query re-rank with the exact full-dimension cosine.
+
+    Why this is a 100 TB tier of its own: IVF/LSH prune WHICH vectors
+    get scored; PQ shrinks WHAT a scored vector costs — 64 float dims
+    (256 B) become ``m`` bytes (64× less memory traffic), which is what
+    lets a candidate set live in RAM at billions of vectors. The codes
+    table build is two corpus scans (train round + encode), each a
+    broadcast-codebook map + partial-agg min; query-time cost is a
+    map-side join of codes against the broadcast ADC table, one
+    per-query ranking on a precomputed scalar, then exact re-rank on
+    ``candidates`` rows fetched by id.
+
+    Everything is deterministic (fixed-point integers, smallest-id
+    init, (dist, code) tie-breaks), so recall against the exact top-k
+    is a fixed number per fixture — the query layer audits it in-query
+    the way ``l3_knn_lsh`` does.
+    """
+    from mrjob_spark.operators.clustering import quantize_fixed_point
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    d_sub = dim // m
+    assert d_sub * m == dim, "dim must divide evenly into m subspaces"
+
+    c = parallelize_narrow_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    )
+    corpus_subs = _pq_subvectors(c, "neighbor_id", vec_col, m, d_sub)
+
+    # --- train: smallest-id init, one integer-mean refinement round ----
+    spark = corpus.sparkSession
+    seed_rows = (
+        c.orderBy("neighbor_id")
+        .limit(codebook_k)
+        .select(_pq_unit_fixed_point(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    cb_schema = StructType([
+        StructField("sub", IntegerType()),
+        StructField("code", IntegerType()),
+        StructField("cw", ArrayType(LongType())),
+    ])
+
+    def _codebook_df(rows):
+        return spark.createDataFrame(rows, cb_schema)
+
+    codebook = [
+        (s, code, list(r["qv"])[s * d_sub:(s + 1) * d_sub])
+        for s in range(m)
+        for code, r in enumerate(seed_rows)
+    ]
+    assigned = _pq_assign(corpus_subs, _codebook_df(codebook))
+    sums = (
+        assigned.join(corpus_subs, ["__pq_id", "sub"])
+        .select("sub", "code", F.posexplode("sv").alias("pos", "v"))
+        .groupBy("sub", "code", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import math
+
+    means: dict = {}
+    for r in sums:
+        # floor(sum/count + 0.5): the identical portable rounding the
+        # k-means oracle uses (clustering.py)
+        means.setdefault((int(r["sub"]), int(r["code"])), {})[
+            int(r["pos"])] = int(math.floor(r["s"] / r["n"] + 0.5))
+    codebook = [
+        (s, code, [dims[p] for p in sorted(dims)])
+        for (s, code), dims in sorted(means.items())
+    ]
+    final_cb = _codebook_df(codebook)
+
+    # --- encode the corpus: m small-int codes per vector ---------------
+    codes = _pq_assign(corpus_subs, final_cb).select(
+        F.col("__pq_id").alias("neighbor_id"), "sub", "code"
+    )
+
+    # --- ADC lookup tables per query (m × codebook_k rows each) --------
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    q_subs = _pq_subvectors(q, query_id_col, "__qvec", m, d_sub)
+    adc = (
+        q_subs.join(F.broadcast(final_cb), "sub")
+        .select(
+            F.col("__pq_id").alias(query_id_col), "sub", "code",
+            _pq_sq_l2(F.col("sv"), F.col("cw")).alias("pdist"),
+        )
+    )
+
+    # --- approximate distances: m lookups summed per (query, vector) ---
+    approx = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("__crn", F.row_number().over(wc))
+        .where(F.col("__crn") <= candidates)
+        .select(query_id_col, "neighbor_id")
+    )
+
+    # --- exact re-rank on the candidate ids ----------------------------
+    exact = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
+    we = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(query_id_col, "neighbor_id", exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= k)
+    )
+
+
 def signbit_band_pairs(
     df: DataFrame,
     threshold: float,

@@ -113,70 +113,68 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # NEW in round 8: plain JarStep routed through the -r emr control
-    # plane (VERDICT r7 task 2), the planted true-near-duplicate ANN
-    # regime at cosine ≥ 0.8 (VERDICT r7 task 4), SemDeDup-style
-    # semantic pruning verdicts, and DSIR-style hashed-feature
-    # importance selection
-    "x7_jar_step_emr",
-    "l2_embedding_neardup_planted",
-    "l2_semdedup_prune",
-    "l8_dsir_select",
-    "l4_bpe_train",
-    "mr_emr_reference_differential",
-    # the 11 stale r4-greens the freshness tripwire names (VERDICT r7
-    # task 1): the 8 single-operator relational queries deferred in round
-    # 7 plus the 3 q-series rows that yielded their slots to the round-7
-    # control-plane leads
-    "p3_filter_predicate",
-    "p7_project_rename",
-    "a3_count_per_group",
-    "a4_global_agg",
-    "a5_argmax_per_group",
-    "a6_distinct",
-    "a7_stats_per_group",
-    "u2_except_all",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_join",
-    "q22_sales_opportunity",
-    # the 47 r5-greens cross the freshness horizon the moment
-    # CORRECTNESS_r08 lands (horizon advances to 6), so the rest of the
-    # window is r5 re-verification, registration order; the overflow that
-    # cannot fit sits in _ROTATION_QUEUE as the explicit ordered backlog
-    # for round 9
-    "j2_broadcast_star",
-    "j6_asof_join",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_sessionization",
-    "l1_exact_dedup",
-    "l1_normalized_dedup",
-    "l2_simhash",
-    "l2_jaccard_pairs",
-    "l3_knn_bruteforce",
-    "l3_knn_bucketed",
-    "l3_knn_lsh",
-    "l4_token_stats",
-    "w1_ranking_scalable",
-    "w4_range_frame_scalable",
-    "x1_dataflow_wordcount",
-    "x2_dataflow_most_used_word",
-    "o3_dataflow_sorted_dates",
-    "x5_dataflow_pipe_grep",
-    "a8_dataflow_counters",
-    "s4_s5_file_attribution",
-    "s1_s2_gzip_text_scan",
-    "mr_next_word_stats",
-    "o5_dataflow_head_per_group",
-    "l3_kmeans_assign",
-    "mr_text_classifier",
-    "x6_spark_script",
-    "l2_minhash_lsh_capped",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
+    # NEW in round 9: paragraph-level dedup with a canonical survivor
+    # (the CCNet cleaning step), temperature-scaled domain mixture
+    # (weights computed FROM corpus stats, integer-deterministic), and
+    # the product-quantization ANN tier (recall-floor audited like
+    # l3_knn_lsh)
+    "l2_paragraph_dedup",
+    "l8_temperature_mixture",
+    "l3_knn_pq",
+    # the 14 r5-greens deferred one round in the round-8 rotation queue
+    # (horizon 6 since CORRECTNESS_r08): they rejoin the window FIRST,
+    # as the queue's contract promised
+    "a10_approx_count_distinct",
+    "j3_semi_join",
+    "j3_anti_join",
+    "j4_left_outer_join",
+    "j7_star_join",
+    "u2_intersect",
+    "u2_except",
+    "w1_ranking",
+    "w2_lag_lead",
+    "w3_running_total",
+    "w4_range_frame",
+    "l1_dedup_clusters_capped",
+    "j5_range_join_bucketed",
+    "l2_embedding_neardup_ivf",
+    # the 50 r6-greens cross the freshness horizon the moment
+    # CORRECTNESS_r09 lands (horizon advances to 7); 33 fit the
+    # remaining slots (registration order), the other 17 sit in
+    # _ROTATION_QUEUE as the explicit ordered backlog for round 10
+    "s7_csv_roundtrip",
+    "st4_session_window",
+    "st5_stream_dedup",
+    "l4_doc_fingerprint",
+    "l5_lang_id",
+    "l6_multimodal_bytes",
+    "l6_media_features",
+    "l7_quality_profile",
+    "st9_foreachbatch_sink",
+    "l8_weighted_mixture",
+    "l8_quality_filter",
+    "l8_sequence_packing",
+    "st6_stateful_running_totals",
+    "l4_ngrams",
+    "l4_tfidf",
+    "l5_text_classifier",
+    "l8_decontaminate",
+    "st7_stream_enrich_window",
+    "l4_bpe_token_count",
+    "sql1_ansi_interface",
+    "st8_stream_stream_join",
+    "sql2_correlated_subquery",
+    "st8_stream_stream_left_outer",
+    "q9_product_type_profit",
+    "q16_supplier_part_counts",
+    "l9_pii_redaction",
+    "l8_stratified_split",
+    "l8_balanced_sample",
+    "l2_embedding_neardup_ivf_hi",
+    "l8_decontaminate_bloom",
+    "l1_incremental_dedup",
+    "st11_incremental_ingest",
+    "a12_approx_percentiles",
 ]
 
 
@@ -184,30 +182,34 @@ _DRIVER_PRIORITY = [
 #: here is an explicit acknowledgment, enforced by tests/test_registry.py:
 #: a query may sit beyond the window ONLY if it was driver-green before or
 #: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). Round 8: 58 names (11 r4 + 47 r5) go
-#: stale at the r08 horizon but only 50 fit the window, so the overflow —
-#: micro set-op/window/join queries riding the stable relational.py and
-#: windows.py paths, each shadowed by an in-window query on the same code
-#: path (u2_except_all, w1/w4 *_scalable twins, j4/j7) — is deferred one
-#: round and rejoins the round-9 window first.
+#: (VERDICT r2 "what's wrong" #1). Round 9: the round-8 queue's 14
+#: r5-greens all rejoined the window; 64 names (14 r5 + 50 r6) compete
+#: for 47 non-new slots, so 17 r6-greens defer one round — the labeled
+#: baselines whose production twins ARE in-window (j5_range_join /
+#: l2_embedding_neardup), the seven pure-expression function registries
+#: (f1-f7, zero-shuffle maps on the stable relational.py path), the
+#: dataflow wordcount pair shadowed by the r8-fresh control-plane runs
+#: of the same jobs, and four q-series composites on join/agg shapes
+#: the in-window q9/q16 also exercise. They rejoin the round-10 window
+#: first.
 _ROTATION_QUEUE: list[str] = [
-    # displaced by the round-8 SemDeDup/DSIR/BPE leads; ivf's k-means +
-    # candidate-join machinery stays in-window via l2_semdedup_prune and
-    # j5's bucketed-band machinery via the in-window range/asof family
-    "l2_embedding_neardup_ivf",
-    "j5_range_join_bucketed",
-    "l1_dedup_clusters_capped",
-    "u2_intersect",
-    "u2_except",
-    "j3_semi_join",
-    "j3_anti_join",
-    "j4_left_outer_join",
-    "j7_star_join",
-    "w1_ranking",
-    "w2_lag_lead",
-    "w3_running_total",
-    "w4_range_frame",
-    "a10_approx_count_distinct",
+    "j5_range_join",
+    "l2_embedding_neardup",
+    "u1_union",
+    "f1_string_funcs",
+    "f2_math_funcs",
+    "f3_conditional",
+    "f4_datetime",
+    "f5_array_funcs",
+    "f6_json",
+    "f7_hash_funcs",
+    "mr_wordcount",
+    "mr_most_used_word",
+    "skew_salted_collect_set",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q18_large_volume_customer",
 ]
 
 

@@ -308,6 +308,61 @@ def l3_knn_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "l3_knn_pq",
+    sql="""
+    SELECT vec_id AS query_id, TRUE AS recall_ge_floor
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def l3_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py:
+    product_quantized_topk — Jégou et al. 2011): 16 subspaces × 16-word
+    deterministic codebooks compress each 64-dim vector to 16 codes;
+    queries rank the corpus by summed table lookups (asymmetric
+    distance), then exact-cosine re-rank the best 100. The tier PQ adds
+    over IVF/LSH: those prune WHICH vectors get scored, PQ shrinks WHAT
+    scoring costs (256 B → 16 B per corpus vector at query time) — the
+    memory-bandwidth lever that holds candidate sets in RAM at 10^9
+    vectors. Driver-checked like ``l3_knn_lsh``: codebooks are
+    engine-specific, so the oracle states the deterministic per-query
+    recall floor (vs exact brute-force top-5) as literal TRUE; measured
+    per-query recall is 0.8-1.0 at sf0.001/0.01/0.1 (means
+    0.94/1.00/0.90), so only a broken quantizer — not noise — flips the
+    0.6 floor. The brute-force pass is the audit harness, not the
+    production path."""
+    from mrjob_spark.operators.similarity import product_quantized_topk
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = product_quantized_topk(
+        emb, q, k=5, dim=64, m=16, codebook_k=16, candidates=100
+    ).select(
+        "query_id", F.col("neighbor_id").alias("__pq_neighbor")
+    )
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["__pq_neighbor"]),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("__n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("__n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0))
+                / F.col("__n_exact")
+                >= F.lit(0.6)
+            ).alias("recall_ge_floor"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # L4: text analysis
 # ---------------------------------------------------------------------------
@@ -537,6 +592,84 @@ def l8_weighted_mixture(spark, sf_dir):
         t.documents.select("doc_id", "source", u.alias("u"), keep_bp.alias("bp"))
         .where(F.col("u") < F.col("bp"))
         .select("doc_id", "source")
+    )
+
+
+@query(
+    "l8_temperature_mixture",
+    sql=f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS w
+        FROM counts
+    ),
+    z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
+    bp AS (
+        SELECT lang, n_docs,
+               CAST(least(10000, (10000 * 250 * w) // (z * n_docs))
+                    AS BIGINT) AS keep_bp
+        FROM w, z
+    )
+    SELECT d.lang, b.n_docs, b.keep_bp,
+           CAST(sum(CASE WHEN {sql_hex_hash32(
+               "concat(CAST(d.doc_id AS VARCHAR), ':temp')")} % 10000
+                          < b.keep_bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM documents d JOIN bp b USING (lang)
+    GROUP BY d.lang, b.n_docs, b.keep_bp
+    """,
+)
+def l8_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture (the multilingual sampling rule,
+    q_s ∝ p_s^α with α = 1/2): low-resource languages are upsampled
+    relative to proportional sampling so a 250-doc budget isn't
+    swallowed by the head language. Unlike ``l8_weighted_mixture``
+    (fixed per-source rates), the weights here are computed FROM corpus
+    statistics, then applied with the same RNG-free hash keep.
+
+    Cross-engine determinism is engineered, not hoped for: per-domain
+    weights are ``floor(sqrt(n) * 1000)`` — IEEE sqrt is correctly
+    rounded, so the floored int is bit-identical everywhere — and the
+    normalizer Z is an INTEGER sum of those ints, so no float
+    accumulation order can flip a keep threshold (a double Σ sqrt(n)
+    would differ between engines in the last bit). Scale shape: one
+    partial-agg count per domain (tiny), the threshold table broadcast
+    back, keep decisions map-side per row, one final per-domain
+    aggregate — the corpus never shuffles."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long"),
+    )
+    z = weights.agg(F.sum("w").alias("z"))
+    bp = (
+        weights.crossJoin(F.broadcast(z))
+        .withColumn(
+            "keep_bp",
+            F.least(
+                F.lit(10_000).cast("long"),
+                F.expr("(10000 * 250 * w) DIV (z * n_docs)"),
+            ),
+        )
+        .select("lang", "n_docs", "keep_bp")
+    )
+    u = F.pmod(
+        hex_hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+        F.lit(10_000),
+    )
+    return (
+        docs.join(F.broadcast(bp), "lang")
+        .groupBy("lang", "n_docs", "keep_bp")
+        .agg(
+            F.sum(F.when(u < F.col("keep_bp"), 1).otherwise(0)).alias(
+                "n_kept"
+            )
+        )
     )
 
 
@@ -1264,6 +1397,60 @@ def l2_span_dedup_capped(spark, sf_dir):
     return span_dedup(
         t.documents, "doc_id", "text", span_w=_SPAN_W, max_span_df=_SPAN_DF_CAP
     )
+
+
+_PARA_W = 12
+
+
+@query(
+    "l2_paragraph_dedup",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS w FROM documents
+    ),
+    paras AS (
+        SELECT doc_id,
+               unnest(range(CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT)))
+                   AS para_idx,
+               unnest(list_transform(
+                   range(CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT)),
+                   j -> md5(array_to_string(
+                       w[(j * {_PARA_W} + 1):(j * {_PARA_W} + {_PARA_W})],
+                       ' '))
+               )) AS para_h
+        FROM toks
+    ),
+    firsts AS (
+        SELECT para_h, min(doc_id * 4294967296 + para_idx) AS fk
+        FROM paras GROUP BY para_h
+    )
+    SELECT p.doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN p.doc_id * 4294967296 + p.para_idx = f.fk
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM paras p JOIN firsts f USING (para_h)
+    GROUP BY p.doc_id
+    """,
+)
+def l2_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph-level dedup with a CANONICAL SURVIVOR —
+    the CCNet cleaning step (Wenzek et al. 2020): every distinct
+    12-token paragraph is kept exactly once, at its first occurrence
+    (smallest (doc_id, para_idx)); all later copies drop. Unlike the
+    span-dedup audit (which flags docs carrying duplicated spans), this
+    is the removal decision itself — per doc, how many paragraphs it
+    contributes vs how many survive. The Spark side computes the global
+    first occurrence as a skew-proof ``min(struct(doc_id, para_idx))``
+    hash aggregate (a 10^8-document boilerplate paragraph is one
+    partial-agg cell per partition, never one sorted window partition),
+    and the aggregate + verdict probe share ONE explicit repartition of
+    the exploded paragraphs, so the corpus is tokenized once (AQE
+    exchange reuse — the span_dedup_capped pattern; the oracle's
+    composite ``doc_id * 2^32 + para_idx`` key is the same ordering
+    because para_idx < 2^32 always holds for in-row paragraphs)."""
+    from mrjob_spark.operators.dedup import paragraph_dedup
+
+    t = Tables(spark, sf_dir)
+    return paragraph_dedup(t.documents, "doc_id", "text", para_w=_PARA_W)
 
 
 @query(

@@ -744,3 +744,82 @@ def test_bpe_train_matches_imperative_reference(spark):
         for r in REGISTRY["l4_bpe_train"].fn(spark, sf).collect()
     ]
     assert got == expected
+
+
+def test_paragraph_dedup_keeps_first_occurrence_only(spark):
+    """Corpus-wide CCNet rule: a paragraph shared by many docs survives
+    exactly once, at the smallest (doc_id, para_idx); documents made
+    entirely of seen paragraphs keep nothing."""
+    from mrjob_spark.operators.dedup import paragraph_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # one full paragraph
+    docs = spark.createDataFrame(
+        [
+            # doc 0 introduces the boilerplate (para 0) + own tail
+            Row(doc_id=0, text=f"{boiler} own0a own0b own0c"),
+            # doc 1 is boilerplate-only: everything already seen
+            Row(doc_id=1, text=boiler),
+            # doc 2 repeats the boilerplate INSIDE itself twice
+            Row(doc_id=2, text=f"{boiler} {boiler}"),
+            # doc 3 is all fresh
+            Row(doc_id=3, text="fresh3a fresh3b fresh3c"),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(docs, "doc_id", "text", para_w=12).collect()
+    }
+    assert got[0] == (2, 2)   # first occurrence of boiler + own tail
+    assert got[1] == (1, 0)   # pure duplicate: drops entirely
+    assert got[2] == (2, 0)   # both copies lose to doc 0's
+    assert got[3] == (1, 1)
+
+
+def test_paragraph_dedup_position_breaks_ties_within_doc(spark):
+    """When the SAME doc introduces a paragraph twice, the earlier
+    position is the survivor — position, not just doc id, is part of
+    the first-occurrence key."""
+    from mrjob_spark.operators.dedup import paragraph_dedup
+
+    p = " ".join(f"x{i}" for i in range(12))
+    docs = spark.createDataFrame([Row(doc_id=5, text=f"{p} {p} {p}")])
+    got = paragraph_dedup(docs, "doc_id", "text", para_w=12).collect()
+    assert (got[0]["n_paras"], got[0]["n_kept"]) == (3, 1)
+
+
+def test_product_quantized_topk_finds_planted_twin(spark, vec_corpus):
+    """A vector's near-identical twin must come back as its top-1 with
+    cosine ~1.0 — the ADC coarse stage cannot lose an exact duplicate
+    (its codes are identical, so its approximate distance is 0)."""
+    from mrjob_spark.operators.similarity import product_quantized_topk
+
+    twin = vec_corpus.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = vec_corpus.unionByName(twin)
+    res = product_quantized_topk(
+        corpus, corpus.where(F.col("vec_id") == 0), k=3, dim=DIM,
+        m=4, codebook_k=8, candidates=16,
+    ).collect()
+    top = sorted(res, key=lambda r: r["rank"])[0]
+    assert top["neighbor_id"] == 1000
+    assert top["cosine"] >= 0.999999
+
+
+def test_product_quantized_topk_recall_on_clusters(spark, vec_corpus):
+    """On well-separated clusters PQ with generous candidates recovers
+    most of the exact top-k (the recall the registry query audits)."""
+    from mrjob_spark.operators.similarity import (
+        brute_force_topk,
+        product_quantized_topk,
+    )
+
+    k = 5
+    exact = brute_force_topk(vec_corpus, vec_corpus, k)
+    approx = product_quantized_topk(
+        vec_corpus, vec_corpus, k=k, dim=DIM, m=4, codebook_k=8,
+        candidates=24,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.7

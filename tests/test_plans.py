@@ -664,3 +664,42 @@ def test_dsir_model_broadcasts_and_scan_count(spark):
     # target distribution), and selection is exactly the weight's sign
     for r in rows:
         assert r.selected == (r.log_importance >= 0)
+
+
+def test_paragraph_dedup_single_scan_no_window(spark):
+    # first-occurrence selection must be the skew-proof hash aggregate
+    # (min(struct)) + join-back sharing ONE exchange: the corpus is
+    # tokenized once, a boilerplate paragraph is a partial-agg cell,
+    # never a window partition
+    df = REGISTRY["l2_paragraph_dedup"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("documents.parquet") == 1
+    assert "Window" not in final
+
+
+def test_temperature_mixture_broadcasts_thresholds(spark):
+    # the per-domain threshold table (|langs| rows) must broadcast back
+    # against the corpus: keep decisions are map-side, the corpus never
+    # shuffles for the join
+    plan = _plan(spark, "l8_temperature_mixture")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_join_is_broadcast_no_cartesian(spark):
+    # the ADC lookup table (queries x m x codebook_k rows) and the
+    # candidate id set must broadcast against the codes/corpus — the
+    # only acceptable plan has zero shuffled joins of corpus-sized
+    # inputs and no cartesian product anywhere
+    df = REGISTRY["l3_knn_pq"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    # the audit itself must pass here too, not just under the driver
+    assert len(rows) == 10
+    assert all(r.recall_ge_floor for r in rows)
