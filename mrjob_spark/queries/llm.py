@@ -320,7 +320,9 @@ def l3_knn_pq(spark, sf_dir):
     product_quantized_topk — Jégou et al. 2011): 16 subspaces × 16-word
     deterministic codebooks compress each 64-dim vector to 16 codes;
     queries rank the corpus by summed table lookups (asymmetric
-    distance), then exact-cosine re-rank the best 100. The tier PQ adds
+    distance), then exact-cosine re-rank the best max(100, n/50) — an
+    SF-adaptive width holding the re-ranked corpus fraction at ≥2%
+    (fixed 100 measured recall < 0.6 at sf1). The tier PQ adds
     over IVF/LSH: those prune WHICH vectors get scored, PQ shrinks WHAT
     scoring costs (256 B → 16 B per corpus vector at query time) — the
     memory-bandwidth lever that holds candidate sets in RAM at 10^9
@@ -335,10 +337,17 @@ def l3_knn_pq(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings
+    # SF-ADAPTIVE re-rank width (the l2_..._tight precedent): a FIXED
+    # candidate count shrinks to a vanishing corpus fraction as data
+    # grows and recall craters (measured: 100 candidates = 0.2% of sf1's
+    # 50k vectors read recall < 0.6); holding the fraction at ≥2% keeps
+    # the floor scale-stable while re-rank work stays ~n/50
+    n = emb.count()
+    cand = max(100, -(-n // 50))
     q = emb.where(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     approx = product_quantized_topk(
-        emb, q, k=5, dim=64, m=16, codebook_k=16, candidates=100
+        emb, q, k=5, dim=64, m=16, codebook_k=16, candidates=cand
     ).select(
         "query_id", F.col("neighbor_id").alias("__pq_neighbor")
     )

@@ -281,6 +281,20 @@ REPRESENTATIVE_T8 = [
 ]
 
 
+#: round-9 ninth tier (--tier 9): the round-9 additions. At sf1 the
+#: paragraph-dedup first-occurrence aggregate sees the full duplicate
+#: tail (min-struct ties across 1000× more docs), the temperature
+#: thresholds recompute from 1000× counts (integer normalizer must not
+#: overflow or drift), and PQ re-trains its codebooks on 50k vectors —
+#: the recall floor must hold where candidates=100 is only 0.2% of the
+#: corpus.
+REPRESENTATIVE_T9 = [
+    "l2_paragraph_dedup",
+    "l8_temperature_mixture",
+    "l3_knn_pq",
+]
+
+
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
     threshold: float = 0.6,
@@ -377,7 +391,7 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument(
         "--tier", default="1",
-        choices=("1", "2", "3", "4", "5", "6", "7", "8", "all"),
+        choices=("1", "2", "3", "4", "5", "6", "7", "8", "9", "all"),
     )
     args = ap.parse_args()
 
@@ -390,9 +404,10 @@ def main() -> int:
         "6": REPRESENTATIVE_T6,
         "7": REPRESENTATIVE_T7,
         "8": REPRESENTATIVE_T8,
+        "9": REPRESENTATIVE_T9,
         "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3
         + REPRESENTATIVE_T4 + REPRESENTATIVE_T5 + REPRESENTATIVE_T6
-        + REPRESENTATIVE_T7 + REPRESENTATIVE_T8,
+        + REPRESENTATIVE_T7 + REPRESENTATIVE_T8 + REPRESENTATIVE_T9,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
