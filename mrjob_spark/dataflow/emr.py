@@ -34,10 +34,12 @@ by the same interpreter as ``-r hadoop``; failures scan
 ``<log>/<cluster>/containers/**`` through the shared task-log pattern
 library (``dataflow/errors.py``).
 
-Out of scope by environment (SURVEY §1.4): SSH tunnels to the job
-tracker, spot-bid/fleet negotiation, IAM role creation, and the EC2
-instance-type compute-unit tables — the mock cluster has no network,
-prices, or IAM. Tested end-to-end against the EXECUTING mock service
+IAM roles bootstrap via :mod:`mrjob_spark.dataflow.iam` (round 9):
+get-or-create content-matched ``mrjob-spark-*`` roles, console-default
+fallback on a 403. Out of scope by environment (SURVEY §1.4):
+spot-bid negotiation and the EC2 price/compute-unit tables — the mock
+cluster has no network or prices. Tested end-to-end against the
+EXECUTING mock service
 (:mod:`mrjob_spark.testing.mockemr`); on real AWS the same code paths
 drive boto3 clients (``region`` opt), which this sandbox can't reach.
 """
@@ -510,8 +512,14 @@ class EMRJobRunner(StreamingStepRenderer):
             merged.update(getattr(step, "jobconf", {}) or {})
         merged.update(jobconf or {})
         self._jobconf = {k: str(v) for k, v in merged.items()}
-        if num_reducers is None and "mapreduce.job.reduces" in merged:
-            num_reducers = int(merged["mapreduce.job.reduces"])
+        if num_reducers is None:
+            # variant-tolerant read (dataflow/compat.py): a job written
+            # for Hadoop 1 sets mapred.reduce.tasks and still works
+            from mrjob_spark.dataflow.compat import jobconf_from_dict
+
+            jr = jobconf_from_dict(merged, "mapreduce.job.reduces")
+            if jr is not None:
+                num_reducers = int(jr)
         self.num_reducers = num_reducers
         self._cmdenv = dict(cmdenv or {})
         self._setup = list(setup or [])

@@ -62,16 +62,11 @@ _SORT_VALUES_PARTITIONER = (
     "org.apache.hadoop.mapred.lib.KeyFieldBasedPartitioner"
 )
 
-#: modern → pre-YARN jobconf names for the keys this runner emits itself
-#: (the reference translates every key both ways via a generated table,
-#: ``mrjob/compat.py``; user-supplied jobconf passes through untouched
-#: here because users target a known cluster version)
-_PRE_YARN_JOBCONF = {
-    "mapreduce.job.reduces": "mapred.reduce.tasks",
-    "mapreduce.partition.keypartitioner.options":
-        "mapred.text.key.partitioner.options",
-    "stream.num.map.output.key.fields": "stream.num.map.output.key.fields",
-}
+# jobconf dialect translation lives in dataflow/compat.py (round 9):
+# keys this runner emits itself translate EXACTLY to the target dialect,
+# user-supplied keys get the reference's combine-and-warn treatment
+# (mrjob/compat.py translate_jobconf_dict) so a job written against one
+# Hadoop generation still configures the other
 
 _COUNTERS_START_RE = re.compile(r"^Counters: \d+\s*$")
 _COUNTER_LINE_RE = re.compile(r"^\t\t(?P<name>.*)=(?P<amount>-?\d+)\s*$")
@@ -205,16 +200,28 @@ class StreamingStepRenderer:
             )
         return base
 
+    def _jobconf_dialect(self) -> str:
+        """The Hadoop generation whose jobconf names the target cluster
+        reads — what :func:`translate_jobconf` keys on."""
+        return "2.0" if self._uses_yarn() else "1.0"
+
     def _step_jobconf(self, step, has_reducer: bool) -> dict:
-        jobconf = dict(self._jobconf)
+        from mrjob_spark.dataflow.compat import (
+            translate_jobconf,
+            translate_jobconf_dict,
+        )
+
+        version = self._jobconf_dialect()
+        # user-supplied keys: combine-and-warn (the cluster reads its
+        # own dialect; the original stays so nothing silently vanishes)
+        jobconf = translate_jobconf_dict(dict(self._jobconf), version)
+        # keys this runner emits itself: exact dialect, no duplicates
         if self.num_reducers is not None and has_reducer:
-            jobconf["mapreduce.job.reduces"] = str(self.num_reducers)
+            jobconf[translate_jobconf("mapreduce.job.reduces", version)] = \
+                str(self.num_reducers)
         if getattr(self.job, "SORT_VALUES", False):
-            jobconf.update(_SORT_VALUES_JOBCONF)
-        if not self._uses_yarn():
-            jobconf = {
-                _PRE_YARN_JOBCONF.get(k, k): v for k, v in jobconf.items()
-            }
+            for k, v in _SORT_VALUES_JOBCONF.items():
+                jobconf[translate_jobconf(k, version)] = v
         return jobconf
 
     def _streaming_step_body(
@@ -235,8 +242,10 @@ class StreamingStepRenderer:
         if archives:
             args += ["-archives", ",".join(archives)]
         if not reducer:
-            key = ("mapreduce.job.reduces" if self._uses_yarn()
-                   else "mapred.reduce.tasks")
+            from mrjob_spark.dataflow.compat import translate_jobconf
+
+            key = translate_jobconf(
+                "mapreduce.job.reduces", self._jobconf_dialect())
             args += ["-D", "%s=0" % key]
         if self._libjars:
             args += ["-libjars", ",".join(self._libjars)]

@@ -185,8 +185,14 @@ class LocalJobRunner:
 
         if num_mappers is None and "mapreduce.job.maps" in merged:
             num_mappers = int(merged["mapreduce.job.maps"])
-        if num_reducers is None and "mapreduce.job.reduces" in merged:
-            num_reducers = int(merged["mapreduce.job.reduces"])
+        if num_reducers is None:
+            # variant-tolerant read (dataflow/compat.py): a job written
+            # for Hadoop 1 sets mapred.reduce.tasks and still works
+            from mrjob_spark.dataflow.compat import jobconf_from_dict
+
+            jr = jobconf_from_dict(merged, "mapreduce.job.reduces")
+            if jr is not None:
+                num_reducers = int(jr)
         self.num_mappers = max(1, num_mappers or num_cores or 2)
         self.num_reducers = max(1, num_reducers or num_cores or 2)
 

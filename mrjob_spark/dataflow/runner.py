@@ -309,8 +309,14 @@ class SparkJobRunner:
         self._setup = list(setup or [])
         self._setup_nonce = uuid.uuid4().hex
         self.step_output_dir = step_output_dir
-        if num_reducers is None and "mapreduce.job.reduces" in merged:
-            num_reducers = int(merged["mapreduce.job.reduces"])
+        if num_reducers is None:
+            # variant-tolerant read (dataflow/compat.py): a job written
+            # for Hadoop 1 sets mapred.reduce.tasks and still works
+            from mrjob_spark.dataflow.compat import jobconf_from_dict
+
+            jr = jobconf_from_dict(merged, "mapreduce.job.reduces")
+            if jr is not None:
+                num_reducers = int(jr)
         self.num_reducers = num_reducers
 
         self._counter_acc = spark.sparkContext.accumulator(

@@ -297,6 +297,33 @@ class TestStreamingArgs:
         assert "MY_VAR=hello" in cmdenvs
         assert any(c.startswith("PYTHONPATH=") for c in cmdenvs)
 
+    def test_user_jobconf_translates_to_cluster_dialect(
+            self, cluster, input_txt):
+        """A job written against Hadoop 1 (`mapred.reduce.tasks`) still
+        configures a modern cluster: the user key is combined with its
+        current-dialect name (the reference's translate_jobconf_dict),
+        original preserved."""
+        argv = self._argv_for(
+            cluster, MRWordFreqCount(), input_txt,
+            jobconf={"mapred.reduce.tasks": "3"},
+        )
+        d_vals = [argv[i + 1] for i, a in enumerate(argv) if a == "-D"]
+        assert "mapred.reduce.tasks=3" in d_vals
+        assert "mapreduce.job.reduces=3" in d_vals
+
+    def test_user_jobconf_translates_down_on_pre_yarn(
+            self, cluster, input_txt):
+        """And the converse: a modern key gains its pre-YARN twin on a
+        Hadoop 1.x cluster."""
+        env = dict(cluster.env, MOCK_HADOOP_VERSION="1.2.1")
+        argv = self._argv_for(
+            cluster, MRWordFreqCount(), input_txt, env=env,
+            jobconf={"mapreduce.map.java.opts": "-Xmx1g"},
+        )
+        d_vals = [argv[i + 1] for i, a in enumerate(argv) if a == "-D"]
+        assert "mapreduce.map.java.opts=-Xmx1g" in d_vals
+        assert "mapred.map.child.java.opts=-Xmx1g" in d_vals
+
     def test_pre_yarn_jobconf_translation(self, cluster, input_txt):
         """On Hadoop 1.x our emitted keys use the pre-YARN names
         (``mrjob/compat.py`` translation behavior for the keys this
