@@ -121,6 +121,7 @@ _DRIVER_PRIORITY = [
     "l2_paragraph_dedup",
     "l8_temperature_mixture",
     "l3_knn_pq",
+    "l4_bpe_encode",
     # the 14 r5-greens deferred one round in the round-8 rotation queue
     # (horizon 6 since CORRECTNESS_r08): they rejoin the window FIRST,
     # as the queue's contract promised
@@ -174,7 +175,6 @@ _DRIVER_PRIORITY = [
     "l8_decontaminate_bloom",
     "l1_incremental_dedup",
     "st11_incremental_ingest",
-    "a12_approx_percentiles",
 ]
 
 
@@ -193,6 +193,7 @@ _DRIVER_PRIORITY = [
 #: the in-window q9/q16 also exercise. They rejoin the round-10 window
 #: first.
 _ROTATION_QUEUE: list[str] = [
+    "a12_approx_percentiles",
     "j5_range_join",
     "l2_embedding_neardup",
     "u1_union",

@@ -2589,8 +2589,133 @@ def l4_bpe_train(spark, sf_dir):
     left-to-right application — the semantics ``replaceAll`` and RE2's
     global replace share, making the oracle exact."""
     t = Tables(spark, sf_dir)
-    words = (
+    merges = _train_bpe_merges(t.documents, _BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "rank bigint, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    """DuckDB twin of the encoder: train m0..m{n} exactly as
+    ``_bpe_train_sql`` does, then apply the learned merges to the
+    distinct-word vocabulary (LEFT JOIN so a dry merge round is a
+    no-op, not a vocabulary wipe) and roll per-doc token counts up
+    through the word stream.
+
+    Every CTE is ``AS MATERIALIZED``: the v-chain references every
+    ``b{r}``, and with inlined CTEs DuckDB re-expands each one's whole
+    m-chain history — measured as a >7-minute hang at sf0.001 vs 0.4 s
+    materialized (the l2_minhash staged-oracle lesson; evaluation
+    order changes, semantics don't)."""
+    parts = [f"""WITH w AS MATERIALIZED (
+        SELECT w, count(*) AS cnt FROM (
+            SELECT unnest({sql_tokens('text')}) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+    ), m0 AS MATERIALIZED (
+        SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, cnt
+        FROM w
+    )"""]
+    for r in range(n_merges):
+        parts.append(f""", p{r} AS MATERIALIZED (
+        SELECT l, r2, sum(cnt) AS c FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, greatest(len(a), 1)),
+                                         i -> a[i])) AS l,
+                   unnest(list_transform(range(1, greatest(len(a), 1)),
+                                         i -> a[i + 1])) AS r2
+            FROM (SELECT string_split(syms, ' ') AS a, cnt FROM m{r})
+        ) GROUP BY l, r2
+    ), b{r} AS MATERIALIZED (
+        SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1
+    ), m{r + 1} AS MATERIALIZED (
+        SELECT regexp_replace(syms, '\\b' || l || ' ' || r2 || '\\b',
+                              l || r2, 'g') AS syms, cnt
+        FROM m{r}, b{r}
+    )""")
+    parts.append(""", v0 AS MATERIALIZED (
+        SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms
+        FROM w
+    )""")
+    for r in range(n_merges):
+        parts.append(f""", v{r + 1} AS MATERIALIZED (
+        SELECT v.w,
+               coalesce(regexp_replace(v.syms,
+                        '\\b' || b.l || ' ' || b.r2 || '\\b',
+                        b.l || b.r2, 'g'), v.syms) AS syms
+        FROM v{r} v LEFT JOIN b{r} b ON TRUE
+    )""")
+    parts.append(f""", enc AS MATERIALIZED (
+        SELECT w, len(string_split(syms, ' ')) AS n_syms FROM v{n_merges}
+    ), toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS w FROM documents
+    )
+    SELECT t.doc_id,
+           count(*) AS n_words,
+           CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens,
+           {sql_rnd('CAST(sum(e.n_syms) AS DOUBLE) / count(*)')}
+               AS tokens_per_word
+    FROM toks t JOIN enc e USING (w)
+    GROUP BY t.doc_id""")
+    return "".join(parts)
+
+
+@query("l4_bpe_encode", sql=_bpe_encode_sql(_BPE_TRAIN_MERGES))
+def l4_bpe_encode(spark, sf_dir):
+    """BPE ENCODING with the merges ``l4_bpe_train`` learns — the apply
+    side of the tokenizer, closing the train→encode loop: per document,
+    how many subword tokens its words segment into under the trained
+    merge table (the number a training pipeline budgets sequences by).
+
+    Scale shape — encode the VOCABULARY, not the corpus: the 12 merge
+    rules apply as chained in-row ``\\b``-anchored ``regexp_replace``
+    over the distinct-word table (vocab-bounded, the same portable
+    leftmost-greedy semantics as training), and the corpus token stream
+    then joins the tiny word→token-count table and partial-aggregates
+    per document. Work on the data plane is ONE tokenize + one
+    vocab-keyed shuffle join — the merge chain's cost never touches the
+    token stream, which is what makes real 100 TB tokenization runs
+    vocab-bound, not corpus-bound. Training's per-round one-row argmax
+    collects are the bpe_train precedent (driver state = the merge
+    table itself)."""
+    t = Tables(spark, sf_dir)
+    merges = _train_bpe_merges(t.documents, _BPE_TRAIN_MERGES)
+
+    vocab = (
         t.documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    syms = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for _rank, left, right, merged, _c in merges:
+        syms = F.regexp_replace(
+            syms, "\\b%s %s\\b" % (left, right), merged)
+    enc = vocab.select("w", F.size(F.split(syms, " ")).alias("n_syms"))
+
+    toks = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    n_bpe = F.sum("n_syms")
+    return (
+        toks.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            n_bpe.cast("bigint").alias("n_bpe_tokens"),
+            rnd(
+                n_bpe.cast("double") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
+def _train_bpe_merges(documents, n_merges: int) -> list:
+    """The distributed trainer behind ``l4_bpe_train`` (and the train
+    phase of ``l4_bpe_encode``): list of (rank, l, r, merged, count)."""
+    words = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
         .where(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2602,7 +2727,7 @@ def l4_bpe_train(spark, sf_dir):
     state = base
     try:
         merges = []
-        for r in range(_BPE_TRAIN_MERGES):
+        for r in range(n_merges):
             arr = F.split(F.col("syms"), " ")
             n = F.greatest(F.size(arr) - 1, F.lit(0))
             prs = F.zip_with(
@@ -2632,8 +2757,4 @@ def l4_bpe_train(spark, sf_dir):
             )
     finally:
         base.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "rank bigint, left_sym string, right_sym string,"
-        " merged string, pair_count bigint",
-    )
+    return merges

@@ -703,3 +703,18 @@ def test_pq_codes_join_is_broadcast_no_cartesian(spark):
     # the audit itself must pass here too, not just under the driver
     assert len(rows) == 10
     assert all(r.recall_ge_floor for r in rows)
+
+
+def test_bpe_encode_joins_vocab_not_corpus_merge_chain(spark):
+    # the 12-merge regexp chain must run over the DISTINCT-word table
+    # only; the corpus token stream joins the tiny word->count table and
+    # partial-aggregates per doc — no cartesian, no window
+    df = REGISTRY["l4_bpe_encode"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    # merges strictly compress: tokens-per-word must be < symbols-per-word
+    assert all(r.n_bpe_tokens >= r.n_words for r in rows)
+    assert any(r.tokens_per_word > 1.0 for r in rows)
