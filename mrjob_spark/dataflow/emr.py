@@ -948,14 +948,24 @@ class EMRJobRunner(StreamingStepRenderer):
 
     def _find_cluster(self) -> Optional[str]:
         """A WAITING pooled cluster with our pool name + hash that we
-        can lock; newest first (the reference also ranks by compute
-        units — out of scope without the EC2 tables)."""
+        can lock. Candidates are tried MOST-CPU-FIRST (the reference's
+        rule: "the cluster with the most CPU goes first",
+        mrjob/emr.py:2424-2512): with many matching clusters, fleet
+        drivers pile onto the biggest one, which drains the pool's
+        small stragglers into idle-reaping instead of keeping every
+        cluster half-warm. The reference estimates CPU as
+        NormalizedInstanceHours over hours-since-ready; we compute
+        worker capacity directly from the instance metadata the
+        satisfaction check already fetched (vCPUs for groups, weighted
+        capacity for fleets) — same ordering, no clock arithmetic.
+        Ties break newest-first, as before."""
         emr = self.make_emr_client()
         want_hash = self._pool_hash()
         summaries = emr.list_clusters(
             ClusterStates=["WAITING"]
         ).get("Clusters") or []
-        for summary in reversed(summaries):
+        candidates = []  # (capacity, recency, cluster)
+        for recency, summary in enumerate(reversed(summaries)):
             cluster = emr.describe_cluster(
                 ClusterId=summary["Id"]
             )["Cluster"]
@@ -982,6 +992,12 @@ class EMRJobRunner(StreamingStepRenderer):
                     fleets, self._instance_fleets
                 ):
                     continue
+                capacity = sum(
+                    (f.get("ProvisionedOnDemandCapacity", 0) or 0)
+                    + (f.get("ProvisionedSpotCapacity", 0) or 0)
+                    for f in fleets
+                    if f.get("InstanceFleetType") in ("CORE", "TASK")
+                )
             else:
                 if is_fleet_cluster:
                     continue
@@ -992,6 +1008,17 @@ class EMRJobRunner(StreamingStepRenderer):
                     groups, self._instance_type, self._num_core_instances
                 ):
                     continue
+                capacity = sum(
+                    g.get("RunningInstanceCount",
+                          g.get("RequestedInstanceCount", 0))
+                    * (EC2_INSTANCE_SPECS.get(
+                        g.get("InstanceType"), (0, 1))[1])
+                    for g in groups
+                    if g.get("InstanceGroupType") in ("CORE", "TASK")
+                )
+            candidates.append((capacity, -recency, cluster))
+        candidates.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        for _capacity, _r, cluster in candidates:
             if self._attempt_to_lock_cluster(cluster):
                 return cluster["Id"]
         return None

@@ -1051,6 +1051,32 @@ class TestReferenceEMRRunnerOnMock:
         assert pairs == [("apple", 3), ("banana", 2), ("cherry", 1)]
 
 
+def test_pooling_prefers_the_biggest_matching_cluster(svc, input_file):
+    """The reference's pool ranking: among lockable matching clusters,
+    the one with the most worker CPU goes first (mrjob/emr.py:2424) —
+    fleet drivers converge on the big cluster and let the small ones
+    idle out. Created SMALL first then BIG, so recency alone would pick
+    the wrong one without capacity ranking."""
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 instance_type="m5.xlarge", num_core_instances=2) as r1:
+        r1.run()
+        small = r1.get_cluster_id()
+    svc.sleep(1)
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 instance_type="m5.4xlarge", num_core_instances=2) as r2:
+        r2.run()
+        big = r2.get_cluster_id()
+    svc.sleep(1)
+    assert small != big
+    assert svc.clusters[small]["Status"]["State"] == "WAITING"
+    assert svc.clusters[big]["Status"]["State"] == "WAITING"
+    # both satisfy an m5.xlarge x2 request; the 4xlarge cluster wins
+    with _runner(svc, MRWordFreq(), input_file, pool_clusters=True,
+                 instance_type="m5.xlarge", num_core_instances=2) as r3:
+        r3.run()
+        assert r3.get_cluster_id() == big
+
+
 # ---------------------------------------------------------------------
 # IAM role bootstrap + custom AMIs (reference mrjob/iam.py, mrjob/ami.py)
 # ---------------------------------------------------------------------
@@ -1158,6 +1184,30 @@ def test_describe_base_emr_images_filters_and_sorts(svc):
     # newest stable Amazon Linux 1 first; rc/AL2/multi-volume/undated
     # catalog entries are all rejected
     assert [i["ImageId"] for i in images] == ["ami-newest", "ami-older"]
+
+
+def test_reference_ami_scan_agrees_on_mock_ec2(svc):
+    """The REFERENCE's own describe_base_emr_images, run in-process
+    against our mock EC2 catalog, must pick the same images in the
+    same order as ours — both filters implement the published
+    custom-AMI base constraints."""
+    import sys
+
+    ref = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+    if not os.path.isdir(os.path.join(ref, "mrjob")):
+        import pytest as _pytest
+
+        _pytest.skip("reference checkout not available")
+    sys.path.insert(0, ref)
+    try:
+        from mrjob.ami import describe_base_emr_images as ref_scan
+    finally:
+        sys.path.remove(ref)
+    from mrjob_spark.dataflow.iam import describe_base_emr_images
+
+    ours = [i["ImageId"] for i in describe_base_emr_images(svc.ec2_client())]
+    theirs = [i["ImageId"] for i in ref_scan(svc.ec2_client())]
+    assert ours == theirs == ["ami-newest", "ami-older"]
 
 
 def test_iam_listings_paginate(svc):
