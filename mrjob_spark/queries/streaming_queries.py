@@ -234,6 +234,44 @@ def st8_stream_stream_left_outer(spark, sf_dir):
 
 
 @query(
+    "st8_stream_stream_full_outer",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           coalesce(c.user_id, p.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def st8_stream_stream_full_outer(spark, sf_dir):
+    """The full-outer variant of st8, completing the stream-stream join
+    family (inner / left_outer / full_outer): every click AND every
+    purchase appears — unmatched rows null-extend on the opposite side.
+    In streaming execution each side's null-extended rows emit only
+    after the OTHER side's watermark clears the join window (state for
+    both sides must drain, the strictest eviction case Spark supports);
+    the batch twin is the plain FULL JOIN the oracle restates, with the
+    key coalesced across sides exactly as the builder does."""
+    from mrjob_spark.streaming import stream_stream_join
+
+    t = Tables(spark, sf_dir)
+    clicks = t.events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id",
+        left_ts="ts", right_ts="ts", within="30 minutes",
+        how="full_outer",
+    )
+    return joined.select("click_id", "purchase_id", "user_id")
+
+
+@query(
     "st9_foreachbatch_sink",
     sql="""
     SELECT time_bucket(INTERVAL '15 minutes', ts) AS wstart, event_type,

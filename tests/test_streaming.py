@@ -445,6 +445,51 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     assert out["u2"]["purchase_v"] == 9.0
 
 
+def test_stream_stream_full_outer_drains_both_sides(spark, tmp_path):
+    """Full-outer stream-stream: unmatched rows on EACH side emit with
+    nulls once the opposite watermark clears their window — the
+    strictest state-eviction case (both join buffers must drain)."""
+    from mrjob_spark.streaming import stream_stream_join
+
+    lsrc = str(tmp_path / "clicks")
+    rsrc = str(tmp_path / "purchases")
+    # u1 clicks, never purchases; u3 purchases, never clicks;
+    # u2 does both within the window
+    _write_events(spark, lsrc, [(_t(0), "u1", 1.0), (_t(0), "u2", 2.0)])
+    _write_events(spark, rsrc, [(_t(10), "u2", 9.0), (_t(0), "u3", 7.0)])
+
+    clicks = read_stream_parquet(spark, lsrc).select(
+        F.col("key"), F.col("ts"), F.col("value").alias("click_v")
+    )
+    purchases = read_stream_parquet(spark, rsrc).select(
+        F.col("key"), F.col("ts"), F.col("value").alias("purchase_v")
+    )
+    joined = stream_stream_join(
+        clicks, purchases, key="key", left_ts="ts", right_ts="ts",
+        within="30 minutes", watermark="10 minutes", how="full_outer",
+    ).select("key", "click_v", "purchase_v")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssfo_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(spark, lsrc, [(_t(100000), "flushL", 0.0)])
+        _write_events(spark, rsrc, [(_t(100000), "flushR", 0.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["key"]: r for r in spark.table("ssfo_test").collect()
+           if not r["key"].startswith("flush")}
+    assert out["u2"]["click_v"] == 2.0 and out["u2"]["purchase_v"] == 9.0
+    assert out["u1"]["click_v"] == 1.0 and out["u1"]["purchase_v"] is None
+    assert out["u3"]["click_v"] is None and out["u3"]["purchase_v"] == 7.0
+
+
 def test_foreach_batch_overwrite_replay_is_duplicate_free(spark, tmp_path):
     """Re-delivering the SAME batch id (what Structured Streaming does after
     a failure between foreachBatch and offset commit) must overwrite that
