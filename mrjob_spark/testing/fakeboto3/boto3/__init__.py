@@ -97,6 +97,27 @@ class _Paginator:
                 return
 
 
+def _datetimes(obj):
+    """Recursively convert the mock's epoch-float ``*DateTime`` fields to
+    aware datetimes — the shape real boto3 returns. The reference's
+    billing/usage tools (audit_usage) do datetime arithmetic on Timeline
+    fields; floats would crash them."""
+    from datetime import datetime, timezone
+
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if (k.endswith("DateTime") and isinstance(v, (int, float))
+                    and not isinstance(v, bool)):
+                out[k] = datetime.fromtimestamp(v, timezone.utc)
+            else:
+                out[k] = _datetimes(v)
+        return out
+    if isinstance(obj, list):
+        return [_datetimes(v) for v in obj]
+    return obj
+
+
 class _Translating:
     """Proxy that re-raises the mock's errors as ClientError."""
 
@@ -115,9 +136,10 @@ class _Translating:
 
         def call(*args, **kwargs):
             try:
-                return attr(*args, **kwargs)
+                result = attr(*args, **kwargs)
             except MockClientError as ex:
                 raise _translate(ex, name) from None
+            return _datetimes(result)
 
         return call
 

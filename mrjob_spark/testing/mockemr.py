@@ -609,6 +609,10 @@ class MockEMRService:
                 continue
             out.append({
                 "Id": c["Id"], "Name": c["Name"], "Status": c["Status"],
+                # real ListClusters summaries carry this; the reference's
+                # pool ranking divides it by hours-since-ready
+                "NormalizedInstanceHours":
+                    self._normalized_instance_hours(c),
             })
         return {"Clusters": out}
 
@@ -662,6 +666,7 @@ class MockEMRService:
                     c, "TERMINATED", "USER_REQUEST",
                     "Terminated by user request",
                 )
+                c["Status"]["Timeline"]["EndDateTime"] = self.now
                 for s in c["_steps"]:
                     if s["Status"]["State"] in ("PENDING", "RUNNING"):
                         self._set_state(s, "CANCELLED")
@@ -844,6 +849,7 @@ class MockEMRService:
             c, "TERMINATED_WITH_ERRORS", "INSTANCE_FAILURE",
             "The master node was terminated",
         )
+        c["Status"]["Timeline"]["EndDateTime"] = self.now
         for s in c["_steps"]:
             if s["Status"]["State"] in ("PENDING", "RUNNING"):
                 self._set_state(s, "CANCELLED", "", "Job terminated")
@@ -878,6 +884,9 @@ class MockEMRService:
                     c, "TERMINATED", "ALL_STEPS_COMPLETED",
                     "Steps completed",
                 )
+                # freeze the billing clock (real DescribeCluster reports
+                # Timeline.EndDateTime on terminated clusters)
+                c["Status"]["Timeline"]["EndDateTime"] = self.now
             return
         if state == "STARTING":
             self._set_state(c, "BOOTSTRAPPING")
@@ -888,6 +897,9 @@ class MockEMRService:
                 "", "Running step" if self._pending(c) else
                 "Cluster ready to run steps.",
             )
+            # real EMR stamps ReadyDateTime when provisioning ends —
+            # billing/usage tools key on it (audit_usage bootstrap rows)
+            c["Status"]["Timeline"].setdefault("ReadyDateTime", self.now)
             return
 
         # RUNNING / WAITING: progress one step stage per call
@@ -934,6 +946,7 @@ class MockEMRService:
                 c, "TERMINATED", "ALL_STEPS_COMPLETED",
                 "Terminated due to idle timeout",
             )
+            c["Status"]["Timeline"]["EndDateTime"] = self.now
 
     @staticmethod
     def _pending(c: dict) -> list:

@@ -245,6 +245,81 @@ def test_audit_usage_tool(tmp_path, monkeypatch, capsys):
     assert "default" in out
 
 
+def test_reference_audit_usage_runs_on_mock(tmp_path, input_file=None):
+    """The REFERENCE's own audit-emr-usage tool, driven end-to-end
+    against our mock EMR through the fakeboto3 shim: it paginates
+    list_clusters, describes each cluster, walks steps, and computes
+    NIH billing from NormalizedInstanceHours over aware-datetime
+    Timelines (the shim converts the mock's epoch floats). Its
+    Total-billed figure must agree with our own audit's nih_billed
+    over the same mock state."""
+    import re
+    import subprocess
+    import sys
+
+    import mrjob_spark
+
+    ref = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+    if not os.path.isdir(os.path.join(ref, "mrjob")):
+        pytest.skip("reference checkout not available")
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(mrjob_spark.__file__)))
+    fakeboto3 = os.path.join(
+        repo_root, "mrjob_spark", "testing", "fakeboto3")
+
+    # seed the mock with one terminated job cluster + one WAITING pooled
+    svc = MockEMRService(tmp_path / "emr", tick_secs=30.0)
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana apple\n")
+    for pool in (False, True):
+        r = EMRJobRunner(
+            MRWordFreq(), input_paths=[str(inp)],
+            emr_client=svc.emr_client(), s3_client=svc.s3_client(),
+            check_cluster_every=0.0, pool_clusters=pool,
+        )
+        r.run()
+        r.cleanup()
+    svc.sleep(3600)  # age the clusters into a billable hour
+    # terminate everything: the mock clock lives near the 1970 epoch, so
+    # a still-WAITING cluster would make the reference bill an interval
+    # from 1970 to real wall-clock now and iterate its hourly-statistics
+    # loop half a million times
+    emr = svc.emr_client()
+    for cid, c in list(svc.clusters.items()):
+        if not c["Status"]["State"].startswith("TERMINAT"):
+            emr.terminate_job_flows(JobFlowIds=[cid])
+    svc.sleep(60)
+
+    from mrjob_spark.emr_tools import collect_usage
+
+    ours = collect_usage(svc.emr_client(), svc.now)
+    our_billed = sum(row["nih_billed"] for row in ours)
+    assert our_billed > 0
+
+    env = dict(
+        os.environ,
+        MOCK_EMR_BASE_DIR=str(tmp_path / "emr"),
+        PYTHONPATH=os.pathsep.join(
+            [fakeboto3, ref, repo_root,
+             os.environ.get("PYTHONPATH", "")]),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "mrjob.tools.emr.audit_usage",
+         "--no-conf", "-q"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-3000:]
+    out = proc.stdout.decode()
+    n_clusters = len(svc.clusters)
+    assert ("Total  # of Clusters: %d" % n_clusters) in out
+    m = re.search(r"Total billed:\s+([0-9.]+)", out)
+    assert m, out[-3000:]
+    # same NormalizedInstanceHours basis → totals agree to the cent
+    assert abs(float(m.group(1)) - our_billed) < 0.01, (
+        m.group(1), our_billed)
+
+
 def test_s3_tmpwatch(tmp_path):
     svc = MockEMRService(tmp_path / "emr")
     s3 = svc.s3_client()
