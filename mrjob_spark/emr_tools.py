@@ -344,17 +344,32 @@ def create_cluster_main(args: list) -> int:
     max_idle = float(_flagval(args, "--max-mins-idle", default="10"))
     log_uri = _flagval(args, "--cloud-log-dir",
                        default="s3://mrjob-spark-tmp/logs/")
+    # round-9 surfaces: a tool-made pooled cluster must hash and look
+    # exactly like a runner-made one, or jobs can't join it
+    image_id = _flagval(args, "--image-id")
+    job_flow_role = _flagval(args, "--iam-instance-profile")
+    service_role = _flagval(args, "--iam-service-role")
+    ec2_key_pair = _flagval(args, "--ec2-key-pair")
+    apps_csv = _flagval(args, "--applications", default="Hadoop")
+    applications = [a.strip() for a in apps_csv.split(",") if a.strip()]
+    _positionals(args)  # reject unrecognized flags
     emr, _s3, _now = _clients(region)
     params = build_cluster_params(
         name="mrjob-create-cluster.%d" % time.time_ns(),
         release_label=release_label,
         instance_type=instance_type,
         num_core_instances=num_core,
+        ec2_key_pair=ec2_key_pair,
+        applications=applications,
         log_uri=log_uri,
         keep_alive=True,
         max_mins_idle=max_idle,
         pool_name=pool_name,
-        pool_hash=pool_config_hash(release_label, ["Hadoop"], []),
+        pool_hash=pool_config_hash(release_label, applications, [],
+                                   image_id=image_id),
+        job_flow_role=job_flow_role,
+        service_role=service_role,
+        image_id=image_id,
     )
     cluster_id = emr.run_job_flow(**params)["JobFlowId"]
     print(cluster_id)

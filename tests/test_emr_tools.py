@@ -245,6 +245,49 @@ def test_audit_usage_tool(tmp_path, monkeypatch, capsys):
     assert "default" in out
 
 
+def test_create_cluster_with_image_id_pools_with_matching_job(
+        tmp_path, monkeypatch, capsys):
+    """A tool-made cluster on a custom AMI is joinable ONLY by jobs on
+    the same image — image_id is pooled software identity for the tool
+    exactly as for the runner."""
+    base = tmp_path / "emr"
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(base))
+    assert umbrella_main(
+        ["mrjob", "create-cluster", "--image-id", "ami-newest",
+         "--iam-instance-profile", "MyProfile",
+         "--iam-service-role", "MyRole"]) == 0
+    cluster_id = capsys.readouterr().out.strip()
+    svc = MockEMRService(base)
+    assert svc.clusters[cluster_id]["_custom_ami_id"] == "ami-newest"
+    assert svc.clusters[cluster_id]["_job_flow_role"] == "MyProfile"
+    svc.sleep(1)
+    svc.sleep(1)
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b a\n")
+
+    def run_job(**kw):
+        r = EMRJobRunner(
+            MRWordFreq(), input_paths=[str(inp)],
+            emr_client=svc.emr_client(), s3_client=svc.s3_client(),
+            check_cluster_every=0.0, pool_clusters=True, **kw,
+        )
+        r.run()
+        cid = r.get_cluster_id()
+        r.cleanup()
+        svc.sleep(1)
+        return cid
+
+    assert run_job(image_id="ami-older") != cluster_id  # wrong image
+    assert run_job(image_id="ami-newest") == cluster_id  # joins the tool's
+
+
+def test_create_cluster_rejects_unknown_flags(tmp_path, monkeypatch):
+    from mrjob_spark.emr_tools import UsageError, create_cluster_main
+
+    with pytest.raises(UsageError, match="unrecognized"):
+        create_cluster_main(["--immage-id", "oops"])
+
+
 def test_reference_audit_usage_runs_on_mock(tmp_path, input_file=None):
     """The REFERENCE's own audit-emr-usage tool, driven end-to-end
     against our mock EMR through the fakeboto3 shim: it paginates
