@@ -127,3 +127,24 @@ def test_runner_accepts_pre_yarn_reduce_count(spark, tmp_path):
         jobconf={"mapred.reduce.tasks": "3"},
     )
     assert r.num_reducers == 3
+
+
+def test_translation_round_trips_by_property():
+    """Property over the whole table: translating any known name to one
+    dialect and back lands on that dialect's canonical name, and
+    from_env/from_dict agree with translate_jobconf_for_all_versions."""
+    from mrjob_spark.dataflow.compat import _JOBCONF_RENAMES
+
+    for old, new in _JOBCONF_RENAMES:
+        assert translate_jobconf(old, "2.7.1") == new
+        assert translate_jobconf(new, "1.0.3") == old
+        assert translate_jobconf(translate_jobconf(old, "3.3.6"),
+                                 "1.2.1") == old
+        variants = translate_jobconf_for_all_versions(old)
+        assert set(variants) == {old, new}
+        assert translate_jobconf_for_all_versions(new) == variants
+        # a dict carrying either name answers to both
+        for present, value in ((old, "x"), (new, "y")):
+            d = {present: value}
+            assert jobconf_from_dict(d, old) == value
+            assert jobconf_from_dict(d, new) == value
