@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = [
     "l3_knn_pq",
     "l4_bpe_encode",
     "st8_stream_stream_full_outer",
+    "l10_ccnet_clean",
     # the 14 r5-greens deferred one round in the round-8 rotation queue
     # (horizon 6 since CORRECTNESS_r08): they rejoin the window FIRST,
     # as the queue's contract promised
@@ -174,7 +175,6 @@ _DRIVER_PRIORITY = [
     "l8_balanced_sample",
     "l2_embedding_neardup_ivf_hi",
     "l8_decontaminate_bloom",
-    "l1_incremental_dedup",
 ]
 
 
@@ -184,7 +184,7 @@ _DRIVER_PRIORITY = [
 #: is queued here — so displacement is always a choice, never an accident
 #: (VERDICT r2 "what's wrong" #1). Round 9: the round-8 queue's 14
 #: r5-greens all rejoined the window; 64 names (14 r5 + 50 r6) compete
-#: for the non-new slots, so 19 r6-greens defer one round — the labeled
+#: for the non-new slots, so 20 r6-greens defer one round — the labeled
 #: baselines whose production twins ARE in-window (j5_range_join /
 #: l2_embedding_neardup), the seven pure-expression function registries
 #: (f1-f7, zero-shuffle maps on the stable relational.py path), the
@@ -193,6 +193,7 @@ _DRIVER_PRIORITY = [
 #: the in-window q9/q16 also exercise. They rejoin the round-10 window
 #: first.
 _ROTATION_QUEUE: list[str] = [
+    "l1_incremental_dedup",
     "st11_incremental_ingest",
     "a12_approx_percentiles",
     "j5_range_join",

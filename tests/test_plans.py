@@ -718,3 +718,21 @@ def test_bpe_encode_joins_vocab_not_corpus_merge_chain(spark):
     # merges strictly compress: tokens-per-word must be < symbols-per-word
     assert all(r.n_bpe_tokens >= r.n_words for r in rows)
     assert any(r.tokens_per_word > 1.0 for r in rows)
+
+
+def test_ccnet_clean_broadcasts_thresholds_no_corpus_window(spark):
+    # tercile thresholds must broadcast back (map-side bucketing — no
+    # per-language ntile window funneling a language through one task);
+    # the only window is the vocab-bounded LM model's PARTITION BY w1
+    df = REGISTRY["l10_ccnet_clean"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    verdicts = {r.verdict for r in rows}
+    assert verdicts == {"keep", "drop_tail", "drop_dup"}
+    # tail tercile must be dropped, head kept
+    for r in rows:
+        if r.verdict == "keep":
+            assert r.ppl_bucket in ("head", "middle")

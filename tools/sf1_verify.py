@@ -289,6 +289,7 @@ REPRESENTATIVE_T8 = [
 #: the recall floor must hold where candidates=100 is only 0.2% of the
 #: corpus.
 REPRESENTATIVE_T9 = [
+    "l10_ccnet_clean",
     "st8_stream_stream_full_outer",
     "l4_bpe_encode",
     "l2_paragraph_dedup",
