@@ -45,6 +45,11 @@ from mrjob_spark.dataflow.step import (  # noqa: F401
 )
 from mrjob_spark.dataflow.runner import SparkJobRunner  # noqa: F401
 from mrjob_spark.dataflow.inline import InlineJobRunner  # noqa: F401
+from mrjob_spark.dataflow.compat import (  # noqa: F401
+    jobconf_from_dict,
+    jobconf_from_env,
+    translate_jobconf,
+)
 from mrjob_spark.dataflow.protocols import (  # noqa: F401
     BytesProtocol,
     BytesValueProtocol,
