@@ -152,6 +152,43 @@ def main() -> int:
     print(f"[skew] collect_set: naive {t_naive}s scalable {t_scal}s match={same}",
           file=sys.stderr)
 
+    # -- 3b. first-occurrence selection (the paragraph-dedup core) -----------
+    # one boilerplate hash owns hot_frac of all (doc, pos, hash) rows —
+    # the 10^8-document-boilerplate regime. Naive form: min(struct) as a
+    # WINDOW over para_h (the hot hash funnels through one sorted task).
+    # Production form (operators/dedup.py:paragraph_dedup): min(struct)
+    # as a partial-agg HASH AGGREGATE + join-back off one repartition.
+    paras = df.select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("para_idx"),
+        F.col("key").alias("para_h"),
+    )
+    first_struct = F.struct("doc_id", "para_idx")
+    wf = Window.partitionBy("para_h")
+    naive_first = paras.select(
+        "doc_id", "para_idx", "para_h",
+        (F.min(first_struct).over(wf) == first_struct).alias("kept"),
+    )
+    shuffled = paras.repartition(F.col("para_h"))
+    firsts = shuffled.groupBy("para_h").agg(
+        F.min(first_struct).alias("first"))
+    scal_first = shuffled.join(firsts, "para_h").select(
+        "doc_id", "para_idx", "para_h",
+        ((F.col("first.doc_id") == F.col("doc_id"))
+         & (F.col("first.para_idx") == F.col("para_idx"))).alias("kept"),
+    )
+    t_naive = _noop(naive_first)
+    t_scal = _noop(scal_first)
+    doc_h = F.crc32(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+    kchk = (F.when(F.col("kept"), 1).otherwise(0).cast("decimal(38,0)")
+            * doc_h + F.crc32("para_h").cast("decimal(38,0)"))
+    same = _checksum(naive_first, kchk) == _checksum(scal_first, kchk)
+    results["first_occurrence"] = {
+        "naive_sec": t_naive, "scalable_sec": t_scal, "values_match": same,
+    }
+    print(f"[skew] first-occurrence: window {t_naive}s agg+join {t_scal}s"
+          f" match={same}", file=sys.stderr)
+
     # -- 4. skewed sort-merge join: AQE skew-split on vs off -----------------
     # right side: unique join keys incl. the hot one, too big to broadcast
     right = spark.range(args.keys + 1).select(
