@@ -39,21 +39,19 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def _env_gates() -> dict:
     """Optional-dependency gates that dark parts of the declared surface
-    in this environment. Mirrors the import-try gates in the operators
-    themselves (streaming/ops.py transformWithStateInPandas rides
-    pyspark's protobuf-based state protocol; multimodal decode needs
-    codec libs)."""
-    import importlib.util as ilu
+    in this environment. Round 10: transformWithStateInPandas is no
+    longer gated here — mrjob_spark.compat_pb vendors the Cloud SDK's
+    pure-Python protobuf runtime when no real one is installed (worker
+    coverage via the PYTHONPATH sitecustomize hook session.get_spark
+    sets), and the operator executes for real; only a host with neither
+    runtime reports the gate."""
+    from mrjob_spark.compat_pb import ensure_protobuf_compat
 
     gates = {}
-    try:
-        has_protobuf = ilu.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # parent package absent entirely
-        has_protobuf = False
-    if not has_protobuf:
+    if not ensure_protobuf_compat():
         gates["transform_with_state"] = (
-            "skipped: google-protobuf absent (pyspark "
-            "transformWithStateInPandas state protocol)"
+            "skipped: no google-protobuf and no vendorable Cloud SDK "
+            "runtime (pyspark transformWithStateInPandas state protocol)"
         )
     return gates
 

@@ -113,6 +113,9 @@ _emr_tool("s3-tmpwatch", "Delete S3 objects older than an age",
           "s3_tmpwatch_main")
 _emr_tool("boss", "Run a command on every node of an EMR cluster",
           "boss_main")
+_emr_tool("describe-base-emr-images",
+          "List Amazon Linux AMIs usable as EMR custom-AMI bases",
+          "describe_base_emr_images_main")
 
 
 @_command("diagnose", "Extract the probable cause from a failed job's log")

@@ -20,6 +20,9 @@
   than the age (``s3_tmpwatch.py``; age spec like ``30d``, ``12h``,
   ``90m``).
 
+* ``describe-base-emr-images`` — list the Amazon Linux images usable
+  as EMR custom-AMI bases, newest first (``mrjob/ami.py``; the picker a
+  user runs before ``create-cluster --image-id``).
 * ``boss CLUSTER_ID "command"`` — run a command on the master and every
   worker over SSH (workers chained through the master) and store each
   node's stdout/stderr under an output dir (``mrboss.py``). Tests drive
@@ -352,7 +355,11 @@ def create_cluster_main(args: list) -> int:
     ec2_key_pair = _flagval(args, "--ec2-key-pair")
     apps_csv = _flagval(args, "--applications", default="Hadoop")
     applications = [a.strip() for a in apps_csv.split(",") if a.strip()]
-    _positionals(args)  # reject unrecognized flags
+    stray = _positionals(args)  # reject unrecognized flags AND positionals
+    if stray:
+        raise UsageError(
+            "create-cluster takes no positional arguments (got: %s)"
+            % " ".join(stray))
     emr, _s3, _now = _clients(region)
     params = build_cluster_params(
         name="mrjob-create-cluster.%d" % time.time_ns(),
@@ -557,6 +564,49 @@ def boss_main(args: list) -> int:
         emr, cluster_id, fs, out, shlex.split(cmd_string),
         echo=lambda line: print(line, file=sys.stderr),
     )
+    return 0
+
+
+def _ec2_client(region=None):
+    """EC2 client: mock when $MOCK_EMR_BASE_DIR is set, boto3 otherwise
+    (the same dual path as :func:`_clients`)."""
+    mock_base = os.environ.get("MOCK_EMR_BASE_DIR")
+    if mock_base:
+        from mrjob_spark.testing.mockemr import MockEMRService
+
+        return MockEMRService(mock_base).ec2_client()
+    import boto3
+
+    return boto3.client("ec2", region_name=region)
+
+
+def describe_base_emr_images_main(args: list) -> int:
+    """``mrjob describe-base-emr-images [--region R] [--max N]`` — list
+    the Amazon Linux images usable as custom-AMI bases for EMR, newest
+    first (one ``ImageId  CreationDate  Description`` line each). The
+    filter chain is :func:`mrjob_spark.dataflow.iam
+    .describe_base_emr_images` (reference ``mrjob/ami.py:25-80``),
+    reference-differential-tested in tests/test_emr_runner.py; this is
+    the CLI a user runs BEFORE ``create-cluster --image-id`` to pick
+    the base their packer/image-builder recipe starts from."""
+    from mrjob_spark.dataflow.iam import describe_base_emr_images
+
+    args = list(args)
+    region = _flagval(args, "--region")
+    max_results = int(_flagval(args, "--max", default="0"))
+    stray = _positionals(args)
+    if stray:
+        raise UsageError(
+            "describe-base-emr-images takes no positional arguments"
+            " (got: %s)" % " ".join(stray))
+    images = describe_base_emr_images(_ec2_client(region))
+    if max_results > 0:
+        images = images[:max_results]
+    for img in images:
+        print("%s  %s  %s" % (
+            img["ImageId"], img.get("CreationDate", ""),
+            img.get("Description", ""),
+        ))
     return 0
 
 

@@ -25,4 +25,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Null for zero-norm vectors (a zero vector has no direction), via
+    an explicit guard rather than division semantics: under Spark 4's
+    ANSI default the bare ``dot/0`` RAISES ``DIVIDE_BY_ZERO``, and with
+    ANSI off it would silently null — neither is an acceptable way to
+    define the edge case. Null sorts last under ``desc()``, so zero
+    vectors can never rank as neighbors on any similarity path."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)

@@ -767,6 +767,120 @@ def paragraph_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated-SUBSTRING detection, the suffix-array dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed in the shingle-anchor form that distributes:
+    every SLIDING ``k``-token window ("anchor") is hashed, anchors whose
+    shingle occurs more than once corpus-wide are "duplicated", and runs
+    of ADJACENT duplicated anchors inside a document chain back into
+    maximal duplicated runs — a run of anchors ``p..q`` recovers the
+    ``q - p + k``-token duplicated substring the suffix array would
+    report (anchoring is the standard distributed approximation: each
+    individual window is certainly duplicated somewhere; the chained run
+    is the maximal region built from them).
+
+    Returns one row per document that carries at least one duplicated
+    anchor: ``(doc_id, n_dup_anchors, n_dup_runs, max_run_tokens,
+    n_dup_tokens)`` where ``max_run_tokens`` is the longest single
+    duplicated run (the Lee et al. removal unit) and ``n_dup_tokens`` is
+    the exact UNION of token positions covered by any duplicated anchor
+    (runs closer than ``k`` overlap in token coverage, so interval-merge
+    with gap threshold ``k`` — summing run lengths would double-count).
+
+    ``max_shingle_df``: the span-dedup DF-cutoff switch — shingles
+    occurring more than this many times corpus-wide are declared
+    boilerplate and EXCLUDED from the dup signal (2 <= occ <= cap
+    counts), keeping a 10^8-copy boilerplate sentence from flagging the
+    whole corpus while the probe join's hot key is AQE-skew-split.
+
+    Scale shape (100 TB): sliding shingles build in-row (zero shuffle);
+    the occurrence count is a partial-agg hash aggregate (a hot shingle
+    is one counter cell per partition); count and probe hang off ONE
+    explicit repartition of the anchor stream so the corpus is scanned
+    and tokenized once (AQE exchange reuse — the span_dedup_capped
+    pattern, plan-pinned); only DUPLICATED anchors — a tiny fraction of
+    the corpus — shuffle to their documents, where run-chaining is pure
+    in-row array math on the sorted anchor positions (no per-doc window
+    machinery, no corpus-wide sort; the collect_list is bounded by the
+    document's own length)."""
+    from mrjob_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__w")
+    ).where(F.size("__w") >= k)
+    anchors = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - k),
+                lambda j: F.md5(F.array_join(F.slice("__w", j + 1, k), " ")),
+            )
+        ).alias("p", "sh"),
+    )
+    # one explicit repartition feeds both the occurrence count and the
+    # probe (span_dedup's load-bearing isnotnull shape). The count must
+    # REFERENCE p through a non-foldable expression — posexplode
+    # positions are always >= 0, so count(when(p >= 0, doc_id)) is
+    # count(doc_id) — or Catalyst prunes p from the aggregate branch
+    # only (count(struct(doc_id, p)) gets rewritten to count(1) and
+    # pruned too), breaking the canonical subtree equality AQE exchange
+    # reuse keys on: the corpus would tokenize twice.
+    shuffled = anchors.where(F.col("sh").isNotNull()).repartition(F.col("sh"))
+    occ = shuffled.groupBy("sh").agg(
+        F.count(F.when(F.col("p") >= 0, F.col("doc_id"))).alias("c")
+    )
+    dup_shingles = occ.where(
+        (F.col("c") >= 2)
+        & ((F.col("c") <= max_shingle_df) if max_shingle_df is not None
+           else F.lit(True))
+    ).select("sh")
+    dup_anchors = shuffled.join(dup_shingles, "sh").select("doc_id", "p")
+
+    ps = F.sort_array(F.collect_list("p"))
+    per_doc = dup_anchors.groupBy("doc_id").agg(ps.alias("ps"))
+
+    # gaps-and-islands on the sorted anchor array, entirely in-row.
+    # element_at is 1-based: inside a lambda over index i (0-based),
+    # element_at(ps, i) is the PREVIOUS element and element_at(ps, i + 2)
+    # the NEXT; the F.when guards keep both lazily unevaluated at the
+    # array ends (ANSI mode raises on out-of-range element_at).
+    p = F.col("ps")
+
+    def _starts(gap):
+        return F.filter(
+            p, lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                x > F.element_at(p, i) + gap
+            )
+        )
+
+    def _ends(gap):
+        return F.filter(
+            p, lambda x, i: F.when(i == F.size(p) - 1, F.lit(True)).otherwise(
+                F.element_at(p, i + 2) > x + gap
+            )
+        )
+
+    run_lens = F.zip_with(_ends(1), _starts(1), lambda e, s: e - s + k)
+    cov_lens = F.zip_with(_ends(k), _starts(k), lambda e, s: e - s + k)
+    return per_doc.select(
+        "doc_id",
+        F.size("ps").cast("long").alias("n_dup_anchors"),
+        F.size(_starts(1)).cast("long").alias("n_dup_runs"),
+        F.array_max(run_lens).cast("long").alias("max_run_tokens"),
+        F.aggregate(
+            cov_lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_dup_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2d: embedding-cosine near-dup
 # ---------------------------------------------------------------------------

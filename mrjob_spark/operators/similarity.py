@@ -305,7 +305,13 @@ def _pq_unit_fixed_point(vec):
     sphere, squared-L2 is monotone in cosine (d² = 2 − 2cos), so the
     integer ADC ranking agrees with the cosine ranking the re-rank and
     the audit use. Without this, a large-norm corpus vector scores far
-    from everything and PQ recall craters on non-normalized fixtures."""
+    from everything and PQ recall craters on non-normalized fixtures.
+
+    Zero-norm vectors map EXPLICITLY to null: a zero vector has no
+    direction, so ``cosine_similarity`` is null for it too (same
+    guard) — it can never rank as a neighbor on either path. The guard
+    matters doubly under Spark 4's ANSI default, where the bare divide
+    would RAISE ``DIVIDE_BY_ZERO`` instead of nulling."""
     from mrjob_spark.operators.clustering import quantize_fixed_point
 
     norm = F.sqrt(
@@ -315,7 +321,9 @@ def _pq_unit_fixed_point(vec):
             lambda acc, x: acc + x,
         )
     )
-    unit = F.transform(vec, lambda x: x.cast("double") / norm)
+    unit = F.when(
+        norm > 0, F.transform(vec, lambda x: x.cast("double") / norm)
+    )  # no otherwise → null, matching cosine_similarity on zero vectors
     return quantize_fixed_point(unit)
 
 
@@ -395,7 +403,6 @@ def product_quantized_topk(
     is a fixed number per fixture — the query layer audits it in-query
     the way ``l3_knn_lsh`` does.
     """
-    from mrjob_spark.operators.clustering import quantize_fixed_point
     from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
     d_sub = dim // m
@@ -404,10 +411,40 @@ def product_quantized_topk(
     c = parallelize_narrow_scan(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
     )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    codes, adc = _pq_index(c, q, m, d_sub, codebook_k, vec_col, query_id_col)
+
+    # --- approximate distances: m lookups summed per (query, vector) ---
+    approx = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("__crn", F.row_number().over(wc))
+        .where(F.col("__crn") <= candidates)
+        .select(query_id_col, "neighbor_id")
+    )
+    return _pq_rerank(c, q, cand, k, query_id_col, vec_col)
+
+
+def _pq_index(c, q, m, d_sub, codebook_k, vec_col, query_id_col):
+    """Train the per-subspace codebooks, encode the corpus, and build the
+    per-query ADC lookup tables — the shared index core of
+    :func:`product_quantized_topk` and :func:`ivf_product_quantized_topk`.
+    Returns ``(codes, adc)``: ``codes`` = (neighbor_id, sub, code), m
+    one-byte codes per corpus vector; ``adc`` = (query, sub, code, pdist),
+    the m × codebook_k exact subvector-to-codeword distances per query."""
     corpus_subs = _pq_subvectors(c, "neighbor_id", vec_col, m, d_sub)
 
     # --- train: smallest-id init, one integer-mean refinement round ----
-    spark = corpus.sparkSession
+    spark = c.sparkSession
     seed_rows = (
         c.orderBy("neighbor_id")
         .limit(codebook_k)
@@ -460,9 +497,6 @@ def product_quantized_topk(
     )
 
     # --- ADC lookup tables per query (m × codebook_k rows each) --------
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-    )
     q_subs = _pq_subvectors(q, query_id_col, "__qvec", m, d_sub)
     adc = (
         q_subs.join(F.broadcast(final_cb), "sub")
@@ -471,24 +505,12 @@ def product_quantized_topk(
             _pq_sq_l2(F.col("sv"), F.col("cw")).alias("pdist"),
         )
     )
+    return codes, adc
 
-    # --- approximate distances: m lookups summed per (query, vector) ---
-    approx = (
-        codes.join(F.broadcast(adc), ["sub", "code"])
-        .where(F.col(query_id_col) != F.col("neighbor_id"))
-        .groupBy(query_id_col, "neighbor_id")
-        .agg(F.sum("pdist").alias("adist"))
-    )
-    wc = Window.partitionBy(query_id_col).orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    cand = (
-        approx.withColumn("__crn", F.row_number().over(wc))
-        .where(F.col("__crn") <= candidates)
-        .select(query_id_col, "neighbor_id")
-    )
 
-    # --- exact re-rank on the candidate ids ----------------------------
+def _pq_rerank(c, q, cand, k, query_id_col, vec_col):
+    """Exact-cosine re-rank of the (query, neighbor) candidate id pairs —
+    the tail stage shared by both PQ entry points."""
     exact = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
     we = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -500,6 +522,97 @@ def product_quantized_topk(
         .withColumn("rank", F.row_number().over(we))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_product_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_cells: int = 16,
+    probe: int = 4,
+    m: int = 4,
+    codebook_k: int = 8,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC — the composition FAISS ships as its billion-scale default
+    (Jégou et al. 2011 §III): an IVF coarse quantizer prunes WHICH
+    vectors get scored (each query reads only its ``probe`` nearest of
+    ``n_cells`` k-means cells) and PQ shrinks WHAT scoring costs (the
+    probed vectors are ranked by their m one-byte codes via the ADC
+    lookup table, not their float dims). The two registered single-tier
+    operators measure each lever alone; this is the production shape
+    where both multiply: query-time work ≈ (probe / n_cells) × corpus ×
+    m byte-lookups, so at 10^9 vectors a query touches ~probe cell
+    inverted lists whose codes fit in RAM.
+
+    ``queries`` must be drawn from the corpus (id subset) — the same
+    contract as the IVF near-dup tiers: the multi-probe cell assignment
+    comes from the single corpus-wide ``kmeans_assign`` run, so corpus
+    cells and query probes share one clustering (one scan per Lloyd
+    round, k×dim driver state).
+
+    Deterministic end-to-end (fixed-point k-means, smallest-id inits,
+    (dist, id) tie-breaks), so recall vs the exact top-k is a fixed
+    per-fixture number the query layer audits in-query."""
+    from mrjob_spark.operators.clustering import kmeans_assign
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    d_sub = dim // m
+    assert d_sub * m == dim, "dim must divide evenly into m subspaces"
+
+    # --- IVF: one k-means over the corpus; rank-1 row = cell membership,
+    # the query rows' full top-``probe`` = the cells each query reads
+    multi = kmeans_assign(
+        corpus, k=n_cells, iters=1, probe=probe, id_col=id_col,
+        vec_col=vec_col,
+    )
+    cells = (
+        multi.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("dc"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("dc.cluster").alias("cluster"),
+        )
+    )
+    qprobe = multi.join(
+        queries.select(F.col(id_col).alias("vec_id")), "vec_id"
+    ).select(F.col("vec_id").alias(query_id_col), "cluster")
+    # candidate pairs: every corpus vector in a probed cell. NOT
+    # broadcast: per-query candidates are (probe / n_cells) × n and grow
+    # with the corpus — AQE picks the join strategy from actual size.
+    cand_pairs = qprobe.join(cells, "cluster").where(
+        F.col(query_id_col) != F.col("neighbor_id")
+    ).select(query_id_col, "neighbor_id")
+
+    c = parallelize_narrow_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    codes, adc = _pq_index(c, q, m, d_sub, codebook_k, vec_col, query_id_col)
+
+    # --- ADC over the PROBED pairs only (the IVF prune applied before
+    # any distance math), then the usual candidate top-N + exact re-rank
+    approx = (
+        codes.join(cand_pairs, "neighbor_id")
+        .join(F.broadcast(adc), [query_id_col, "sub", "code"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("__crn", F.row_number().over(wc))
+        .where(F.col("__crn") <= candidates)
+        .select(query_id_col, "neighbor_id")
+    )
+    return _pq_rerank(c, q, cand, k, query_id_col, vec_col)
 
 
 def signbit_band_pairs(

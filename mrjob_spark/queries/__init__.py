@@ -113,86 +113,25 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # NEW in round 9: paragraph-level dedup with a canonical survivor
-    # (the CCNet cleaning step), temperature-scaled domain mixture
-    # (weights computed FROM corpus stats, integer-deterministic), and
-    # the product-quantization ANN tier (recall-floor audited like
-    # l3_knn_lsh)
+    # NEW in round 10: maximal duplicated-substring dedup (Lee et al.
+    # 2022 shingle-anchor form) and IVFADC (IVF prune × PQ compression,
+    # the FAISS billion-scale composition, recall-floor audited)
+    "l2_substring_dedup",
+    "l3_knn_ivf_pq",
+    "st6_transform_with_state",
+    # CHANGED in round 10 — re-verify under the new oracles/shared core:
+    # paragraph dedup + the CCNet capstone moved to the overflow-proof
+    # min(ROW(doc_id, para_idx)) struct oracle, BPE-encode's m-chain got
+    # the dry-round LEFT JOIN guard, and l5_lm_perplexity now rides the
+    # extracted _bigram_logp helper the capstone shares
     "l2_paragraph_dedup",
-    "l8_temperature_mixture",
-    "l3_knn_pq",
-    "l4_bpe_encode",
-    "st8_stream_stream_full_outer",
     "l10_ccnet_clean",
-    # the 14 r5-greens deferred one round in the round-8 rotation queue
-    # (horizon 6 since CORRECTNESS_r08): they rejoin the window FIRST,
-    # as the queue's contract promised
-    "a10_approx_count_distinct",
-    "j3_semi_join",
-    "j3_anti_join",
-    "j4_left_outer_join",
-    "j7_star_join",
-    "u2_intersect",
-    "u2_except",
-    "w1_ranking",
-    "w2_lag_lead",
-    "w3_running_total",
-    "w4_range_frame",
-    "l1_dedup_clusters_capped",
-    "j5_range_join_bucketed",
-    "l2_embedding_neardup_ivf",
-    # the 50 r6-greens cross the freshness horizon the moment
-    # CORRECTNESS_r09 lands (horizon advances to 7); 33 fit the
-    # remaining slots (registration order), the rest sit in
-    # _ROTATION_QUEUE as the explicit ordered backlog for round 10
-    "s7_csv_roundtrip",
-    "st4_session_window",
-    "st5_stream_dedup",
-    "l4_doc_fingerprint",
-    "l5_lang_id",
-    "l6_multimodal_bytes",
-    "l6_media_features",
-    "l7_quality_profile",
-    "st9_foreachbatch_sink",
-    "l8_weighted_mixture",
-    "l8_quality_filter",
-    "l8_sequence_packing",
-    "st6_stateful_running_totals",
-    "l4_ngrams",
-    "l4_tfidf",
-    "l5_text_classifier",
-    "l8_decontaminate",
-    "st7_stream_enrich_window",
-    "l4_bpe_token_count",
-    "sql1_ansi_interface",
-    "st8_stream_stream_join",
-    "sql2_correlated_subquery",
-    "st8_stream_stream_left_outer",
-    "q9_product_type_profit",
-    "q16_supplier_part_counts",
-    "l9_pii_redaction",
-    "l8_stratified_split",
-    "l8_balanced_sample",
-    "l2_embedding_neardup_ivf_hi",
-    "l8_decontaminate_bloom",
-]
-
-
-#: Queries that do NOT fit the current 50-entry driver window. Listing them
-#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
-#: a query may sit beyond the window ONLY if it was driver-green before or
-#: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). Round 9: the round-8 queue's 14
-#: r5-greens all rejoined the window; 64 names (14 r5 + 50 r6) compete
-#: for the non-new slots, so 20 r6-greens defer one round — the labeled
-#: baselines whose production twins ARE in-window (j5_range_join /
-#: l2_embedding_neardup), the seven pure-expression function registries
-#: (f1-f7, zero-shuffle maps on the stable relational.py path), the
-#: dataflow wordcount pair shadowed by the r8-fresh control-plane runs
-#: of the same jobs, and four q-series composites on join/agg shapes
-#: the in-window q9/q16 also exercise. They rejoin the round-10 window
-#: first.
-_ROTATION_QUEUE: list[str] = [
+    "l4_bpe_encode",
+    "l5_lm_perplexity",
+    # the 20 r6-greens cross the freshness horizon with CORRECTNESS_r09
+    # on disk (horizon 7): the full round-9 rotation queue rejoins the
+    # window, closing the full-registry refresh cycle — after this round
+    # no green predates r7
     "l1_incremental_dedup",
     "st11_incremental_ingest",
     "a12_approx_percentiles",
@@ -213,6 +152,80 @@ _ROTATION_QUEUE: list[str] = [
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q18_large_volume_customer",
+    # 23 of the 50 r7-greens (the next-stalest cohort once r10 lands)
+    # fill the remaining slots — preferring the queries that ride code
+    # touched this round (the similarity/dedup/LLM families, the heavy
+    # runner paths); the 26 stable-path r7-greens (epoch-schedule joined them
+    # when st6_transform_with_state took its slot) sit in _ROTATION_QUEUE
+    # as the explicit ordered backlog that LEADS the round-11 window
+    "l2_span_dedup",
+    "l2_span_dedup_capped",
+    "l2_minhash_lsh_pairs",
+    "l2_embedding_neardup_tight",
+    "l1_dedup_clusters",
+    "l3_embedding_quantize",
+    "l3_knn_two_stage",
+    "l4_bigram_lm",
+    "l4_vocab_coverage",
+    "l5_repetition_filter",
+    "l8_global_shuffle",
+    "l8_pipeline_end_to_end",
+    "l8_sequence_packing_scalable",
+    "l8_token_mask",
+    "a8_o3_counters_sorted",
+    "mr_dataproc_topword",
+    "mr_emr_wordfreq",
+    "mr_hadoop_wordfreq",
+    "s13_bucketed_join",
+    "st10_stream_pipeline",
+    "x6_spark_step",
+    "x7_jar_step",
+    "sql3_portable_windows",
+]
+
+
+#: Queries that do NOT fit the current 50-entry driver window. Listing them
+#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
+#: a query may sit beyond the window ONLY if it was driver-green before or
+#: is queued here — so displacement is always a choice, never an accident
+#: (VERDICT r2 "what's wrong" #1). Round 10: the queue is now the
+#: STRUCTURAL overflow the registry size forces — 172 queries cycle
+#: through a 50-slot window against a 3-round staleness horizon, so
+#: registry − 3×window = 22 greens must sit out each round even before
+#: this round's 3 new + 4 changed-query slots displace more. The 26
+#: names below are the r7-greens that didn't fit (plus epoch-schedule,
+#: displaced by the st6 Spark-4 twin): stable-path queries untouched
+#: this round —
+#: q-series composites on join/agg shapes the in-window capstones also
+#: exercise, the a9 grouping family, io roundtrips, and single-operator
+#: relational rows. They LEAD the round-11 window.
+_ROTATION_QUEUE: list[str] = [
+    "l8_epoch_schedule",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "a9_rollup",
+    "a9_cube",
+    "a9_grouping_sets",
+    "s7_json_roundtrip",
+    "s7_orc_roundtrip",
+    "s7_parquet_scan_pushdown",
+    "s9_compressed_sink",
+    "o4_global_sort_limit",
+    "o6_topk_per_group",
+    "o7_deterministic_sample",
+    "a11_exact_percentiles",
+    "a1_pricing_summary",
+    "j1_join_agg",
+    "x1_udtf_tokenize",
+    "x2_udaf_quantiles",
+    "o1_o2_partition_layout",
+    "s10_partitioned_sink",
+    "s6_hadoop_input_format",
 ]
 
 

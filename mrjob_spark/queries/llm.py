@@ -372,6 +372,70 @@ def l3_knn_pq(spark, sf_dir):
     )
 
 
+@query(
+    "l3_knn_ivf_pq",
+    sql="""
+    SELECT vec_id AS query_id, TRUE AS recall_ge_floor
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def l3_knn_ivf_pq(spark, sf_dir):
+    """IVFADC — IVF pruning × PQ compression composed, the architecture
+    FAISS ships as its billion-scale default (operators/similarity.py:
+    ivf_product_quantized_topk; Jégou et al. 2011 §III). The registered
+    single-tier operators measure each lever alone (l3_knn_bucketed/
+    l2_..._ivf prune WHICH vectors get scored; l3_knn_pq shrinks WHAT
+    scoring costs); here they multiply: each query ADC-scores only its 4
+    probed cells' code lists — ≈ (probe / n_cells) × n × 16 one-byte
+    lookups — so query-time work per 10^9 vectors is 4 RAM-resident
+    inverted lists, not a corpus scan of either floats (IVF alone) or
+    codes (PQ alone).
+
+    Both knobs are SF-ADAPTIVE, each inheriting its proven rule:
+    n_cells = max(16, n/250) holds cell size ~constant (the
+    l2_..._tight precedent — measured min-recall 1.00 at sf1 with 80
+    cells vs 0.60 with fixed 16), and the re-rank width stays
+    max(100, n/50) (the l3_knn_pq rule). Driver-checked like its
+    parents: codebooks/centroids are engine-specific, so the oracle
+    states the deterministic per-query recall floor (vs exact
+    brute-force top-5) as literal TRUE; measured min per-query recall
+    is 0.80 at sf0.001/0.01/0.1 and 1.00 at sf1, so only a broken
+    index — not noise — flips the 0.6 floor. The brute-force pass is
+    the audit harness, not the production path."""
+    from mrjob_spark.operators.similarity import ivf_product_quantized_topk
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    n = emb.count()
+    cand = max(100, -(-n // 50))
+    n_cells = max(16, n // 250)
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_product_quantized_topk(
+        emb, q, k=5, dim=64, n_cells=n_cells, probe=4, m=16,
+        codebook_k=16, candidates=cand,
+    ).select("query_id", F.col("neighbor_id").alias("__ivfpq_neighbor"))
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["__ivfpq_neighbor"]),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("__n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("__n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0))
+                / F.col("__n_exact")
+                >= F.lit(0.6)
+            ).alias("recall_ge_floor"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # L4: text analysis
 # ---------------------------------------------------------------------------
@@ -1430,11 +1494,11 @@ _PARA_W = 12
         FROM toks
     ),
     firsts AS (
-        SELECT para_h, min(doc_id * 4294967296 + para_idx) AS fk
+        SELECT para_h, min(ROW(doc_id, para_idx)) AS fk
         FROM paras GROUP BY para_h
     )
     SELECT p.doc_id, count(*) AS n_paras,
-           CAST(sum(CASE WHEN p.doc_id * 4294967296 + p.para_idx = f.fk
+           CAST(sum(CASE WHEN ROW(p.doc_id, p.para_idx) = f.fk
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM paras p JOIN firsts f USING (para_h)
     GROUP BY p.doc_id
@@ -1453,13 +1517,106 @@ def l2_paragraph_dedup(spark, sf_dir):
     partial-agg cell per partition, never one sorted window partition),
     and the aggregate + verdict probe share ONE explicit repartition of
     the exploded paragraphs, so the corpus is tokenized once (AQE
-    exchange reuse — the span_dedup_capped pattern; the oracle's
-    composite ``doc_id * 2^32 + para_idx`` key is the same ordering
-    because para_idx < 2^32 always holds for in-row paragraphs)."""
+    exchange reuse — the span_dedup_capped pattern; the oracle uses the
+    same lexicographic ``min(ROW(doc_id, para_idx))`` struct ordering,
+    so the two sides agree for any doc_id range, including negative or
+    >2^31 ids that a packed-integer key would misorder/overflow on)."""
     from mrjob_spark.operators.dedup import paragraph_dedup
 
     t = Tables(spark, sf_dir)
     return paragraph_dedup(t.documents, "doc_id", "text", para_w=_PARA_W)
+
+
+_SUBSTR_K = 8  # anchor width: sliding k-token shingles
+_SUBSTR_DF_CAP = 2  # chosen to actually trigger at sf0.01 (max occ = 3)
+
+
+@query(
+    "l2_substring_dedup",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS w FROM documents
+    ),
+    anchors AS (
+        SELECT doc_id, p,
+               md5(array_to_string(w[(p + 1):(p + {_SUBSTR_K})], ' ')) AS sh
+        FROM (SELECT doc_id, w, unnest(range(len(w) - {_SUBSTR_K} + 1)) AS p
+              FROM toks WHERE len(w) >= {_SUBSTR_K})
+    ),
+    occ AS (
+        SELECT sh FROM anchors GROUP BY sh
+        HAVING count(*) >= 2 AND count(*) <= {_SUBSTR_DF_CAP}
+    ),
+    dup AS (
+        SELECT a.doc_id, a.p FROM anchors a JOIN occ USING (sh)
+    ),
+    flagged AS (
+        SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                         OR p > lag(p) OVER w + 1 THEN 1 ELSE 0 END AS rs,
+               CASE WHEN lag(p) OVER w IS NULL
+                         OR p > lag(p) OVER w + {_SUBSTR_K} THEN 1 ELSE 0
+                    END AS cs
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    ids AS (
+        SELECT doc_id, p,
+               sum(rs) OVER w AS run_id, sum(cs) OVER w AS cov_id
+        FROM flagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    runs AS (
+        SELECT doc_id, cov_id, run_id,
+               min(p) AS pmin, max(p) AS pmax, count(*) AS cnt
+        FROM ids GROUP BY doc_id, cov_id, run_id
+    ),
+    covs AS (
+        SELECT doc_id, cov_id, sum(cnt) AS anchors, count(*) AS nruns,
+               max(pmax - pmin + {_SUBSTR_K}) AS maxrun,
+               max(pmax) - min(pmin) + {_SUBSTR_K} AS covtok
+        FROM runs GROUP BY doc_id, cov_id
+    )
+    SELECT doc_id,
+           CAST(sum(anchors) AS BIGINT) AS n_dup_anchors,
+           CAST(sum(nruns) AS BIGINT) AS n_dup_runs,
+           CAST(max(maxrun) AS BIGINT) AS max_run_tokens,
+           CAST(sum(covtok) AS BIGINT) AS n_dup_tokens
+    FROM covs GROUP BY doc_id
+    """,
+)
+def l2_substring_dedup(spark, sf_dir):
+    """Maximal duplicated-substring audit — the suffix-array dedup of Lee
+    et al. 2022 in its distributed shingle-anchor form (the remaining big
+    dedup mode next to exact/minhash/span/paragraph): sliding 8-token
+    anchors, corpus-wide occurrence counts with the span-dedup DF cutoff
+    (more than _SUBSTR_DF_CAP occurrences = boilerplate, excluded — LIVE at
+    sf0.01 where the hottest shingle occurs 3 times), and per-document
+    chaining of adjacent duplicated anchors into maximal runs. Reports,
+    per document carrying duplicates: anchor count, run count, the
+    longest duplicated run in tokens (the Lee et al. removal unit), and
+    the exact union token coverage (interval-merge at gap ``k``, so
+    overlapping runs never double-count a token).
+
+    Scale: anchors build in-row; ONE explicit repartition feeds both the
+    occurrence hash-aggregate (partial-agg skew-proof) and the probe
+    (AQE exchange reuse, plan-pinned like span_dedup_capped); only the
+    duplicated anchors — ~4% of the stream at sf0.01 — shuffle on
+    doc_id, and the run/coverage math is in-row array logic bounded by
+    single-document length. The oracle computes the identical islands
+    via lag/running-sum windows, which DuckDB can afford at oracle SF.
+
+    Reference parity: mrjob has no sub-document dedup; this extends the
+    EXT L2 family (SURVEY.md §2.11) the way the public corpus-cleaning
+    literature (Lee et al. 2022; Penedo et al. 2023 RefinedWeb §4.3)
+    specifies substring-level dedup."""
+    from mrjob_spark.operators.dedup import substring_dedup
+
+    t = Tables(spark, sf_dir)
+    return substring_dedup(
+        t.documents, "doc_id", "text", k=_SUBSTR_K,
+        max_shingle_df=_SUBSTR_DF_CAP,
+    )
 
 
 @query(
@@ -2246,6 +2403,43 @@ def l4_bigram_lm(spark, sf_dir):
     )
 
 
+def _bigram_logp(docs):
+    """(doc_id, logp): every bigram of every document, scored by the
+    corpus-trained bigram LM — the shared core of ``l5_lm_perplexity``
+    and the ``l10_ccnet_clean`` capstone, extracted so the capstone can
+    never silently drift from the operator it claims to compose
+    (round-9 verdict). Plan shape (pinned by both queries' plan tests):
+    bigram extraction in-row (zip_with over shifted slices), the model a
+    map-side-combinable count + a window over the vocab-bounded counts
+    table (successor-set partitions, never the corpus), scoring a plain
+    equi-join on (w1, w2) with a |vocab-pairs|-bounded build side.
+    Log-probs land on the portable rnd6 grid (bit-stable cross-engine,
+    the f2 precedent)."""
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col("text"))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    model = cnt.select(
+        "w1",
+        "w2",
+        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("w1"))).alias(
+            "p"
+        ),
+    )
+    return bg.join(model, ["w1", "w2"]).select(
+        "doc_id", rnd(F.log(F.col("p")), 6).alias("logp")
+    )
+
+
 _LM_SCORE_SQL = f"""
     WITH tok AS (
         SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
@@ -2292,30 +2486,8 @@ def l5_lm_perplexity(spark, sf_dir):
     (the f2 precedent: ln under rnd6 is bit-stable across engines here)
     and summed in DECIMAL(38,6) (order-independent), so the per-doc mean
     is exact."""
-    from pyspark.sql.window import Window
-
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, n_pairs),
-        F.slice(toks, 2, n_pairs),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    bg = t.documents.select("doc_id", F.explode(pairs).alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    )
-    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    model = cnt.select(
-        "w1",
-        "w2",
-        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("w1"))).alias(
-            "p"
-        ),
-    )
-    scored = bg.join(model, ["w1", "w2"]).select(
-        "doc_id", rnd(F.log(F.col("p")), 6).alias("logp")
-    )
+    scored = _bigram_logp(t.documents)
     avg_logp = rnd(davg("logp"), 6)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
@@ -2343,12 +2515,12 @@ def l5_lm_perplexity(spark, sf_dir):
         FROM toks
     ),
     firsts AS MATERIALIZED (
-        SELECT para_h, min(doc_id * 4294967296 + para_idx) AS fk
+        SELECT para_h, min(ROW(doc_id, para_idx)) AS fk
         FROM paras GROUP BY para_h
     ),
     dedup AS MATERIALIZED (
         SELECT p.doc_id, count(*) AS n_paras,
-               CAST(sum(CASE WHEN p.doc_id * 4294967296 + p.para_idx = f.fk
+               CAST(sum(CASE WHEN ROW(p.doc_id, p.para_idx) = f.fk
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM paras p JOIN firsts f USING (para_h)
         GROUP BY p.doc_id
@@ -2419,32 +2591,14 @@ def l10_ccnet_clean(spark, sf_dir):
     independently scale-proven; every join after the per-doc aggregates
     is on doc_id or broadcast."""
     from mrjob_spark.operators.dedup import paragraph_dedup
-    from pyspark.sql.window import Window
 
     t = Tables(spark, sf_dir)
     docs = t.documents
 
     dedup = paragraph_dedup(docs, "doc_id", "text", para_w=_PARA_W)
 
-    toks = tokens(F.col("text"))
-    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, n_pairs),
-        F.slice(toks, 2, n_pairs),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    bg = docs.select("doc_id", F.explode(pairs).alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    )
-    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    model = cnt.select(
-        "w1", "w2",
-        (F.col("c").cast("double")
-         / F.sum("c").over(Window.partitionBy("w1"))).alias("p"),
-    )
     ppl = (
-        bg.join(model, ["w1", "w2"])
-        .select("doc_id", rnd(F.log(F.col("p")), 6).alias("logp"))
+        _bigram_logp(docs)
         .groupBy("doc_id")
         .agg(rnd(davg("logp"), 6).alias("avg_logp"))
     )
@@ -2751,9 +2905,14 @@ def l4_bpe_train(spark, sf_dir):
 def _bpe_encode_sql(n_merges: int) -> str:
     """DuckDB twin of the encoder: train m0..m{n} exactly as
     ``_bpe_train_sql`` does, then apply the learned merges to the
-    distinct-word vocabulary (LEFT JOIN so a dry merge round is a
-    no-op, not a vocabulary wipe) and roll per-doc token counts up
-    through the word stream.
+    distinct-word vocabulary and roll per-doc token counts up through
+    the word stream. BOTH chained-CTE families (the m-chain carrying
+    the training state and the v-chain applying merges to the vocab)
+    use ``LEFT JOIN b{{r}} ON TRUE`` + ``coalesce`` so a dry merge
+    round — ``b{{r}}`` empty because no pair remains (e.g. all
+    single-char words) — is a no-op, not a state/vocabulary wipe; a
+    plain ``FROM m, b`` cross join would silently empty the chain
+    while the Spark trainer just breaks early and still encodes.
 
     Every CTE is ``AS MATERIALIZED``: the v-chain references every
     ``b{r}``, and with inlined CTEs DuckDB re-expands each one's whole
@@ -2782,9 +2941,10 @@ def _bpe_encode_sql(n_merges: int) -> str:
     ), b{r} AS MATERIALIZED (
         SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1
     ), m{r + 1} AS MATERIALIZED (
-        SELECT regexp_replace(syms, '\\b' || l || ' ' || r2 || '\\b',
-                              l || r2, 'g') AS syms, cnt
-        FROM m{r}, b{r}
+        SELECT coalesce(regexp_replace(m.syms,
+                        '\\b' || b.l || ' ' || b.r2 || '\\b',
+                        b.l || b.r2, 'g'), m.syms) AS syms, m.cnt
+        FROM m{r} m LEFT JOIN b{r} b ON TRUE
     )""")
     parts.append(""", v0 AS MATERIALIZED (
         SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms

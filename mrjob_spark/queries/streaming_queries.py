@@ -123,6 +123,39 @@ def st6_stateful_running_totals(spark, sf_dir):
 
 
 @query(
+    "st6_transform_with_state",
+    sql="""
+    SELECT CAST(event_type AS VARCHAR) AS event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           max(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def st6_transform_with_state(spark, sf_dir):
+    """ST-custom on the SPARK-4 API: ``transformWithStateInPandas`` with
+    a user StatefulProcessor owning a named typed ValueState
+    (streaming/ops.py transform_with_state_stats) — EXECUTING for real,
+    in-container, as of round 10: mrjob_spark.compat_pb vendors the
+    Cloud SDK's pure-Python protobuf runtime (driver alias + worker
+    sitecustomize) where no real google-protobuf exists, which is what
+    the Python↔JVM state-server protocol rides. Batch queries run the
+    REAL processor (state initializes empty, every key's rows stream
+    through handleInputRows, final state emits), so the oracle is the
+    grouped aggregate with the identical integer-cents accumulation —
+    order-independent by construction, hence hash-checkable. The
+    cross-micro-batch retention half (what batch can't express) runs as
+    a real RocksDB-backed streaming query in tests/test_streaming.py."""
+    from mrjob_spark.streaming import transform_with_state_stats
+
+    t = Tables(spark, sf_dir)
+    return transform_with_state_stats(
+        t.events.select("event_type", "value"), "event_type", "value"
+    )
+
+
+@query(
     "st7_stream_enrich_window",
     sql="""
     SELECT time_bucket(INTERVAL '1 hour', e.ts) AS wstart,

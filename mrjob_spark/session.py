@@ -90,6 +90,14 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
 
+    # before the JVM exists: make google.protobuf importable (vendored
+    # shim; no-op where a real protobuf is installed) and put the shim on
+    # PYTHONPATH so forked Python workers inherit it — this is what lets
+    # transformWithStateInPandas execute in this container
+    from mrjob_spark.compat_pb import ensure_protobuf_compat
+
+    ensure_protobuf_compat()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

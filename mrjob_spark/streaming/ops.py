@@ -340,27 +340,26 @@ def transform_with_state_stats(
 
     Environment gate: the transformWithState Python↔JVM state protocol
     rides protobuf (``pyspark/sql/streaming/proto/StateMessage_pb2``),
-    which is an optional pyspark dependency — absent here, so this raises
-    a clear ImportError instead of a mid-job worker crash. The plumbing is
-    real and runs wherever ``google-protobuf`` is installed (tests skip on
-    the probe, same policy as the multimodal codec decodes).
+    an optional pyspark dependency. Where no real ``google-protobuf`` is
+    installed, :func:`mrjob_spark.compat_pb.ensure_protobuf_compat`
+    vendors the Cloud SDK's pure-Python runtime (driver-side alias +
+    worker-side sitecustomize via PYTHONPATH — session.get_spark wires
+    the env before the JVM starts); only if THAT also fails does this
+    raise a clear ImportError instead of a mid-job worker crash.
 
     Batch-mode quirk (worked around here): batch queries never start the
     driver's StateStoreCoordinator RPC endpoint (a streaming query would),
     so executors' state-store loads die with RpcEndpointNotFoundException;
     ``StateStoreCoordinatorRef.forDriver`` creates it idempotently.
     """
-    import importlib.util
+    from mrjob_spark.compat_pb import ensure_protobuf_compat
 
-    try:
-        _pb = importlib.util.find_spec("google.protobuf")
-    except ModuleNotFoundError:  # no 'google' namespace package at all
-        _pb = None
-    if _pb is None:
+    if not ensure_protobuf_compat():
         raise ImportError(
             "transform_with_state_stats requires the 'protobuf' package "
             "(pyspark's transformWithState state protocol is protobuf-"
-            "serialized); it is not installed in this environment"
+            "serialized); neither a real google-protobuf nor the "
+            "vendorable Cloud SDK runtime is present in this environment"
         )
 
     import numpy as np

@@ -521,3 +521,34 @@ def test_audit_usage_reports_nih_columns(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     for col in ("nih_bill", "nih_used", "nih_bbnu", "totals:"):
         assert col in out
+
+
+def test_create_cluster_rejects_stray_positionals(tmp_path, monkeypatch):
+    """A typo'd flag WITHOUT the leading dashes must be a UsageError, not
+    a silently-ignored positional (round-9 ADVICE: _positionals' return
+    was discarded, so `create-cluster image-id ami-123` 'worked')."""
+    from mrjob_spark.emr_tools import UsageError, create_cluster_main
+
+    with pytest.raises(UsageError, match="no positional arguments"):
+        create_cluster_main(["image-id", "ami-123"])
+
+
+def test_describe_base_emr_images_tool(tmp_path, monkeypatch, capsys):
+    """The CLI a user runs before `create-cluster --image-id`: newest
+    stable Amazon Linux base first, every rejected catalog entry
+    (rc version, AL2, two volumes, undated) absent, --max truncates."""
+    base = tmp_path / "emr"
+    monkeypatch.setenv("MOCK_EMR_BASE_DIR", str(base))
+    assert umbrella_main(["mrjob", "describe-base-emr-images"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert [ln.split()[0] for ln in lines] == ["ami-newest", "ami-older"]
+    assert "Amazon Linux AMI 2018.03.0" in lines[0]
+
+    assert umbrella_main(
+        ["mrjob", "describe-base-emr-images", "--max", "1"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert [ln.split()[0] for ln in lines] == ["ami-newest"]
+
+    # misparse hardening: stray positionals are usage errors, exit 2
+    assert umbrella_main(
+        ["mrjob", "describe-base-emr-images", "oops"]) == 2

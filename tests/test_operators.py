@@ -823,3 +823,199 @@ def test_product_quantized_topk_recall_on_clusters(spark, vec_corpus):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.7
+
+
+def test_pq_zero_norm_vector_drops_explicitly(spark, vec_corpus):
+    """A zero embedding has no direction: ``cosine_similarity`` is null
+    for it, so PQ must likewise never return it as a neighbor — and must
+    not crash or poison other vectors' codes (round-9 ADVICE: the
+    normalize divide used to null silently; now the guard is explicit)."""
+    from mrjob_spark.operators.similarity import product_quantized_topk
+
+    zero = spark.createDataFrame(
+        [Row(vec_id=9999, embedding=[0.0] * DIM)]
+    )
+    corpus = vec_corpus.unionByName(zero)
+    res = product_quantized_topk(
+        corpus, vec_corpus.where(F.col("vec_id") == 0), k=5, dim=DIM,
+        m=4, codebook_k=8, candidates=24,
+    ).collect()
+    assert len(res) == 5
+    assert all(r["neighbor_id"] != 9999 for r in res)
+
+
+def test_paragraph_dedup_oracle_survives_huge_and_negative_doc_ids():
+    """Round-9 ADVICE: the oracle's old ``doc_id * 2^32 + para_idx``
+    packed key overflowed BIGINT for doc_id >= 2^31 and misordered
+    negatives. The struct-ordering oracle must attribute the canonical
+    survivor exactly like Spark's ``min(struct(doc_id, para_idx))`` —
+    smallest doc_id wins, even when ids are negative or beyond 2^31."""
+    import duckdb
+
+    from mrjob_spark.queries import REGISTRY
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(CAST({2**31 + 7} AS BIGINT), '{boiler}'), "
+        f"(CAST(-3 AS BIGINT), '{boiler}'), "
+        f"(CAST(1 AS BIGINT), '{boiler}')"
+        ") AS t(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(REGISTRY["l2_paragraph_dedup"].sql).fetchall()
+    }
+    con.close()
+    # first occurrence = lexicographically smallest (doc_id, para_idx)
+    assert got[-3] == (1, 1)
+    assert got[1] == (1, 0)
+    assert got[2**31 + 7] == (1, 0)
+
+
+def test_bpe_encode_oracle_dry_merge_round_is_noop():
+    """Round-9 ADVICE: with all single-char words no pair ever exists, so
+    every training round is dry (``b{r}`` empty). The m-chain must carry
+    the state through unchanged (LEFT JOIN + coalesce, like the v-chain)
+    instead of cross-joining to empty — the Spark trainer breaks early
+    and still encodes, so the oracle must too."""
+    import duckdb
+
+    from mrjob_spark.queries.llm import _bpe_encode_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), 'a b c'), (CAST(2 AS BIGINT), 'a a')"
+        ") AS t(doc_id, text)"
+    )
+    got = {r[0]: (r[1], r[2]) for r in con.execute(_bpe_encode_sql(3)).fetchall()}
+    con.close()
+    # no merges learnable -> every 1-char word encodes to exactly 1 token
+    assert got[1] == (3, 3)
+    assert got[2] == (2, 2)
+
+
+def test_substring_dedup_recovers_maximal_run(spark):
+    """Two docs sharing a 12-token passage, k=8: anchors at passage
+    positions 0..4 chain into ONE maximal run of exactly 12 tokens in
+    each doc; unique tails contribute nothing."""
+    from mrjob_spark.operators.dedup import substring_dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{shared} u1a u1b u1c u1d u1e u1f u1g u1h"),
+            Row(doc_id=2, text=f"v2a v2b v2c v2d v2e v2f v2g v2h {shared}"),
+            Row(doc_id=3, text="w3a w3b w3c w3d w3e w3f w3g w3h w3i"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(docs, "doc_id", "text", k=8).collect()
+    }
+    assert set(got) == {1, 2}  # doc 3 has no duplicated anchor
+    for d in (1, 2):
+        assert got[d]["n_dup_anchors"] == 5  # positions 0..4 of the passage
+        assert got[d]["n_dup_runs"] == 1
+        assert got[d]["max_run_tokens"] == 12
+        assert got[d]["n_dup_tokens"] == 12
+
+
+def test_substring_dedup_coverage_is_union_not_sum(spark):
+    """Two duplicated anchors whose k-token windows OVERLAP (5 apart,
+    k=8): distinct runs, but n_dup_tokens must be the interval union —
+    13 tokens — not the double-counting sum of run lengths (16)."""
+    from mrjob_spark.operators.dedup import substring_dedup
+
+    t = [f"t{i}" for i in range(13)]
+    a_gram = " ".join(t[0:8])    # tokens 0..7
+    b_gram = " ".join(t[5:13])   # tokens 5..12 (overlaps a_gram by 3)
+    docs = spark.createDataFrame(
+        [
+            # doc 1: the two grams overlap in-place: dup anchors p=0, p=5
+            Row(doc_id=1, text=" ".join(t)),
+            # doc 2 carries both grams far apart (making each duplicated):
+            # its own dup anchors p=0 and p=12 -> separate coverage
+            Row(doc_id=2, text=f"{a_gram} z1 z2 z3 z4 {b_gram}"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(docs, "doc_id", "text", k=8).collect()
+    }
+    # doc 1: anchors {0, 5}: 5 > 0+1 -> two runs; 5 <= 0+8 -> coverage
+    # merges into [0, 12]
+    assert got[1]["n_dup_runs"] == 2
+    assert got[1]["max_run_tokens"] == 8
+    assert got[1]["n_dup_tokens"] == 13
+    # doc 2: anchors {0, 12}: 12 > 0+8 -> [0,7] and [12,19] stay separate
+    assert got[2]["n_dup_runs"] == 2
+    assert got[2]["n_dup_tokens"] == 16
+
+
+def test_substring_dedup_df_cap_excludes_boilerplate(spark):
+    """With max_shingle_df=2, a shingle occurring 3 times corpus-wide is
+    boilerplate: excluded from the dup signal entirely."""
+    from mrjob_spark.operators.dedup import substring_dedup
+
+    boiler = " ".join(f"c{i}" for i in range(8))
+    pairish = " ".join(f"d{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{boiler} x1 {pairish}"),
+            Row(doc_id=2, text=f"{boiler} x2 {pairish}"),
+            Row(doc_id=3, text=boiler),
+        ]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(
+            docs, "doc_id", "text", k=8, max_shingle_df=2
+        ).collect()
+    }
+    # boiler occurs 3x -> capped out; pairish occurs 2x -> counts
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        assert got[d]["n_dup_anchors"] == 1
+        assert got[d]["max_run_tokens"] == 8
+
+
+def test_ivf_pq_finds_planted_twin(spark, vec_corpus):
+    """IVFADC cannot lose an exact duplicate: identical vectors share a
+    cell (same distances to every centroid, (dist, cluster) tie-break)
+    and identical codes, so the twin must come back as top-1."""
+    from mrjob_spark.operators.similarity import ivf_product_quantized_topk
+
+    twin = vec_corpus.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = vec_corpus.unionByName(twin)
+    res = ivf_product_quantized_topk(
+        corpus, corpus.where(F.col("vec_id") == 0), k=3, dim=DIM,
+        n_cells=4, probe=2, m=4, codebook_k=8, candidates=16,
+    ).collect()
+    top = sorted(res, key=lambda r: r["rank"])[0]
+    assert top["neighbor_id"] == 1000
+    assert top["cosine"] >= 0.999999
+
+
+def test_ivf_pq_recall_on_clusters(spark, vec_corpus):
+    """On well-separated clusters the composed index with generous
+    probe/candidates recovers most of the exact top-k — the floor the
+    registry query audits, here at operator level."""
+    from mrjob_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_product_quantized_topk,
+    )
+
+    k = 5
+    exact = brute_force_topk(vec_corpus, vec_corpus, k)
+    approx = ivf_product_quantized_topk(
+        vec_corpus, vec_corpus, k=k, dim=DIM, n_cells=4, probe=2, m=4,
+        codebook_k=8, candidates=24,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.6

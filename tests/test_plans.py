@@ -736,3 +736,34 @@ def test_ccnet_clean_broadcasts_thresholds_no_corpus_window(spark):
     for r in rows:
         if r.verdict == "keep":
             assert r.ppl_bucket in ("head", "middle")
+
+
+def test_substring_dedup_single_scan_no_window(spark):
+    # occurrence count + probe must share ONE exchange of the anchor
+    # stream (corpus scanned and tokenized once); a hot shingle is a
+    # partial-agg counter cell; the run/coverage chaining is in-row
+    # array math, so NO window operator appears anywhere in the plan
+    df = REGISTRY["l2_substring_dedup"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("documents.parquet") == 1
+    assert "Window" not in final
+
+
+def test_ivf_pq_prunes_before_adc_no_cartesian(spark):
+    # IVFADC: the kmeans centroid table and the ADC table ride broadcast
+    # joins (bounded driver state); nothing cartesians; the ADC join is
+    # keyed by (query, sub, code) AGAINST THE PROBED PAIRS ONLY — the
+    # plan must show the cand_pairs/codes join feeding the pdist sum
+    df = REGISTRY["l3_knn_ivf_pq"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    # deterministic index: the measured floor holds with margin (0.80
+    # min per-query recall at oracle SFs) — a flipped flag is a broken
+    # quantizer or clustering change, not noise
+    assert all(r.recall_ge_floor for r in rows)

@@ -67,12 +67,16 @@ def test_rotation_queue_is_not_a_dumping_ground():
     # the queue exists to acknowledge overflow when the window is FULL of
     # never-checked work — it must stay small and disjoint from the window
     names = list(q.REGISTRY)
-    # cap raised 10 → 21 across round 5 (q-series composites, shuffle/
-    # percentiles, capstone, sql3, packing twin, grouping sets): the
-    # registry outgrows the fixed 50-slot window, so the queue's job
-    # shifts from "rare overflow" to "explicit ordered backlog" — still
-    # bounded so it can't absorb unlimited displacement
-    assert len(q._ROTATION_QUEUE) <= 21
+    # The queue's floor is STRUCTURAL: N registered queries cycling
+    # through a 50-slot window against the 3-round staleness horizon
+    # force max(0, N - 3*50) greens out of the window every round even
+    # with zero new work; new/changed queries displace a few more. Cap =
+    # that floor + 4 slack, recomputed from the live registry so adding
+    # queries legitimately grows the allowance while still bounding how
+    # much displacement a round can silently absorb (round 10: 172
+    # queries → floor 22, cap 26; the cap was 10 → 21 → this).
+    structural = max(0, len(q.REGISTRY) - 3 * WINDOW)
+    assert len(q._ROTATION_QUEUE) <= structural + 4
     in_window = [n for n in q._ROTATION_QUEUE if n in names[:WINDOW]]
     assert in_window == [], f"queued names already inside the window: {in_window}"
 

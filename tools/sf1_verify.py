@@ -298,6 +298,19 @@ REPRESENTATIVE_T9 = [
 ]
 
 
+#: round-10 tenth tier (--tier 10): the round-10 additions. At sf1 the
+#: substring-dedup anchor stream is ~50M sliding shingles: the
+#: occurrence-count/probe exchange reuse, the DF cutoff (hot shingles
+#: at 1000× the corpus), and the in-row run/coverage chaining all get
+#: exercised where the duplicated-anchor fraction and run-length tail
+#: differ from the 500-doc oracle fixture.
+REPRESENTATIVE_T10 = [
+    "l2_substring_dedup",
+    "l3_knn_ivf_pq",
+    "st6_transform_with_state",
+]
+
+
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
     threshold: float = 0.6,
@@ -394,7 +407,7 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument(
         "--tier", default="1",
-        choices=("1", "2", "3", "4", "5", "6", "7", "8", "9", "all"),
+        choices=("1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "all"),
     )
     args = ap.parse_args()
 
@@ -408,9 +421,11 @@ def main() -> int:
         "7": REPRESENTATIVE_T7,
         "8": REPRESENTATIVE_T8,
         "9": REPRESENTATIVE_T9,
+        "10": REPRESENTATIVE_T10,
         "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3
         + REPRESENTATIVE_T4 + REPRESENTATIVE_T5 + REPRESENTATIVE_T6
-        + REPRESENTATIVE_T7 + REPRESENTATIVE_T8 + REPRESENTATIVE_T9,
+        + REPRESENTATIVE_T7 + REPRESENTATIVE_T8 + REPRESENTATIVE_T9
+        + REPRESENTATIVE_T10,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
