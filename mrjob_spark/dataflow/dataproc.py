@@ -396,6 +396,14 @@ class DataprocJobRunner(StreamingStepRenderer):
                 "lifecycleConfig": {
                     "idleDeleteTtl": "%ds" % int(self._max_mins_idle * 60),
                 },
+                # zone the SSH tunnel targets (reference
+                # mrjob/dataproc.py:1285-1300 reads it back from the
+                # live cluster's gce_cluster_config.zone_uri)
+                "gceClusterConfig": {
+                    "zoneUri": "projects/%s/zones/%s-a" % (
+                        self._project_id, self._region,
+                    ),
+                },
             },
         }
 
@@ -634,6 +642,75 @@ class DataprocJobRunner(StreamingStepRenderer):
 
     def get_cluster_id(self) -> Optional[str]:
         return self._cluster_name
+
+    # --- SSH tunnel (reference mrjob/dataproc.py:1266-1300) ---------------
+
+    #: YARN resource-manager web UI port (reference _SSH_TUNNEL_CONFIG,
+    #: mrjob/dataproc.py:107-112: localhost=False, port 8088, /cluster)
+    _RESOURCE_MANAGER_PORT = 8088
+
+    def _master_host(self) -> str:
+        """Dataproc's master-node naming convention: ``<cluster>-m``
+        (reference ``_job_tracker_host``, mrjob/dataproc.py:1266-1267)."""
+        return "%s-m" % self._cluster_name
+
+    def ssh_tunnel_args(self, bind_port: int, open_tunnel: bool = False,
+                        gcloud_bin: Optional[list] = None) -> Optional[list]:
+        """The ``gcloud compute ssh`` argv that forwards
+        ``localhost:<bind_port>`` to the resource-manager UI on the
+        master — gcloud handles keys/host resolution, so unlike EMR the
+        ssh options ride AFTER the ``--`` separator (reference
+        ``_ssh_tunnel_args``, mrjob/dataproc.py:1285-1300). The zone
+        comes from the live cluster's gceClusterConfig. Rendering only;
+        :meth:`make_ssh_tunnel` owns the process lifecycle."""
+        if not self._cluster_name:
+            return None
+        cluster = self._clusters.get_cluster(
+            self._project_id, self._region, self._cluster_name
+        )
+        zone_uri = (
+            cluster.get("config", {})
+            .get("gceClusterConfig", {})
+            .get("zoneUri", "")
+        )
+        zone = zone_uri.split("/")[-1] or "%s-a" % self._region
+        tunnel_opts = [
+            "-L", "%d:%s:%d" % (
+                bind_port, self._master_host(), self._RESOURCE_MANAGER_PORT,
+            ),
+            "-N", "-n", "-q",
+        ]
+        if open_tunnel:
+            tunnel_opts += ["-g", "-4"]
+        return list(gcloud_bin or ["gcloud"]) + [
+            "compute", "ssh",
+            "--zone", zone,
+            self._master_host(),
+            "--",
+        ] + tunnel_opts
+
+    def make_ssh_tunnel(self, open_tunnel: bool = False, bind_ports=None,
+                        launch_wait_secs: float = 1.0,
+                        gcloud_bin: Optional[list] = None):
+        """SSHTunnel to the resource-manager UI (see the EMR twin); the
+        reference waits up to 20 s on Dataproc because gcloud updates
+        project metadata on first ssh (mrjob/dataproc.py:1281-1284) —
+        callers size ``launch_wait_secs`` accordingly."""
+        from mrjob_spark.dataflow.tunnel import (
+            DEFAULT_SSH_BIND_PORTS, SSHTunnel,
+        )
+
+        return SSHTunnel(
+            render_args=lambda p: self.ssh_tunnel_args(
+                p, open_tunnel=open_tunnel, gcloud_bin=gcloud_bin),
+            cluster_id=self._cluster_name or "",
+            name="resource manager",
+            path="/cluster",
+            bind_ports=(DEFAULT_SSH_BIND_PORTS if bind_ports is None
+                        else bind_ports),
+            open_tunnel=open_tunnel,
+            launch_wait_secs=launch_wait_secs,
+        )
 
     # --- cleanup ---------------------------------------------------------
 

@@ -778,6 +778,31 @@ class EMRJobRunner(StreamingStepRenderer):
         args += ["-i", self._ec2_key_pair_file, "hadoop@%s" % master]
         return args
 
+    def make_ssh_tunnel(self, open_tunnel: bool = False,
+                        bind_ports=None, launch_wait_secs: float = 1.0):
+        """An :class:`~mrjob_spark.dataflow.tunnel.SSHTunnel` to this
+        cluster's YARN resource-manager web UI — the lifecycle the
+        reference runs on every cluster poll when ``ssh_tunnel`` is set
+        (``mrjob/cloud.py:404-505``): call ``.set_up()`` whenever the
+        cluster looks reachable (idempotent, restarts a dead tunnel),
+        read ``.url``, ``.kill()`` at cleanup. Bind-port candidates are
+        seeded on the cluster id so retries reuse the same local port."""
+        from mrjob_spark.dataflow.tunnel import (
+            DEFAULT_SSH_BIND_PORTS, SSHTunnel,
+        )
+
+        return SSHTunnel(
+            render_args=lambda p: self.ssh_tunnel_args(
+                p, open_tunnel=open_tunnel),
+            cluster_id=self._cluster_id or "",
+            name="resource manager",
+            path="/cluster",
+            bind_ports=(DEFAULT_SSH_BIND_PORTS if bind_ports is None
+                        else bind_ports),
+            open_tunnel=open_tunnel,
+            launch_wait_secs=launch_wait_secs,
+        )
+
     # --- S3 helpers ------------------------------------------------------
 
     def _ensure_bucket(self, bucket: str) -> None:

@@ -506,3 +506,64 @@ def test_boss_malformed_flags_are_usage_errors(capsys):
         ["mrjob", "boss", "j-123", "echo hi", "--ec2-key-pair-file"])
     assert rc == 2
     assert "requires a value" in capsys.readouterr().err
+
+
+def test_emr_ssh_tunnel_lifecycle(tmp_path, input_file):
+    """make_ssh_tunnel drives the full reference lifecycle against the
+    mock cluster: the rendered argv targets hadoop@master with the
+    seeded bind port, set_up launches and reports the URL, kill reaps."""
+    svc = MockEMRService(tmp_path / "emr")
+    # a stand-in ssh that holds the "tunnel" open (extra argv ignored)
+    hold_open = [sys.executable, "-c", "import time; time.sleep(30)"]
+    r = _ssh_runner(svc, MRWordFreq(), input_file, tmp_path)
+    with r:
+        r.run()
+        r._ssh_bin = hold_open
+        t = r.make_ssh_tunnel(launch_wait_secs=0.05)
+        ports = t.pick_bind_ports()
+        # deterministic per cluster id: a second runner poll would reuse
+        # the same local port (reference issue #67)
+        assert ports == r.make_ssh_tunnel().pick_bind_ports()
+        argv = r.ssh_tunnel_args(ports[0])
+        assert argv[-1] == "hadoop@%s" % r._address_of_master()
+        try:
+            assert t.set_up() is True
+            assert t.url == "http://localhost:%d/cluster" % ports[0]
+        finally:
+            t.kill()
+        assert t.url is None
+
+
+def test_dataproc_ssh_tunnel_args_shape(tmp_path, input_file):
+    """The Dataproc twin rides gcloud compute ssh: tunnel opts after the
+    `--` separator, master named <cluster>-m, zone from the cluster's
+    gceClusterConfig (reference mrjob/dataproc.py:1285-1300)."""
+    from mrjob_spark.dataflow.dataproc import DataprocJobRunner
+    from mrjob_spark.testing.mockdataproc import MockDataprocService
+
+    svc = MockDataprocService(tmp_path / "dp")
+    r = DataprocJobRunner(
+        MRWordFreq(), input_paths=[input_file],
+        cluster_client=svc.cluster_client(), job_client=svc.job_client(),
+        storage_client=svc.storage_client(),
+        logging_client=svc.logging_client(),
+        check_cluster_every=0.0,
+    )
+    with r:
+        r.run()
+        argv = r.ssh_tunnel_args(40001)
+        open_argv = r.ssh_tunnel_args(40001, open_tunnel=True)
+        master = "%s-m" % r.get_cluster_id()
+    assert argv[:3] == ["gcloud", "compute", "ssh"]
+    sep = argv.index("--")
+    assert argv[sep - 1] == master
+    assert "--zone" in argv[:sep]
+    zone = argv[argv.index("--zone") + 1]
+    assert zone.endswith("-a")
+    tail = argv[sep + 1:]
+    assert tail[tail.index("-L") + 1] == "40001:%s:8088" % master
+    for flag in ("-N", "-n", "-q"):
+        assert flag in tail
+    assert "-g" not in tail
+    open_tail = open_argv[open_argv.index("--") + 1:]
+    assert "-g" in open_tail and "-4" in open_tail
