@@ -438,6 +438,8 @@ class EMRJobRunner(StreamingStepRenderer):
         ssh_bin: Optional[list] = None,
         ssh_add_bin: Optional[list] = None,
         ssh_env: Optional[dict] = None,
+        ssh_tunnel: bool = False,
+        ssh_tunnel_is_open: bool = False,
         cloud_api_backoff: Optional[float] = None,
         **_ignored,
     ):
@@ -504,6 +506,13 @@ class EMRJobRunner(StreamingStepRenderer):
         self._ssh_bin = list(ssh_bin or ["ssh"])
         self._ssh_add_bin = list(ssh_add_bin) if ssh_add_bin else None
         self._ssh_env = dict(ssh_env or {})
+        # web-UI tunnel opt (reference mrjob/options.py ssh_tunnel /
+        # ssh_tunnel_is_open): when set, every step poll keeps a tunnel
+        # to the resource manager alive (mrjob/cloud.py:404-409 "call
+        # this whenever you think it is possible to SSH to your cluster")
+        self._ssh_tunnel_opt = ssh_tunnel
+        self._ssh_tunnel_is_open = ssh_tunnel_is_open
+        self._ssh_tunnel: Optional[object] = None
         self._fs = None
 
         merged = dict(conf_jobconf or {})
@@ -777,6 +786,28 @@ class EMRJobRunner(StreamingStepRenderer):
             args += ["-g", "-4"]
         args += ["-i", self._ec2_key_pair_file, "hadoop@%s" % master]
         return args
+
+    def _set_up_ssh_tunnel(self) -> None:
+        """Reference ``mrjob/cloud.py:404-409``: called on every cluster
+        poll; builds the tunnel lazily, then keeps it alive (idempotent,
+        restart-on-death, give-up latch all live in SSHTunnel)."""
+        if not self._ec2_key_pair_file:
+            return
+        if self._ssh_tunnel is None:
+            self._ssh_tunnel = self.make_ssh_tunnel(
+                open_tunnel=self._ssh_tunnel_is_open)
+        self._ssh_tunnel.set_up()
+
+    def _kill_ssh_tunnel(self) -> None:
+        if self._ssh_tunnel is not None:
+            self._ssh_tunnel.kill()
+            self._ssh_tunnel = None
+
+    @property
+    def ssh_tunnel_url(self):
+        """Where the resource-manager web UI is reachable while the
+        tunnel is up (None otherwise)."""
+        return self._ssh_tunnel.url if self._ssh_tunnel else None
 
     def make_ssh_tunnel(self, open_tunnel: bool = False,
                         bind_ports=None, launch_wait_secs: float = 1.0):
@@ -1294,6 +1325,13 @@ class EMRJobRunner(StreamingStepRenderer):
             )["Step"]
             state = step["Status"]["State"]
 
+            # keep the web-UI tunnel alive on every poll, once the
+            # cluster could plausibly accept SSH (any post-PENDING step
+            # state implies a running master) — idempotent + restarting,
+            # with its own give-up latch, so this never loops the poll
+            if self._ssh_tunnel_opt and state != "PENDING":
+                self._set_up_ssh_tunnel()
+
             if state == "PENDING":
                 continue
             if state == "RUNNING":
@@ -1502,6 +1540,7 @@ class EMRJobRunner(StreamingStepRenderer):
     def cleanup(self) -> None:
         import shutil
 
+        self._kill_ssh_tunnel()
         self._release_cluster_lock()
         if self._scratch:
             shutil.rmtree(self._scratch, ignore_errors=True)

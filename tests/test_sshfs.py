@@ -567,3 +567,30 @@ def test_dataproc_ssh_tunnel_args_shape(tmp_path, input_file):
     assert "-g" not in tail
     open_tail = open_argv[open_argv.index("--") + 1:]
     assert "-g" in open_tail and "-4" in open_tail
+
+
+def test_emr_runner_keeps_tunnel_alive_during_polls(
+        tmp_path, input_file, monkeypatch):
+    """With ssh_tunnel=True the runner opens the web-UI tunnel during
+    step polling (the reference calls _set_up_ssh_tunnel on every
+    cluster poll) and kills it at cleanup."""
+    svc = MockEMRService(tmp_path / "emr")
+    r = _ssh_runner(svc, MRWordFreq(), input_file, tmp_path,
+                    ssh_tunnel=True)
+    # stub ONLY the tunnel argv (a process that holds the "tunnel"
+    # open); the sshfs log-fetch channel keeps the real mock ssh
+    monkeypatch.setattr(
+        EMRJobRunner, "ssh_tunnel_args",
+        lambda self, port, open_tunnel=False:
+            [sys.executable, "-c", "import time; time.sleep(600)"],
+    )
+    with r:
+        r.run()
+        assert r.ssh_tunnel_url is not None
+        assert r.ssh_tunnel_url.startswith("http://localhost:")
+        assert r.ssh_tunnel_url.endswith("/cluster")
+        proc = r._ssh_tunnel._proc
+        assert proc is not None and proc.poll() is None
+    # context exit runs cleanup: tunnel process reaped
+    assert r.ssh_tunnel_url is None
+    assert proc.poll() is not None
