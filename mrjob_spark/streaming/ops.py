@@ -394,8 +394,53 @@ def transform_with_state_stats(
 
     out_schema = f"{key_col} string, n bigint, total_cents bigint, mx double"
 
+    def _install_pb_in_worker() -> None:
+        """Worker-side twin of mrjob_spark/_pbcompat/sitecustomize.py's
+        install() — deliberately a CLOSURE so cloudpickle ships it BY
+        VALUE inside the processor: the correctness driver (and any
+        embedding application) builds its own SparkSession without
+        session.get_spark's PYTHONPATH hook, so its workers never ran
+        sitecustomize; the first state access below is also the first
+        protobuf import in the worker, so installing here is always in
+        time. Keep in sync with the sitecustomize module (which carries
+        the full rationale)."""
+        import importlib.util
+        import os
+        import sys
+        import types
+
+        try:
+            if importlib.util.find_spec(
+                    "google.protobuf.descriptor") is not None:
+                return
+        except (ModuleNotFoundError, ImportError):
+            pass
+        sdk = "/usr/lib/google-cloud-sdk/lib/third_party"
+        if not os.path.isdir(os.path.join(sdk, "cloudsdk", "google",
+                                          "protobuf")):
+            return
+        if sdk not in sys.path:
+            sys.path.append(sdk)
+        import cloudsdk.google as _cg
+        import cloudsdk.google.protobuf as _cpb
+
+        sys.modules["google"] = _cg
+        sys.modules["google.protobuf"] = _cpb
+        if not hasattr(_cpb, "runtime_version"):
+            rv = types.ModuleType("google.protobuf.runtime_version")
+
+            class Domain:
+                GOOGLE_INTERNAL = 1
+                PUBLIC = 2
+
+            rv.Domain = Domain
+            rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+            sys.modules["google.protobuf.runtime_version"] = rv
+            _cpb.runtime_version = rv
+
     class _StatsProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            _install_pb_in_worker()
             self._state = handle.getValueState(
                 "stats", "n bigint, total_cents bigint, mx double"
             )

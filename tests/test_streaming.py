@@ -706,3 +706,34 @@ def test_incremental_ingest_dedup_across_microbatches(spark, tmp_path):
 
     got = {r["doc_id"] for r in spark.table("ingest_test").collect()}
     assert got == {2, 4}
+
+
+def test_tws_query_survives_a_bare_driver_session(tmp_path):
+    """The correctness driver builds its OWN SparkSession (no
+    session.get_spark, no PYTHONPATH hook, workers never run
+    sitecustomize) — the st6_transform_with_state query must still
+    execute there via the by-value worker installer inside the
+    processor closure. Run in a clean subprocess with PYTHONPATH
+    stripped, exactly the driver's environment."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.appName("bare_tws").master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+df = e.queries()["st6_transform_with_state"](spark, "/root/testdata/sf0.001")
+print("TWS_ROWS=%d" % len(df.collect()))
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert "TWS_ROWS=5" in out.stdout, out.stderr[-2000:]
