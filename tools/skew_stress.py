@@ -189,6 +189,79 @@ def main() -> int:
     print(f"[skew] first-occurrence: window {t_naive}s agg+join {t_scal}s"
           f" match={same}", file=sys.stderr)
 
+    # -- 3c. substring-dedup DF cutoff (the round-10 operator's hot-shingle
+    # guard): one boilerplate 8-gram owns hot_frac of the corpus anchors.
+    # Uncapped, every hot anchor is "duplicated" and shuffles to its doc
+    # (plus inflates the per-doc position arrays); the cap declares it
+    # boilerplate and excludes it BEFORE the doc-side shuffle, so only
+    # the genuine pair-dup residue moves. Values are checked against the
+    # analytic expectation (docs laid out so hot and pair runs never
+    # chain), not naive-vs-scalable: the cap CHANGES semantics by design.
+    from mrjob_spark.operators.dedup import substring_dedup
+
+    n_docs = max(args.rows // 400, 1000)
+    n_docs -= n_docs % 2  # every doc needs a pair partner (occ exactly 2)
+    hot_docs = int(n_docs * args.hot_frac)
+    # doc text: [8-token block][10 unique tokens][8-token pair block]
+    # hot docs share block A (hot_docs copies); every doc d and its
+    # partner d^1 share pair block P_{d//2} (occ=2, under any cap >= 2)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.when(
+                F.col("id") < hot_docs,
+                F.lit(" ".join("hot%d" % i for i in range(8))),
+            ).otherwise(
+                F.concat_ws(" ", *[
+                    F.concat(F.lit("s%d" % i), F.col("id").cast("string"))
+                    for i in range(8)
+                ])
+            ),
+            F.concat_ws(" ", *[
+                F.concat(F.lit("u%d" % i), F.col("id").cast("string"))
+                for i in range(10)
+            ]),
+            F.concat_ws(" ", *[
+                F.concat(F.lit("p%d" % i),
+                         (F.col("id") / 2).cast("long").cast("string"))
+                for i in range(8)
+            ]),
+        ).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet("/tmp/skew_substr_input.parquet")
+    sdocs = spark.read.parquet("/tmp/skew_substr_input.parquet")
+    uncapped = substring_dedup(sdocs, "doc_id", "text", k=8)
+    capped = substring_dedup(sdocs, "doc_id", "text", k=8,
+                             max_shingle_df=hot_docs - 1)
+    t_uncapped = _noop(uncapped)
+    t_capped = _noop(capped)
+    # analytic check: every doc keeps the pair-block run (1 anchor, 8
+    # tokens); hot docs additionally carry the hot run ONLY uncapped
+    doc_h = F.crc32(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+    schk = (F.col("n_dup_anchors") * 1000 + F.col("n_dup_runs") * 100
+            + F.col("max_run_tokens")).cast("decimal(38,0)") * doc_h
+    got_capped = _checksum(capped, schk)
+    expect_capped = _checksum(
+        sdocs.select(
+            "doc_id", F.lit(1).alias("n_dup_anchors"),
+            F.lit(1).alias("n_dup_runs"), F.lit(8).alias("max_run_tokens"),
+        ),
+        schk,
+    )
+    cap_ok = got_capped == expect_capped
+    hot_rows_ok = (
+        uncapped.where(F.col("n_dup_runs") == 2).count() == hot_docs
+    )
+    results["substring_df_cutoff"] = {
+        "uncapped_sec": t_uncapped, "capped_sec": t_capped,
+        "capped_values_match_analytic": cap_ok,
+        "uncapped_hot_docs_flagged": hot_rows_ok,
+    }
+    print(f"[skew] substring DF-cutoff: uncapped {t_uncapped}s capped"
+          f" {t_capped}s capped-analytic={cap_ok}"
+          f" hot-flagged={hot_rows_ok}", file=sys.stderr)
+
     # -- 4. skewed sort-merge join: AQE skew-split on vs off -----------------
     # right side: unique join keys incl. the hot one, too big to broadcast
     right = spark.range(args.keys + 1).select(
