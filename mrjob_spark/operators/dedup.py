@@ -810,6 +810,35 @@ def substring_dedup(
     in-row array math on the sorted anchor positions (no per-doc window
     machinery, no corpus-wide sort; the collect_list is bounded by the
     document's own length)."""
+    shuffled = _sliding_anchors(df, id_col, text_col, k)
+    occ = shuffled.groupBy("sh").agg(
+        F.count(F.when(F.col("p") >= 0, F.col("doc_id"))).alias("c")
+    )
+    dup_shingles = occ.where(
+        (F.col("c") >= 2)
+        & ((F.col("c") <= max_shingle_df) if max_shingle_df is not None
+           else F.lit(True))
+    ).select("sh")
+    dup_anchors = shuffled.join(dup_shingles, "sh").select("doc_id", "p")
+    return _anchor_runs(dup_anchors, k, (
+        "n_dup_anchors", "n_dup_runs", "max_run_tokens", "n_dup_tokens",
+    ))
+
+
+def _sliding_anchors(df: DataFrame, id_col: str, text_col: str,
+                     k: int) -> DataFrame:
+    """(doc_id, p, sh): every sliding ``k``-token window of every
+    document, hashed — already repartitioned on ``sh`` so that a
+    downstream aggregate AND probe share one exchange (the span_dedup
+    load-bearing isnotnull shape). NOTE for aggregates over this frame:
+    reference ``p`` through a non-foldable expression (posexplode
+    positions are always >= 0, so ``count(when(p >= 0, doc_id))`` is
+    ``count(doc_id)``) or Catalyst prunes ``p`` from the aggregate
+    branch only — ``count(struct(doc_id, p))`` gets rewritten to
+    ``count(1)`` and pruned too — breaking the canonical subtree
+    equality AQE exchange reuse keys on: the corpus would tokenize
+    twice. Aggregating ``min(struct(doc_id, p))`` references p
+    intrinsically and needs no such trick."""
     from mrjob_spark.functions.text import tokens
 
     toks = tokens(F.col(text_col))
@@ -825,33 +854,24 @@ def substring_dedup(
             )
         ).alias("p", "sh"),
     )
-    # one explicit repartition feeds both the occurrence count and the
-    # probe (span_dedup's load-bearing isnotnull shape). The count must
-    # REFERENCE p through a non-foldable expression — posexplode
-    # positions are always >= 0, so count(when(p >= 0, doc_id)) is
-    # count(doc_id) — or Catalyst prunes p from the aggregate branch
-    # only (count(struct(doc_id, p)) gets rewritten to count(1) and
-    # pruned too), breaking the canonical subtree equality AQE exchange
-    # reuse keys on: the corpus would tokenize twice.
-    shuffled = anchors.where(F.col("sh").isNotNull()).repartition(F.col("sh"))
-    occ = shuffled.groupBy("sh").agg(
-        F.count(F.when(F.col("p") >= 0, F.col("doc_id"))).alias("c")
+    return anchors.where(F.col("sh").isNotNull()).repartition(F.col("sh"))
+
+
+def _anchor_runs(anchors: DataFrame, k: int, names: tuple) -> DataFrame:
+    """Per-doc gaps-and-islands over a (doc_id, p) anchor subset,
+    entirely in-row: collect the doc's sorted positions (bounded by its
+    own length), chain adjacent anchors into maximal runs, and
+    interval-merge coverage at gap ``k`` (anchors closer than ``k``
+    overlap in token coverage — summing run lengths would double-count).
+    Output columns per ``names``: anchor count, run count, longest run
+    in tokens, exact union token coverage. element_at is 1-based: inside
+    a lambda over index i (0-based), element_at(ps, i) is the PREVIOUS
+    element and element_at(ps, i + 2) the NEXT; the F.when guards keep
+    both lazily unevaluated at the array ends (ANSI mode raises on
+    out-of-range element_at)."""
+    per_doc = anchors.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
     )
-    dup_shingles = occ.where(
-        (F.col("c") >= 2)
-        & ((F.col("c") <= max_shingle_df) if max_shingle_df is not None
-           else F.lit(True))
-    ).select("sh")
-    dup_anchors = shuffled.join(dup_shingles, "sh").select("doc_id", "p")
-
-    ps = F.sort_array(F.collect_list("p"))
-    per_doc = dup_anchors.groupBy("doc_id").agg(ps.alias("ps"))
-
-    # gaps-and-islands on the sorted anchor array, entirely in-row.
-    # element_at is 1-based: inside a lambda over index i (0-based),
-    # element_at(ps, i) is the PREVIOUS element and element_at(ps, i + 2)
-    # the NEXT; the F.when guards keep both lazily unevaluated at the
-    # array ends (ANSI mode raises on out-of-range element_at).
     p = F.col("ps")
 
     def _starts(gap):
@@ -870,15 +890,66 @@ def substring_dedup(
 
     run_lens = F.zip_with(_ends(1), _starts(1), lambda e, s: e - s + k)
     cov_lens = F.zip_with(_ends(k), _starts(k), lambda e, s: e - s + k)
+    n_anchors, n_runs, max_run, n_tokens = names
     return per_doc.select(
         "doc_id",
-        F.size("ps").cast("long").alias("n_dup_anchors"),
-        F.size(_starts(1)).cast("long").alias("n_dup_runs"),
-        F.array_max(run_lens).cast("long").alias("max_run_tokens"),
+        F.size("ps").cast("long").alias(n_anchors),
+        F.size(_starts(1)).cast("long").alias(n_runs),
+        F.array_max(run_lens).cast("long").alias(max_run),
         F.aggregate(
             cov_lens, F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("n_dup_tokens"),
+        ).alias(n_tokens),
     )
+
+
+def substring_dedup_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022's substring dedup — where
+    :func:`substring_dedup` audits (which docs carry duplicated runs),
+    this picks the CANONICAL SURVIVOR: for every duplicated shingle the
+    corpus-wide first occurrence (smallest ``(doc_id, p)``, the
+    paragraph_dedup rule at substring granularity) keeps its text, and
+    every LATER occurrence marks its covered tokens for removal.
+    Returns one row per document carrying at least one removable
+    anchor: ``(doc_id, n_rm_anchors, n_rm_runs, max_rm_run_tokens,
+    n_rm_tokens)`` — ``n_rm_tokens`` is the exact union of token
+    positions a cleaning pass strips from that document (first
+    occurrences are never counted, so the duplicated text survives
+    exactly once corpus-wide).
+
+    Scale shape: identical to the audit — ONE anchor exchange feeds an
+    aggregate now computing occurrence count AND ``min(struct(doc_id,
+    p))`` in the same partial-agg pass (a 10^8-copy shingle is still
+    one accumulator cell), the probe filters to non-first duplicated
+    anchors (2 <= occ <= ``max_shingle_df`` under the same DF-cutoff
+    boilerplate rule), and only those shuffle to their documents for
+    the shared in-row run/coverage chaining."""
+    shuffled = _sliding_anchors(df, id_col, text_col, k)
+    occ = shuffled.groupBy("sh").agg(
+        F.count(F.when(F.col("p") >= 0, F.col("doc_id"))).alias("c"),
+        F.min(F.struct("doc_id", "p")).alias("first"),
+    )
+    dup = occ.where(
+        (F.col("c") >= 2)
+        & ((F.col("c") <= max_shingle_df) if max_shingle_df is not None
+           else F.lit(True))
+    ).select("sh", "first")
+    rm_anchors = (
+        shuffled.join(dup, "sh")
+        .where(
+            ~((F.col("first.doc_id") == F.col("doc_id"))
+              & (F.col("first.p") == F.col("p")))
+        )
+        .select("doc_id", "p")
+    )
+    return _anchor_runs(rm_anchors, k, (
+        "n_rm_anchors", "n_rm_runs", "max_rm_run_tokens", "n_rm_tokens",
+    ))
 
 
 # ---------------------------------------------------------------------------

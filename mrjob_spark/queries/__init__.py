@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = [
     # 2022 shingle-anchor form) and IVFADC (IVF prune × PQ compression,
     # the FAISS billion-scale composition, recall-floor audited)
     "l2_substring_dedup",
+    "l2_substring_dedup_clean",
     "l3_knn_ivf_pq",
     "st6_transform_with_state",
     # CHANGED in round 10 — re-verify under the new oracles/shared core:
@@ -152,11 +153,12 @@ _DRIVER_PRIORITY = [
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q18_large_volume_customer",
-    # 23 of the 50 r7-greens (the next-stalest cohort once r10 lands)
+    # 22 of the 50 r7-greens (the next-stalest cohort once r10 lands)
     # fill the remaining slots — preferring the queries that ride code
     # touched this round (the similarity/dedup/LLM families, the heavy
-    # runner paths); the 26 stable-path r7-greens (epoch-schedule joined them
-    # when st6_transform_with_state took its slot) sit in _ROTATION_QUEUE
+    # runner paths); the 26 stable-path r7-greens (epoch-schedule and token-mask
+    # joined them when the st6 Spark-4 twin and the substring-clean
+    # query took their slots) sit in _ROTATION_QUEUE
     # as the explicit ordered backlog that LEADS the round-11 window
     "l2_span_dedup",
     "l2_span_dedup_capped",
@@ -171,7 +173,6 @@ _DRIVER_PRIORITY = [
     "l8_global_shuffle",
     "l8_pipeline_end_to_end",
     "l8_sequence_packing_scalable",
-    "l8_token_mask",
     "a8_o3_counters_sorted",
     "mr_dataproc_topword",
     "mr_emr_wordfreq",
@@ -201,6 +202,7 @@ _DRIVER_PRIORITY = [
 #: relational rows. They LEAD the round-11 window.
 _ROTATION_QUEUE: list[str] = [
     "l8_epoch_schedule",
+    "l8_token_mask",
     "q4_order_priority",
     "q6_forecast_revenue",
     "q8_market_share",

@@ -1493,12 +1493,17 @@ _PARA_W = 12
                )) AS para_h
         FROM toks
     ),
+    firstd AS (
+        SELECT para_h, min(doc_id) AS f_doc FROM paras GROUP BY para_h
+    ),
     firsts AS (
-        SELECT para_h, min(ROW(doc_id, para_idx)) AS fk
-        FROM paras GROUP BY para_h
+        SELECT p.para_h, f.f_doc, min(p.para_idx) AS f_idx
+        FROM paras p JOIN firstd f
+             ON p.para_h = f.para_h AND p.doc_id = f.f_doc
+        GROUP BY p.para_h, f.f_doc
     )
     SELECT p.doc_id, count(*) AS n_paras,
-           CAST(sum(CASE WHEN ROW(p.doc_id, p.para_idx) = f.fk
+           CAST(sum(CASE WHEN p.doc_id = f.f_doc AND p.para_idx = f.f_idx
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM paras p JOIN firsts f USING (para_h)
     GROUP BY p.doc_id
@@ -1517,10 +1522,12 @@ def l2_paragraph_dedup(spark, sf_dir):
     partial-agg cell per partition, never one sorted window partition),
     and the aggregate + verdict probe share ONE explicit repartition of
     the exploded paragraphs, so the corpus is tokenized once (AQE
-    exchange reuse — the span_dedup_capped pattern; the oracle uses the
-    same lexicographic ``min(ROW(doc_id, para_idx))`` struct ordering,
-    so the two sides agree for any doc_id range, including negative or
-    >2^31 ids that a packed-integer key would misorder/overflow on)."""
+    exchange reuse — the span_dedup_capped pattern; the oracle computes
+    the identical lexicographic first as TWO scalar mins — min doc_id
+    per hash, then min para_idx within that doc — overflow-proof at any
+    doc_id range where a packed-integer key misorders/overflows, and
+    fast where DuckDB's ``min(ROW(...))`` struct aggregate is a
+    non-vectorized fallback measured 80x slower at sf1)."""
     from mrjob_spark.operators.dedup import paragraph_dedup
 
     t = Tables(spark, sf_dir)
@@ -1614,6 +1621,103 @@ def l2_substring_dedup(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     return substring_dedup(
+        t.documents, "doc_id", "text", k=_SUBSTR_K,
+        max_shingle_df=_SUBSTR_DF_CAP,
+    )
+
+
+@query(
+    "l2_substring_dedup_clean",
+    sql=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {sql_tokens('text')} AS w FROM documents
+    ),
+    anchors AS MATERIALIZED (
+        SELECT doc_id, p,
+               md5(array_to_string(w[(p + 1):(p + {_SUBSTR_K})], ' ')) AS sh
+        FROM (SELECT doc_id, w, unnest(range(len(w) - {_SUBSTR_K} + 1)) AS p
+              FROM toks WHERE len(w) >= {_SUBSTR_K})
+    ),
+    occ AS MATERIALIZED (
+        -- anchors feeds occ, firstp AND rm: MATERIALIZED so DuckDB
+        -- builds the tokenize+md5 stream once (the l2_minhash
+        -- staged-oracle lesson). The first occurrence is TWO scalar
+        -- mins — min doc_id per shingle, then min p within that doc —
+        -- never min(ROW(...)): DuckDB's struct-min aggregate is a
+        -- non-vectorized fallback measured 35 s at sf0.01 / >25 min at
+        -- sf1 where the scalar pair runs in milliseconds, and the
+        -- two-step ordering is the identical lexicographic rule,
+        -- overflow-proof at any doc_id
+        SELECT sh, count(*) AS c, min(doc_id) AS f_doc
+        FROM anchors GROUP BY sh
+    ),
+    firstp AS MATERIALIZED (
+        SELECT a.sh, min(a.p) AS f_p
+        FROM anchors a JOIN occ o ON a.sh = o.sh AND a.doc_id = o.f_doc
+        GROUP BY a.sh
+    ),
+    rm AS MATERIALIZED (
+        SELECT a.doc_id, a.p
+        FROM anchors a JOIN occ o USING (sh) JOIN firstp f USING (sh)
+        WHERE o.c >= 2 AND o.c <= {_SUBSTR_DF_CAP}
+              AND NOT (a.doc_id = o.f_doc AND a.p = f.f_p)
+    ),
+    flagged AS (
+        SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                         OR p > lag(p) OVER w + 1 THEN 1 ELSE 0 END AS rs,
+               CASE WHEN lag(p) OVER w IS NULL
+                         OR p > lag(p) OVER w + {_SUBSTR_K} THEN 1 ELSE 0
+                    END AS cs
+        FROM rm WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    ids AS (
+        SELECT doc_id, p,
+               sum(rs) OVER w AS run_id, sum(cs) OVER w AS cov_id
+        FROM flagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    runs AS (
+        SELECT doc_id, cov_id, run_id,
+               min(p) AS pmin, max(p) AS pmax, count(*) AS cnt
+        FROM ids GROUP BY doc_id, cov_id, run_id
+    ),
+    covs AS (
+        SELECT doc_id, cov_id, sum(cnt) AS anchors, count(*) AS nruns,
+               max(pmax - pmin + {_SUBSTR_K}) AS maxrun,
+               max(pmax) - min(pmin) + {_SUBSTR_K} AS covtok
+        FROM runs GROUP BY doc_id, cov_id
+    )
+    SELECT doc_id,
+           CAST(sum(anchors) AS BIGINT) AS n_rm_anchors,
+           CAST(sum(nruns) AS BIGINT) AS n_rm_runs,
+           CAST(max(maxrun) AS BIGINT) AS max_rm_run_tokens,
+           CAST(sum(covtok) AS BIGINT) AS n_rm_tokens
+    FROM covs GROUP BY doc_id
+    """,
+)
+def l2_substring_dedup_clean(spark, sf_dir):
+    """The REMOVAL half of substring dedup (Lee et al. 2022) — the
+    canonical-survivor rule of ``l2_paragraph_dedup`` applied at
+    substring granularity: every duplicated shingle's corpus-wide FIRST
+    occurrence (smallest ``(doc_id, p)``, the overflow-proof struct
+    ordering in both engines) keeps its text; later occurrences mark
+    their covered tokens for removal, reported per document as anchor/
+    run counts, the longest removable run, and the exact union token
+    coverage a cleaning pass strips. Where ``l2_substring_dedup`` is
+    the audit (who carries duplicates), this is the decision (what
+    comes out, with the duplicated text surviving exactly once).
+
+    Scale: same single-exchange shape as the audit — the one anchor
+    aggregate now computes occurrence count and ``min(struct)`` in the
+    same partial-agg pass — plus the same DF cutoff (boilerplate
+    shingles above the cap are excluded, live at sf0.01) and the shared
+    in-row run/coverage chaining (operators/dedup.py:_anchor_runs)."""
+    from mrjob_spark.operators.dedup import substring_dedup_clean
+
+    t = Tables(spark, sf_dir)
+    return substring_dedup_clean(
         t.documents, "doc_id", "text", k=_SUBSTR_K,
         max_shingle_df=_SUBSTR_DF_CAP,
     )
@@ -2514,13 +2618,19 @@ def l5_lm_perplexity(spark, sf_dir):
                )) AS para_h
         FROM toks
     ),
+    firstd AS MATERIALIZED (
+        SELECT para_h, min(doc_id) AS f_doc FROM paras GROUP BY para_h
+    ),
     firsts AS MATERIALIZED (
-        SELECT para_h, min(ROW(doc_id, para_idx)) AS fk
-        FROM paras GROUP BY para_h
+        SELECT p.para_h, f.f_doc, min(p.para_idx) AS f_idx
+        FROM paras p JOIN firstd f
+             ON p.para_h = f.para_h AND p.doc_id = f.f_doc
+        GROUP BY p.para_h, f.f_doc
     ),
     dedup AS MATERIALIZED (
         SELECT p.doc_id, count(*) AS n_paras,
-               CAST(sum(CASE WHEN ROW(p.doc_id, p.para_idx) = f.fk
+               CAST(sum(CASE WHEN p.doc_id = f.f_doc
+                                  AND p.para_idx = f.f_idx
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM paras p JOIN firsts f USING (para_h)
         GROUP BY p.doc_id

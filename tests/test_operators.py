@@ -1019,3 +1019,50 @@ def test_ivf_pq_recall_on_clusters(spark, vec_corpus):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.6
+
+
+def test_substring_dedup_clean_keeps_first_occurrence(spark):
+    """Removal form: the corpus-wide first occurrence of a duplicated
+    run keeps its text (no removal row / no counted anchors); every
+    later copy is marked with the exact token span to strip."""
+    from mrjob_spark.operators.dedup import substring_dedup_clean
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            # doc 1 owns the first occurrence at p=0
+            Row(doc_id=1, text=f"{shared} u1a u1b u1c u1d u1e u1f u1g u1h"),
+            # doc 2 repeats it (removal: 5 anchors chain to a 12-token run)
+            Row(doc_id=2, text=f"v2a v2b v2c v2d v2e v2f v2g v2h {shared}"),
+            # doc 3 is all fresh
+            Row(doc_id=3, text="w3a w3b w3c w3d w3e w3f w3g w3h w3i"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup_clean(docs, "doc_id", "text", k=8).collect()
+    }
+    assert set(got) == {2}  # doc 1 keeps everything; doc 3 has no dups
+    assert got[2]["n_rm_anchors"] == 5
+    assert got[2]["n_rm_runs"] == 1
+    assert got[2]["max_rm_run_tokens"] == 12
+    assert got[2]["n_rm_tokens"] == 12
+
+
+def test_substring_dedup_clean_within_doc_repeat_keeps_earliest(spark):
+    """A doc repeating a passage internally keeps the EARLIEST copy —
+    position is part of the first-occurrence key, like paragraph
+    dedup's tie-break."""
+    from mrjob_spark.operators.dedup import substring_dedup_clean
+
+    blk = " ".join(f"x{i}" for i in range(8))
+    filler = " ".join(f"f{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [Row(doc_id=7, text=f"{blk} {filler} {blk}")]
+    )
+    got = substring_dedup_clean(docs, "doc_id", "text", k=8).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    # only the SECOND copy (anchor p=16) is removable: 1 anchor, 8 tokens
+    assert (r["n_rm_anchors"], r["n_rm_runs"],
+            r["max_rm_run_tokens"], r["n_rm_tokens"]) == (1, 1, 8, 8)

@@ -767,3 +767,16 @@ def test_ivf_pq_prunes_before_adc_no_cartesian(spark):
     # min per-query recall at oracle SFs) — a flipped flag is a broken
     # quantizer or clustering change, not noise
     assert all(r.recall_ge_floor for r in rows)
+
+
+def test_substring_dedup_clean_single_scan_no_window(spark):
+    # the removal form must keep the audit's exchange-reuse shape: the
+    # one anchor exchange feeds BOTH the occ+first aggregate and the
+    # probe (corpus tokenized once); no window operator anywhere
+    df = REGISTRY["l2_substring_dedup_clean"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("documents.parquet") == 1
+    assert "Window" not in final

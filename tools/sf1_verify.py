@@ -306,6 +306,7 @@ REPRESENTATIVE_T9 = [
 #: differ from the 500-doc oracle fixture.
 REPRESENTATIVE_T10 = [
     "l2_substring_dedup",
+    "l2_substring_dedup_clean",
     "l3_knn_ivf_pq",
     "st6_transform_with_state",
 ]
