@@ -19,7 +19,12 @@ is truncated every round — unbounded lineage is the classic
 iterative-Spark failure mode. The edge plan itself is checkpointed ONCE up
 front, so an expensive upstream (e.g. the whole MinHash-LSH pipeline)
 never re-executes across rounds or across the symmetric union's two
-branches.
+branches. Superseded checkpoint generations are unpersisted inside the
+loop (``_free_checkpoint_blocks``), so executor block storage is bounded
+by ONE generation regardless of round count — leaving them to the
+ContextCleaner strands a generation per round, which VERDICT r10 measured
+as a 17.8× bench blowup inside a long 7000-stage driver session and which
+would be a real memory ceiling for a deep-diameter CC run at 100 TB.
 
 Durability: by default rounds use ``localCheckpoint`` (executor block
 storage — fast, but an executor loss mid-job is unrecoverable). Pass
@@ -37,6 +42,42 @@ registry query ``l1_dedup_clusters`` be oracle-checked by a DuckDB
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _free_checkpoint_blocks(ck_df: DataFrame) -> None:
+    """Release the executor block storage behind an eagerly
+    ``localCheckpoint``-ed DataFrame.
+
+    ``localCheckpoint`` persists the internal RDD and truncates lineage;
+    the blocks then live until the ContextCleaner GCs the RDD — which in a
+    long session (the driver runs 170+ queries in one SparkContext) lags
+    far behind an iterative operator that strands one generation per
+    round. VERDICT r10 measured exactly that: ``l1_dedup_clusters_capped``
+    read 17.8× its basis inside the driver's 7000-stage session while its
+    uncapped twin (fewer stranded generations relative to work) stayed at
+    1.2×. Explicitly unpersisting the superseded round bounds block
+    storage to O(1) generations — the difference between "works on
+    local[32]" and "works for a 50-round CC job on a 1000-executor
+    cluster".
+
+    The checkpointed RDD is only reachable through the plan's
+    ``LogicalRDD`` node (``Dataset.localCheckpoint`` wraps the persisted
+    internal RDD; the Python-side ``df.rdd`` is a fresh conversion, not
+    the persisted one). Blocking=False: the caller never re-reads a
+    superseded generation, so there is nothing to wait for. Reliably
+    ``checkpoint()``-ed rounds (``checkpoint_dir`` mode) carry
+    StorageLevel NONE and are skipped — their files are owned by the
+    checkpoint dir, not block storage. Best-effort by design: a Spark
+    internals change degrades this to the old ContextCleaner behavior,
+    never to an error.
+    """
+    try:
+        jrdd = ck_df._jdf.queryExecution().analyzed().rdd()
+        lvl = jrdd.getStorageLevel()
+        if lvl.useMemory() or lvl.useDisk():
+            jrdd.unpersist(False)
+    except Exception:  # pragma: no cover - py4j internals drift
+        pass
 
 
 def connected_components(
@@ -76,6 +117,9 @@ def connected_components(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
+    # the one-directional edge set is only an input to ``sym``; once the
+    # symmetric closure is materialized its blocks are dead weight
+    _free_checkpoint_blocks(e)
 
     # Initialization folds in round 1: the symmetric edge set lists every
     # node as ``v`` at least once, so min(own id, min neighbor id) is one
@@ -85,6 +129,7 @@ def connected_components(
         .agg(F.min("u").alias("min_nbr"))
         .select("node", F.least("node", "min_nbr").alias("component"))
     )
+    prev_ck = labels  # superseded-generation handle (see loop)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -108,8 +153,17 @@ def connected_components(
         # counted off the just-checkpointed blocks — no join, no recompute
         n_changed = new_labels.where("changed").count()
         labels = new_labels.select("node", "component")
+        # ``new_labels`` is fully materialized (eager ckpt + the count
+        # above), so the previous generation is unreachable from here on:
+        # free it now instead of waiting for the ContextCleaner. Block
+        # storage stays O(1) generations for any round count.
+        _free_checkpoint_blocks(prev_ck)
+        prev_ck = new_labels
         if n_changed == 0:
-            return labels
+            _free_checkpoint_blocks(sym)  # the result plan reads only the
+            return labels                 # final checkpoint, not the edges
+    _free_checkpoint_blocks(sym)
+    _free_checkpoint_blocks(prev_ck)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter too large — use star-contraction"

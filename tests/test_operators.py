@@ -389,6 +389,40 @@ def test_connected_components_raises_without_convergence(spark):
     with _pytest.raises(RuntimeError):
         connected_components(edges, max_iter=2)
 
+def test_connected_components_block_storage_is_one_generation(spark):
+    # VERDICT r10 task 1: each round's localCheckpoint must UNPERSIST the
+    # superseded generation instead of stranding it for the async
+    # ContextCleaner — in the driver's long 7000-stage session the lag
+    # produced a 17.8× bench reading on l1_dedup_clusters_capped, and at
+    # 100 TB a deep-diameter run would strand O(rounds) generations of
+    # executor block storage. A 12-node path graph forces 11+ propagation
+    # rounds; block storage during/after the run must stay O(1)
+    # generations, not O(rounds).
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(1, 12)]
+    )
+
+    def persisted_ids():
+        info = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in info}
+
+    before = persisted_ids()
+    labels = connected_components(edges)
+    # leaked generations are visible IMMEDIATELY after the call (before
+    # any GC/ContextCleaner pass could excuse them)
+    leaked = persisted_ids() - before
+    # allowed survivors: the final labels checkpoint (the returned plan
+    # reads it) — everything else (edge set, symmetric closure, 11+
+    # superseded label generations) must already be gone
+    assert len(leaked) <= 1, (
+        f"connected_components stranded {len(leaked)} persisted RDDs "
+        f"(ids {sorted(leaked)}); block storage must be bounded by one "
+        "checkpoint generation"
+    )
+    got = {(r["node"], r["component"]) for r in labels.collect()}
+    assert got == {(i, 1) for i in range(1, 13)}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     # durable-iteration path: reliable checkpoint() into a fault-tolerant
     # dir (VERDICT r2 #3) must produce identical labels to localCheckpoint
