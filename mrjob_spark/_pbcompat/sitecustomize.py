@@ -23,9 +23,24 @@ execution, not by trusting the skipped check.
 
 The shim only engages when ``google.protobuf`` is not otherwise
 importable: with a real protobuf installed this module is a no-op.
-"""
 
-_SDK_THIRD_PARTY = "/usr/lib/google-cloud-sdk/lib/third_party"
+The alias is scoped to ``google.protobuf``: a pre-existing ``google``
+namespace package (google-auth, google-cloud-*, or the worker jar's
+empty resource portion) keeps its own ``__path__`` and submodules —
+seeding ``sys.modules["google.protobuf"]`` alone is what makes every
+``google.protobuf.X`` import resolve through cloudsdk's runtime, since
+the import system consults ``sys.modules`` before any path search. Only
+when no ``google`` parent is importable at all does cloudsdk's package
+stand in for the whole namespace (VERDICT r10: replacing ``google``
+wholesale would shadow other google.* distributions on richer hosts).
+
+``install()``'s body below is the CANONICAL installer. The streaming
+operator ships a byte-identical twin by value into foreign-session
+workers (``_install_pb_in_worker`` in mrjob_spark/streaming/ops.py —
+cloudpickle must carry it inside the processor closure because those
+workers never ran this sitecustomize); tests/test_streaming.py's AST
+sync test fails if the two bodies ever drift, so edit BOTH or neither.
+"""
 
 
 def install() -> bool:
@@ -49,23 +64,38 @@ def install() -> bool:
     except (ModuleNotFoundError, ImportError):
         pass  # no 'google' namespace at all
 
-    pb_dir = os.path.join(_SDK_THIRD_PARTY, "cloudsdk", "google", "protobuf")
-    if not os.path.isdir(pb_dir):
+    sdk = "/usr/lib/google-cloud-sdk/lib/third_party"
+    if not os.path.isdir(os.path.join(sdk, "cloudsdk", "google", "protobuf")):
         return False  # no vendorable runtime on this host either
 
-    if _SDK_THIRD_PARTY not in sys.path:
+    if sdk not in sys.path:
         # cloudsdk protobuf modules import each other absolutely
         # (``from cloudsdk.google.protobuf.internal import ...``)
-        sys.path.append(_SDK_THIRD_PARTY)
+        sys.path.append(sdk)
     import cloudsdk.google as _cg
     import cloudsdk.google.protobuf as _cpb
 
     # ONE module instance under both names — a separate re-load under the
     # google.* name would give two descriptor-pool singletons. Plain
     # assignment, not setdefault: the probe above may have left the
-    # jar-resource namespace stub imported under these names.
-    sys.modules["google"] = _cg
-    sys.modules["google.protobuf"] = _cpb
+    # jar-resource namespace stub imported under these names. The alias
+    # is scoped: an existing `google` namespace package (other google.*
+    # dists, or the jar stub the probe just imported) keeps its __path__
+    # and submodules — sys.modules["google.protobuf"] wins every lookup
+    # regardless of parent. Only with no importable `google` at all does
+    # cloudsdk's package stand in for the parent.
+    g = sys.modules.get("google")
+    if g is None:
+        try:
+            import google as g
+        except ImportError:
+            g = None
+    if g is not None and getattr(g, "__path__", None) is not None:
+        sys.modules["google.protobuf"] = _cpb
+        g.protobuf = _cpb  # `from google import protobuf` reads the attr
+    else:
+        sys.modules["google"] = _cg
+        sys.modules["google.protobuf"] = _cpb
 
     if not hasattr(_cpb, "runtime_version"):
         rv = types.ModuleType("google.protobuf.runtime_version")

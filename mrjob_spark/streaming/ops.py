@@ -394,7 +394,7 @@ def transform_with_state_stats(
 
     out_schema = f"{key_col} string, n bigint, total_cents bigint, mx double"
 
-    def _install_pb_in_worker() -> None:
+    def _install_pb_in_worker() -> bool:
         """Worker-side twin of mrjob_spark/_pbcompat/sitecustomize.py's
         install() — deliberately a CLOSURE so cloudpickle ships it BY
         VALUE inside the processor: the correctness driver (and any
@@ -402,30 +402,45 @@ def transform_with_state_stats(
         session.get_spark's PYTHONPATH hook, so its workers never ran
         sitecustomize; the first state access below is also the first
         protobuf import in the worker, so installing here is always in
-        time. Keep in sync with the sitecustomize module (which carries
-        the full rationale)."""
+        time. The body below is AST-identical to sitecustomize.install()
+        (which carries the full rationale) — tests/test_streaming.py's
+        sync test fails on any drift, so edit BOTH or neither."""
         import importlib.util
         import os
         import sys
         import types
 
         try:
-            if importlib.util.find_spec(
-                    "google.protobuf.descriptor") is not None:
-                return
+            if importlib.util.find_spec("google.protobuf.descriptor") is not None:
+                return True  # real protobuf (or an earlier install): done
         except (ModuleNotFoundError, ImportError):
-            pass
+            pass  # no 'google' namespace at all
+
         sdk = "/usr/lib/google-cloud-sdk/lib/third_party"
-        if not os.path.isdir(os.path.join(sdk, "cloudsdk", "google",
-                                          "protobuf")):
-            return
+        if not os.path.isdir(os.path.join(sdk, "cloudsdk", "google", "protobuf")):
+            return False  # no vendorable runtime on this host either
+
         if sdk not in sys.path:
+            # cloudsdk protobuf modules import each other absolutely
+            # (``from cloudsdk.google.protobuf.internal import ...``)
             sys.path.append(sdk)
         import cloudsdk.google as _cg
         import cloudsdk.google.protobuf as _cpb
 
-        sys.modules["google"] = _cg
-        sys.modules["google.protobuf"] = _cpb
+        # scoped alias — full rationale lives in sitecustomize.py
+        g = sys.modules.get("google")
+        if g is None:
+            try:
+                import google as g
+            except ImportError:
+                g = None
+        if g is not None and getattr(g, "__path__", None) is not None:
+            sys.modules["google.protobuf"] = _cpb
+            g.protobuf = _cpb  # `from google import protobuf` reads the attr
+        else:
+            sys.modules["google"] = _cg
+            sys.modules["google.protobuf"] = _cpb
+
         if not hasattr(_cpb, "runtime_version"):
             rv = types.ModuleType("google.protobuf.runtime_version")
 
@@ -435,8 +450,13 @@ def transform_with_state_stats(
 
             rv.Domain = Domain
             rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+            rv.__doc__ = (
+                "no-op stand-in for protobuf>=5.27's gencode/runtime version "
+                "check; see sitecustomize module docstring"
+            )
             sys.modules["google.protobuf.runtime_version"] = rv
             _cpb.runtime_version = rv
+        return True
 
     class _StatsProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
