@@ -396,14 +396,12 @@ class DataprocJobRunner(StreamingStepRenderer):
                 "lifecycleConfig": {
                     "idleDeleteTtl": "%ds" % int(self._max_mins_idle * 60),
                 },
-                # zone the SSH tunnel targets (reference
-                # mrjob/dataproc.py:1285-1300 reads it back from the
-                # live cluster's gce_cluster_config.zone_uri)
-                "gceClusterConfig": {
-                    "zoneUri": "projects/%s/zones/%s-a" % (
-                        self._project_id, self._region,
-                    ),
-                },
+                # no gceClusterConfig.zoneUri: Dataproc auto-places the
+                # zone (the reference relies on this — pinning "<region>-a"
+                # fails outright in regions where zone a is unavailable or
+                # out of capacity). ssh_tunnel_args reads the zone back
+                # from the LIVE cluster, falling back to "<region>-a" only
+                # when the service reports none (mock clusters).
             },
         }
 
@@ -690,16 +688,27 @@ class DataprocJobRunner(StreamingStepRenderer):
         ] + tunnel_opts
 
     def make_ssh_tunnel(self, open_tunnel: bool = False, bind_ports=None,
-                        launch_wait_secs: float = 1.0,
+                        launch_wait_secs: Optional[float] = None,
                         gcloud_bin: Optional[list] = None):
-        """SSHTunnel to the resource-manager UI (see the EMR twin); the
-        reference waits up to 20 s on Dataproc because gcloud updates
-        project metadata on first ssh (mrjob/dataproc.py:1281-1284) —
-        callers size ``launch_wait_secs`` accordingly."""
+        """SSHTunnel to the resource-manager UI (see the EMR twin).
+
+        Two Dataproc-specific behaviors from the reference: the launch
+        grace period defaults to ``min(20, check_cluster_every)`` because
+        gcloud has to update project metadata on first ssh
+        (``_ssh_launch_wait_secs``, mrjob/dataproc.py:1281-1284), and the
+        tunnel process is fed ``b"\\n\\n"`` on stdin — an empty passphrase
+        twice — because a first-ever ``gcloud compute ssh`` generates an
+        SSH key and prompts for one; unanswered, it would block at the
+        prompt, survive the grace period, and report an "up" tunnel that
+        forwards nothing (``_launch_ssh_proc``,
+        mrjob/dataproc.py:1273-1279)."""
         from mrjob_spark.dataflow.tunnel import (
             DEFAULT_SSH_BIND_PORTS, SSHTunnel,
         )
 
+        if launch_wait_secs is None:
+            # "unless we were going to check the cluster sooner anyway"
+            launch_wait_secs = min(20.0, self.check_cluster_every)
         return SSHTunnel(
             render_args=lambda p: self.ssh_tunnel_args(
                 p, open_tunnel=open_tunnel, gcloud_bin=gcloud_bin),
@@ -710,6 +719,7 @@ class DataprocJobRunner(StreamingStepRenderer):
                         else bind_ports),
             open_tunnel=open_tunnel,
             launch_wait_secs=launch_wait_secs,
+            stdin_payload=b"\n\n",
         )
 
     # --- cleanup ---------------------------------------------------------

@@ -60,6 +60,7 @@ class SSHTunnel:
         bind_ports: Sequence[int] = DEFAULT_SSH_BIND_PORTS,
         open_tunnel: bool = False,
         launch_wait_secs: float = 1.0,
+        stdin_payload: Optional[bytes] = None,
     ):
         self._render_args = render_args
         self._cluster_id = cluster_id
@@ -68,6 +69,14 @@ class SSHTunnel:
         self._bind_ports = bind_ports
         self._open_tunnel = open_tunnel
         self._launch_wait_secs = launch_wait_secs
+        #: written to the tunnel process's stdin right after launch.
+        #: The Dataproc runner feeds ``b"\n\n"`` — an empty passphrase
+        #: twice — because a first-ever ``gcloud compute ssh`` generates
+        #: an SSH key and prompts for one; with stdin=PIPE and nothing
+        #: written it would block at the prompt, survive the grace
+        #: period, and report an "up" tunnel that forwards nothing
+        #: (reference ``mrjob/dataproc.py:1273-1279 _launch_ssh_proc``).
+        self._stdin_payload = stdin_payload
 
         self._proc: Optional[Popen] = None
         self._give_up = False
@@ -109,6 +118,9 @@ class SSHTunnel:
                 "ssh tunnel process exited with return code %d, restarting"
                 % self._proc.returncode
             )
+            # the dead process's PIPE handles would otherwise leak three
+            # fds per restart cycle on a long-polling runner
+            self._close_pipes(self._proc)
             self._proc = None
 
         popen_exception = None
@@ -122,6 +134,12 @@ class SSHTunnel:
             except OSError as ex:
                 popen_exception = ex
                 break
+            if self._stdin_payload:
+                try:
+                    proc.stdin.write(self._stdin_payload)
+                    proc.stdin.flush()
+                except OSError:
+                    pass  # died before reading; the poll below catches it
             time.sleep(self._launch_wait_secs)
             proc.poll()
             if proc.returncode is None:
@@ -129,9 +147,7 @@ class SSHTunnel:
                 bound_port = bind_port
                 break
             # bind failed (port in use, forward refused): next port
-            proc.stdin.close()
-            proc.stdout.close()
-            proc.stderr.close()
+            self._close_pipes(proc)
 
         if self._proc is not None:
             bind_host = socket.getfqdn() if self._open_tunnel else "localhost"
@@ -150,17 +166,26 @@ class SSHTunnel:
     def gave_up(self) -> bool:
         return self._give_up
 
+    @staticmethod
+    def _close_pipes(proc: Popen) -> None:
+        for f in (proc.stdin, proc.stdout, proc.stderr):
+            if f is not None and not f.closed:
+                try:
+                    f.close()
+                except OSError:
+                    pass  # a half-broken pipe still drops its fd
+
     def kill(self) -> None:
         """SIGKILL the tunnel if it is running (``mrjob/cloud.py:486-505``;
-        ssh holds the forward open, so a polite terminate just delays)."""
+        ssh holds the forward open, so a polite terminate just delays).
+        Pipes are closed whether the process is running or already
+        self-exited — the dead branch leaked three fds otherwise."""
         if self._proc is None:
             return
         self._proc.poll()
+        self._close_pipes(self._proc)
         if self._proc.returncode is None:
             log.info("Killing our SSH tunnel (pid %d)" % self._proc.pid)
-            self._proc.stdin.close()
-            self._proc.stdout.close()
-            self._proc.stderr.close()
             try:
                 os.kill(self._proc.pid, signal.SIGKILL)
                 self._proc.wait()

@@ -569,6 +569,39 @@ def test_dataproc_ssh_tunnel_args_shape(tmp_path, input_file):
     assert "-g" in open_tail and "-4" in open_tail
 
 
+def test_dataproc_tunnel_defaults_and_auto_zone(tmp_path, input_file):
+    """ADVICE r10: (a) cluster creation must NOT pin gceClusterConfig
+    .zoneUri to '<region>-a' — Dataproc auto-places the zone and the pin
+    fails outright where zone a is unavailable (ssh_tunnel_args already
+    falls back for an empty zoneUri); (b) make_ssh_tunnel defaults its
+    grace period to the reference's min(20, check_cluster_every)
+    (mrjob/dataproc.py:1281-1284) and feeds the empty-passphrase payload
+    b'\\n\\n' so a first-ever gcloud ssh can't block at the key prompt."""
+    from mrjob_spark.dataflow.dataproc import DataprocJobRunner
+    from mrjob_spark.testing.mockdataproc import MockDataprocService
+
+    svc = MockDataprocService(tmp_path / "dp")
+    r = DataprocJobRunner(
+        MRWordFreq(), input_paths=[input_file],
+        cluster_client=svc.cluster_client(), job_client=svc.job_client(),
+        storage_client=svc.storage_client(),
+        logging_client=svc.logging_client(),
+        check_cluster_every=7.5,
+    )
+    kwargs = r._cluster_create_kwargs()
+    assert "zoneUri" not in kwargs["config"].get("gceClusterConfig", {}), (
+        "cluster creation must leave zone placement to Dataproc"
+    )
+    r._cluster_name = "mrjob-test-abc123"
+    t = r.make_ssh_tunnel()
+    assert t._launch_wait_secs == 7.5          # min(20, 7.5)
+    assert t._stdin_payload == b"\n\n"
+    r.check_cluster_every = 60.0
+    assert r.make_ssh_tunnel()._launch_wait_secs == 20.0  # min(20, 60)
+    # an explicit value still wins (the tests' fast path)
+    assert r.make_ssh_tunnel(launch_wait_secs=0.05)._launch_wait_secs == 0.05
+
+
 def test_emr_runner_keeps_tunnel_alive_during_polls(
         tmp_path, input_file, monkeypatch):
     """With ssh_tunnel=True the runner opens the web-UI tunnel during

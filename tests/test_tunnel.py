@@ -110,3 +110,55 @@ def test_dead_tunnel_restarts_on_next_set_up():
         assert t._proc.pid != first_pid
     finally:
         t.kill()
+
+
+def test_restart_and_dead_kill_close_dead_process_pipes():
+    """ADVICE r10: a dead tunnel's stdin/stdout/stderr PIPE handles were
+    only closed on the failed-bind and still-running-kill branches — the
+    restart path (set_up finds the process dead) and the self-exited
+    kill path each leaked three fds per cycle on a long-polling runner."""
+    t = _tunnel(lambda p: SLEEP)
+    try:
+        assert t.set_up() is True
+        dead = t._proc
+        dead.kill()
+        dead.wait()
+        assert t.set_up() is True          # restart-on-death path
+        for f in (dead.stdin, dead.stdout, dead.stderr):
+            assert f.closed, "restart path leaked a pipe fd"
+    finally:
+        t.kill()
+
+    # kill() after self-exit: pipes must be closed in that branch too
+    t2 = _tunnel(lambda p: SLEEP)
+    assert t2.set_up() is True
+    dead2 = t2._proc
+    dead2.kill()
+    dead2.wait()
+    t2.kill()
+    assert t2._proc is None
+    for f in (dead2.stdin, dead2.stdout, dead2.stderr):
+        assert f.closed, "kill-after-self-exit path leaked a pipe fd"
+
+
+def test_stdin_payload_is_written_to_the_tunnel_process():
+    """The Dataproc runner feeds b'\\n\\n' (empty passphrase twice) to a
+    first-ever `gcloud compute ssh` so key generation can't block the
+    launch (reference mrjob/dataproc.py:1273-1279). The payload must
+    reach the child's stdin right after launch."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".txt") as out:
+        reader = [
+            sys.executable, "-c",
+            "import sys, time; open(%r, 'wb').write("
+            "sys.stdin.buffer.readline() + sys.stdin.buffer.readline()); "
+            "time.sleep(30)" % out.name,
+        ]
+        t = _tunnel(lambda p: reader, stdin_payload=b"\n\n",
+                    launch_wait_secs=0.3)
+        try:
+            assert t.set_up() is True
+        finally:
+            t.kill()
+        assert open(out.name, "rb").read() == b"\n\n"
