@@ -118,12 +118,45 @@ class PooledClusterSelfTerminated(Exception):
     """A pooled cluster died under our job (spot loss)."""
 
 
+def build_instance_group(
+    role: str,
+    instance_type: str,
+    num_instances: int,
+    bid_price=None,
+) -> dict:
+    """One InstanceGroup request entry (reference ``_build_instance_group``,
+    mrjob/emr.py:3333-3366): ON_DEMAND by default; a truthy ``bid_price``
+    flips the group to the SPOT market with ``BidPrice`` rendered as a
+    string (the API requires a string, reference mrjob/emr.py:3363)."""
+    if role not in ("MASTER", "CORE", "TASK"):
+        raise ValueError("bad instance role %r" % role)
+    if not instance_type or not num_instances:
+        raise ValueError("instance group needs a type and a count")
+    ig = {
+        "InstanceCount": num_instances,
+        "InstanceRole": role,
+        "InstanceType": instance_type,
+        "Market": "ON_DEMAND",
+        "Name": role.lower(),
+    }
+    if bid_price:
+        ig["Market"] = "SPOT"
+        ig["BidPrice"] = str(bid_price)
+    return ig
+
+
 def build_cluster_params(
     name: str,
     release_label: str = "emr-6.9.0",
     instance_type: str = "m5.xlarge",
     master_instance_type: Optional[str] = None,
     num_core_instances: int = 2,
+    master_instance_bid_price=None,
+    core_instance_bid_price=None,
+    task_instance_bid_price=None,
+    num_task_instances: int = 0,
+    task_instance_type: Optional[str] = None,
+    ebs_root_volume_gb: Optional[int] = None,
     ec2_key_pair: Optional[str] = None,
     applications: Optional[list] = None,
     bootstrap: Optional[list] = None,
@@ -161,6 +194,32 @@ def build_cluster_params(
             "InstanceFleets": [dict(f) for f in instance_fleets],
             "KeepJobFlowAliveWhenNoSteps": keep_alive,
         }
+    elif (master_instance_bid_price or core_instance_bid_price
+          or task_instance_bid_price or num_task_instances):
+        # RunJobFlow's third request shape: explicit instance groups —
+        # the only one that can place a spot bid per role or add a TASK
+        # group (the reference always requests this shape,
+        # mrjob/emr.py:1091-1109 _instance_groups)
+        groups = [
+            build_instance_group(
+                "MASTER", master_instance_type or instance_type, 1,
+                master_instance_bid_price,
+            ),
+        ]
+        if num_core_instances:
+            groups.append(build_instance_group(
+                "CORE", instance_type, num_core_instances,
+                core_instance_bid_price,
+            ))
+        if num_task_instances:
+            groups.append(build_instance_group(
+                "TASK", task_instance_type or instance_type,
+                num_task_instances, task_instance_bid_price,
+            ))
+        instances = {
+            "InstanceGroups": groups,
+            "KeepJobFlowAliveWhenNoSteps": keep_alive,
+        }
     else:
         instances = {
             "MasterInstanceType": master_instance_type or instance_type,
@@ -193,6 +252,10 @@ def build_cluster_params(
         params["ServiceRole"] = service_role
     if image_id:
         params["CustomAmiId"] = image_id
+    if ebs_root_volume_gb:
+        # boot-volume sizing rides the top-level request, not the
+        # instance groups (reference mrjob/emr.py:1195-1196)
+        params["EbsRootVolumeSize"] = int(ebs_root_volume_gb)
     if step_concurrency_level != 1:
         params["StepConcurrencyLevel"] = step_concurrency_level
     if keep_alive:
@@ -249,8 +312,32 @@ EC2_INSTANCE_SPECS = {
 }
 
 
+def ig_satisfies_bid_price(actual_ig: dict, requested_bid) -> bool:
+    """Does one actual instance group satisfy the requested market /
+    bid price? The reference's exact rule (``_ig_satisfies_bid_price``,
+    mrjob/pool.py:167-193): on-demand actuals satisfy every request; a
+    spot actual never satisfies an on-demand request (``requested_bid``
+    None); spot-vs-spot requires the actual bid ≥ the requested bid —
+    a lower-bid cluster is more likely to be yanked away mid-job."""
+    if actual_ig.get("Market", "ON_DEMAND") == "ON_DEMAND":
+        return True
+    if requested_bid is None:
+        return False  # spot instance, requested on-demand
+    actual_bid = actual_ig.get("BidPrice")
+    if actual_bid == str(requested_bid):
+        return True
+    try:
+        return float(actual_bid) >= float(requested_bid)
+    except (TypeError, ValueError):
+        return False  # non-float bid price
+
+
 def instances_satisfy(
     actual_groups: list, requested_type: str, requested_count: int,
+    *,
+    master_instance_bid_price=None,
+    core_instance_bid_price=None,
+    task_instance_bid_price=None,
 ) -> bool:
     """Do a cluster's actual instance groups satisfy a request for
     ``requested_count`` core instances of ``requested_type``? The
@@ -263,13 +350,33 @@ def instances_satisfy(
     * CPU is aggregate — total worker vCPUs ≥ requested count × the
       requested type's vCPUs (more smaller-counted bigger boxes are
       fine). For an unknown requested type, count exact-type instances
-      instead."""
+      instead.
+
+    Third axis, per role (``_igs_for_same_role_satisfy``,
+    mrjob/pool.py:147-164): the purchase MARKET — every actual group
+    must satisfy the matching role's requested bid price via
+    :func:`ig_satisfies_bid_price` (actual TASK groups fall back to the
+    core request's bid when no task bid was requested, the reference's
+    missing-role rule, mrjob/pool.py:131-135)."""
     workers = [
         g for g in actual_groups
         if g.get("InstanceGroupType") in ("CORE", "TASK")
     ]
     if not workers:
         return False
+
+    for g in actual_groups:
+        role = g.get("InstanceGroupType")
+        if role == "MASTER":
+            bid = master_instance_bid_price
+        elif role == "TASK":
+            bid = (task_instance_bid_price
+                   if task_instance_bid_price is not None
+                   else core_instance_bid_price)
+        else:
+            bid = core_instance_bid_price
+        if not ig_satisfies_bid_price(g, bid):
+            return False
 
     req_spec = EC2_INSTANCE_SPECS.get(requested_type)
     for g in workers:
@@ -409,6 +516,12 @@ class EMRJobRunner(StreamingStepRenderer):
         instance_type: str = "m5.xlarge",
         master_instance_type: Optional[str] = None,
         num_core_instances: int = 2,
+        master_instance_bid_price=None,
+        core_instance_bid_price=None,
+        task_instance_bid_price=None,
+        num_task_instances: int = 0,
+        task_instance_type: Optional[str] = None,
+        ebs_root_volume_gb: Optional[int] = None,
         instance_fleets: Optional[list] = None,
         ec2_key_pair: Optional[str] = None,
         iam_instance_profile: Optional[str] = None,
@@ -479,6 +592,15 @@ class EMRJobRunner(StreamingStepRenderer):
         self._instance_type = instance_type
         self._master_instance_type = master_instance_type or instance_type
         self._num_core_instances = num_core_instances
+        # spot bids ride the request like the reference's
+        # *_instance_bid_price opts (mrjob/emr.py:293-330; blank bids are
+        # dropped and the API wants strings, mrjob/emr.py:523-535)
+        self._master_instance_bid_price = master_instance_bid_price or None
+        self._core_instance_bid_price = core_instance_bid_price or None
+        self._task_instance_bid_price = task_instance_bid_price or None
+        self._num_task_instances = num_task_instances
+        self._task_instance_type = task_instance_type or instance_type
+        self._ebs_root_volume_gb = ebs_root_volume_gb
         self._instance_fleets = list(instance_fleets or [])
         self._ec2_key_pair = ec2_key_pair
         self._applications = list(applications or ["Hadoop"])
@@ -1061,7 +1183,11 @@ class EMRJobRunner(StreamingStepRenderer):
                     ClusterId=cluster["Id"]
                 ).get("InstanceGroups") or []
                 if not instances_satisfy(
-                    groups, self._instance_type, self._num_core_instances
+                    groups, self._instance_type, self._num_core_instances,
+                    master_instance_bid_price=(
+                        self._master_instance_bid_price),
+                    core_instance_bid_price=self._core_instance_bid_price,
+                    task_instance_bid_price=self._task_instance_bid_price,
                 ):
                     continue
                 capacity = sum(
@@ -1089,6 +1215,12 @@ class EMRJobRunner(StreamingStepRenderer):
             instance_type=self._instance_type,
             master_instance_type=self._master_instance_type,
             num_core_instances=self._num_core_instances,
+            master_instance_bid_price=self._master_instance_bid_price,
+            core_instance_bid_price=self._core_instance_bid_price,
+            task_instance_bid_price=self._task_instance_bid_price,
+            num_task_instances=self._num_task_instances,
+            task_instance_type=self._task_instance_type,
+            ebs_root_volume_gb=self._ebs_root_volume_gb,
             instance_fleets=self._instance_fleets or None,
             ec2_key_pair=self._ec2_key_pair,
             applications=self._applications,

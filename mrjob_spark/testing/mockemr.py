@@ -428,6 +428,8 @@ class MockEMRService:
                 "KeepJobFlowAliveWhenNoSteps", False
             ),
             "MasterPublicDnsName": master_dns,
+            **({"EbsRootVolumeSize": params["EbsRootVolumeSize"]}
+               if params.get("EbsRootVolumeSize") else {}),
             "_core_hosts": core_hosts,
             "_job_flow_role": params.get("JobFlowRole"),
             "_service_role": params.get("ServiceRole"),
