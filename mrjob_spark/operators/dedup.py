@@ -169,6 +169,187 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return base.select("doc_id", *_signature_cols(F.col("hs")))
 
 
+def _band_structs() -> list:
+    """The NUM_BANDS ``struct(band_idx, band_hash)`` expressions over the
+    m0..m63 signature columns — one md5 per band over its ROWS_PER_BAND
+    minhash values. Shared by :func:`minhash_lsh_pairs` and
+    :func:`minhash_band_rows` so the pair path and the band-index path
+    can never disagree on bucketing."""
+    return [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(NUM_BANDS)
+    ]
+
+
+def minhash_band_rows(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(doc_id, band_idx, band_hash)`` — the LSH band index rows, NUM_BANDS
+    per document. This is the unit the incremental near-dup ingest path
+    maintains as its corpus index: two documents are LSH candidates iff
+    they share a (band_idx, band_hash) key, so admission checks are key
+    lookups, never pair joins.
+
+    Computation takes ``minhash_lsh_pairs``'s signature route, for its
+    two measured reasons: ``parallelize_narrow_scan`` first (a single-file
+    corpus otherwise runs the whole shingle stage on ONE core — 11.2 s →
+    1.6 s at sf0.1), then explode + 64 map-side-combined min-aggregates
+    (whole-stage codegen) rather than the interpreted higher-order
+    ``array_min``/``transform`` lambdas (2.5× at sf0.1). The one shuffle
+    this costs carries ≤ one 64-column row per document per input
+    partition — partial aggregation collapses the shingle stream before
+    anything crosses the wire."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    d = parallelize_narrow_scan(df.select(id_col, text_col))
+    sh = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), SHINGLE_N)).alias("shingle"),
+    ).select("doc_id", hex_hash32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_61))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.explode(F.array(*_band_structs())).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def lsh_band_admission(
+    batch_docs: DataFrame,
+    history_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Admission verdicts for an arriving batch against a corpus LSH band
+    index (ST × L2 — the near-dup twin of
+    ``incremental_exact_dedup``): per batch document,
+
+    * ``dup_of_history`` — some band bucket already exists in
+      ``history_bands`` (the document is an LSH candidate against the
+      ingested corpus);
+    * ``dup_in_batch`` — no history hit, but an EARLIER batch document
+      (smaller ``doc_id``, the arrival-order stand-in) occupies one of its
+      buckets. First arrival wins, and a rejected arrival still occupies
+      its buckets for later docs — exactly how a streamed band-state dedup
+      behaves, which is what makes ordered micro-batch replay converge to
+      this batch form (tests/test_streaming.py proves the equivalence);
+    * ``new`` — admitted.
+
+    Scale shape (the st11 probe pattern, one level down at band
+    granularity): the corpus-sized history index is scanned ONCE and never
+    shuffled — it is probed with a broadcast LeftSemi of the batch's
+    band keys, and the matched keys (bounded by batch size × NUM_BANDS)
+    broadcast back onto the batch. The batch's own band rows hang off ONE
+    explicit repartition on the bucket key, so the distinct-keys probe,
+    the first-arrival aggregate, and the flag join all reuse a single
+    batch-sized exchange; the only other shuffle is the final per-doc
+    aggregate. An ingest micro-batch is small relative to the corpus by
+    definition — that asymmetry is the whole design."""
+    bands = minhash_band_rows(
+        batch_docs.select(id_col, text_col), id_col, text_col
+    )
+    return lsh_admission_from_bands(bands, history_bands)
+
+
+def lsh_admission_from_bands(
+    bands: DataFrame, history_bands: DataFrame
+) -> DataFrame:
+    """:func:`lsh_band_admission`'s verdict math over PRE-COMPUTED batch
+    band rows — the streaming ingest driver
+    (``streaming/ops.py:neardup_ingest_foreach_batch``) shingles each
+    micro-batch once and feeds the same band rows to admission AND the
+    index append through this entry point."""
+    bands = bands.repartition("band_idx", "band_hash")
+
+    # PERSISTED, deliberately: the first-arrival aggregate serves two
+    # consumers — the history probe's key set and the per-row flag join.
+    # Without the barrier, column pruning rewrites the probe branch's
+    # copy (drops min(doc_id), then prunes doc_id below the repartition),
+    # which defeats exchange reuse and silently forks a SECOND scan +
+    # shingle pass of the batch (measured: 3 parquet scans instead of 2).
+    # The footprint is bounded by the batch's distinct band keys — the
+    # exact relation we broadcast to the history probe anyway, so this
+    # caches nothing bigger than the driver already ships. (The no-cache
+    # rule in minhash_lsh_pairs is about CORPUS-sized state; this is the
+    # `cand`-style bounded-intermediate precedent.)
+    firsts = bands.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("first_id")
+    ).persist()
+    batch_keys = firsts.select("band_idx", "band_hash")
+    hist_hits = (
+        history_bands.select("band_idx", "band_hash")
+        .join(F.broadcast(batch_keys), ["band_idx", "band_hash"], "leftsemi")
+        .distinct()
+        .withColumn("hist_hit", F.lit(1))
+    )
+    return (
+        bands.join(firsts, ["band_idx", "band_hash"])
+        .join(F.broadcast(hist_hits), ["band_idx", "band_hash"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce("hist_hit", F.lit(0))).alias("hh"),
+            F.min("first_id").alias("min_first"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("hh") == 1, "dup_of_history")
+            .when(F.col("min_first") < F.col("doc_id"), "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+
+
+def sql_band_rows_cte(source: str = "documents") -> str:
+    """DuckDB CTE text computing ``bands(doc_id, band_idx, band_hash)``
+    over ``source`` — mirrors :func:`minhash_band_rows` exactly (same
+    shingles, same affine maps, same band md5s as
+    :func:`sql_minhash_lsh_pairs`'s fragments)."""
+    h32 = sql_hex_hash32("substr(t, i, %d)" % SHINGLE_N)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_61}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws('-', {cols}))"
+        " AS band_hash FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+    sh AS (
+        SELECT DISTINCT doc_id, {h32} AS h FROM (
+            SELECT doc_id, lower(text) AS t,
+                   unnest(generate_series(1, greatest(length(text) - {SHINGLE_N - 1}, 1))) AS i
+            FROM {source}
+        )
+    ), sig AS (
+        SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    ), bands AS (
+        {band_selects}
+    )"""
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -242,23 +423,8 @@ def minhash_lsh_pairs(
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(NUM_BANDS)
-    ]
     bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+        "doc_id", F.explode(F.array(*_band_structs())).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
     # Candidate pairs per LSH bucket WITHOUT a self-join: a band self-join

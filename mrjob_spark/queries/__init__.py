@@ -113,94 +113,14 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # NEW in round 10: maximal duplicated-substring dedup (Lee et al.
-    # 2022 shingle-anchor form) and IVFADC (IVF prune × PQ compression,
-    # the FAISS billion-scale composition, recall-floor audited)
-    "l2_substring_dedup",
-    "l2_substring_dedup_clean",
-    "l3_knn_ivf_pq",
-    "st6_transform_with_state",
-    # CHANGED in round 10 — re-verify under the new oracles/shared core:
-    # paragraph dedup + the CCNet capstone moved to the overflow-proof
-    # min(ROW(doc_id, para_idx)) struct oracle, BPE-encode's m-chain got
-    # the dry-round LEFT JOIN guard, and l5_lm_perplexity now rides the
-    # extracted _bigram_logp helper the capstone shares
-    "l2_paragraph_dedup",
-    "l10_ccnet_clean",
-    "l4_bpe_encode",
-    "l5_lm_perplexity",
-    # the 20 r6-greens cross the freshness horizon with CORRECTNESS_r09
-    # on disk (horizon 7): the full round-9 rotation queue rejoins the
-    # window, closing the full-registry refresh cycle — after this round
-    # no green predates r7
-    "l1_incremental_dedup",
-    "st11_incremental_ingest",
-    "a12_approx_percentiles",
-    "j5_range_join",
-    "l2_embedding_neardup",
-    "u1_union",
-    "f1_string_funcs",
-    "f2_math_funcs",
-    "f3_conditional",
-    "f4_datetime",
-    "f5_array_funcs",
-    "f6_json",
-    "f7_hash_funcs",
-    "mr_wordcount",
-    "mr_most_used_word",
-    "skew_salted_collect_set",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q18_large_volume_customer",
-    # 22 of the 50 r7-greens (the next-stalest cohort once r10 lands)
-    # fill the remaining slots — preferring the queries that ride code
-    # touched this round (the similarity/dedup/LLM families, the heavy
-    # runner paths); the 26 stable-path r7-greens (epoch-schedule and token-mask
-    # joined them when the st6 Spark-4 twin and the substring-clean
-    # query took their slots) sit in _ROTATION_QUEUE
-    # as the explicit ordered backlog that LEADS the round-11 window
-    "l2_span_dedup",
-    "l2_span_dedup_capped",
-    "l2_minhash_lsh_pairs",
-    "l2_embedding_neardup_tight",
-    "l1_dedup_clusters",
-    "l3_embedding_quantize",
-    "l3_knn_two_stage",
-    "l4_bigram_lm",
-    "l4_vocab_coverage",
-    "l5_repetition_filter",
-    "l8_global_shuffle",
-    "l8_pipeline_end_to_end",
-    "l8_sequence_packing_scalable",
-    "a8_o3_counters_sorted",
-    "mr_dataproc_topword",
-    "mr_emr_wordfreq",
-    "mr_hadoop_wordfreq",
-    "s13_bucketed_join",
-    "st10_stream_pipeline",
-    "x6_spark_step",
-    "x7_jar_step",
-    "sql3_portable_windows",
-]
-
-
-#: Queries that do NOT fit the current 50-entry driver window. Listing them
-#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
-#: a query may sit beyond the window ONLY if it was driver-green before or
-#: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). Round 10: the queue is now the
-#: STRUCTURAL overflow the registry size forces — 172 queries cycle
-#: through a 50-slot window against a 3-round staleness horizon, so
-#: registry − 3×window = 22 greens must sit out each round even before
-#: this round's 3 new + 4 changed-query slots displace more. The 26
-#: names below are the r7-greens that didn't fit (plus epoch-schedule,
-#: displaced by the st6 Spark-4 twin): stable-path queries untouched
-#: this round —
-#: q-series composites on join/agg shapes the in-window capstones also
-#: exercise, the a9 grouping family, io roundtrips, and single-operator
-#: relational rows. They LEAD the round-11 window.
-_ROTATION_QUEUE: list[str] = [
+    # NEW in round 11: MinHash-band near-dup admission ingest (st11's
+    # exact-hash admission composed with the LSH band machinery; the
+    # streamed form replays cross-micro-batch against a growing parquet
+    # band index in tests/test_streaming.py)
+    "st12_incremental_neardup",
+    # the full round-10 rotation queue — the 27 r7-greens, the stalest
+    # cohort on the board — rejoins the window next (VERDICT r10 task
+    # 3): after this round no green predates r8
     "l8_epoch_schedule",
     "l8_token_mask",
     "q4_order_priority",
@@ -228,6 +148,82 @@ _ROTATION_QUEUE: list[str] = [
     "o1_o2_partition_layout",
     "s10_partitioned_sink",
     "s6_hadoop_input_format",
+    # 22 of the 50 r8-greens (the next-stalest cohort once r11 lands)
+    # fill the remaining slots — preferring queries that ride code
+    # touched this round (the minhash/dedup family shares the
+    # _band_structs refactor and the new signature route's neighbors;
+    # the EMR control-plane rows ride the spot-bid request changes; the
+    # stale-basis §10 composites q11/q20/q21 get fresh in-run readings
+    # alongside their §21 basis refresh); the 28 stable-path r8-greens
+    # sit in _ROTATION_QUEUE as the explicit ordered backlog that LEADS
+    # the round-12 window
+    "l2_minhash_lsh_capped",
+    "l2_jaccard_pairs",
+    "l1_exact_dedup",
+    "l1_normalized_dedup",
+    "l2_semdedup_prune",
+    "l2_simhash",
+    "l2_embedding_neardup_planted",
+    "l3_knn_lsh",
+    "l4_bpe_train",
+    "mr_emr_reference_differential",
+    "x6_spark_script",
+    "x7_jar_step_emr",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_sessionization",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_join",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+]
+
+
+#: Queries that do NOT fit the current 50-entry driver window. Listing them
+#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
+#: a query may sit beyond the window ONLY if it was driver-green before or
+#: is queued here — so displacement is always a choice, never an accident
+#: (VERDICT r2 "what's wrong" #1). Round 11: the queue is the STRUCTURAL
+#: overflow the registry size forces — 175 queries cycle through a
+#: 50-slot window against a 3-round staleness horizon, so
+#: registry − 3×window = 25 greens must sit out each round (cap 29 with
+#: the +4 slack). The 28 names below are the r8-greens that didn't fit
+#: behind the returning 27 r7-greens: stable-path queries untouched this
+#: round — single-operator relational/window rows, the dataflow-runner
+#: micro family, io scans, and the l3/l4 rows whose heavier siblings are
+#: in-window. They LEAD the round-12 window.
+_ROTATION_QUEUE: list[str] = [
+    "q22_sales_opportunity",
+    "a3_count_per_group",
+    "a4_global_agg",
+    "a5_argmax_per_group",
+    "a6_distinct",
+    "a7_stats_per_group",
+    "a8_dataflow_counters",
+    "j2_broadcast_star",
+    "j6_asof_join",
+    "l3_kmeans_assign",
+    "l3_knn_bruteforce",
+    "l3_knn_bucketed",
+    "l4_token_stats",
+    "l8_dsir_select",
+    "mr_next_word_stats",
+    "mr_text_classifier",
+    "o3_dataflow_sorted_dates",
+    "o5_dataflow_head_per_group",
+    "p3_filter_predicate",
+    "p7_project_rename",
+    "s1_s2_gzip_text_scan",
+    "s4_s5_file_attribution",
+    "u2_except_all",
+    "w1_ranking_scalable",
+    "w4_range_frame_scalable",
+    "x1_dataflow_wordcount",
+    "x2_dataflow_most_used_word",
+    "x5_dataflow_pipe_grep",
 ]
 
 

@@ -525,3 +525,65 @@ def st11_incremental_ingest(spark, sf_dir):
             F.count(F.lit(1)).alias("n_arrivals"),
         )
     )
+
+
+def _st12_sql() -> str:
+    from mrjob_spark.operators.dedup import sql_band_rows_cte
+
+    return "WITH " + sql_band_rows_cte("documents") + """
+    , hist AS (
+        SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 10 <> 9
+    ), bb AS (
+        SELECT doc_id, band_idx, band_hash FROM bands WHERE doc_id % 10 = 9
+    ), firsts AS (
+        SELECT band_idx, band_hash, min(doc_id) AS first_id
+        FROM bb GROUP BY band_idx, band_hash
+    )
+    SELECT bb.doc_id,
+           CASE WHEN max(CASE WHEN h.band_hash IS NOT NULL THEN 1 ELSE 0 END) = 1
+                THEN 'dup_of_history'
+                WHEN min(f.first_id) < bb.doc_id THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM bb
+    LEFT JOIN hist h
+           ON h.band_idx = bb.band_idx AND h.band_hash = bb.band_hash
+    JOIN firsts f
+           ON f.band_idx = bb.band_idx AND f.band_hash = bb.band_hash
+    GROUP BY bb.doc_id
+    """
+
+
+@query("st12_incremental_neardup", sql=_st12_sql())
+def st12_incremental_neardup(spark, sf_dir):
+    """NEAR-dup admission ingest, deterministic batch twin of
+    ``streaming/ops.py:neardup_ingest_foreach_batch`` (VERDICT r10 task
+    4 — st11's exact-hash admission composed with dedup.py's MinHash
+    band machinery): the arriving batch (doc_id % 10 = 9) probes the
+    corpus LSH band index built from the already-ingested rest; any
+    shared (band_idx, band_hash) bucket rejects the arrival as
+    ``dup_of_history``, an earlier arrival in one of its buckets rejects
+    it as ``dup_in_batch`` (first-arrival-wins — a rejected arrival
+    still occupies its buckets, which is what makes ordered micro-batch
+    replay converge to this batch form; tests/test_streaming.py replays
+    it cross-micro-batch against a growing parquet band index), and the
+    rest admit as ``new``.
+
+    Scale shape (``operators/dedup.py:lsh_band_admission``): the
+    corpus-sized history index is scanned once and NEVER shuffled — it
+    is probed with a broadcast LeftSemi of the batch's band keys and the
+    matched keys broadcast back; the batch's own band rows hang off ONE
+    explicit repartition reused by the key-distinct, the first-arrival
+    aggregate, and the flag join, plus one batch-sized per-doc aggregate.
+    Ingest micro-batches are small relative to the corpus by definition —
+    the design leans entirely on that asymmetry."""
+    from mrjob_spark.operators.dedup import (
+        lsh_band_admission,
+        minhash_band_rows,
+    )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    history = minhash_band_rows(
+        docs.where(F.col("doc_id") % 10 != 9), "doc_id", "text"
+    ).select("band_idx", "band_hash")
+    return lsh_band_admission(docs.where(F.col("doc_id") % 10 == 9), history)

@@ -244,6 +244,69 @@ def incremental_ingest_dedup(
     )
 
 
+def neardup_ingest_foreach_batch(
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` body for LSH NEAR-dup admission ingest (ST × L2)
+    — the band-index composition of st11's exact-hash admission: each
+    micro-batch's documents are admitted against the corpus band index
+    with ``operators/dedup.py:lsh_band_admission`` (any shared band
+    bucket → reject), verdicts land in ``out_dir``, and ALL of the
+    batch's band rows — rejected arrivals included, since a seen
+    near-dup family still occupies its buckets — are appended to the
+    index so later micro-batches observe them.
+
+    Why the index is a parquet table and not the state store: at corpus
+    scale the band index IS corpus-sized (NUM_BANDS rows per ingested
+    document) — a state store holding it would replicate the corpus into
+    executor state; a storage-backed table keeps micro-batch cost at
+    one corpus-index SCAN (never a shuffle — lsh_band_admission probes
+    it with a broadcast semi join) plus a batch-sized append. Replayed
+    batches (failure recovery) re-append their bands, which is harmless
+    by construction: admission reads the index as a SET, so duplicate
+    band rows cannot change any verdict, and the verdict sink
+    partition-overwrites by batch_id (idempotent, streaming/io.py).
+
+    Returns the callback for ``writeStream.foreachBatch``; the batch's
+    band rows are computed once and persisted across their two consumers
+    (admission + index append), then released.
+    """
+    from mrjob_spark.operators.dedup import minhash_band_rows
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = minhash_band_rows(
+            batch_df.select(id_col, text_col), id_col, text_col
+        ).persist()
+        try:
+            try:
+                hist = spark.read.parquet(index_dir).select(
+                    "band_idx", "band_hash"
+                )
+            except Exception:  # first batch: no index yet
+                hist = spark.createDataFrame(
+                    [], "band_idx int, band_hash string"
+                )
+            from mrjob_spark.operators.dedup import (
+                lsh_admission_from_bands,
+            )
+
+            verdicts = lsh_admission_from_bands(bands, hist)
+            (
+                verdicts.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            bands.write.mode("append").parquet(index_dir)
+        finally:
+            bands.unpersist()
+
+    return write_batch
+
+
 def stream_static_enrich(
     stream_df: DataFrame,
     dim_df: DataFrame,

@@ -780,3 +780,26 @@ def test_substring_dedup_clean_single_scan_no_window(spark):
     assert "ReusedExchange" in final
     assert final.count("documents.parquet") == 1
     assert "Window" not in final
+
+
+def test_neardup_admission_history_never_shuffles(spark):
+    # st12 (ST x L2): the corpus-sized history band index must be probed
+    # by a broadcast LeftSemi of the batch's keys — never shuffled, never
+    # sort-merge joined — and the batch's first-arrival aggregate is the
+    # shared cache barrier feeding BOTH its consumers (flag join + probe
+    # keys). If column pruning ever forks that branch again, the second
+    # InMemoryTableScan disappears and a third scan+shingle pass of the
+    # batch silently returns (the bug this pin was written against).
+    df = REGISTRY["st12_incremental_neardup"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi, BuildRight" in plan
+    # history scanned exactly once (its filter is the NOT-batch predicate)
+    hist_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "NOT ((doc_id" in ln
+    ]
+    assert len(hist_scans) == 1
+    assert plan.count("InMemoryTableScan") == 2
+    assert "Window" not in plan

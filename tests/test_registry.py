@@ -73,8 +73,9 @@ def test_rotation_queue_is_not_a_dumping_ground():
     # with zero new work; new/changed queries displace a few more. Cap =
     # that floor + 4 slack, recomputed from the live registry so adding
     # queries legitimately grows the allowance while still bounding how
-    # much displacement a round can silently absorb (round 10: 172
-    # queries → floor 22, cap 26; the cap was 10 → 21 → this).
+    # much displacement a round can silently absorb (round 11: 175
+    # queries → floor 25, cap 29, queue holds 28; the cap was
+    # 10 → 21 → this formula).
     structural = max(0, len(q.REGISTRY) - 3 * WINDOW)
     assert len(q._ROTATION_QUEUE) <= structural + 4
     in_window = [n for n in q._ROTATION_QUEUE if n in names[:WINDOW]]

@@ -805,6 +805,137 @@ def test_incremental_ingest_dedup_across_microbatches(spark, tmp_path):
     assert got == {2, 4}
 
 
+def test_lsh_band_admission_verdict_classes(spark):
+    """Synthetic coverage of all three verdicts: a batch near-copy of a
+    history doc (dup_of_history), two near-identical batch docs
+    (earlier wins, later is dup_in_batch), and a unique doc (new)."""
+    from mrjob_spark.operators.dedup import (
+        lsh_band_admission,
+        minhash_band_rows,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight ") * 4
+    other = ("completely different content about spark adaptive query "
+             "execution and shuffle partition coalescing at scale ") * 4
+    unique = ("zebras graze quietly beside the winding river under "
+              "a violet sky while cranes wheel overhead slowly ") * 4
+    hist_docs = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base + "almost identical tail."),   # near-copy of history
+            (2, other),                              # first of a batch pair
+            (3, other + "tiny suffix change here."),  # near-copy of doc 2
+            (4, unique),                              # genuinely new
+        ],
+        "doc_id long, text string",
+    )
+    hist = minhash_band_rows(hist_docs, "doc_id", "text").select(
+        "band_idx", "band_hash"
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in lsh_band_admission(batch, hist).collect()
+    }
+    assert got == {
+        1: "dup_of_history",
+        2: "new",
+        3: "dup_in_batch",
+        4: "new",
+    }
+
+
+def test_neardup_ingest_across_microbatches_converges_to_batch_twin(
+        spark, tmp_path):
+    """The REAL streamed form of st12: three doc_id-ordered micro-batches
+    through readStream → foreachBatch(neardup_ingest_foreach_batch) with
+    the band index growing as a parquet table. The streamed ADMITTED set
+    must equal the one-shot batch twin's (labels may differ: a cross-
+    micro-batch near-dup reads dup_of_history in the stream — the earlier
+    arrival's bands are already in the index — where the one-shot twin
+    says dup_in_batch; rejection itself is order-invariant)."""
+    import os
+    import time
+
+    from mrjob_spark.operators.dedup import (
+        lsh_band_admission,
+        minhash_band_rows,
+    )
+    from mrjob_spark.streaming.io import read_stream_parquet
+    from mrjob_spark.streaming.ops import neardup_ingest_foreach_batch
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    history_docs = docs.where("doc_id % 10 != 9")
+    arrivals = docs.where("doc_id % 10 = 9").orderBy("doc_id").collect()
+    assert len(arrivals) >= 9
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    third = len(arrivals) // 3
+    chunks = [arrivals[:third], arrivals[third:2 * third],
+              arrivals[2 * third:]]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        # plain single FILES (not spark's part-file dirs): the file
+        # source lists them directly, and mtimes pinned ascending make
+        # micro-batch order == doc_id order (the source orders by
+        # modification time)
+        path = os.path.join(src, f"chunk{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in chunk],
+                                   type=pa.int64()),
+                "text": [r["text"] for r in chunk],
+            }),
+            path,
+        )
+        os.utime(path, (now + i, now + i))
+
+    index_dir = str(tmp_path / "band_index")
+    out_dir = str(tmp_path / "verdicts")
+    # seed the index with the ingested corpus's bands (st12's history)
+    minhash_band_rows(history_docs, "doc_id", "text").write.parquet(
+        index_dir)
+
+    sdf = read_stream_parquet(
+        spark, src, schema="doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            neardup_ingest_foreach_batch(index_dir, out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 3
+    streamed_admitted = {
+        r["doc_id"] for r in streamed.where("verdict = 'new'").collect()
+    }
+    twin = lsh_band_admission(
+        docs.where("doc_id % 10 = 9"),
+        minhash_band_rows(history_docs, "doc_id", "text").select(
+            "band_idx", "band_hash"),
+    )
+    twin_admitted = {
+        r["doc_id"] for r in twin.where("verdict = 'new'").collect()
+    }
+    assert streamed_admitted == twin_admitted
+    # every arrival got exactly one verdict
+    assert streamed.count() == len(arrivals)
+
+
 def test_tws_query_survives_a_bare_driver_session(tmp_path):
     """The correctness driver builds its OWN SparkSession (no
     session.get_spark, no PYTHONPATH hook, workers never run

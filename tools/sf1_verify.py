@@ -311,6 +311,16 @@ REPRESENTATIVE_T10 = [
     "st6_transform_with_state",
 ]
 
+#: round-11 eleventh tier (--tier 11): the round-11 addition. At sf1 the
+#: arriving batch is 5k docs against a 45k-doc history band index — the
+#: broadcast-probe asymmetry and the persisted first-arrival barrier get
+#: exercised at 1000× the driver SF (verdicts: 4,856 dup_of_history /
+#: 144 new; the fixture's dup families always include a history member,
+#: so dup_in_batch is covered by the synthetic unit test instead).
+REPRESENTATIVE_T11 = [
+    "st12_incremental_neardup",
+]
+
 
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
@@ -408,7 +418,8 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument(
         "--tier", default="1",
-        choices=("1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "all"),
+        choices=("1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11",
+                 "all"),
     )
     args = ap.parse_args()
 
@@ -423,10 +434,11 @@ def main() -> int:
         "8": REPRESENTATIVE_T8,
         "9": REPRESENTATIVE_T9,
         "10": REPRESENTATIVE_T10,
+        "11": REPRESENTATIVE_T11,
         "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3
         + REPRESENTATIVE_T4 + REPRESENTATIVE_T5 + REPRESENTATIVE_T6
         + REPRESENTATIVE_T7 + REPRESENTATIVE_T8 + REPRESENTATIVE_T9
-        + REPRESENTATIVE_T10,
+        + REPRESENTATIVE_T10 + REPRESENTATIVE_T11,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
