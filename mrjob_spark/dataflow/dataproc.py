@@ -193,6 +193,7 @@ class DataprocJobRunner(StreamingStepRenderer):
         python_bin: Optional[list] = None,
         bootstrap_sys_path: bool = True,
         cloud_api_backoff: Optional[float] = None,
+        cloud_part_size_mb: Optional[float] = 100.0,
         **_ignored,
     ):
         if not (cluster_client and job_client and storage_client):
@@ -223,6 +224,7 @@ class DataprocJobRunner(StreamingStepRenderer):
         self._instance_type = instance_type
         self._num_core_instances = num_core_instances
         self._max_mins_idle = max_mins_idle
+        self._cloud_part_size_mb = cloud_part_size_mb
         self.check_cluster_every = check_cluster_every
         self._leave_cluster_running = leave_cluster_running
         self._libjars = list(libjars or [])
@@ -328,10 +330,19 @@ class DataprocJobRunner(StreamingStepRenderer):
         uri = self._files_uri + name
         bucket, key = _parse_gs_uri(uri)
         self._storage.upload_file(
-            Filename=local_path, Bucket=bucket, Key=key
+            Filename=local_path, Bucket=bucket, Key=key,
+            Config=self._upload_part_size(),
         )
         self._uploaded_uris[local_path] = uri
         return uri
+
+    def _upload_part_size(self) -> Optional[int]:
+        """Multipart part size in bytes from ``cloud_part_size_mb`` —
+        the reference sizes its GCS filesystem uploads with the same
+        option (mrjob/dataproc.py:418, mrjob/runner.py:1263-1267)."""
+        if self._cloud_part_size_mb:
+            return int(self._cloud_part_size_mb * 1024 * 1024)
+        return None
 
     def _prepare_uploads(self) -> tuple:
         import pyspark.cloudpickle as cloudpickle

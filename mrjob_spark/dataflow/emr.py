@@ -554,6 +554,7 @@ class EMRJobRunner(StreamingStepRenderer):
         ssh_tunnel: bool = False,
         ssh_tunnel_is_open: bool = False,
         cloud_api_backoff: Optional[float] = None,
+        cloud_part_size_mb: Optional[float] = 100.0,
         **_ignored,
     ):
         from mrjob_spark.dataflow.cloudretry import wrap_cloud_client
@@ -566,6 +567,7 @@ class EMRJobRunner(StreamingStepRenderer):
         # mrjob/aws.py:258); injected mocks get wrapped the same way so
         # tests exercise the loop
         self._cloud_api_backoff = cloud_api_backoff
+        self._cloud_part_size_mb = cloud_part_size_mb
         self._emr_client = emr_client and wrap_cloud_client(
             emr_client, backoff=cloud_api_backoff
         )
@@ -965,10 +967,32 @@ class EMRJobRunner(StreamingStepRenderer):
         except Exception:
             s3.create_bucket(Bucket=bucket)
 
+    def _upload_part_size(self) -> Optional[int]:
+        """Multipart-upload part size in bytes, from ``cloud_part_size_mb``
+        (reference ``MRJobRunner._upload_part_size``,
+        mrjob/runner.py:1263-1267; default 100 MB, mrjob/cloud.py:46).
+        None disables multipart entirely."""
+        if self._cloud_part_size_mb:
+            return int(self._cloud_part_size_mb * 1024 * 1024)
+        return None
+
     def _s3_put_file(self, local_path: str, uri: str) -> None:
         bucket, key = _parse_s3_uri(uri)
+        # chunk size AND threshold ride the part size, with a huge
+        # sentinel when multipart is disabled — the reference's exact
+        # transfer config (mrjob/fs/s3.py:204-217)
+        part_size = self._upload_part_size() or 2 ** 256
+        try:
+            from boto3.s3.transfer import TransferConfig
+
+            config = TransferConfig(
+                multipart_chunksize=part_size,
+                multipart_threshold=part_size,
+            )
+        except ImportError:  # mock-only environments without boto3
+            config = None
         self.make_s3_client().upload_file(
-            Filename=local_path, Bucket=bucket, Key=key
+            Filename=local_path, Bucket=bucket, Key=key, Config=config
         )
 
     def _s3_read(self, uri: str) -> bytes:

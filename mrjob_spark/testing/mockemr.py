@@ -89,6 +89,8 @@ class MockS3Client:
         #: Tests shrink this to force multi-page listings so any
         #: consumer that forgets to paginate loses keys loudly.
         self.page_size = 1000
+        #: (Bucket, Key) -> the transfer Config passed to upload_file
+        self.upload_configs: dict = {}
         os.makedirs(root, exist_ok=True)
 
     def _path(self, bucket: str, key: str = "") -> str:
@@ -111,7 +113,12 @@ class MockS3Client:
             fh.write(data)
         return {}
 
-    def upload_file(self, Filename: str, Bucket: str, Key: str, **_):
+    def upload_file(self, Filename: str, Bucket: str, Key: str,
+                    Config=None, **_):
+        # the transfer Config (multipart part size) is recorded so tests
+        # can assert cloud_part_size_mb reaches the upload call the way
+        # the reference's TransferConfig does (mrjob/fs/s3.py:204-217)
+        self.upload_configs[(Bucket, Key)] = Config
         path = self._path(Bucket, Key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         shutil.copyfile(Filename, path)
