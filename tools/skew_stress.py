@@ -291,6 +291,84 @@ def main() -> int:
     }
     print(f"[skew] skewed SMJ: AQE-off {t_off}s AQE-on {t_on}s", file=sys.stderr)
 
+    # -- 5. near-dup admission under a hot band bucket (round 11) -----------
+    # One giant duplicate family puts hot_frac of the batch into the SAME
+    # 16 band buckets — the regime where any pair-generating design does
+    # hot_docs² work. lsh_band_admission's per-bucket work is a partial
+    # min-aggregate (a counter cell per partition), so the hot run must
+    # cost ~the uniform run, and the verdicts are checked analytically:
+    # the family's smallest doc_id admits, every later member is
+    # dup_in_batch, every unique doc is new, nothing is dup_of_history
+    # (history is built on a disjoint token universe).
+    from mrjob_spark.operators.dedup import (
+        lsh_band_admission,
+        minhash_band_rows,
+    )
+
+    n_docs = max(args.rows // 400, 1000)
+    hot_docs = int(n_docs * args.hot_frac)
+    hot_text = " ".join("famtok%d" % i for i in range(24))
+
+    def _docs(tag, lo, hi, hot_upto=None):
+        # tokens are md5 slices, NOT id-suffixed literals: shingles are
+        # CHARACTER 8-grams, so "b0_1001 b1_1001 …" vs "…1002…" share
+        # most of their shingle sets and band-collide — hashed tokens
+        # make distinct docs genuinely dissimilar
+        d = spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.substring(
+                    F.md5(F.concat(F.lit("%s%d_" % (tag, i)),
+                                   F.col("id").cast("string"))),
+                    1, 10,
+                )
+                for i in range(24)
+            ]).alias("text"),
+        )
+        if hot_upto is not None:
+            d = d.select(
+                "doc_id",
+                F.when(F.col("doc_id") < hot_upto, F.lit(hot_text))
+                .otherwise(F.col("text")).alias("text"),
+            )
+        return d
+
+    _docs("b", 0, n_docs, hot_upto=hot_docs).write.mode("overwrite").parquet(
+        "/tmp/skew_neardup_batch.parquet")
+    _docs("u", 0, n_docs).write.mode("overwrite").parquet(
+        "/tmp/skew_neardup_uniform.parquet")
+    minhash_band_rows(
+        _docs("h", n_docs, n_docs + n_docs // 4), "doc_id", "text"
+    ).select("band_idx", "band_hash").write.mode("overwrite").parquet(
+        "/tmp/skew_neardup_hist.parquet")
+
+    hist = spark.read.parquet("/tmp/skew_neardup_hist.parquet")
+    hot_batch = spark.read.parquet("/tmp/skew_neardup_batch.parquet")
+    uni_batch = spark.read.parquet("/tmp/skew_neardup_uniform.parquet")
+    t_hot = _noop(lsh_band_admission(hot_batch, hist))
+    t_uniform = _noop(lsh_band_admission(uni_batch, hist))
+    verdicts = lsh_band_admission(hot_batch, hist)
+    vchk = (
+        F.when(F.col("verdict") == "new", 1)
+        .when(F.col("verdict") == "dup_in_batch", 2)
+        .otherwise(1000)
+        .cast("decimal(38,0)")
+        * F.crc32(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+    )
+    expect = hot_batch.select(
+        "doc_id",
+        F.when((F.col("doc_id") > 0) & (F.col("doc_id") < hot_docs),
+               F.lit("dup_in_batch")).otherwise(F.lit("new"))
+        .alias("verdict"),
+    )
+    adm_ok = _checksum(verdicts, vchk) == _checksum(expect, vchk)
+    results["neardup_admission_hot_bucket"] = {
+        "hot_sec": t_hot, "uniform_sec": t_uniform,
+        "values_match_analytic": adm_ok,
+    }
+    print(f"[skew] neardup admission: hot-bucket {t_hot}s uniform"
+          f" {t_uniform}s analytic={adm_ok}", file=sys.stderr)
+
     line = json.dumps({"rows": args.rows, "hot_frac": args.hot_frac, **results})
     print(line)
     if args.out:
