@@ -407,6 +407,50 @@ def instances_satisfy(
     return actual_cpu >= requested_cpu
 
 
+def _fleet_spec_bid_satisfies(actual_spec: dict, req_spec: dict) -> bool:
+    """Per-instance-type spot-bid rules for fleet pooling (the intended
+    semantics of the reference's ``_fleet_spec_satsifies``,
+    mrjob/pool.py:361-416): an actual spec bidding ≥100% of on-demand
+    satisfies anything; otherwise a requested absolute ``BidPrice``
+    needs an actual bid ≥ it, and a requested
+    ``BidPriceAsPercentageOfOnDemandPrice`` needs an actual percentage
+    ≥ it. (The reference's relative-percentage branch is dead code — a
+    ``req_spec``-vs-``req_bid_percent`` typo at mrjob/pool.py:401 makes
+    it unreachable; this implements what the surrounding code and log
+    messages clearly intend.)"""
+    if actual_spec.get("BidPriceAsPercentageOfOnDemandPrice", 100) >= 100:
+        return True  # bidding the on-demand price: as safe as it gets
+    req_bid = req_spec.get("BidPrice")
+    if req_bid is not None:
+        try:
+            if not float(actual_spec.get("BidPrice")) >= float(req_bid):
+                return False  # bid price too low
+        except (TypeError, ValueError):
+            return False  # no/non-numeric actual bid price
+    req_pct = req_spec.get("BidPriceAsPercentageOfOnDemandPrice")
+    if req_pct:
+        actual_pct = actual_spec.get("BidPriceAsPercentageOfOnDemandPrice")
+        if actual_pct is None or req_pct > actual_pct:
+            return False  # bid %-of-on-demand too low
+    return True
+
+
+def _fleet_timeout_action(fleet: dict):
+    return (
+        fleet.get("LaunchSpecifications", {})
+        .get("SpotSpecification", {})
+        .get("TimeoutAction")
+    )
+
+
+def _fleet_timeout_duration(fleet: dict) -> float:
+    return (
+        fleet.get("LaunchSpecifications", {})
+        .get("SpotSpecification", {})
+        .get("TimeoutDurationMinutes", 0.0)
+    )
+
+
 def instance_fleets_satisfy(actual_fleets: list,
                             req_fleets: list) -> bool:
     """Fleet-request vs fleet-cluster pooling satisfaction — the
@@ -414,10 +458,17 @@ def instance_fleets_satisfy(actual_fleets: list,
 
     * the actual fleet may only run instance types the request lists,
       and each shared type must carry the SAME ``WeightedCapacity``
-      (capacity arithmetic is meaningless across different weights);
+      (capacity arithmetic is meaningless across different weights)
+      and a spot bid at least as safe as requested
+      (:func:`_fleet_spec_bid_satisfies`);
     * provisioned capacity must cover the targets — surplus on-demand
       units may stand in for missing spot units (the converse never
       holds: spot can't satisfy an on-demand target);
+    * a fleet whose spot timeout action is TERMINATE_CLUSTER satisfies
+      only a request that asked for exactly that, with an actual
+      timeout duration ≥ the requested one (a cluster that may kill
+      itself sooner than the job expects is no pool candidate,
+      mrjob/pool.py:332-342);
     * roles the cluster has but the request omits are held to a relaxed
       twin of the request: CORE inherits a MASTER-only request, TASK
       inherits CORE with zero capacity targets (tasks must still be
@@ -461,6 +512,8 @@ def instance_fleets_satisfy(actual_fleets: list,
             if spec.get("WeightedCapacity", 1) != \
                     req_specs[itype].get("WeightedCapacity", 1):
                 return False
+            if not _fleet_spec_bid_satisfies(spec, req_specs[itype]):
+                return False
         on_demand = actual.get("ProvisionedOnDemandCapacity", 0)
         spot = actual.get("ProvisionedSpotCapacity", 0)
         want_od = req.get("TargetOnDemandCapacity", 0) or 0
@@ -469,6 +522,11 @@ def instance_fleets_satisfy(actual_fleets: list,
             return False
         if want_spot > spot + (on_demand - want_od):
             return False
+        if _fleet_timeout_action(actual) == "TERMINATE_CLUSTER":
+            if _fleet_timeout_action(req) != "TERMINATE_CLUSTER":
+                return False  # self-terminating fleet not requested
+            if _fleet_timeout_duration(actual) < _fleet_timeout_duration(req):
+                return False  # may self-terminate prematurely
     return True
 
 

@@ -951,6 +951,73 @@ def test_fleet_satisfaction_rules():
     assert instance_fleets_satisfy(with_task, req)
 
 
+def test_fleet_spec_bid_and_timeout_rules():
+    """Round-11 fleet market rules (reference mrjob/pool.py:332-416):
+    per-type spot-bid safety and the TERMINATE_CLUSTER timeout guard."""
+    from mrjob_spark.dataflow.emr import (
+        _fleet_spec_bid_satisfies,
+        instance_fleets_satisfy,
+    )
+
+    # spec-level rules
+    od_max = {"InstanceType": "m5.xlarge"}  # no pct → treated as 100%
+    assert _fleet_spec_bid_satisfies(od_max, {"BidPrice": "9.99"})
+    low = {"InstanceType": "m5.xlarge",
+           "BidPriceAsPercentageOfOnDemandPrice": 40, "BidPrice": "0.20"}
+    assert _fleet_spec_bid_satisfies(low, {"BidPrice": "0.20"})
+    assert _fleet_spec_bid_satisfies(low, {"BidPrice": "0.10"})
+    assert not _fleet_spec_bid_satisfies(low, {"BidPrice": "0.50"})
+    assert not _fleet_spec_bid_satisfies(
+        {"BidPriceAsPercentageOfOnDemandPrice": 40},  # no absolute bid
+        {"BidPrice": "0.10"})
+    assert _fleet_spec_bid_satisfies(
+        low, {"BidPriceAsPercentageOfOnDemandPrice": 30})
+    assert not _fleet_spec_bid_satisfies(
+        low, {"BidPriceAsPercentageOfOnDemandPrice": 60})
+
+    # fleet-level: an actual spec bidding under the request rejects pool
+    base_master = {
+        "InstanceFleetType": "MASTER",
+        "InstanceTypeSpecifications": [
+            {"InstanceType": "m5.xlarge", "WeightedCapacity": 1}],
+        "ProvisionedOnDemandCapacity": 1,
+    }
+    core_low_bid = {
+        "InstanceFleetType": "CORE",
+        "InstanceTypeSpecifications": [
+            {"InstanceType": "m5.2xlarge", "WeightedCapacity": 2,
+             "BidPriceAsPercentageOfOnDemandPrice": 50,
+             "BidPrice": "0.10"}],
+        "ProvisionedOnDemandCapacity": 0,
+        "ProvisionedSpotCapacity": 4,
+    }
+    req = [
+        dict(_MASTER_FLEET),
+        dict(_CORE_FLEET, TargetOnDemandCapacity=0, TargetSpotCapacity=4,
+             InstanceTypeConfigs=[
+                 {"InstanceType": "m5.2xlarge", "WeightedCapacity": 2,
+                  "BidPrice": "0.40"}]),
+    ]
+    assert not instance_fleets_satisfy([base_master, core_low_bid], req)
+    core_ok_bid = dict(core_low_bid, InstanceTypeSpecifications=[
+        {"InstanceType": "m5.2xlarge", "WeightedCapacity": 2,
+         "BidPriceAsPercentageOfOnDemandPrice": 50, "BidPrice": "0.40"}])
+    assert instance_fleets_satisfy([base_master, core_ok_bid], req)
+
+    # TERMINATE_CLUSTER timeout action: only satisfies a request that
+    # asked for exactly that, with duration >= requested
+    term = {"LaunchSpecifications": {"SpotSpecification": {
+        "TimeoutAction": "TERMINATE_CLUSTER", "TimeoutDurationMinutes": 30}}}
+    core_term = dict(core_ok_bid, **term)
+    assert not instance_fleets_satisfy([base_master, core_term], req)
+    req_term = [req[0], dict(req[1], **term)]
+    assert instance_fleets_satisfy([base_master, core_term], req_term)
+    req_longer = [req[0], dict(req[1], LaunchSpecifications={
+        "SpotSpecification": {"TimeoutAction": "TERMINATE_CLUSTER",
+                              "TimeoutDurationMinutes": 60}})]
+    assert not instance_fleets_satisfy([base_master, core_term], req_longer)
+
+
 # ---------------------------------------------------------------------------
 # the REFERENCE's own EMR runner against the same executing mock service
 # ---------------------------------------------------------------------------
