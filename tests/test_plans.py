@@ -803,3 +803,28 @@ def test_neardup_admission_history_never_shuffles(spark):
     assert len(hist_scans) == 1
     assert plan.count("InMemoryTableScan") == 2
     assert "Window" not in plan
+
+
+def test_registry_wide_no_unlabeled_cartesian_no_rowwise_python(spark):
+    # The two unconditional scale-killers, enforced across EVERY
+    # registered query in one sweep (round 11): a CartesianProduct is
+    # legal only under a baseline_of label (the honest quadratic kept
+    # for oracle parity), and a row-at-a-time Python UDF
+    # (BatchEvalPython) is never legal — the Python surface must ride
+    # Arrow (mapInPandas/applyInPandas/pandas_udf) or stay JVM-side.
+    # BroadcastNestedLoopJoin is deliberately NOT flagged: every
+    # instance in the registry broadcasts a bounded side (1-row corpus
+    # stats, a k-row query set, a centroid table), which is linear in
+    # the big side at any scale.
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan and not spec.baseline_of:
+            bad.append("unlabeled CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("row-wise Python UDF (BatchEvalPython)")
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
