@@ -331,7 +331,7 @@ class DataprocJobRunner(StreamingStepRenderer):
         bucket, key = _parse_gs_uri(uri)
         self._storage.upload_file(
             Filename=local_path, Bucket=bucket, Key=key,
-            Config=self._upload_part_size(),
+            Config=self._transfer_config(),
         )
         self._uploaded_uris[local_path] = uri
         return uri
@@ -343,6 +343,22 @@ class DataprocJobRunner(StreamingStepRenderer):
         if self._cloud_part_size_mb:
             return int(self._cloud_part_size_mb * 1024 * 1024)
         return None
+
+    def _transfer_config(self):
+        """Same chunk-size/threshold TransferConfig the EMR twin builds
+        (emr.py:_s3_put_file), huge-sentinel disable path included — a
+        boto3-compatible storage client requires a TransferConfig object
+        for ``Config=``, not a raw int (ADVICE r11)."""
+        part_size = self._upload_part_size() or 2 ** 256
+        try:
+            from boto3.s3.transfer import TransferConfig
+
+            return TransferConfig(
+                multipart_chunksize=part_size,
+                multipart_threshold=part_size,
+            )
+        except ImportError:  # mock-only environments without boto3
+            return None
 
     def _prepare_uploads(self) -> tuple:
         import pyspark.cloudpickle as cloudpickle

