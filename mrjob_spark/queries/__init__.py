@@ -113,89 +113,14 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # NEW in round 11: MinHash-band near-dup admission ingest (st11's
-    # exact-hash admission composed with the LSH band machinery; the
-    # streamed form replays cross-micro-batch against a growing parquet
-    # band index in tests/test_streaming.py)
-    "st12_incremental_neardup",
-    # the full round-10 rotation queue — the 27 r7-greens, the stalest
-    # cohort on the board — rejoins the window next (VERDICT r10 task
-    # 3): after this round no green predates r8
-    "l8_epoch_schedule",
-    "l8_token_mask",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "a9_rollup",
-    "a9_cube",
-    "a9_grouping_sets",
-    "s7_json_roundtrip",
-    "s7_orc_roundtrip",
-    "s7_parquet_scan_pushdown",
-    "s9_compressed_sink",
-    "o4_global_sort_limit",
-    "o6_topk_per_group",
-    "o7_deterministic_sample",
-    "a11_exact_percentiles",
-    "a1_pricing_summary",
-    "j1_join_agg",
-    "x1_udtf_tokenize",
-    "x2_udaf_quantiles",
-    "o1_o2_partition_layout",
-    "s10_partitioned_sink",
-    "s6_hadoop_input_format",
-    # 22 of the 50 r8-greens (the next-stalest cohort once r11 lands)
-    # fill the remaining slots — preferring queries that ride code
-    # touched this round (the minhash/dedup family shares the
-    # _band_structs refactor and the new signature route's neighbors;
-    # the EMR control-plane rows ride the spot-bid request changes; the
-    # stale-basis §10 composites q11/q20/q21 get fresh in-run readings
-    # alongside their §21 basis refresh); the 28 stable-path r8-greens
-    # sit in _ROTATION_QUEUE as the explicit ordered backlog that LEADS
-    # the round-12 window
-    "l2_minhash_lsh_capped",
-    "l2_jaccard_pairs",
-    "l1_exact_dedup",
-    "l1_normalized_dedup",
-    "l2_semdedup_prune",
-    "l2_simhash",
-    "l2_embedding_neardup_planted",
-    "l3_knn_lsh",
-    "l4_bpe_train",
-    "mr_emr_reference_differential",
-    "x6_spark_script",
-    "x7_jar_step_emr",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_sessionization",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_join",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-]
-
-
-#: Queries that do NOT fit the current 50-entry driver window. Listing them
-#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
-#: a query may sit beyond the window ONLY if it was driver-green before or
-#: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). Round 11: the queue is the STRUCTURAL
-#: overflow the registry size forces — 175 queries cycle through a
-#: 50-slot window against a 3-round staleness horizon, so
-#: registry − 3×window = 25 greens must sit out each round (cap 29 with
-#: the +4 slack). The 28 names below are the r8-greens that didn't fit
-#: behind the returning 27 r7-greens: stable-path queries untouched this
-#: round — single-operator relational/window rows, the dataflow-runner
-#: micro family, io scans, and the l3/l4 rows whose heavier siblings are
-#: in-window. They LEAD the round-12 window.
-_ROTATION_QUEUE: list[str] = [
+    # NEW in round 12: the L6 multimodal deepening (VERDICT r11 task 5)
+    # — cross-modal exact dedup over BinaryType and corpus-scale media
+    # metadata extraction through the real header sniffer
+    "l6_cross_modal_dedup",
+    "l6_media_metadata_extract",
+    # the full round-11 rotation queue — the 28 r8-greens, the stalest
+    # cohort on the board — leads the window (VERDICT r11 task 4): after
+    # this round no green predates r9
     "q22_sales_opportunity",
     "a3_count_per_group",
     "a4_global_agg",
@@ -224,6 +149,78 @@ _ROTATION_QUEUE: list[str] = [
     "x1_dataflow_wordcount",
     "x2_dataflow_most_used_word",
     "x5_dataflow_pipe_grep",
+    # 20 of the 47 r9-greens (the next-stalest cohort once r12 lands)
+    # fill the remaining slots — preferring queries that ride code
+    # touched this round (the l6 family gains two siblings in
+    # multimodal.py; l1_dedup_clusters_capped rides the dedup.py persist-
+    # handle change; the st4-st9 streaming family rides streaming/ops.py,
+    # where the near-dup ingest sink and release path changed) plus the
+    # heavy ANN rows whose bases deserve fresh in-run readings
+    "l6_media_features",
+    "l6_multimodal_bytes",
+    "l1_dedup_clusters_capped",
+    "st4_session_window",
+    "st5_stream_dedup",
+    "st6_stateful_running_totals",
+    "st7_stream_enrich_window",
+    "st8_stream_stream_join",
+    "st8_stream_stream_left_outer",
+    "st8_stream_stream_full_outer",
+    "st9_foreachbatch_sink",
+    "l2_embedding_neardup_ivf",
+    "l2_embedding_neardup_ivf_hi",
+    "l3_knn_pq",
+    "j3_semi_join",
+    "j3_anti_join",
+    "j4_left_outer_join",
+    "j5_range_join_bucketed",
+    "j7_star_join",
+    "sql1_ansi_interface",
+]
+
+
+#: Queries that do NOT fit the current 50-entry driver window. Listing them
+#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
+#: a query may sit beyond the window ONLY if it was driver-green before or
+#: is queued here — so displacement is always a choice, never an accident
+#: (VERDICT r2 "what's wrong" #1). Round 12: the queue is the STRUCTURAL
+#: overflow the registry size forces — 177 queries cycle through a
+#: 50-slot window against a 3-round staleness horizon, so
+#: registry − 3×window = 27 greens must sit out each round (cap 31 with
+#: the +4 slack). The 27 names below are the r9-greens that didn't fit
+#: behind the returning 28 r8-greens and the two new l6 rows:
+#: stable-path queries untouched this round — single-operator
+#: relational/window/set rows, the l4/l5/l7/l8 families whose heavier
+#: siblings are in-window, and the io/sql micro rows. They LEAD the
+#: round-13 window.
+_ROTATION_QUEUE: list[str] = [
+    "a10_approx_count_distinct",
+    "l4_bpe_token_count",
+    "l4_doc_fingerprint",
+    "l4_ngrams",
+    "l4_tfidf",
+    "l5_lang_id",
+    "l5_text_classifier",
+    "l7_quality_profile",
+    "l8_balanced_sample",
+    "l8_decontaminate",
+    "l8_decontaminate_bloom",
+    "l8_quality_filter",
+    "l8_sequence_packing",
+    "l8_stratified_split",
+    "l8_temperature_mixture",
+    "l8_weighted_mixture",
+    "l9_pii_redaction",
+    "q16_supplier_part_counts",
+    "q9_product_type_profit",
+    "s7_csv_roundtrip",
+    "sql2_correlated_subquery",
+    "u2_except",
+    "u2_intersect",
+    "w1_ranking",
+    "w2_lag_lead",
+    "w3_running_total",
+    "w4_range_frame",
 ]
 
 

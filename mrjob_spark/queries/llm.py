@@ -628,6 +628,118 @@ def l6_media_features(spark, sf_dir):
     )
 
 
+@query(
+    "l6_cross_modal_dedup",
+    sql="""
+    WITH media AS (
+        SELECT doc_id + 1000000 AS media_id, md5(text) AS h
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS media_id, md5(text) AS h
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    m AS (
+        SELECT h, COUNT(*) AS n_media_twins,
+               MIN(media_id) AS first_media_id
+        FROM media GROUP BY h
+    )
+    SELECT d.doc_id,
+           COALESCE(m.n_media_twins, 0) AS n_media_twins,
+           m.first_media_id,
+           CASE WHEN m.n_media_twins IS NOT NULL
+                THEN 'matched' ELSE 'unmatched' END AS status
+    FROM documents d
+    LEFT JOIN m ON m.h = md5(d.text)
+    """,
+)
+def l6_cross_modal_dedup(spark, sf_dir):
+    """Cross-modal EXACT dedup (VERDICT r11 task 5 — the L1 hash-groupBy
+    idiom over BinaryType, operators/multimodal.py:binary_content_dedup):
+    which documents' byte payloads already exist in a media store. The
+    store is two overlapping shards derived from the corpus (doc_id%3 and
+    doc_id%5 re-encoded as binary under distinct media_ids), so twin
+    counts vary 0/1/2 and the doc↔media hash join is exercised for hits,
+    misses, and multi-hit fan-in.
+
+    Scale shape: both sides hash JVM-side (F.md5 over the binary column);
+    the media store pre-aggregates map-side to one row per distinct
+    content hash BEFORE its shuffle, so media bytes never move — only
+    16-byte hashes — and the doc side joins that hash table. At 100 TB of
+    media vs a text corpus this is one hash-key shuffle each side."""
+    from mrjob_spark.operators.multimodal import binary_content_dedup
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            payload.alias("content"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2000000).alias("media_id"),
+                payload.alias("content"),
+            )
+        )
+    )
+    return binary_content_dedup(docs, media, doc_payload=payload)
+
+
+@query(
+    "l6_media_metadata_extract",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'image'
+                WHEN doc_id % 4 = 2 THEN 'audio'
+                ELSE 'unknown' END AS modality,
+           CASE WHEN doc_id % 4 = 0 THEN 'png'
+                WHEN doc_id % 4 = 1 THEN 'gif'
+                WHEN doc_id % 4 = 2 THEN 'wav' END AS format,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 + octet_length(encode(text)) % 1024
+                     WHEN doc_id % 4 = 1 THEN 1 + octet_length(encode(text)) % 640
+                END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 + doc_id % 768
+                     WHEN doc_id % 4 = 1 THEN 1 + doc_id % 480
+                END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 * (1 + doc_id % 3)
+                END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2
+                END AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def l6_media_metadata_extract(spark, sf_dir):
+    """Media-metadata struct extraction at corpus scale (VERDICT r11 task
+    5): every document is re-encoded as a byte-accurate container payload
+    (real PNG/GIF/WAV headers on a doc_id%4 schedule,
+    operators/multimodal.py:synthesize_media_payloads), then the REAL
+    header sniffer parses modality/format/width/height/sample_rate/
+    channels back out of the leading bytes via Arrow-batched mapInPandas
+    (featurize_media — the same code path a binaryFile scan of actual
+    media takes). The oracle recomputes the metadata arithmetically from
+    (doc_id, text length), so any drift in the binary construction OR the
+    parser breaks the hash match.
+
+    Scale shape: two Arrow map stages, ZERO shuffles — extraction
+    parallelizes with the scan; payload bytes stay inside one task from
+    synthesis to parse."""
+    from mrjob_spark.operators.multimodal import (
+        featurize_media,
+        synthesize_media_payloads,
+    )
+
+    t = Tables(spark, sf_dir)
+    payloads = synthesize_media_payloads(
+        t.documents.select("doc_id", "text")
+    )
+    return featurize_media(payloads, id_cols=("doc_id",)).select(
+        "doc_id", "modality", "format", "width", "height",
+        "sample_rate", "channels",
+    )
+
+
 # ---------------------------------------------------------------------------
 # L8: training-set assembly — mixture sampling, quality filtering, packing.
 # Not in the reference at all; these are the operations that sit between

@@ -124,3 +124,76 @@ def test_full_decode_is_gated():
         pass
     with pytest.raises(NotImplementedError, match="av"):
         sample_video_frames(b"\x00\x00\x00\x18ftypmp42", 10)
+
+
+def test_binary_content_dedup_twin_counts(spark):
+    """Cross-modal exact dedup semantics: per-doc twin count + first
+    media id, matched/unmatched, and multi-hit fan-in collapsing to ONE
+    output row per document (the aggregate-before-join shape)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mrjob_spark.operators.multimodal import binary_content_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta"),
+         Row(doc_id=3, text="gamma")]
+    )
+    media = spark.createDataFrame(
+        [Row(media_id=100, content=bytearray(b"alpha")),
+         Row(media_id=200, content=bytearray(b"alpha")),
+         Row(media_id=300, content=bytearray(b"beta"))]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in binary_content_dedup(
+            docs, media, doc_payload=F.encode("text", "UTF-8")
+        ).collect()
+    }
+    assert len(out) == 3
+    assert (out[1]["n_media_twins"], out[1]["first_media_id"],
+            out[1]["status"]) == (2, 100, "matched")
+    assert (out[2]["n_media_twins"], out[2]["first_media_id"],
+            out[2]["status"]) == (1, 300, "matched")
+    assert (out[3]["n_media_twins"], out[3]["first_media_id"],
+            out[3]["status"]) == (0, None, "unmatched")
+
+
+def test_synthesized_payloads_roundtrip_the_sniffer(spark):
+    """synthesize_media_payloads builds byte-accurate container headers:
+    the metadata the sniffer parses back must equal the arithmetic
+    schedule for every modality branch, and the text body must ride
+    along (payload strictly longer than the header)."""
+    from pyspark.sql import Row
+
+    from mrjob_spark.operators.multimodal import (
+        sniff_media,
+        synthesize_media_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"payload body {i} " * (i + 1))
+         for i in range(8)]
+    )
+    rows = {r["doc_id"]: bytes(r["content"])
+            for r in synthesize_media_payloads(docs).collect()}
+    assert len(rows) == 8
+    for i in range(8):
+        body = (f"payload body {i} " * (i + 1)).encode()
+        meta = sniff_media(rows[i])
+        if i % 4 == 0:
+            assert meta["format"] == "png"
+            assert meta["width"] == 1 + len(body) % 1024
+            assert meta["height"] == 1 + i % 768
+            assert len(rows[i]) == 24 + len(body)
+        elif i % 4 == 1:
+            assert meta["format"] == "gif"
+            assert (meta["width"], meta["height"]) == (
+                1 + len(body) % 640, 1 + i % 480)
+        elif i % 4 == 2:
+            assert meta["format"] == "wav"
+            assert meta["sample_rate"] == 8000 * (1 + i % 3)
+            assert meta["channels"] == 1 + i % 2
+        else:
+            assert meta["modality"] == "unknown"
+            assert rows[i] == body

@@ -805,6 +805,38 @@ def test_neardup_admission_history_never_shuffles(spark):
     assert "Window" not in plan
 
 
+def test_cross_modal_dedup_shuffles_hashes_only(spark):
+    # the L1 idiom over BinaryType: the media store must partial-agg its
+    # content hashes map-side BEFORE the shuffle (bytes never move — the
+    # exchange carries distinct 16-byte hashes + counts), and the doc
+    # join rides the hash key. At sf the aggregated hash table
+    # broadcasts; at scale it degrades to a hash-key SMJ, which is the
+    # documented one-shuffle-each-side plan — so the pin is the partial
+    # agg + key, not the join strategy.
+    df = REGISTRY["l6_cross_modal_dedup"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final and "partial_min" in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+    # the ONLY shuffle is the media hash aggregate's
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_media_metadata_extract_zero_shuffles(spark):
+    # synth → sniff is a pure map chain: two Arrow MapInPandas stages
+    # directly over the scan, payload bytes never leave their task —
+    # NO exchange of any kind may appear
+    df = REGISTRY["l6_media_metadata_extract"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2
+    assert "Exchange" not in final
+    assert final.count("documents.parquet") == 1
+
+
 def test_registry_wide_no_unlabeled_cartesian_no_rowwise_python(spark):
     # The two unconditional scale-killers, enforced across EVERY
     # registered query in one sweep (round 11): a CartesianProduct is

@@ -159,3 +159,88 @@ def test_coverage_doc_names_resolve():
     stale = cited - set(q.REGISTRY)
     assert not stale, f"COVERAGE.md cites unknown queries: {sorted(stale)}"
     assert len(cited) > 50  # the guard must actually be guarding something
+
+
+# Queries registered BEFORE the plan-pin gate landed (round 12). They are
+# covered by the registry-wide invariant sweep (test_plans.py's
+# no-cartesian/no-row-wise-python test runs over every registered query)
+# but have no NAMED plan-shape pin. Frozen: names may only ever LEAVE this
+# set (when someone writes them a pin, or they're deleted) — every NEW
+# registration must ship a named pin in tests/test_plans.py or an explicit
+# entry in _PLAN_PIN_EXEMPT, same round it registers (VERDICT r11 task 6:
+# the pre-flight discipline that caught the IVFADC and PQ collapses,
+# enforced as code).
+_PLAN_PIN_GRANDFATHERED = frozenset((
+      "a10_approx_count_distinct", "a11_exact_percentiles",
+      "a12_approx_percentiles", "a1_pricing_summary", "a3_count_per_group",
+      "a4_global_agg", "a5_argmax_per_group", "a6_distinct",
+      "a7_stats_per_group", "a8_dataflow_counters", "a8_o3_counters_sorted",
+      "a9_cube", "a9_grouping_sets", "a9_rollup", "f1_string_funcs",
+      "f2_math_funcs", "f3_conditional", "f4_datetime", "f5_array_funcs",
+      "f6_json", "f7_hash_funcs", "j1_join_agg", "j4_left_outer_join",
+      "j5_range_join", "j6_asof_join", "j7_star_join", "l1_dedup_clusters",
+      "l1_dedup_clusters_capped", "l1_normalized_dedup",
+      "l2_embedding_neardup", "l2_embedding_neardup_ivf_hi",
+      "l2_jaccard_pairs", "l2_minhash_lsh_capped", "l2_minhash_lsh_pairs",
+      "l2_simhash", "l3_knn_bucketed", "l3_knn_lsh", "l4_bpe_token_count",
+      "l4_bpe_train", "l4_doc_fingerprint", "l4_token_stats", "l5_lang_id",
+      "l5_lm_perplexity", "l6_media_features", "l6_multimodal_bytes",
+      "l7_quality_profile", "l8_decontaminate", "l8_decontaminate_bloom",
+      "l8_epoch_schedule", "mr_dataproc_topword",
+      "mr_emr_reference_differential", "mr_emr_wordfreq",
+      "mr_hadoop_wordfreq", "mr_most_used_word", "mr_next_word_stats",
+      "mr_text_classifier", "mr_wordcount", "o1_o2_partition_layout",
+      "o3_dataflow_sorted_dates", "o5_dataflow_head_per_group",
+      "o7_deterministic_sample", "p3_filter_predicate", "p7_project_rename",
+      "s10_partitioned_sink", "s1_s2_gzip_text_scan",
+      "s4_s5_file_attribution", "s6_hadoop_input_format", "s7_csv_roundtrip",
+      "s7_json_roundtrip", "s7_orc_roundtrip", "s9_compressed_sink",
+      "skew_salted_collect_set", "sql1_ansi_interface",
+      "sql3_portable_windows", "st10_stream_pipeline",
+      "st11_incremental_ingest", "st1_tumbling_window", "st2_sliding_window",
+      "st3_sessionization", "st4_session_window", "st5_stream_dedup",
+      "st6_stateful_running_totals", "st6_transform_with_state",
+      "st7_stream_enrich_window", "st8_stream_stream_full_outer",
+      "st8_stream_stream_join", "st8_stream_stream_left_outer",
+      "st9_foreachbatch_sink", "u1_union", "u2_except", "u2_except_all",
+      "u2_intersect", "w1_ranking", "w1_ranking_scalable", "w2_lag_lead",
+      "w3_running_total", "w4_range_frame", "w4_range_frame_scalable",
+      "x1_dataflow_wordcount", "x1_udtf_tokenize",
+      "x2_dataflow_most_used_word", "x2_udaf_quantiles",
+      "x5_dataflow_pipe_grep", "x6_spark_script", "x6_spark_step",
+      "x7_jar_step", "x7_jar_step_emr",))
+
+#: New queries whose plan genuinely has no pin-able shape (none yet; a
+#: name here must carry a comment saying why).
+_PLAN_PIN_EXEMPT: frozenset[str] = frozenset()
+
+
+def test_new_queries_ship_a_named_plan_pin():
+    plans_text = open(os.path.join(REPO, "tests", "test_plans.py")).read()
+    missing, stale = [], []
+    for name in q.REGISTRY:
+        named = f'"{name}"' in plans_text or f"'{name}'" in plans_text
+        if named:
+            if name in _PLAN_PIN_GRANDFATHERED:
+                stale.append(name)  # it got a pin — remove from the set
+        elif name not in _PLAN_PIN_GRANDFATHERED and (
+            name not in _PLAN_PIN_EXEMPT
+        ):
+            missing.append(name)
+    assert missing == [], (
+        f"queries registered without a named plan pin: {missing} — add a "
+        "plan-shape test to tests/test_plans.py (or an explicitly justified "
+        "_PLAN_PIN_EXEMPT entry) in the same round the query registers"
+    )
+    assert stale == [], (
+        f"now-pinned queries still grandfathered: {stale} — delete them "
+        "from _PLAN_PIN_GRANDFATHERED so the set only shrinks"
+    )
+
+
+def test_grandfathered_plan_pin_set_only_shrinks():
+    # names must exist (deletion from the registry forces cleanup here)
+    gone = [n for n in _PLAN_PIN_GRANDFATHERED if n not in q.REGISTRY]
+    assert gone == [], (
+        f"grandfathered names no longer registered: {gone} — prune the set"
+    )

@@ -321,6 +321,17 @@ REPRESENTATIVE_T11 = [
     "st12_incremental_neardup",
 ]
 
+#: round-12 twelfth tier (--tier 12): the round-12 additions. At sf1 the
+#: cross-modal dedup joins a 50k-doc corpus against a ~27k-row media
+#: store through the hash-only shuffle (map-side combine must keep the
+#: exchange at distinct-hash width), and metadata extraction round-trips
+#: 50k synthesized container payloads through the real header sniffer in
+#: Arrow batches — the zero-shuffle map chain at 100x the oracle SF.
+REPRESENTATIVE_T12 = [
+    "l6_cross_modal_dedup",
+    "l6_media_metadata_extract",
+]
+
 
 def staged_minhash_oracle(
     duck: "duckdb.DuckDBPyConnection",
@@ -419,7 +430,7 @@ def main() -> int:
     ap.add_argument(
         "--tier", default="1",
         choices=("1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11",
-                 "all"),
+                 "12", "all"),
     )
     args = ap.parse_args()
 
@@ -435,10 +446,11 @@ def main() -> int:
         "9": REPRESENTATIVE_T9,
         "10": REPRESENTATIVE_T10,
         "11": REPRESENTATIVE_T11,
+        "12": REPRESENTATIVE_T12,
         "all": REPRESENTATIVE + REPRESENTATIVE_T2 + REPRESENTATIVE_T3
         + REPRESENTATIVE_T4 + REPRESENTATIVE_T5 + REPRESENTATIVE_T6
         + REPRESENTATIVE_T7 + REPRESENTATIVE_T8 + REPRESENTATIVE_T9
-        + REPRESENTATIVE_T10 + REPRESENTATIVE_T11,
+        + REPRESENTATIVE_T10 + REPRESENTATIVE_T11 + REPRESENTATIVE_T12,
     }[args.tier]
     names = [n for n in pool if n in REGISTRY]
     if args.only:
