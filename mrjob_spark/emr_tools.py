@@ -10,10 +10,15 @@
   and SKIPS clusters another job holds a non-expired pool lock on
   (``terminate_idle_clusters.py``; the lock skip is the 0.6.x behavior
   that stopped the tool racing job submission).
-* ``audit-emr-usage`` — per-cluster and per-pool usage report
-  (``audit_usage.py``, the basic-summary slice: state, age, steps;
-  the reference's normalized-instance-hour billing math needs the EC2
-  compute-unit tables, out of scope without AWS).
+* ``audit-emr-usage`` — the full usage/billing report
+  (``audit_usage.py``): per-cluster state/age/steps plus the
+  reference's complete normalized-instance-hour accounting — the
+  API's own ``NormalizedInstanceHours`` field supplies the billing
+  basis (no EC2 price tables needed), apportioned across bootstrap
+  and step intervals (audit_usage.py:256-420) and broken down by
+  date, hour, job label, owner, job step, and pool
+  (audit_usage.py:135-253), with used / billed / billed-but-not-used
+  totals and the waste split (end-of-cluster vs other).
 * ``report-long-jobs`` — steps running/pending longer than a threshold
   (``report_long_jobs.py``).
 * ``s3-tmpwatch <age> <uri>`` — delete objects under a prefix older
@@ -154,34 +159,112 @@ def find_idle_clusters(
     return out
 
 
-def cluster_nih(cluster: dict, steps: list, now: float) -> dict:
-    """Normalized-instance-hour accounting for one cluster — the
-    reference's math (``mrjob/tools/emr/audit_usage.py:149-166,
-    330-500``): the API's ``NormalizedInstanceHours`` counts FULL hours,
-    so the per-second rate is ``nih / (ceil(ran_hours) * 3600)``;
-    'used' time is bootstrap (created→ready) plus each started step's
-    run; each interval is billed until the NEXT interval starts (the
-    last until the cluster's billing end: at least one minute, rounded
-    up to the next second); ``bbnu`` — billed-but-not-used — is the
-    difference. Returns ``{"nih_billed", "nih_used", "nih_bbnu"}``."""
+# job keys are ``<label>.<owner>.<numeric tail>`` — ours is
+# ``JobClass.user.<time_ns>`` (dataflow/emr.py:719), the reference's is
+# ``module.user.YYYYMMDD.HHMMSS.microseconds`` (mrjob/job.py). Both are
+# parsed so the audit labels clusters from either naming scheme; a
+# non-matching name gets label=owner=None (a non-mrjob cluster), exactly
+# like the reference (audit_usage.py:75-80).
+_REF_JOB_KEY_RE = re.compile(r"^(.*)\.(.*)\.(\d+)\.(\d+)\.(\d+)$")
+_OUR_JOB_KEY_RE = re.compile(r"^(.*)\.(.*)\.(\d+)$")
+_REF_STEP_NAME_RE = re.compile(
+    r"^(.*)\.(.*)\.(\d+)\.(\d+)\.(\d+): Step (\d+) of (\d+)$")
+_OUR_STEP_NAME_RE = re.compile(r"^(.*)\.(.*)\.(\d+): Step (\d+) of (\d+)$")
+
+
+def _parse_job_key(name: str):
+    """(label, owner) from a cluster name, or (None, None)."""
+    for pat in (_REF_JOB_KEY_RE, _OUR_JOB_KEY_RE):
+        m = pat.match(name or "")
+        if m:
+            return m.group(1), m.group(2)
+    return None, None
+
+
+def _parse_step_name(name: str):
+    """(label, owner, step_num) from a step name, or (None, None, None)."""
+    for pat in (_REF_STEP_NAME_RE, _OUR_STEP_NAME_RE):
+        m = pat.match(name or "")
+        if m:
+            return m.group(1), m.group(2), int(m.groups()[-2])
+    return None, None, None
+
+
+def _subdivide_by_date(start: float, end: float) -> dict:
+    """UTC date string -> seconds of [start, end) on that date (the
+    reference's ``_subdivide_interval_by_date``, audit_usage.py:520-550,
+    over epoch floats)."""
+    import datetime as _dt
+
+    out: dict = {}
+    cur = start
+    while cur < end:
+        day = _dt.datetime.fromtimestamp(cur, _dt.timezone.utc).date()
+        next_midnight = _dt.datetime(
+            day.year, day.month, day.day, tzinfo=_dt.timezone.utc
+        ).timestamp() + 86400.0
+        upto = min(end, next_midnight)
+        out[day.isoformat()] = out.get(day.isoformat(), 0.0) + (upto - cur)
+        cur = upto
+    return {d: s for d, s in out.items() if s}
+
+
+def _subdivide_by_hour(start: float, end: float) -> dict:
+    """UTC 'YYYY-MM-DD HH' string -> seconds of [start, end) during that
+    hour (the reference's ``_subdivide_interval_by_hour``,
+    audit_usage.py:553-580)."""
+    import datetime as _dt
+
+    out: dict = {}
+    cur = start
+    while cur < end:
+        hour_start = cur - (cur % 3600.0)
+        label = _dt.datetime.fromtimestamp(
+            hour_start, _dt.timezone.utc
+        ).strftime("%Y-%m-%d %H")
+        upto = min(end, hour_start + 3600.0)
+        out[label] = out.get(label, 0.0) + (upto - cur)
+        cur = upto
+    return {h: s for h, s in out.items() if s}
+
+
+def cluster_usage_intervals(cluster: dict, steps: list, now: float) -> list:
+    """Per-interval usage apportionment for one cluster — the
+    reference's ``_cluster_to_usage_data``
+    (``mrjob/tools/emr/audit_usage.py:256-420``): the API's
+    ``NormalizedInstanceHours`` counts FULL hours, so the per-second
+    rate is ``nih / (ceil(ran_hours) * 3600)``; interval 0 is bootstrap
+    (created→ready, labeled with the cluster's own job key), then one
+    interval per STARTED step (labeled from the step name; a step that
+    never got a StartDateTime ends the walk; a cancelled step on a
+    finished cluster is credited 0 usage); each interval is billed until
+    the NEXT interval starts — the last until the cluster's billing end
+    (at least one minute, seconds rounded up). Every interval carries
+    ``label/owner/step_num``, the three NIH figures, and the
+    ``date_to_nih_*`` / ``hour_to_nih_*`` subdivision maps the report's
+    daily/hourly statistics aggregate. Returns ``[]`` for a cluster with
+    no creation time or no NIH."""
     import math
 
     timeline = cluster["Status"].get("Timeline", {})
+    if timeline.get("CreationDateTime") is None:
+        return []
     created = _to_epoch(timeline.get("CreationDateTime"))
     ready = timeline.get("ReadyDateTime")
     end = timeline.get("EndDateTime")
     nih = float(cluster.get("NormalizedInstanceHours") or 0)
-    if created is None or not nih:
-        return {"nih_billed": 0.0, "nih_used": 0.0, "nih_bbnu": 0.0}
+    if not nih:
+        return []
+    label, owner = _parse_job_key(cluster.get("Name", ""))
     ran = max(0.0, (_to_epoch(end) if end else now) - created)
     full_hours = max(1, math.ceil(ran / 3600.0))
     nih_per_sec = nih / (full_hours * 3600.0)
     cluster_end_billing = created + max(math.ceil(ran), 60.0)
 
-    # bootstrap interval, then one per STARTED step (a step that never
-    # got a StartDateTime ends the walk; a cancelled step on a finished
-    # cluster is credited 0 usage)
     intervals = [{
+        "label": label,
+        "owner": owner,
+        "step_num": None,
         "start": created,
         "end": _to_epoch(ready) if ready else (
             _to_epoch(end) if end else now
@@ -195,21 +278,63 @@ def cluster_nih(cluster: dict, steps: list, now: float) -> dict:
         step_end = st.get("EndDateTime")
         if step_end is None:
             step_end = start if end else now
+        s_label, s_owner, s_num = _parse_step_name(step.get("Name", ""))
         intervals.append({
-            "start": _to_epoch(start), "end": _to_epoch(step_end),
+            "label": s_label,
+            "owner": s_owner,
+            "step_num": s_num,
+            "start": _to_epoch(start),
+            "end": _to_epoch(step_end),
         })
     for i in range(len(intervals) - 1):
         intervals[i]["end_billing"] = intervals[i + 1]["start"]
     intervals[-1]["end_billing"] = cluster_end_billing
 
-    used = sum(
-        nih_per_sec * max(0.0, iv["end"] - iv["start"])
-        for iv in intervals
-    )
-    billed = sum(
-        nih_per_sec * max(0.0, iv["end_billing"] - iv["start"])
-        for iv in intervals
-    )
+    for iv in intervals:
+        used_secs = max(0.0, iv["end"] - iv["start"])
+        billed_secs = max(0.0, iv["end_billing"] - iv["start"])
+        iv["nih_used"] = nih_per_sec * used_secs
+        iv["nih_billed"] = nih_per_sec * billed_secs
+        iv["nih_bbnu"] = iv["nih_billed"] - iv["nih_used"]
+        iv["date_to_nih_used"] = {
+            d: nih_per_sec * s
+            for d, s in _subdivide_by_date(iv["start"], iv["end"]).items()
+        }
+        iv["hour_to_nih_used"] = {
+            h: nih_per_sec * s
+            for h, s in _subdivide_by_hour(iv["start"], iv["end"]).items()
+        }
+        iv["date_to_nih_billed"] = {
+            d: nih_per_sec * s
+            for d, s in _subdivide_by_date(
+                iv["start"], iv["end_billing"]).items()
+        }
+        iv["hour_to_nih_billed"] = {
+            h: nih_per_sec * s
+            for h, s in _subdivide_by_hour(
+                iv["start"], iv["end_billing"]).items()
+        }
+        iv["date_to_nih_bbnu"] = {
+            d: b - iv["date_to_nih_used"].get(d, 0.0)
+            for d, b in iv["date_to_nih_billed"].items()
+            if b - iv["date_to_nih_used"].get(d, 0.0)
+        }
+        iv["hour_to_nih_bbnu"] = {
+            h: b - iv["hour_to_nih_used"].get(h, 0.0)
+            for h, b in iv["hour_to_nih_billed"].items()
+            if b - iv["hour_to_nih_used"].get(h, 0.0)
+        }
+    return intervals
+
+
+def cluster_nih(cluster: dict, steps: list, now: float) -> dict:
+    """Cluster-total NIH accounting: the sum over
+    :func:`cluster_usage_intervals` (the reference's
+    ``_cluster_to_full_summary`` roll-up, audit_usage.py:149-166).
+    Returns ``{"nih_billed", "nih_used", "nih_bbnu"}``."""
+    ivs = cluster_usage_intervals(cluster, steps, now)
+    billed = float(sum(iv["nih_billed"] for iv in ivs))
+    used = float(sum(iv["nih_used"] for iv in ivs))
     return {
         "nih_billed": billed,
         "nih_used": used,
@@ -240,6 +365,91 @@ def collect_usage(emr, now: float) -> list:
         row.update(cluster_nih(cluster, steps, now))
         rows.append(row)
     return rows
+
+
+def clusters_to_stats(emr, now: float) -> dict:
+    """The reference's full usage aggregation
+    (``mrjob/tools/emr/audit_usage.py:135-253``): per-cluster summaries
+    plus totals, the used/waste split (bootstrap vs jobs; end-of-cluster
+    vs other), and the six breakdowns — ``date_to_nih_*``,
+    ``hour_to_nih_*``, ``label_to_nih_*``, ``owner_to_nih_*``,
+    ``job_step_to_nih_*`` (+ the ``_no_pool`` variant the report uses to
+    rank un-pooled waste), and ``pool_to_nih_*`` — each in
+    used/billed/bbnu flavors. Keys use ``None`` for non-mrjob clusters
+    and non-pooled jobs, exactly like the reference."""
+    clusters = []
+    for summary in emr.list_clusters().get("Clusters") or []:
+        cluster = emr.describe_cluster(ClusterId=summary["Id"])["Cluster"]
+        steps = emr.list_steps(ClusterId=cluster["Id"]).get("Steps") or []
+        usage = cluster_usage_intervals(cluster, steps, now)
+        cs = {
+            "id": cluster["Id"],
+            "name": cluster.get("Name", ""),
+            "pool": _tags(cluster).get(_POOL_NAME_TAG),
+            "usage": usage,
+            "nih_billed": float(sum(u["nih_billed"] for u in usage)),
+            "nih_used": float(sum(u["nih_used"] for u in usage)),
+        }
+        cs["nih_bbnu"] = cs["nih_billed"] - cs["nih_used"]
+        clusters.append(cs)
+
+    s: dict = {"clusters": clusters}
+    for nih_type in ("nih_billed", "nih_used", "nih_bbnu"):
+        s[nih_type] = float(sum(cs[nih_type] for cs in clusters))
+
+    # usage/waste split: interval 0 is bootstrap; the LAST interval's
+    # bbnu is end-of-cluster idle
+    s["bootstrap_nih_used"] = float(sum(
+        cs["usage"][0]["nih_used"] for cs in clusters if cs["usage"]))
+    s["job_nih_used"] = s["nih_used"] - s["bootstrap_nih_used"]
+    s["end_nih_bbnu"] = float(sum(
+        cs["usage"][-1]["nih_bbnu"] for cs in clusters if cs["usage"]))
+    s["other_nih_bbnu"] = s["nih_bbnu"] - s["end_nih_bbnu"]
+
+    for interval_type in ("date", "hour"):
+        for nih_type in ("nih_billed", "nih_used", "nih_bbnu"):
+            key = "%s_to_%s" % (interval_type, nih_type)
+            start_to_nih: dict = {}
+            for cs in clusters:
+                for u in cs["usage"]:
+                    for start, nih in u[key].items():
+                        start_to_nih[start] = (
+                            start_to_nih.get(start, 0.0) + nih)
+            s[key] = start_to_nih
+
+    for key in ("label", "owner"):
+        for nih_type in ("nih_used", "nih_billed", "nih_bbnu"):
+            key_to_nih: dict = {}
+            for cs in clusters:
+                for u in cs["usage"]:
+                    key_to_nih[u[key]] = (
+                        key_to_nih.get(u[key], 0.0) + u[nih_type])
+            s["%s_to_%s" % (key, nih_type)] = key_to_nih
+
+    # per job step (bootstrap excluded), with the un-pooled variant
+    for nih_type in ("nih_used", "nih_billed", "nih_bbnu"):
+        job_step_to_nih: dict = {}
+        job_step_to_nih_no_pool: dict = {}
+        for cs in clusters:
+            for u in cs["usage"][1:]:
+                job_step = (u["label"], u["step_num"])
+                job_step_to_nih[job_step] = (
+                    job_step_to_nih.get(job_step, 0.0) + u[nih_type])
+                if not cs["pool"]:
+                    job_step_to_nih_no_pool[job_step] = (
+                        job_step_to_nih_no_pool.get(job_step, 0.0)
+                        + u[nih_type])
+        s["job_step_to_%s" % nih_type] = job_step_to_nih
+        s["job_step_to_%s_no_pool" % nih_type] = job_step_to_nih_no_pool
+
+    for nih_type in ("nih_used", "nih_billed", "nih_bbnu"):
+        pool_to_nih: dict = {}
+        for cs in clusters:
+            pool_to_nih[cs["pool"]] = (
+                pool_to_nih.get(cs["pool"], 0.0) + cs[nih_type])
+        s["pool_to_%s" % nih_type] = pool_to_nih
+
+    return s
 
 
 def find_long_jobs(emr, now: float, min_hours: float) -> list:
@@ -451,11 +661,91 @@ def audit_usage_main(args: list) -> int:
         print("  %-12s %3d clusters %9.1f cluster-hours"
               " %9.2f nih_billed %9.2f nih_used %9.2f nih_bbnu"
               % (pool, n, hours, billed, used, bbnu))
-    # the reference's headline totals (audit_usage.py:149-166)
+    # the reference's headline totals + full breakdowns
+    # (audit_usage.py:640-760 rendering over the :func:`clusters_to_stats`
+    # aggregation)
+    s = clusters_to_stats(emr, now)
+
+    def pct(part, whole):
+        return 100.0 * part / whole if whole else 0.0
+
+    def with_pct(usage):
+        return (usage, pct(usage, s["nih_billed"]))
+
+    print()
+    print("Total billed:  %9.2f  %5.1f%%" % with_pct(s["nih_billed"]))
+    print("  Total used:  %9.2f  %5.1f%%" % with_pct(s["nih_used"]))
+    print("    bootstrap: %9.2f  %5.1f%%"
+          % with_pct(s["bootstrap_nih_used"]))
+    print("    jobs:      %9.2f  %5.1f%%" % with_pct(s["job_nih_used"]))
+    print("  Total waste: %9.2f  %5.1f%%" % with_pct(s["nih_bbnu"]))
+    print("    at end:    %9.2f  %5.1f%%" % with_pct(s["end_nih_bbnu"]))
+    print("    other:     %9.2f  %5.1f%%" % with_pct(s["other_nih_bbnu"]))
+
+    if s["date_to_nih_billed"]:
+        print("\nDaily statistics:")
+        print(" date          billed      used     waste   % waste")
+        for d in sorted(s["date_to_nih_billed"], reverse=True):
+            billed = s["date_to_nih_billed"].get(d, 0.0)
+            bbnu = s["date_to_nih_bbnu"].get(d, 0.0)
+            print(" %10s %9.2f %9.2f %9.2f     %5.1f" % (
+                d, billed, s["date_to_nih_used"].get(d, 0.0), bbnu,
+                pct(bbnu, billed)))
+
+    if s["hour_to_nih_billed"]:
+        print("\nHourly statistics:")
+        print(" hour              billed      used     waste   % waste")
+        for h in sorted(s["hour_to_nih_billed"], reverse=True):
+            billed = s["hour_to_nih_billed"].get(h, 0.0)
+            bbnu = s["hour_to_nih_bbnu"].get(h, 0.0)
+            print(" %13s  %9.2f %9.2f %9.2f     %5.1f" % (
+                h, billed, s["hour_to_nih_used"].get(h, 0.0), bbnu,
+                pct(bbnu, billed)))
+
+    def top(mapping, fmt=lambda k: k if k is not None else "(non-mrjob)"):
+        return sorted(
+            ((v, fmt(k)) for k, v in mapping.items()),
+            key=lambda vk: (-vk[0], str(vk[1])),
+        )
+
+    print("\nTop jobs, by total time used:")
+    for v, label in top(s["label_to_nih_used"]):
+        print("  %9.2f %s" % (v, label))
+    print("\nTop jobs, by time billed but not used:")
+    for v, label in top(s["label_to_nih_bbnu"]):
+        print("  %9.2f %s" % (v, label))
+    print("\nTop users, by total time used:")
+    for v, owner in top(s["owner_to_nih_used"]):
+        print("  %9.2f %s" % (v, owner))
+    print("\nTop users, by time billed but not used:")
+    for v, owner in top(s["owner_to_nih_bbnu"]):
+        print("  %9.2f %s" % (v, owner))
+
+    print("\nTop job steps, by total time used (step number first):")
+    for v, key in top(
+        s["job_step_to_nih_used"],
+        fmt=lambda k: ("%3d %s" % (k[1], k[0])) if k[0]
+        else "    (non-mrjob step)",
+    ):
+        print("  %9.2f %s" % (v, key))
+    print("\nTop job steps, by time billed but not used"
+          " (un-pooled only):")
+    for v, key in top(
+        s["job_step_to_nih_bbnu_no_pool"],
+        fmt=lambda k: ("%3d %s" % (k[1], k[0])) if k[0]
+        else "    (non-mrjob step)",
+    ):
+        print("  %9.2f %s" % (v, key))
+
+    print("\nAll pools, by total time billed:")
+    for v, pool in top(
+        s["pool_to_nih_billed"],
+        fmt=lambda k: k if k is not None else "(not pooled)",
+    ):
+        print("  %9.2f %s" % (v, pool))
+
     print("\ntotals: %.2f nih_billed, %.2f nih_used, %.2f nih_bbnu" % (
-        sum(r["nih_billed"] for r in rows),
-        sum(r["nih_used"] for r in rows),
-        sum(r["nih_bbnu"] for r in rows),
+        s["nih_billed"], s["nih_used"], s["nih_bbnu"],
     ))
     return 0
 

@@ -362,6 +362,52 @@ def test_reference_audit_usage_runs_on_mock(tmp_path, input_file=None):
     assert abs(float(m.group(1)) - our_billed) < 0.01, (
         m.group(1), our_billed)
 
+    # round 12 (VERDICT r11 task 3): the FULL breakdown must agree, not
+    # just the headline — the used/waste split (bootstrap vs jobs,
+    # end-of-cluster vs other) and the daily apportionment, computed by
+    # the reference's own audit over the same mock state
+    from mrjob_spark.emr_tools import clusters_to_stats
+
+    stats = clusters_to_stats(svc.emr_client(), svc.now)
+
+    def ref_val(label):
+        m2 = re.search(re.escape(label) + r"\s+([0-9.]+)", out)
+        assert m2, (label, out[-3000:])
+        return float(m2.group(1))
+
+    for label, key in (
+        ("Total used:", "nih_used"),
+        ("bootstrap:", "bootstrap_nih_used"),
+        ("jobs:", "job_nih_used"),
+        ("Total waste:", "nih_bbnu"),
+        ("at end:", "end_nih_bbnu"),
+        ("other:", "other_nih_bbnu"),
+    ):
+        assert abs(ref_val(label) - stats[key]) < 0.01, (label, stats[key])
+
+    # daily statistics: same (date, billed, used, waste) rows. The mock
+    # clock lives near the 1970 epoch, so dates are deterministic.
+    ref_days = {
+        m3.group(1): (float(m3.group(2)), float(m3.group(3)),
+                      float(m3.group(4)))
+        # the decimal-point requirement keeps the HOURLY lines (which
+        # put an integer hour column right after the date) from matching
+        for m3 in re.finditer(
+            r"^ (\d{4}-\d{2}-\d{2}) +(\d+\.\d+) +(\d+\.\d+) +(\d+\.\d+)",
+            out, re.M)
+    }
+    assert ref_days, out[-3000:]
+    our_days = {
+        d: (round(stats["date_to_nih_billed"].get(d, 0.0), 2),
+            round(stats["date_to_nih_used"].get(d, 0.0), 2),
+            round(stats["date_to_nih_bbnu"].get(d, 0.0), 2))
+        for d in stats["date_to_nih_billed"]
+    }
+    assert set(ref_days) == set(our_days)
+    for d in ref_days:
+        for ref_v, our_v in zip(ref_days[d], our_days[d]):
+            assert abs(ref_v - our_v) < 0.02, (d, ref_days[d], our_days[d])
+
 
 def test_s3_tmpwatch(tmp_path):
     svc = MockEMRService(tmp_path / "emr")
@@ -552,3 +598,94 @@ def test_describe_base_emr_images_tool(tmp_path, monkeypatch, capsys):
     # misparse hardening: stray positionals are usage errors, exit 2
     assert umbrella_main(
         ["mrjob", "describe-base-emr-images", "oops"]) == 2
+
+
+def test_usage_intervals_labels_and_subdivision():
+    """cluster_usage_intervals (reference audit_usage.py:256-420):
+    bootstrap carries the cluster's job key, each step its own parsed
+    (label, owner, step_num) — both our 3-part and the reference's
+    5-part key formats — and the date/hour maps subdivide across UTC
+    boundaries so a midnight-spanning step bills on both days."""
+    from mrjob_spark.emr_tools import cluster_usage_intervals
+
+    day = 86400.0
+    cluster = _stub_cluster(
+        day - 1800.0, ready=day - 1200.0, end=day + 1800.0, nih=16)
+    cluster["Name"] = "wordcount.alice.20240101.120000.000001"
+    step = _stub_step(start=day - 1200.0, end=day + 600.0)
+    step["Name"] = "MRWordFreq.bob.12345: Step 2 of 3"
+    ivs = cluster_usage_intervals(cluster, [step], now=10 * day)
+    assert len(ivs) == 2
+    boot, job = ivs
+    assert (boot["label"], boot["owner"], boot["step_num"]) == (
+        "wordcount", "alice", None)
+    assert (job["label"], job["owner"], job["step_num"]) == (
+        "MRWordFreq", "bob", 2)
+    # ran exactly 1 hour → rate nih/3600; step used 1800s on both sides
+    # of midnight: 1200s on day 0, 600s on day 1
+    rate = 16 / 3600.0
+    assert job["date_to_nih_used"] == pytest.approx({
+        "1970-01-01": rate * 1200, "1970-01-02": rate * 600})
+    # billed until cluster end billing (day+1800): +1200s more on day 1
+    assert job["date_to_nih_billed"] == pytest.approx({
+        "1970-01-01": rate * 1200, "1970-01-02": rate * 1800})
+    assert job["date_to_nih_bbnu"] == pytest.approx(
+        {"1970-01-02": rate * 1200})
+    # hourly: step spans 23:40→00:10 used, →00:30 billed
+    assert job["hour_to_nih_used"] == pytest.approx({
+        "1970-01-01 23": rate * 1200, "1970-01-02 00": rate * 600})
+    assert sum(job["hour_to_nih_billed"].values()) == pytest.approx(
+        job["nih_billed"])
+
+
+def test_clusters_to_stats_breakdowns(tmp_path):
+    """clusters_to_stats (reference audit_usage.py:135-253): the label/
+    owner/job-step/pool breakdowns over mock clusters driven by the
+    real runner — per-label totals must reconcile with the grand total,
+    the job-step table must exclude bootstrap, and the no-pool variant
+    must exclude the pooled cluster's steps."""
+    from mrjob_spark.emr_tools import clusters_to_stats
+
+    svc = MockEMRService(tmp_path / "emr", tick_secs=30.0)
+    inp = tmp_path / "in.txt"
+    inp.write_text("apple banana apple\n")
+    for pool in (False, True):
+        r = EMRJobRunner(
+            MRWordFreq(), input_paths=[str(inp)],
+            emr_client=svc.emr_client(), s3_client=svc.s3_client(),
+            check_cluster_every=0.0, pool_clusters=pool,
+        )
+        r.run()
+        r.cleanup()
+    svc.sleep(3600)
+    emr = svc.emr_client()
+    for cid, c in list(svc.clusters.items()):
+        if not c["Status"]["State"].startswith("TERMINAT"):
+            emr.terminate_job_flows(JobFlowIds=[cid])
+    svc.sleep(60)
+
+    s = clusters_to_stats(svc.emr_client(), svc.now)
+    assert len(s["clusters"]) == 2
+    assert s["nih_billed"] > 0
+    # reconciliation: every breakdown sums to the same totals
+    for nih_type in ("nih_used", "nih_billed", "nih_bbnu"):
+        for family in ("label", "owner", "pool"):
+            total = sum(s["%s_to_%s" % (family, nih_type)].values())
+            assert total == pytest.approx(s[nih_type]), (family, nih_type)
+    assert s["bootstrap_nih_used"] + s["job_nih_used"] == pytest.approx(
+        s["nih_used"])
+    assert s["end_nih_bbnu"] + s["other_nih_bbnu"] == pytest.approx(
+        s["nih_bbnu"])
+    # the runner names clusters/steps MRWordFreq.<user>.<ns> → parsed
+    assert list(s["label_to_nih_used"]) == ["MRWordFreq"]
+    import getpass
+    assert list(s["owner_to_nih_used"]) == [getpass.getuser()]
+    # job-step: bootstrap excluded, step numbers parsed, and the no-pool
+    # variant holds only the un-pooled cluster's share
+    assert set(s["job_step_to_nih_used"]) == {("MRWordFreq", 1)}
+    assert s["job_step_to_nih_used"][("MRWordFreq", 1)] == pytest.approx(
+        s["job_nih_used"])
+    assert (s["job_step_to_nih_used_no_pool"][("MRWordFreq", 1)]
+            < s["job_step_to_nih_used"][("MRWordFreq", 1)])
+    # pools: one pooled ('default'), one not (None)
+    assert set(s["pool_to_nih_billed"]) == {None, "default"}
