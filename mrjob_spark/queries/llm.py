@@ -3291,3 +3291,78 @@ def _train_bpe_merges(documents, n_merges: int) -> list:
     finally:
         base.unpersist()
     return merges
+
+
+# ---------------------------------------------------------------------------
+# L1 × L9 (round 12): URL-keyed exact dedup — the first dedup stage of a
+# web-corpus pipeline (RefinedWeb dedups by canonical URL before any
+# content comparison). Canonicalization is pure JVM column math
+# (functions/urls.py); testdata carries no URLs, so a deterministic
+# messy-URL generator (the synthesize_media_payloads idiom) manufactures
+# case/port/tracking-param/fragment noise AND path collisions from
+# (doc_id, source) — the oracle rebuilds both sides arithmetically, so
+# drift in the generator OR the canonicalizer breaks the hash.
+# ---------------------------------------------------------------------------
+
+from mrjob_spark.functions.urls import (  # noqa: E402
+    canonical_url,
+    sql_canonical_url,
+    sql_synthesize_url,
+    synthesize_url,
+)
+
+
+@query(
+    "l1_url_dedup",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id,
+               {sql_canonical_url(sql_synthesize_url())} AS canonical_url
+        FROM documents
+    ),
+    reps AS (
+        SELECT canonical_url, MIN(doc_id) AS rep_id,
+               COUNT(*) AS n_same
+        FROM base GROUP BY canonical_url
+    )
+    SELECT b.doc_id, b.canonical_url, r.rep_id, r.n_same,
+           b.doc_id <> r.rep_id AS is_dup
+    FROM base b JOIN reps r USING (canonical_url)
+    """,
+)
+def l1_url_dedup(spark, sf_dir):
+    """URL-keyed exact dedup: canonicalize (lowercase scheme/host, strip
+    www./default ports/fragments/tracking params, sort the survivors,
+    strip trailing slash) then keep the smallest doc_id per canonical
+    URL. Per-doc verdicts: (canonical_url, rep_id, n_same, is_dup).
+
+    Scale shape: canonicalization is in-row regexp/array math inside
+    whole-stage codegen — the URL stream never touches Python; the
+    first-occurrence rule is the skew-proof hash aggregate (a hot URL is
+    a partial-agg cell, never a window partition), and every shuffle is
+    keyed on the canonical url — the paragraph-dedup plan at URL
+    granularity (pinned in test_plans.py). The raw url is materialized
+    behind its OWN projection alias before canonicalization: inlining
+    the generator into the canonicalizer's five regexp_extract calls
+    re-evaluates the construction per extraction (measured 2.4x slower
+    at sf1), and the widen-before-heavy-math narrow-scan rule applies
+    exactly as it does for the shingling operators."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    t = Tables(spark, sf_dir)
+    base = parallelize_narrow_scan(
+        t.documents.select(
+            "doc_id",
+            synthesize_url(F.col("doc_id"), F.col("source")).alias("url"),
+        )
+    ).select(
+        "doc_id", canonical_url(F.col("url")).alias("canonical_url")
+    )
+    reps = base.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").alias("n_same"),
+    )
+    return base.join(reps, "canonical_url").select(
+        "doc_id", "canonical_url", "rep_id", "n_same",
+        (F.col("doc_id") != F.col("rep_id")).alias("is_dup"),
+    )

@@ -837,6 +837,27 @@ def test_media_metadata_extract_zero_shuffles(spark):
     assert final.count("documents.parquet") == 1
 
 
+def test_url_dedup_inrow_canonicalize_hash_agg(spark):
+    # canonicalization must stay in-row JVM expression math (no Python
+    # node of any kind) and first-occurrence selection must be the
+    # skew-proof partial hash aggregate; every shuffle in the plan is
+    # keyed on the canonical url (at sf the verdict join-back broadcasts;
+    # at scale it degrades to a same-key join — the pin is the key and
+    # the partial agg, not the join strategy)
+    df = REGISTRY["l1_url_dedup"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final and "partial_min" in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+    assert "MapInPandas" not in final and "ArrowEvalPython" not in final
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\((\w+)", final):
+        assert m.group(1).startswith("canonical_url"), m.group(0)
+
+
 def test_registry_wide_no_unlabeled_cartesian_no_rowwise_python(spark):
     # The two unconditional scale-killers, enforced across EVERY
     # registered query in one sweep (round 11): a CartesianProduct is
