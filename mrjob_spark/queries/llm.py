@@ -3366,3 +3366,106 @@ def l1_url_dedup(spark, sf_dir):
         "doc_id", "canonical_url", "rep_id", "n_same",
         (F.col("doc_id") != F.col("rep_id")).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L7 (round 12): per-source distribution divergence — corpus composition
+# analytics. KL(source unigram || corpus unigram) is the standard drift /
+# domain-shift meter a mixture designer reads before setting L8 weights
+# (the DSIR importance ratio, l8_dsir_select, is its per-document form).
+# No smoothing is needed: a source's vocabulary is a subset of the
+# corpus's, so every p_sw has a positive p_w.
+# ---------------------------------------------------------------------------
+
+_L7_DIVERGENCE_SQL = f"""
+    WITH tok AS (
+        SELECT source, unnest({sql_tokens('text')}) AS w FROM documents
+    ),
+    sw AS (
+        SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w
+    ),
+    wt AS (
+        SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w
+    ),
+    st AS (
+        SELECT source, SUM(c_sw) AS n_tokens,
+               COUNT(*) AS distinct_tokens
+        FROM sw GROUP BY source
+    ),
+    tot AS (SELECT SUM(c_sw) AS n FROM sw),
+    terms AS (
+        SELECT sw.source,
+               {sql_rnd(
+                   "(CAST(sw.c_sw AS DOUBLE) / CAST(st.n_tokens AS DOUBLE))"
+                   " * ln((CAST(sw.c_sw AS DOUBLE)"
+                   "       / CAST(st.n_tokens AS DOUBLE))"
+                   "      / (CAST(wt.c_w AS DOUBLE) / CAST(tot.n AS DOUBLE)))"
+               )} AS term
+        FROM sw
+        JOIN wt ON wt.w = sw.w
+        JOIN st ON st.source = sw.source
+        CROSS JOIN tot
+    ),
+    kl AS (
+        SELECT source, {sql_dsum('term')} AS kl_divergence
+        FROM terms GROUP BY source
+    ),
+    nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT st.source, nd.n_docs, CAST(st.n_tokens AS BIGINT) AS n_tokens,
+           st.distinct_tokens,
+           {sql_rnd(
+               'CAST(st.distinct_tokens AS DOUBLE)'
+               ' / CAST(st.n_tokens AS DOUBLE)'
+           )} AS ttr,
+           {sql_rnd('kl.kl_divergence')} AS kl_divergence
+    FROM st JOIN kl USING (source) JOIN nd USING (source)
+"""
+
+
+@query("l7_source_divergence", sql=_L7_DIVERGENCE_SQL)
+def l7_source_divergence(spark, sf_dir):
+    """Per-source corpus-composition profile: token volume, vocabulary
+    size, type-token ratio, and KL(source unigram || corpus unigram) —
+    the drift meter read before setting mixture weights.
+
+    Scale shape: ONE shuffled (source, word) partial-count intermediate
+    feeds everything (the tf-idf idiom) — corpus word totals derive from
+    it with a word-keyed aggregate, per-source totals with a tiny
+    source-keyed one (broadcast back), and the grand total is a 1-row
+    broadcast. Per-term KL contributions round to 6 decimals and sum in
+    exact DECIMAL (the perplexity precedent), so no float-accumulation
+    order can flip the driver hash. No window, no Python, shuffles keyed
+    on (source, w) / w only."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    t = Tables(spark, sf_dir)
+    tok = parallelize_narrow_scan(
+        t.documents.select("source", "text")
+    ).select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    wt = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    st = sw.groupBy("source").agg(
+        F.sum("c_sw").alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+    )
+    tot = sw.agg(F.sum("c_sw").alias("n"))
+    p_sw = F.col("c_sw") / F.col("n_tokens")
+    term = rnd(p_sw * F.log(p_sw / (F.col("c_w") / F.col("n"))))
+    kl = (
+        sw.join(wt, "w")
+        .join(F.broadcast(st.select("source", "n_tokens")), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(dsum("term").alias("kl_divergence"))
+    )
+    nd = t.documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        st.join(kl, "source")
+        .join(nd, "source")
+        .select(
+            "source", "n_docs", "n_tokens", "distinct_tokens",
+            rnd(F.col("distinct_tokens") / F.col("n_tokens")).alias("ttr"),
+            rnd(F.col("kl_divergence")).alias("kl_divergence"),
+        )
+    )

@@ -858,6 +858,23 @@ def test_url_dedup_inrow_canonicalize_hash_agg(spark):
         assert m.group(1).startswith("canonical_url"), m.group(0)
 
 
+def test_source_divergence_single_docterm_intermediate(spark):
+    # the tf-idf idiom: ONE (source, word) shuffled partial-count
+    # intermediate feeds corpus totals, per-source totals, and the KL
+    # join — the corpus is tokenized once; per-source state broadcasts
+    # back; the grand total is a 1-row broadcast (its
+    # BroadcastNestedLoopJoin is the bounded-side pattern the
+    # registry-wide audit allows); no window anywhere
+    df = REGISTRY["l7_source_divergence"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+    assert "MapInPandas" not in final and "BatchEvalPython" not in final
+
+
 def test_registry_wide_no_unlabeled_cartesian_no_rowwise_python(spark):
     # The two unconditional scale-killers, enforced across EVERY
     # registered query in one sweep (round 11): a CartesianProduct is

@@ -331,6 +331,7 @@ REPRESENTATIVE_T12 = [
     "l6_cross_modal_dedup",
     "l6_media_metadata_extract",
     "l1_url_dedup",
+    "l7_source_divergence",
 ]
 
 
