@@ -125,7 +125,12 @@ def _diagnose(args: list) -> int:
         hadoop_cause_with_span,
     )
 
-    from mrjob_spark.dataflow.history import looks_like_jhist, parse_jhist
+    from mrjob_spark.dataflow.history import (
+        looks_like_jhist,
+        looks_like_pre_yarn_history,
+        parse_jhist,
+        parse_pre_yarn_history,
+    )
 
     if not args or args[0] == "-":
         src, text = "<stdin>", sys.stdin.read()
@@ -134,12 +139,17 @@ def _diagnose(args: list) -> int:
         with open(src, errors="replace") as fh:
             text = fh.read()
 
-    if looks_like_jhist(text):
+    if looks_like_jhist(text) or looks_like_pre_yarn_history(text):
         # history-file correlation (reference mrjob/logs/history.py):
         # report the first failed attempt's error with its task/attempt
         # ids and the container to go read task logs from, plus a
-        # one-line counter summary
-        hist = parse_jhist(text.splitlines())
+        # one-line counter summary. Both vintages parse to one shape —
+        # YARN Avro-Json .jhist and the Hadoop-1.x KEY="value" format.
+        hist = (
+            parse_jhist(text.splitlines())
+            if looks_like_jhist(text)
+            else parse_pre_yarn_history(text.splitlines(True))
+        )
         errors = hist.get("errors") or []
         if errors:
             err = errors[0]

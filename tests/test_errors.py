@@ -253,3 +253,104 @@ def test_diagnose_cli_on_jhist(tmp_path, capsys):
     assert "container_1598000000000_0001_01_000002" in out
     assert "from line 4" in out
     assert "2 counters recovered" in out
+
+
+# ---------------------------------------------------------------------
+# pre-YARN (Hadoop 1.x) history files — round 12, the last COVERAGE
+# out-of-scope note closed
+# ---------------------------------------------------------------------
+
+_PRE_YARN_SAMPLE = (
+    'Meta VERSION="1" .\n'
+    'Job JOBID="job_201512311928_0001" JOBNAME="streamjob1\\.jar"'
+    ' USER="hadoop" .\n'
+    'Task TASKID="task_201512311928_0001_m_000003" TASK_TYPE="MAP"'
+    ' START_TIME="1451590341378"'
+    ' SPLITS="/default-rack/172\\.31\\.22\\.226" .\n'
+    'MapAttempt TASK_TYPE="MAP" TASKID="task_201512311928_0001_m_000000"'
+    ' TASK_ATTEMPT_ID="attempt_201512311928_0001_m_000000_3"'
+    ' TASK_STATUS="FAILED"'
+    ' ERROR="java\\.lang\\.RuntimeException: PipeMapRed'
+    '\\.waitOutputThreads(): subprocess failed with code 1\n'
+    '\tat org\\.apache\\.hadoop\\.streaming\\.PipeMapRed'
+    '\\.waitOutputThreads(PipeMapRed\\.java:372)\n'
+    '" .\n'
+    'MapAttempt TASKID="task_k" TASK_ATTEMPT_ID="attempt_k"'
+    ' TASK_STATUS="KILLED" ERROR="speculative twin lost" .\n'
+    'Task TASKID="task_201512311928_0001_m_000001" TASK_STATUS="SUCCESS"'
+    ' COUNTERS="{(org\\.apache\\.hadoop\\.mapred\\.Task$Counter)'
+    '(Map-Reduce Framework)'
+    '[(MAP_INPUT_RECORDS)(Map input records)(18)]'
+    '[(SPILLED_RECORDS)(Spilled Records)(0)]}" .\n'
+    'Task TASKID="task_201512311928_0001_r_000000" TASK_STATUS="SUCCESS"'
+    ' COUNTERS="{(org\\.apache\\.hadoop\\.mapred\\.Task$Counter)'
+    '(Map-Reduce Framework)'
+    '[(MAP_INPUT_RECORDS)(Map input records)(4)]}" .\n'
+)
+
+
+def test_pre_yarn_history_parses_errors_and_counters():
+    from mrjob_spark.dataflow.history import (
+        looks_like_jhist,
+        looks_like_pre_yarn_history,
+        parse_pre_yarn_history,
+    )
+
+    assert looks_like_pre_yarn_history(_PRE_YARN_SAMPLE)
+    assert not looks_like_jhist(_PRE_YARN_SAMPLE)
+    got = parse_pre_yarn_history(_PRE_YARN_SAMPLE.splitlines(True))
+    # FAILED attempt surfaces unescaped with ids + line span; the
+    # KILLED attempt is noise and must not
+    (err,) = got["errors"]
+    assert err["attempt_id"] == "attempt_201512311928_0001_m_000000_3"
+    assert err["task_id"] == "task_201512311928_0001_m_000000"
+    assert "subprocess failed with code 1" in err["message"]
+    assert "\\." not in err["message"]  # unescaped
+    assert err["start_line"] == 3 and err["num_lines"] == 3
+    # no Job COUNTERS (failed job) → summed successful-task counters,
+    # zero-amount counters kept
+    assert got["counters"] == {
+        "Map-Reduce Framework": {
+            "Map input records": 22, "Spilled Records": 0,
+        }
+    }
+
+
+def test_pre_yarn_history_matches_reference_parser():
+    """Differential: the reference's own pre-YARN parser over the same
+    bytes must produce our errors + counters (its record dicts carry
+    start_line/num_lines under the hadoop_error sub-dict)."""
+    ref = os.environ.get("MRJOB_REFERENCE_PATH", "/root/reference")
+    if not os.path.isdir(os.path.join(ref, "mrjob")):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, ref)
+    try:
+        from mrjob.logs.history import _parse_pre_yarn_history_log
+    finally:
+        sys.path.remove(ref)
+
+    from mrjob_spark.dataflow.history import parse_pre_yarn_history
+
+    theirs = _parse_pre_yarn_history_log(_PRE_YARN_SAMPLE.splitlines(True))
+    ours = parse_pre_yarn_history(_PRE_YARN_SAMPLE.splitlines(True))
+    assert ours["counters"] == theirs["counters"]
+    assert len(ours["errors"]) == len(theirs["errors"]) == 1
+    t, o = theirs["errors"][0], ours["errors"][0]
+    assert o["message"] == t["hadoop_error"]["message"]
+    assert o["attempt_id"] == t["attempt_id"]
+    assert o["start_line"] == t["hadoop_error"]["start_line"]
+    assert o["num_lines"] == t["hadoop_error"]["num_lines"]
+
+
+def test_diagnose_cli_reads_pre_yarn_history(tmp_path, capsys):
+    from mrjob_spark.cmd import main
+
+    path = tmp_path / "job_201512311928_0001_1451590341378_hadoop_st"
+    path.write_text(_PRE_YARN_SAMPLE)
+    assert main(["mrjob", "diagnose", str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "Probable cause of failure" in out
+    assert "attempt_201512311928_0001_m_000000_3" in out
+    assert "task_201512311928_0001_m_000000" in out
+    assert "from line 4" in out
+    assert "2 counters recovered" in out
