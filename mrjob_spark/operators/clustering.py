@@ -142,16 +142,30 @@ def kmeans_assign(
     never leaves executors, and plans don't grow with iteration count
     because each round plans from the same base frame.
     """
-    spark = emb.sparkSession
+    qdf = _quantized(emb, id_col=id_col, vec_col=vec_col, scale=scale)
+    final = _fit_centroids(qdf, k=k, iters=iters)
+    if probe > 1:
+        return _assign_topn(qdf, final, probe)
+    return _assign(qdf, final).select("vec_id", "cluster", "dist")
+
+
+def _quantized(emb: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               scale: int = FIXED_POINT_SCALE) -> DataFrame:
+    """(vec_id, qv) on the fixed-point grid, scan-parallelism recovered."""
     from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
-    qdf = parallelize_narrow_scan(
+    return parallelize_narrow_scan(
         emb.select(
             F.col(id_col).cast("long").alias("vec_id"),
             quantize_fixed_point(F.col(vec_col), scale).alias("qv"),
         )
     )
 
+
+def _fit_centroids(qdf: DataFrame, *, k: int, iters: int) -> DataFrame:
+    """Lloyd's over a quantized frame → the final k-row centroid table."""
+    spark = qdf.sparkSession
     init = (
         qdf.orderBy("vec_id")
         .limit(k)
@@ -179,7 +193,42 @@ def kmeans_assign(
             for c, dims in sorted(by_cluster.items())
         ]
 
-    final = _centroids_df(spark, centroids)
+    return _centroids_df(spark, centroids)
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FIXED_POINT_SCALE,
+) -> DataFrame:
+    """Train-only entry point: the final k-row ``(cluster, cv)`` centroid
+    table from the same deterministic Lloyd's recipe as
+    :func:`kmeans_assign` — for the asymmetric index/probe flows (st13
+    ingest admission) where centroids are fitted ONCE on a seed corpus
+    and arrivals assign against them forever after, exactly how a
+    production IVF coarse quantizer is deployed."""
+    return _fit_centroids(
+        _quantized(emb, id_col=id_col, vec_col=vec_col, scale=scale),
+        k=k, iters=iters,
+    )
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FIXED_POINT_SCALE,
+) -> DataFrame:
+    """Assign vectors to their top-``probe`` cells under a PRE-FITTED
+    centroid table (broadcast, scored in-row — the corpus never
+    shuffles for assignment). Returns ``vec_id, cluster, dist``."""
+    qdf = _quantized(emb, id_col=id_col, vec_col=vec_col, scale=scale)
     if probe > 1:
-        return _assign_topn(qdf, final, probe)
-    return _assign(qdf, final).select("vec_id", "cluster", "dist")
+        return _assign_topn(qdf, centroids, probe)
+    return _assign(qdf, centroids).select("vec_id", "cluster", "dist")

@@ -1196,3 +1196,121 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_embedding_admission(
+    arrivals: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    *,
+    probe: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Admission verdicts for arriving EMBEDDINGS against an IVF cell
+    index (ST × L2 × L3 — the embedding twin of
+    :func:`lsh_band_admission`, round 12): per arrival,
+
+    * ``dup_of_history`` — some indexed corpus vector in one of the
+      arrival's top-``probe`` cells has cosine >= ``threshold``;
+    * ``dup_in_batch`` — no history hit, but an EARLIER batch arrival
+      (smaller id — the arrival-order stand-in) whose RANK-1 cell the
+      later arrival probes is cosine-close. First arrival wins, and a
+      rejected arrival still occupies its rank-1 cell for later docs —
+      the exact cell a streamed ingest would have appended it to, which
+      is what makes ordered micro-batch replay converge to this batch
+      form;
+    * ``new`` — admitted. ``hist_top_cosine`` reports the best history
+      match (rounded, null when no history candidate shared a cell).
+
+    Scale shape (the IVF deployment asymmetry): ``centroids`` are
+    FITTED ONCE on the seed corpus (:func:`clustering.kmeans_fit`) —
+    the coarse quantizer never retrains per batch; the corpus-sized
+    ``index`` (``cluster, vec_id, embedding``, rank-1 rows, at scale a
+    parquet table partitioned by cluster) is scanned ONCE and NEVER
+    shuffled — the batch's probed cells broadcast onto it, cosines
+    compute in-row, and only the matched candidates (bounded by the
+    batch's probed-cell membership) shuffle for the per-arrival max.
+    Arrival-side cell assignment broadcasts the k-row centroid table
+    and scores in-row. An ingest micro-batch is small relative to the
+    corpus by definition — the whole design leans on that asymmetry."""
+    from mrjob_spark.functions.vectors import dot, l2_norm
+    from mrjob_spark.operators.clustering import assign_cells
+
+    arr = arrivals.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("_vec"),
+    ).withColumn("_norm", l2_norm(F.col("_vec")))
+
+    ab = assign_cells(
+        arrivals, centroids, probe=probe, id_col=id_col, vec_col=vec_col
+    )  # (vec_id, cluster, dist) — top-probe rows per arrival
+    # rank-1 occupancy derives from the SAME scored rows (no re-score):
+    # the (dist, cluster)-min is the cell a streamed ingest appends to
+    ab1 = (
+        ab.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("dc"))
+        .select("vec_id", F.col("dc.cluster").alias("cluster"))
+    )
+
+    probed = ab.join(arr, "vec_id").select(
+        "vec_id", "cluster", "_vec", "_norm"
+    )
+
+    # history probe: batch side broadcasts, the corpus index streams
+    idx = index.select(
+        F.col("cluster"),
+        F.col(id_col).cast("long").alias("_hid"),
+        F.col(vec_col).alias("_hvec"),
+    ).withColumn("_hnorm", l2_norm(F.col("_hvec")))
+    hcos = rnd(
+        dot(F.col("_vec"), F.col("_hvec")) / (F.col("_norm") * F.col("_hnorm")),
+        6,
+    )
+    hist_top = (
+        idx.join(F.broadcast(probed), "cluster")
+        .select("vec_id", hcos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("hist_top_cosine"))
+    )
+
+    # in-batch: later arrivals' probed cells vs earlier arrivals'
+    # rank-1 occupancy (both batch-sized)
+    occ = ab1.join(arr, "vec_id").select(
+        F.col("vec_id").alias("_eid"),
+        "cluster",
+        F.col("_vec").alias("_evec"),
+        F.col("_norm").alias("_enorm"),
+    )
+    bcos = rnd(
+        dot(F.col("_vec"), F.col("_evec")) / (F.col("_norm") * F.col("_enorm")),
+        6,
+    )
+    batch_hits = (
+        probed.join(
+            occ,
+            (probed.cluster == occ.cluster)
+            & (F.col("_eid") < F.col("vec_id")),
+        )
+        .where(bcos >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("batch_hit", F.lit(1))
+    )
+
+    return (
+        arr.select("vec_id")
+        .join(hist_top, "vec_id", "left")
+        .join(F.broadcast(batch_hits), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                F.col("hist_top_cosine") >= threshold, "dup_of_history"
+            )
+            .when(F.col("batch_hit") == 1, "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+            "hist_top_cosine",
+        )
+    )

@@ -120,6 +120,7 @@ _DRIVER_PRIORITY = [
     "l6_media_metadata_extract",
     "l1_url_dedup",
     "l7_source_divergence",
+    "st13_incremental_embedding_neardup",
     # the full round-11 rotation queue — the 28 r8-greens, the stalest
     # cohort on the board — leads the window (VERDICT r11 task 4): after
     # this round no green predates r9
@@ -175,7 +176,6 @@ _DRIVER_PRIORITY = [
     "j3_semi_join",
     "j3_anti_join",
     "j4_left_outer_join",
-    "j5_range_join_bucketed",
 ]
 
 
@@ -184,16 +184,17 @@ _DRIVER_PRIORITY = [
 #: a query may sit beyond the window ONLY if it was driver-green before or
 #: is queued here — so displacement is always a choice, never an accident
 #: (VERDICT r2 "what's wrong" #1). Round 12: the queue is the STRUCTURAL
-#: overflow the registry size forces — 179 queries cycle through a
+#: overflow the registry size forces — 180 queries cycle through a
 #: 50-slot window against a 3-round staleness horizon, so
-#: registry − 3×window = 29 greens must sit out each round (cap 33 with
-#: the +4 slack). The 29 names below are the r9-greens that didn't fit
+#: registry − 3×window = 30 greens must sit out each round (cap 34 with
+#: the +4 slack). The 30 names below are the r9-greens that didn't fit
 #: behind the returning 28 r8-greens and the two new l6 rows:
 #: stable-path queries untouched this round — single-operator
 #: relational/window/set rows, the l4/l5/l7/l8 families whose heavier
 #: siblings are in-window, and the io/sql micro rows. They LEAD the
 #: round-13 window.
 _ROTATION_QUEUE: list[str] = [
+    "j5_range_join_bucketed",
     "j7_star_join",
     "sql1_ansi_interface",
     "a10_approx_count_distinct",

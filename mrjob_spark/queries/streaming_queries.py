@@ -587,3 +587,151 @@ def st12_incremental_neardup(spark, sf_dir):
         docs.where(F.col("doc_id") % 10 != 9), "doc_id", "text"
     ).select("band_idx", "band_hash")
     return lsh_band_admission(docs.where(F.col("doc_id") % 10 == 9), history)
+
+
+def _st13_sql(probe: int = 2, threshold: float = 0.4) -> str:
+    """DuckDB twin of st13: history-trained quantized k-means (seed = 20
+    smallest HISTORY ids, one exact integer update round over history),
+    history indexed rank-1 and arrivals probed rn <= probe under the
+    SAME centroids, history-hit max cosine + earlier-arrival rank-1
+    occupancy hits, rnd6-portable cosines throughout — every centroid,
+    every assignment, and every verdict must agree with Spark."""
+    cos = (
+        "(floor((list_cosine_similarity(CAST({a}.embedding AS DOUBLE[]),"
+        " CAST({b}.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings
+    ), hq AS (
+        SELECT * FROM q WHERE vec_id % 10 <> 9
+    ), bq AS (
+        SELECT * FROM q WHERE vec_id % 10 = 9
+    ), c0 AS (
+        SELECT vec_id AS cluster, qv AS cv FROM hq
+        WHERE vec_id IN (SELECT vec_id FROM hq ORDER BY vec_id
+            LIMIT (SELECT greatest(16, CAST(ceil(count(*) / 125.0) AS BIGINT))
+                   FROM hq))
+    ), d0 AS (
+        SELECT vec_id, cluster, CAST(sum((a - b) * (a - b)) AS BIGINT) AS dist
+        FROM (SELECT hq.vec_id, c.cluster, unnest(hq.qv) AS a,
+                     unnest(c.cv) AS b
+              FROM hq CROSS JOIN c0 c) z
+        GROUP BY vec_id, cluster
+    ), a0 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d0) zz
+        WHERE rn = 1
+    ), c1 AS (
+        SELECT cluster, pos,
+               CAST(floor(CAST(sum(a) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS v
+        FROM (SELECT a0.cluster, unnest(hq.qv) AS a,
+                     generate_subscripts(hq.qv, 1) AS pos
+              FROM hq JOIN a0 USING (vec_id)) z
+        GROUP BY cluster, pos
+    ), dh AS (
+        SELECT vec_id, cluster, CAST(sum((a - v) * (a - v)) AS BIGINT) AS dist
+        FROM (SELECT hq.vec_id, c1.cluster, c1.v, hq.qv[c1.pos] AS a
+              FROM hq CROSS JOIN c1) z
+        GROUP BY vec_id, cluster
+    ), ah AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM dh) zz
+        WHERE rn = 1
+    ), db AS (
+        SELECT vec_id, cluster, CAST(sum((a - v) * (a - v)) AS BIGINT) AS dist
+        FROM (SELECT bq.vec_id, c1.cluster, c1.v, bq.qv[c1.pos] AS a
+              FROM bq CROSS JOIN c1) z
+        GROUP BY vec_id, cluster
+    ), ab AS (
+        SELECT vec_id, cluster, rn FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM db) zz
+        WHERE rn <= {probe}
+    ), hist_top AS (
+        SELECT ab.vec_id,
+               MAX({cos.format(a='eb', b='eh')}) AS hist_top_cosine
+        FROM ab
+        JOIN ah ON ah.cluster = ab.cluster
+        JOIN embeddings eb ON eb.vec_id = ab.vec_id
+        JOIN embeddings eh ON eh.vec_id = ah.vec_id
+        GROUP BY ab.vec_id
+    ), batch_hits AS (
+        SELECT DISTINCT a.vec_id
+        FROM ab a
+        JOIN (SELECT vec_id, cluster FROM ab WHERE rn = 1) e
+          ON e.cluster = a.cluster AND e.vec_id < a.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings ee ON ee.vec_id = e.vec_id
+        WHERE {cos.format(a='ea', b='ee')} >= {threshold}
+    )
+    SELECT b.vec_id,
+           CASE WHEN ht.hist_top_cosine >= {threshold}
+                THEN 'dup_of_history'
+                WHEN bh.vec_id IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           ht.hist_top_cosine
+    FROM bq b
+    LEFT JOIN hist_top ht ON ht.vec_id = b.vec_id
+    LEFT JOIN batch_hits bh ON bh.vec_id = b.vec_id
+    """
+
+
+@query("st13_incremental_embedding_neardup", sql=_st13_sql())
+def st13_incremental_embedding_neardup(spark, sf_dir):
+    """IVF EMBEDDING near-dup admission, deterministic batch twin of
+    ``streaming/ops.py:embedding_ingest_foreach_batch`` (round 12 — the
+    embedding twin of st12's MinHash-band admission, composing L3's IVF
+    machinery with the ST ingest shape): the arriving batch
+    (vec_id % 10 = 9) probes an IVF cell index built from the
+    already-ingested rest under a coarse quantizer FITTED ONCE on that
+    history (``clustering.kmeans_fit`` — production IVF never retrains
+    per batch). An indexed vector in a probed cell with cosine >= 0.4
+    rejects the arrival as ``dup_of_history``; an EARLIER arrival whose
+    rank-1 cell (the cell a streamed ingest appends it to — rejected
+    arrivals still occupy) the later arrival probes and matches rejects
+    it as ``dup_in_batch``; the rest admit as ``new``.
+    ``hist_top_cosine`` reports the best history match.
+
+    Scale shape (``operators/dedup.py:ivf_embedding_admission``): the
+    corpus-sized cell index is scanned once and NEVER shuffled — the
+    batch's probed cells broadcast onto it, cosines compute in-row, and
+    only matched candidates shuffle for the per-arrival max; at scale
+    the index is a parquet table partitioned by cluster, so the probe
+    is a partition-pruned read. The quantizer's cell count is
+    SF-ADAPTIVE (k = max(16, ceil(n_history/125)) — the tight-tier
+    constant-cell-size rule, SCALE.md §12), so probe work per arrival
+    stays ~constant as the corpus grows; the oracle derives the same k
+    from count(*) in its seed CTE."""
+    from mrjob_spark.operators.clustering import assign_cells, kmeans_fit
+    from mrjob_spark.operators.dedup import ivf_embedding_admission
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    history = emb.where(F.col("vec_id") % 10 != 9)
+    arrivals = emb.where(F.col("vec_id") % 10 == 9)
+    import math as _math
+
+    k = max(16, _math.ceil(history.count() / 125))
+    cents = kmeans_fit(history, k=k, iters=1)
+    index = (
+        assign_cells(history, cents, probe=1)
+        .select("vec_id", "cluster")
+        .join(history, "vec_id")
+        .select("cluster", "vec_id", "embedding")
+    )
+    return ivf_embedding_admission(
+        arrivals, index, cents, probe=2, threshold=0.4
+    )

@@ -325,6 +325,98 @@ def neardup_ingest_foreach_batch(
     return write_batch
 
 
+def embedding_ingest_foreach_batch(
+    index_dir: str,
+    out_dir: str,
+    centroid_rows: list,
+    *,
+    probe: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """``foreachBatch`` body for IVF EMBEDDING near-dup admission ingest
+    (ST × L2 × L3, round 12) — the embedding twin of the MinHash-band
+    ingest above: each micro-batch's vectors are admitted against the
+    corpus IVF cell index with
+    ``operators/dedup.py:ivf_embedding_admission`` (any indexed vector
+    in a probed cell with cosine >= threshold → reject), verdicts land
+    in ``out_dir``, and ALL of the batch's rank-1 cell rows — rejected
+    arrivals included, since a seen near-dup family still occupies its
+    cell — are appended to the index so later micro-batches observe
+    them.
+
+    ``centroid_rows`` is the PRE-FITTED coarse quantizer
+    (``clustering.kmeans_fit`` on the seed corpus, collected — k×dim
+    driver state): a production IVF index trains its quantizer once and
+    assigns arrivals against it forever after; retraining per batch
+    would move every cell boundary and invalidate the index.
+
+    Why the index is a parquet table and not the state store: at corpus
+    scale the cell index IS corpus-sized (one row per ingested vector)
+    — storage-backed keeps micro-batch cost at one index SCAN (never a
+    shuffle — admission broadcasts the batch's probed cells onto it)
+    plus a batch-sized append; partitioning the table by ``cluster``
+    turns the scan into partition-pruned reads of the probed cells
+    only. Replayed batches re-append their cell rows, which is harmless
+    by construction: admission takes a MAX of cosines, so duplicate
+    index rows cannot change any verdict, and the verdict sink
+    partition-overwrites by batch_id (idempotent, the
+    foreach_batch_overwrite idiom).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from mrjob_spark.operators.clustering import (
+            _centroids_df,
+            assign_cells,
+        )
+        from mrjob_spark.operators.dedup import ivf_embedding_admission
+
+        batch = batch_df.select(id_col, vec_col).persist()
+        try:
+            centroids = _centroids_df(spark, centroid_rows)
+            try:
+                index = spark.read.parquet(index_dir)
+            except Exception:  # first batch: no index yet
+                index = spark.createDataFrame(
+                    [], f"cluster long, {id_col} long,"
+                    f" {vec_col} array<float>"
+                )
+            verdicts = ivf_embedding_admission(
+                batch, index, centroids, probe=probe,
+                threshold=threshold, id_col=id_col, vec_col=vec_col,
+            )
+            (
+                verdicts.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+            (
+                assign_cells(
+                    batch, centroids, probe=1,
+                    id_col=id_col, vec_col=vec_col,
+                )
+                .select("vec_id", "cluster")
+                .join(
+                    batch.select(
+                        F.col(id_col).cast("long").alias("vec_id"),
+                        vec_col,
+                    ),
+                    "vec_id",
+                )
+                .select("cluster", "vec_id", vec_col)
+                .write.mode("append")
+                .parquet(index_dir)
+            )
+        finally:
+            batch.unpersist()
+
+    return write_batch
+
+
 def stream_static_enrich(
     stream_df: DataFrame,
     dim_df: DataFrame,

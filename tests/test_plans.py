@@ -875,6 +875,28 @@ def test_source_divergence_single_docterm_intermediate(spark):
     assert "MapInPandas" not in final and "BatchEvalPython" not in final
 
 
+def test_embedding_admission_index_streams_batch_broadcasts(spark):
+    # st13's admission asymmetry: the cosine probe is a BroadcastHashJoin
+    # on the cell key with the ARRIVALS side as the build (the corpus
+    # index streams — it never shuffles for admission; the only
+    # history-side exchange is the batch twin's inline index
+    # CONSTRUCTION, which production precomputes); per-arrival max is
+    # map-side partial; the only nested-loop joins are the k-row
+    # centroid broadcasts (the bounded-side pattern); no window
+    import re as _re
+
+    df = REGISTRY["st13_incremental_embedding_neardup"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert _re.search(
+        r"BroadcastHashJoin \[cluster#\d+L?\], \[cluster#\d+L?\],"
+        r" Inner, BuildRight", final)
+    assert "partial_max" in final
+    assert "CartesianProduct" not in final
+    assert "Window" not in final
+
+
 def test_registry_wide_no_unlabeled_cartesian_no_rowwise_python(spark):
     # The two unconditional scale-killers, enforced across EVERY
     # registered query in one sweep (round 11): a CartesianProduct is

@@ -1009,3 +1009,118 @@ print("TWS_ROWS=%d" % len(df.collect()))
         timeout=300, env=env, cwd=str(tmp_path),
     )
     assert "TWS_ROWS=5" in out.stdout, out.stderr[-2000:]
+
+
+def test_embedding_ingest_across_microbatches_converges_to_batch_twin(
+        spark, tmp_path):
+    """The REAL streamed form of st13: three id-ordered micro-batches of
+    embedding arrivals through readStream →
+    foreachBatch(embedding_ingest_foreach_batch) with the IVF cell index
+    growing as a parquet table under a quantizer fitted ONCE on the
+    seed corpus. The streamed ADMITTED set must equal the one-shot batch
+    twin's (labels may differ: a cross-micro-batch near-dup reads
+    dup_of_history in the stream where the twin says dup_in_batch;
+    rejection itself is order-invariant), and the per-micro-batch cache
+    footprint must return to baseline (the st12 persist-leak lesson)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mrjob_spark.operators.clustering import assign_cells, kmeans_fit
+    from mrjob_spark.operators.dedup import ivf_embedding_admission
+    from mrjob_spark.streaming.io import read_stream_parquet
+    from mrjob_spark.streaming.ops import embedding_ingest_foreach_batch
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    history = emb.where("vec_id % 10 != 9")
+    arrivals = emb.where("vec_id % 10 = 9").orderBy("vec_id").collect()
+    assert len(arrivals) >= 3
+
+    cents = kmeans_fit(history, k=8, iters=1)
+    centroid_rows = [(int(r["cluster"]), list(r["cv"]))
+                     for r in cents.collect()]
+
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    third = max(1, len(arrivals) // 3)
+    chunks = [arrivals[:third], arrivals[third:2 * third],
+              arrivals[2 * third:]]
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(src, f"chunk{i}.parquet")
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array([r["vec_id"] for r in chunk],
+                                   type=pa.int64()),
+                "embedding": pa.array(
+                    [list(r["embedding"]) for r in chunk],
+                    type=pa.list_(pa.float32())),
+            }),
+            path,
+        )
+        os.utime(path, (now + i, now + i))
+
+    index_dir = str(tmp_path / "cell_index")
+    out_dir = str(tmp_path / "verdicts")
+    # seed the index with the ingested corpus's rank-1 cells
+    (
+        assign_cells(history, cents, probe=1)
+        .select("vec_id", "cluster")
+        .join(history, "vec_id")
+        .select("cluster", "vec_id", "embedding")
+        .write.parquet(index_dir)
+    )
+
+    spark.catalog.clearCache()
+    sdf = read_stream_parquet(
+        spark, src, schema="vec_id long, embedding array<float>",
+        max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            embedding_ingest_foreach_batch(
+                index_dir, out_dir, centroid_rows, probe=2, threshold=0.4))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # batch + any operator-internal persists all released
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    streamed = spark.read.parquet(out_dir)
+    assert streamed.select("batch_id").distinct().count() == 3
+    streamed_admitted = {
+        r["vec_id"] for r in streamed.where("verdict = 'new'").collect()
+    }
+    index = (
+        assign_cells(history, cents, probe=1)
+        .select("vec_id", "cluster")
+        .join(history, "vec_id")
+        .select("cluster", "vec_id", "embedding")
+    )
+    twin = ivf_embedding_admission(
+        emb.where("vec_id % 10 = 9"), index, cents, probe=2, threshold=0.4
+    )
+    twin_admitted = {
+        r["vec_id"] for r in twin.where("verdict = 'new'").collect()
+    }
+    assert streamed_admitted == twin_admitted
+    # every arrival got exactly one verdict; replaying batch 1 must not
+    # change that (dynamic partition overwrite, not append)
+    assert streamed.count() == len(arrivals)
+    wb = embedding_ingest_foreach_batch(
+        index_dir, out_dir, centroid_rows, probe=2, threshold=0.4)
+    replay = spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in chunks[1]],
+        "vec_id long, embedding array<float>",
+    )
+    wb(replay, 1)
+    after = spark.read.parquet(out_dir)
+    assert after.count() == len(arrivals)
+    assert after.groupBy("vec_id").count().where("count > 1").count() == 0

@@ -332,6 +332,7 @@ REPRESENTATIVE_T12 = [
     "l6_media_metadata_extract",
     "l1_url_dedup",
     "l7_source_divergence",
+    "st13_incremental_embedding_neardup",
 ]
 
 
