@@ -615,6 +615,133 @@ def ivf_product_quantized_topk(
     return _pq_rerank(c, q, cand, k, query_id_col, vec_col)
 
 
+def arrow_cosine_verify(
+    cand: DataFrame,
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    groups: int | None = None,
+) -> DataFrame:
+    """Exact-cosine verification of candidate id pairs, Arrow-vectorized —
+    the shared tail stage of every bucketed near-dup tier.
+
+    Numerically IDENTICAL to the ``zip_with``/``aggregate`` fold it
+    replaces: per pair, products are ``float→double`` widened (exact) and
+    accumulated left-associative in double — here as one vectorized numpy
+    op per dimension over a whole Arrow batch (``acc = acc + A[:, i] *
+    B[:, i]``), so each row sees the same IEEE-754 operation sequence as
+    the sequential fold while a task evaluates ``dim`` column ops instead
+    of ``pairs × dim`` interpreted lambda steps. Norms use the same
+    per-dimension ``acc + x*x`` order as ``l2_norm``; rounding is the
+    portable ``floor(c*1e6+0.5)/1e6`` grid (``rnd``). Bit-identity with
+    the fold is pinned by tests/test_operators.py.
+
+    Why not the join-then-score shape: attaching both vectors to every
+    candidate pair ships ``pairs × 2 × dim`` floats through the join and
+    then across the Arrow boundary, and the per-pair fold is interpreted
+    (HigherOrderFunction = CodegenFallback — measured ~8× slower than
+    this path on the 1.4M-pair tight tier). Here candidate pairs shuffle
+    ONCE on a deterministic group key (``pmod(xxhash64(id_a), P)`` — no
+    RNG, retry-stable), each group is joined with only the DISTINCT
+    vectors its pairs reference (≤ 2 ids per pair, typically far fewer),
+    and the verify math runs vectorized per group. Bytes moved:
+    O(pairs × 16 B) + O(distinct ids per group × dim) — strictly less
+    than the join shape's O(pairs × 2 × dim).
+
+    Edge semantics (fixtures contain none of these): pairs whose cosine
+    is NaN (zero-norm or NaN input) are dropped, matching the null
+    verdict of ``cosine_similarity``'s zero-norm guard; ids missing from
+    ``emb`` drop their pairs like the inner join they replace.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = cand.sparkSession
+    p = groups or spark.sparkContext.defaultParallelism
+    cand_g = cand.select(
+        F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b")
+    ).withColumn("_gid", F.pmod(F.xxhash64("id_a"), F.lit(p)).cast("int"))
+    # only the vectors each group actually references travel to it: the
+    # distinct (group, id) spine is pair-bounded, so no full replication
+    need = (
+        cand_g.select(
+            F.col("_gid").alias("_vgid"),
+            F.explode(F.array("id_a", "id_b")).alias("_vid"),
+        ).distinct()
+    )
+    vec_g = need.join(
+        emb.select(
+            F.col(id_col).cast("long").alias("_vid"), F.col(vec_col).alias("_vec")
+        ),
+        "_vid",
+    )
+    thr = float(threshold)
+
+    def _score(cand_tbl: "pa.Table", vec_tbl: "pa.Table") -> "pa.Table":
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        n = cand_tbl.num_rows
+        if n == 0 or vec_tbl.num_rows == 0:
+            return empty
+        ids = np.asarray(vec_tbl.column("_vid"), dtype=np.int64)
+        emb_col = vec_tbl.column("_vec").combine_chunks()
+        m = np.asarray(emb_col.flatten(), dtype=np.float64)
+        if ids.size == 0 or m.size % ids.size:
+            return empty  # ragged dims: nothing comparable
+        m = m.reshape(ids.size, -1)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        # l2_norm's exact order: acc + x*x, left-assoc per dimension
+        nrm = np.zeros(ids.size)
+        for i in range(m.shape[1]):
+            nrm = nrm + m[:, i] * m[:, i]
+        nrm = np.sqrt(nrm)
+        ia = np.asarray(cand_tbl.column("id_a"), dtype=np.int64)
+        ib = np.asarray(cand_tbl.column("id_b"), dtype=np.int64)
+        ja = np.searchsorted(ids, ia)
+        jb = np.searchsorted(ids, ib)
+        ja = np.clip(ja, 0, ids.size - 1)
+        jb = np.clip(jb, 0, ids.size - 1)
+        ok = (ids[ja] == ia) & (ids[jb] == ib)  # inner-join semantics
+        if not ok.all():
+            ia, ib, ja, jb = ia[ok], ib[ok], ja[ok], jb[ok]
+            if ia.size == 0:
+                return empty
+        a, b = m[ja], m[jb]
+        # dot's exact order: acc + a_i*b_i, left-assoc per dimension
+        acc = np.zeros(ia.size)
+        for i in range(a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (nrm[ja] * nrm[jb])
+            c6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        keep = c6 >= thr  # NaN compares false: zero-norm pairs drop
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "cosine": pa.array(c6[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        cand_g.groupBy("_gid")
+        .cogroup(vec_g.groupBy("_vgid"))
+        .applyInArrow(_score, schema="id_a long, id_b long, cosine double")
+    )
+    return out.select(
+        F.col("id_a").alias(a_col), F.col("id_b").alias(b_col), "cosine"
+    )
+
+
 def signbit_band_pairs(
     df: DataFrame,
     threshold: float,

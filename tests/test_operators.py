@@ -1100,3 +1100,59 @@ def test_substring_dedup_clean_within_doc_repeat_keeps_earliest(spark):
     # only the SECOND copy (anchor p=16) is removable: 1 anchor, 8 tokens
     assert (r["n_rm_anchors"], r["n_rm_runs"],
             r["max_rm_run_tokens"], r["n_rm_tokens"]) == (1, 1, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# arrow_cosine_verify: the round-12 Arrow-vectorized verify tail must be
+# BIT-IDENTICAL to the zip_with/aggregate fold it replaced (same IEEE-754
+# operation sequence), with the inner-join drop semantics of the old shape.
+# ---------------------------------------------------------------------------
+
+
+def _fold_cosine_reference(cand, emb, threshold):
+    """The pre-round-12 verify shape: join both vectors to every pair and
+    score with the sequential zip_with/aggregate fold."""
+    from mrjob_spark.functions.rounding import rnd
+    from mrjob_spark.functions.vectors import dot, l2_norm
+
+    ea = emb.select(
+        F.col("vec_id").alias("_ia"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("_ib"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
+    )
+    cosine = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(ea, F.col("id_a") == F.col("_ia"))
+        .join(eb, F.col("id_b") == F.col("_ib"))
+        .select("id_a", "id_b", rnd(cosine, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def test_arrow_cosine_verify_bit_identical_to_fold(spark, vec_corpus):
+    from mrjob_spark.operators.similarity import arrow_cosine_verify
+
+    # all pairs of the 64-vector corpus, plus pairs naming a missing id
+    # (must drop, like the inner join) — threshold -2 keeps every real
+    # pair so every cosine value is compared bit-for-bit
+    ids = [r.vec_id for r in vec_corpus.select("vec_id").collect()]
+    pairs = [(a, b) for a in ids for b in ids if a < b]
+    pairs += [(0, 10_000), (10_000, 1)]  # ids absent from the corpus
+    cand = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    got = arrow_cosine_verify(cand, vec_corpus, threshold=-2.0)
+    want = _fold_cosine_reference(cand, vec_corpus, threshold=-2.0)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert len(g) == len(pairs) - 2
+    assert g == w  # bit-identical cosines, same surviving pairs
+
+    # thresholded form agrees too (the production call shape)
+    g5 = sorted(map(tuple, arrow_cosine_verify(cand, vec_corpus, 0.5).collect()))
+    w5 = sorted(map(tuple, _fold_cosine_reference(cand, vec_corpus, 0.5).collect()))
+    assert g5 == w5 and g5  # non-degenerate: clustered fixture has >=0.5 pairs
