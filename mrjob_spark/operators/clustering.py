@@ -47,60 +47,92 @@ def quantize_fixed_point(vec, scale: int = FIXED_POINT_SCALE):
     )
 
 
-def _sq_l2(a, b):
-    """Exact integer squared-L2 distance between two array<long> columns."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _assign_rows(
+    qdf: DataFrame,
+    centroid_rows: list[tuple[int, list[int]]],
+    probe: int = 1,
+    with_qv: bool = False,
+) -> DataFrame:
+    """Top-``probe`` nearest centroids per vector over the DRIVER-RESIDENT
+    ``k``-row centroid list, Arrow-vectorized (round 12).
+
+    The previous shape (crossJoin the broadcast centroid table, score each
+    of the n×k rows with the ``zip_with``/``aggregate`` integer fold, then
+    a min-struct / sort_array(collect_list) aggregate) paid an interpreted
+    HigherOrderFunction eval per (vector, centroid) — CodegenFallback, so
+    the k-way row explosion dominated every IVF tier's fit+assign cost.
+    Here each Arrow batch computes all n×k squared-L2 distances as three
+    integer matrix ops (``|q|² + |c|² − 2·q·cᵀ`` — EXACT in int64: the
+    fixed-point grid bounds every term far below overflow), so the
+    arithmetic is bit-for-bit the oracle's, with zero floating point.
+
+    Tie-breaks replicate ``ORDER BY dist, cluster``: centroids are scored
+    in ascending-cluster column order, ``argmin``/stable ``argsort`` keep
+    the first (= lowest cluster) among equal distances. The centroid list
+    is a closure constant (k × dim ints — the same bounded driver state
+    the collect-based Lloyd's loop already holds); the corpus never
+    shuffles for assignment, exactly as before.
+    """
+    import numpy as np
+
+    rows = sorted((int(c), list(cv)) for c, cv in centroid_rows)
+    clusters = np.array([c for c, _ in rows], dtype=np.int64)
+    cmat = np.array([cv for _, cv in rows], dtype=np.int64)
+    cc = (cmat * cmat).sum(axis=1)
+    schema = (
+        "vec_id long, qv array<long>, cluster long, dist long"
+        if with_qv
+        else "vec_id long, cluster long, dist long"
     )
 
+    def _score(batches):
+        import pyarrow as pa
 
-def _assign(qdf: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast the k-row centroid table,
-    score in-row, keep the (dist, cluster)-min via one partial-aggregable
-    ``min(struct)`` — no window, no per-vector sort."""
-    scored = qdf.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "qv",
-        F.struct(
-            _sq_l2(F.col("qv"), F.col("cv")).alias("dist"),
-            F.col("cluster").alias("cluster"),
-        ).alias("dc"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min("dc").alias("dc"), F.first("qv").alias("qv")
-    )
-    return best.select(
-        "vec_id", "qv", F.col("dc.cluster").alias("cluster"), F.col("dc.dist").alias("dist")
-    )
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            qv = b.column("qv")
+            q = np.asarray(qv.flatten(), dtype=np.int64).reshape(n, -1)
+            qq = (q * q).sum(axis=1)
+            dists = qq[:, None] + cc[None, :] - 2 * (q @ cmat.T)
+            vid = np.asarray(b.column("vec_id"), dtype=np.int64)
+            if probe <= 1:
+                j = np.argmin(dists, axis=1)  # first min = lowest cluster
+                cols = {
+                    "vec_id": pa.array(vid, pa.int64()),
+                    "cluster": pa.array(clusters[j], pa.int64()),
+                    "dist": pa.array(dists[np.arange(n), j], pa.int64()),
+                }
+                if with_qv:
+                    cols = {
+                        "vec_id": cols["vec_id"],
+                        "qv": qv,
+                        "cluster": cols["cluster"],
+                        "dist": cols["dist"],
+                    }
+                yield pa.record_batch(cols)
+            else:
+                # fewer live centroids than probe (clusters can collapse
+                # on degenerate data): emit what exists, like the
+                # slice(sort_array(...), 1, probe) it replaced
+                order = np.argsort(dists, axis=1, kind="stable")[:, :probe]
+                yield pa.record_batch(
+                    {
+                        "vec_id": pa.array(
+                            np.repeat(vid, order.shape[1]), pa.int64()
+                        ),
+                        "cluster": pa.array(
+                            clusters[order].ravel(), pa.int64()
+                        ),
+                        "dist": pa.array(
+                            np.take_along_axis(dists, order, axis=1).ravel(),
+                            pa.int64(),
+                        ),
+                    }
+                )
 
-
-def _assign_topn(qdf: DataFrame, centroids: DataFrame, probe: int) -> DataFrame:
-    """Top-``probe`` nearest centroids per vector (IVF multi-probe): the
-    k-row centroid table broadcasts, scores compute in-row, and the
-    per-vector top-n comes from ``sort_array(collect_list(...))`` over the
-    k bounded candidate structs — a partial-aggregable ObjectHashAggregate
-    (k structs per vector per partition), no window, no per-vector sort
-    stage. Ties break on (dist, cluster), matching the oracle's
-    ``ORDER BY dist, cluster``."""
-    scored = qdf.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        F.struct(
-            _sq_l2(F.col("qv"), F.col("cv")).alias("dist"),
-            F.col("cluster").alias("cluster"),
-        ).alias("dc"),
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.slice(F.sort_array(F.collect_list("dc")), 1, probe).alias("top"))
-        .select("vec_id", F.explode("top").alias("dc"))
-        .select(
-            "vec_id",
-            F.col("dc.cluster").alias("cluster"),
-            F.col("dc.dist").alias("dist"),
-        )
-    )
+    return qdf.select("vec_id", "qv").mapInArrow(_score, schema=schema)
 
 
 def _centroids_df(spark: SparkSession, rows: list[tuple[int, list[int]]]) -> DataFrame:
@@ -143,10 +175,10 @@ def kmeans_assign(
     because each round plans from the same base frame.
     """
     qdf = _quantized(emb, id_col=id_col, vec_col=vec_col, scale=scale)
-    final = _fit_centroids(qdf, k=k, iters=iters)
-    if probe > 1:
-        return _assign_topn(qdf, final, probe)
-    return _assign(qdf, final).select("vec_id", "cluster", "dist")
+    final = _fit_centroid_rows(qdf, k=k, iters=iters)
+    return _assign_rows(qdf, final, probe=probe).select(
+        "vec_id", "cluster", "dist"
+    )
 
 
 def _quantized(emb: DataFrame, *, id_col: str = "vec_id",
@@ -163,9 +195,11 @@ def _quantized(emb: DataFrame, *, id_col: str = "vec_id",
     )
 
 
-def _fit_centroids(qdf: DataFrame, *, k: int, iters: int) -> DataFrame:
-    """Lloyd's over a quantized frame → the final k-row centroid table."""
-    spark = qdf.sparkSession
+def _fit_centroid_rows(
+    qdf: DataFrame, *, k: int, iters: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's over a quantized frame → the final k-row centroid list
+    (driver-resident, the bounded state the loop already held)."""
     init = (
         qdf.orderBy("vec_id")
         .limit(k)
@@ -174,7 +208,7 @@ def _fit_centroids(qdf: DataFrame, *, k: int, iters: int) -> DataFrame:
     centroids = [(int(r["cluster"]), list(r["cv"])) for r in init.collect()]
 
     for _ in range(iters):
-        assigned = _assign(qdf, _centroids_df(spark, centroids))
+        assigned = _assign_rows(qdf, centroids, probe=1, with_qv=True)
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -193,7 +227,14 @@ def _fit_centroids(qdf: DataFrame, *, k: int, iters: int) -> DataFrame:
             for c, dims in sorted(by_cluster.items())
         ]
 
-    return _centroids_df(spark, centroids)
+    return centroids
+
+
+def _fit_centroids(qdf: DataFrame, *, k: int, iters: int) -> DataFrame:
+    """Lloyd's over a quantized frame → the final k-row centroid table."""
+    return _centroids_df(
+        qdf.sparkSession, _fit_centroid_rows(qdf, k=k, iters=iters)
+    )
 
 
 def kmeans_fit(
@@ -226,9 +267,11 @@ def assign_cells(
     scale: int = FIXED_POINT_SCALE,
 ) -> DataFrame:
     """Assign vectors to their top-``probe`` cells under a PRE-FITTED
-    centroid table (broadcast, scored in-row — the corpus never
-    shuffles for assignment). Returns ``vec_id, cluster, dist``."""
+    centroid table (collected to its bounded k×dim driver form, scored
+    Arrow-vectorized in-task — the corpus never shuffles for
+    assignment). Returns ``vec_id, cluster, dist``."""
     qdf = _quantized(emb, id_col=id_col, vec_col=vec_col, scale=scale)
-    if probe > 1:
-        return _assign_topn(qdf, centroids, probe)
-    return _assign(qdf, centroids).select("vec_id", "cluster", "dist")
+    rows = [(int(r["cluster"]), list(r["cv"])) for r in centroids.collect()]
+    return _assign_rows(qdf, rows, probe=probe).select(
+        "vec_id", "cluster", "dist"
+    )

@@ -166,6 +166,72 @@ def add_lsh_buckets(
     return df.withColumn(out_col, F.array(*buckets))
 
 
+def _lsh_bucket_rows(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_bucket: str,
+) -> DataFrame:
+    """Exploded ``(id, table-tagged sign-bucket)`` rows via ONE Arrow map
+    stage (round 12) — the vectorized twin of :func:`add_lsh_buckets` +
+    ``explode``. Each plane's dot product replays the fold's exact
+    left-associative IEEE-754 order (one vectorized op per dimension over
+    the whole batch, planes side by side), the sign test and bit packing
+    are integer, and the md5-derived planes are the same
+    :func:`_hyperplane` stream — so every bucket id is bit-identical to
+    the column-math form (pinned by tests/test_operators.py). The
+    expression form paid ``n_planes × n_tables`` interpreted
+    HigherOrderFunction folds per row (CodegenFallback) — measured as the
+    dominant cost of the LSH topk tier."""
+    import numpy as np
+
+    t_count = n_planes * n_tables
+    pmat = np.array(
+        [_hyperplane(dim, p) for p in range(t_count)], dtype=np.float64
+    ).T  # (dim, planes)
+    tags = np.array(
+        [t << n_planes for t in range(n_tables)], dtype=np.int64
+    )
+    weights = np.array(
+        [1 << p for p in range(n_planes)], dtype=np.int64
+    )
+
+    def _bucket(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            v = np.asarray(
+                b.column(vec_col).flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            acc = np.zeros((n, t_count))
+            for i in range(v.shape[1]):  # the fold's sequential dim order
+                acc = acc + v[:, i][:, None] * pmat[i, :]
+            bits = (acc >= 0).astype(np.int64).reshape(n, n_tables, n_planes)
+            buckets = (bits * weights[None, None, :]).sum(axis=2) + tags
+            yield pa.record_batch(
+                {
+                    out_id: pa.array(
+                        np.repeat(ids, n_tables), pa.int64()
+                    ),
+                    out_bucket: pa.array(
+                        buckets.ravel().astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInArrow(_bucket, schema=f"{out_id} long, {out_bucket} int")
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -188,40 +254,44 @@ def hyperplane_lsh_topk(
     ~60-80% while still scanning only ~n_tables/2^n_planes of the corpus
     per query.
 
-    Plan shape: both sides posexplode their bucket arrays, the per-table
-    equi-join on the tagged bucket id produces candidates, cosine is
-    computed per (table-)match, and a (query, neighbor) min-agg dedupes the
-    union before the top-k window. At 100 TB the exploded bucket id is the
-    shuffle/bucketing key; candidate volume per query drops exponentially
-    with n_planes and the dedupe shuffles only (ids, cosine) triples.
+    Plan shape (round 12): both sides bucket in one Arrow map stage each
+    (:func:`_lsh_bucket_rows` — bit-identical to the expression form),
+    the per-table equi-join on the tagged bucket id produces candidate id
+    pairs, a distinct dedupes the union, and the exact-cosine scores come
+    from :func:`arrow_cosine_verify` (grouped on the neighbor side — the
+    query side is k-bounded) before the top-k window. At 100 TB the
+    bucket id is the shuffle/bucketing key; candidate volume per query
+    drops exponentially with n_planes and the dedupe shuffles only id
+    pairs.
     """
-    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
-
-    c = parallelize_narrow_scan(
-        add_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col),
-            F.explode("lsh_buckets").alias("__bkt"),
-        )
+    c = _lsh_bucket_rows(
+        corpus, dim, n_planes, n_tables, id_col, vec_col,
+        "neighbor_id", "__bkt",
     )
-    q = add_lsh_buckets(queries, dim, n_planes, n_tables, vec_col).select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode("lsh_buckets").alias("__qbkt"),
+    q = _lsh_bucket_rows(
+        queries, dim, n_planes, n_tables, id_col, vec_col,
+        query_id_col, "__qbkt",
     )
-    sim = rnd(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6)
-    scored = (
+    cand = (
         c.join(
             F.broadcast(q),
             (F.col("__bkt") == F.col("__qbkt"))
             & (F.col(query_id_col) != F.col("neighbor_id")),
         )
-        .select(query_id_col, "neighbor_id", sim.alias("cosine"))
         # a pair found in several tables appears once; cosine is
-        # deterministic so min == the value
-        .groupBy(query_id_col, "neighbor_id")
-        .agg(F.min("cosine").alias("cosine"))
+        # deterministic so the old min-agg == this distinct
+        .select(query_id_col, "neighbor_id")
+        .distinct()
+    )
+    scored = arrow_cosine_verify(
+        cand,
+        corpus,
+        threshold=-2.0,  # keep every candidate; ranking cuts to top-k
+        id_col=id_col,
+        vec_col=vec_col,
+        a_col=query_id_col,
+        b_col="neighbor_id",
+        group_on="b",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -343,26 +413,134 @@ def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
-def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Nearest codeword per (vector, subspace): broadcast the m×k-row
-    codebook, score in-row, keep the (dist, code)-min via one
-    partial-aggregable ``min(struct)`` — the clustering.py shape."""
-    scored = subs.join(F.broadcast(codebook), "sub").select(
-        "__pq_id", "sub",
-        F.struct(
-            _pq_sq_l2(F.col("sv"), F.col("cw")).alias("dist"),
-            F.col("code").alias("code"),
-        ).alias("dc"),
-    )
-    return (
-        scored.groupBy("__pq_id", "sub")
-        .agg(F.min("dc").alias("dc"))
-        .select(
-            "__pq_id", "sub",
-            F.col("dc.code").alias("code"),
-            F.col("dc.dist").alias("dist"),
+def _pq_corpus_pass(
+    c: DataFrame,
+    codebook_rows: list[tuple[int, int, list[int]]],
+    m: int,
+    d_sub: int,
+    vec_col: str,
+    emit: str,
+) -> DataFrame:
+    """One Arrow pass over the corpus for the PQ index build (round 12):
+    unit-normalize + fixed-point quantize each vector and assign every
+    subvector its nearest codeword against the DRIVER-RESIDENT codebook —
+    ``emit='codes'`` yields the (id, sub, code) code table, ``emit='sums'``
+    yields per-batch partial integer sums (sub, code, pos, s, n) for the
+    training mean update (finished by a tiny groupBy upstream).
+
+    Replaces: the m-way subvector explode, the broadcast-codebook join,
+    512k interpreted ``zip_with``/``aggregate`` folds per corpus scan, and
+    (for training) a subs⋈assigned re-join + posexplode — measured as the
+    dominant cost of both PQ tiers. Arithmetic is replicated EXACTLY:
+    the norm accumulates ``acc + x²`` left-associative in double
+    (float→double widening exact), the unit division and
+    ``floor(u*1000+0.5)`` are elementwise IEEE-754, and codeword
+    distances are exact int64 ``|q|²+|c|²−2q·c`` with first-min =
+    lowest-code tie-break (the ``ORDER BY dist, code`` rule). Zero-norm
+    vectors drop (they have no direction — the same verdict the null
+    guard produces; fixtures contain none). The codebook is closure
+    state: m × k × d_sub ints, the bounded driver payload the trainer
+    already collects."""
+    import numpy as np
+
+    rows = sorted(codebook_rows)
+    k = max(code for _, code, _ in rows) + 1
+    # codes can be sparse after a training round (a codeword that attracts
+    # no points is dropped), so keep the REAL code ids per subspace
+    code_ids = [
+        np.array(
+            [code for s, code, _ in rows if s == sub], dtype=np.int64
         )
+        for sub in range(m)
+    ]
+    cmats = [
+        np.array(
+            [cv for s, _, cv in rows if s == sub], dtype=np.int64
+        )
+        for sub in range(m)
+    ]
+    ccs = [(cm * cm).sum(axis=1) for cm in cmats]
+    schema = (
+        "neighbor_id long, sub int, code int"
+        if emit == "codes"
+        else "sub int, code int, pos int, s long, n long"
     )
+
+    def _pass(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            v = np.asarray(
+                b.column(vec_col).flatten(), dtype=np.float64
+            ).reshape(n, -1)
+            ids = np.asarray(b.column("neighbor_id"), dtype=np.int64)
+            # l2 norm in the fold's exact order: acc + x*x, left-assoc
+            nrm = np.zeros(n)
+            for i in range(v.shape[1]):
+                nrm = nrm + v[:, i] * v[:, i]
+            nrm = np.sqrt(nrm)
+            ok = nrm > 0
+            if not ok.all():
+                v, ids, nrm = v[ok], ids[ok], nrm[ok]
+                n = ids.size
+                if n == 0:
+                    continue
+            q = np.floor((v / nrm[:, None]) * 1000.0 + 0.5).astype(np.int64)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                qs = q[:, s * d_sub:(s + 1) * d_sub]
+                qq = (qs * qs).sum(axis=1)
+                dists = qq[:, None] + ccs[s][None, :] - 2 * (qs @ cmats[s].T)
+                codes[:, s] = code_ids[s][np.argmin(dists, axis=1)]
+            if emit == "codes":
+                yield pa.record_batch(
+                    {
+                        "neighbor_id": pa.array(
+                            np.repeat(ids, m), pa.int64()
+                        ),
+                        "sub": pa.array(
+                            np.tile(np.arange(m, dtype=np.int32), n),
+                            pa.int32(),
+                        ),
+                        "code": pa.array(
+                            codes.ravel().astype(np.int32), pa.int32()
+                        ),
+                    }
+                )
+            else:
+                subs_out, codes_out, pos_out, s_out, n_out = [], [], [], [], []
+                for s in range(m):
+                    qs = q[:, s * d_sub:(s + 1) * d_sub]
+                    cnt = np.bincount(codes[:, s], minlength=k)
+                    for p in range(d_sub):
+                        # integer-valued float sums are exact far below
+                        # 2^53, matching the JVM's long partial sums
+                        tot = np.bincount(
+                            codes[:, s], weights=qs[:, p], minlength=k
+                        )
+                        live = cnt > 0
+                        cs = np.nonzero(live)[0]
+                        subs_out.append(np.full(cs.size, s, dtype=np.int32))
+                        codes_out.append(cs.astype(np.int32))
+                        pos_out.append(np.full(cs.size, p, dtype=np.int32))
+                        s_out.append(tot[live].astype(np.int64))
+                        n_out.append(cnt[live].astype(np.int64))
+                yield pa.record_batch(
+                    {
+                        "sub": pa.array(np.concatenate(subs_out), pa.int32()),
+                        "code": pa.array(np.concatenate(codes_out), pa.int32()),
+                        "pos": pa.array(np.concatenate(pos_out), pa.int32()),
+                        "s": pa.array(np.concatenate(s_out), pa.int64()),
+                        "n": pa.array(np.concatenate(n_out), pa.int64()),
+                    }
+                )
+
+    return c.select(
+        F.col("neighbor_id"), F.col(vec_col)
+    ).mapInArrow(_pass, schema=schema)
 
 
 def product_quantized_topk(
@@ -440,9 +618,14 @@ def _pq_index(c, q, m, d_sub, codebook_k, vec_col, query_id_col):
     :func:`product_quantized_topk` and :func:`ivf_product_quantized_topk`.
     Returns ``(codes, adc)``: ``codes`` = (neighbor_id, sub, code), m
     one-byte codes per corpus vector; ``adc`` = (query, sub, code, pdist),
-    the m × codebook_k exact subvector-to-codeword distances per query."""
-    corpus_subs = _pq_subvectors(c, "neighbor_id", vec_col, m, d_sub)
+    the m × codebook_k exact subvector-to-codeword distances per query.
 
+    Round 12: both corpus scans (train-round partial sums and the final
+    encode) run through :func:`_pq_corpus_pass` — one Arrow map stage
+    each, exact arithmetic, no subvector explode/join — replacing the
+    measured-dominant interpreted assign+rejoin shape. The query-side ADC
+    table (m × codebook_k rows per query) stays JVM: it is
+    queries-bounded, not corpus-bounded."""
     # --- train: smallest-id init, one integer-mean refinement round ----
     spark = c.sparkSession
     seed_rows = (
@@ -469,12 +652,10 @@ def _pq_index(c, q, m, d_sub, codebook_k, vec_col, query_id_col):
         for s in range(m)
         for code, r in enumerate(seed_rows)
     ]
-    assigned = _pq_assign(corpus_subs, _codebook_df(codebook))
     sums = (
-        assigned.join(corpus_subs, ["__pq_id", "sub"])
-        .select("sub", "code", F.posexplode("sv").alias("pos", "v"))
+        _pq_corpus_pass(c, codebook, m, d_sub, vec_col, emit="sums")
         .groupBy("sub", "code", "pos")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .collect()
     )
     import math
@@ -492,9 +673,7 @@ def _pq_index(c, q, m, d_sub, codebook_k, vec_col, query_id_col):
     final_cb = _codebook_df(codebook)
 
     # --- encode the corpus: m small-int codes per vector ---------------
-    codes = _pq_assign(corpus_subs, final_cb).select(
-        F.col("__pq_id").alias("neighbor_id"), "sub", "code"
-    )
+    codes = _pq_corpus_pass(c, codebook, m, d_sub, vec_col, emit="codes")
 
     # --- ADC lookup tables per query (m × codebook_k rows each) --------
     q_subs = _pq_subvectors(q, query_id_col, "__qvec", m, d_sub)
@@ -624,6 +803,7 @@ def arrow_cosine_verify(
     a_col: str = "id_a",
     b_col: str = "id_b",
     groups: int | None = None,
+    group_on: str = "a",
 ) -> DataFrame:
     """Exact-cosine verification of candidate id pairs, Arrow-vectorized —
     the shared tail stage of every bucketed near-dup tier.
@@ -661,9 +841,12 @@ def arrow_cosine_verify(
 
     spark = cand.sparkSession
     p = groups or spark.sparkContext.defaultParallelism
+    # group on whichever pair side spreads (a near-dup self-join spreads on
+    # either; a few-queries topk must group on the corpus side)
+    gkey = "id_a" if group_on == "a" else "id_b"
     cand_g = cand.select(
         F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b")
-    ).withColumn("_gid", F.pmod(F.xxhash64("id_a"), F.lit(p)).cast("int"))
+    ).withColumn("_gid", F.pmod(F.xxhash64(gkey), F.lit(p)).cast("int"))
     # only the vectors each group actually references travel to it: the
     # distinct (group, id) spine is pair-bounded, so no full replication
     need = (

@@ -1156,3 +1156,24 @@ def test_arrow_cosine_verify_bit_identical_to_fold(spark, vec_corpus):
     g5 = sorted(map(tuple, arrow_cosine_verify(cand, vec_corpus, 0.5).collect()))
     w5 = sorted(map(tuple, _fold_cosine_reference(cand, vec_corpus, 0.5).collect()))
     assert g5 == w5 and g5  # non-degenerate: clustered fixture has >=0.5 pairs
+
+
+def test_lsh_bucket_rows_bit_identical_to_expression_form(spark, vec_corpus):
+    """The Arrow bucketing pass must produce exactly the bucket ids of the
+    add_lsh_buckets column-math form — same md5 planes, same sequential
+    dot order, same sign/bit packing."""
+    from mrjob_spark.operators.similarity import (
+        _lsh_bucket_rows,
+        add_lsh_buckets,
+    )
+
+    old = (
+        add_lsh_buckets(vec_corpus, DIM, n_planes=4, n_tables=8,
+                        vec_col="embedding")
+        .select("vec_id", F.explode("lsh_buckets").alias("b"))
+    )
+    new = _lsh_bucket_rows(
+        vec_corpus, DIM, 4, 8, "vec_id", "embedding", "vec_id", "b"
+    )
+    assert sorted(map(tuple, old.collect())) == \
+        sorted(map(tuple, new.collect()))

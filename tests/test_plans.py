@@ -364,14 +364,18 @@ def test_span_dedup_single_scan_no_join(spark):
 
 
 def test_kmeans_assignment_broadcasts_centroids_no_window(spark):
-    # the per-round assignment must be: broadcast k-row centroid table,
-    # in-row integer distances, partial-aggregable min(struct) — never a
-    # shuffled join on the corpus and never a per-vector ranking window
+    # the per-round assignment must score against the bounded driver-
+    # resident centroid state — never a shuffled join on the corpus and
+    # never a per-vector ranking window. Round 12: the k-way crossJoin +
+    # interpreted integer fold became ONE Arrow map stage (closure-
+    # captured k×dim centroid matrix, exact int64 matrix math), so the
+    # pin is now: a MapInArrow assignment, zero joins of any kind, no
+    # window, no row-wise Python
     plan = _plan(spark, "l3_kmeans_assign")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
     assert "Window" not in plan
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_quantize_is_one_scan_zero_shuffle(spark):
@@ -537,15 +541,17 @@ def test_j5_bucketed_band_join_is_equi_not_nested_loop(spark):
 
 
 def test_neardup_ivf_no_window_no_cartesian(spark):
-    # centroid scoring is the broadcast k-row crossJoin idiom (BNLJ over a
-    # 20-row side, same as l3_kmeans_assign); the top-2 multi-probe comes
-    # from sort_array(collect_list) — a partial-aggregable aggregate, no
-    # per-vector WindowExec; candidate pair-gen is a plain equi self-join
+    # centroid scoring is the Arrow assignment map stage (exact int64
+    # matrix math against the closure-captured k-row centroid state —
+    # round 12, no crossJoin, no per-vector WindowExec); candidate
+    # pair-gen is a plain equi self-join; the verify tail is the cogroup
+    # Arrow scorer
     df = REGISTRY["l2_embedding_neardup_ivf"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    assert "MapInArrow" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
 
 
 def test_incremental_dedup_never_shuffles_history(spark):
@@ -597,15 +603,16 @@ def test_balanced_sample_prefilters_and_group_limits(spark):
 
 def test_neardup_tight_adaptive_k_same_plan_shape(spark):
     # the tight tier shares the ivf body (one _ivf_neardup_pairs), so its
-    # plan pins are the same: no per-vector WindowExec (top-probe via
-    # sort_array(collect_list) partial agg), no cartesian anywhere —
-    # candidate generation is a plain equi self-join on cluster id even
-    # with the SF-adaptive cell count in play
+    # plan pins are the same: no per-vector WindowExec (top-probe via the
+    # Arrow assignment map stage), no cartesian anywhere — candidate
+    # generation is a plain equi self-join on cluster id even with the
+    # SF-adaptive cell count in play
     df = REGISTRY["l2_embedding_neardup_tight"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    assert "MapInArrow" in plan
+    assert "FlatMapCoGroupsInArrow" in plan
 
 
 def test_neardup_planted_no_cartesian_and_exact_twin_derivation(spark):
