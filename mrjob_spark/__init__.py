@@ -27,5 +27,31 @@ express lazy per-key value iterators (SURVEY.md §7.3).
 
 __version__ = "0.1.0"
 
-from mrjob_spark.session import get_spark, configure_session  # noqa: F401
-from mrjob_spark.catalog import load_tables, TABLES  # noqa: F401
+# PEP 562 lazy exports: importing the package must NOT pull pyspark.
+# Every mock-hadoop / local-runner task container is a fresh Python
+# process that imports `mrjob_spark.dataflow.*`; with the old eager
+# `from mrjob_spark.session import ...` each task paid ~0.35 s of
+# pyspark+numpy import for a module it never uses (measured round 12 —
+# the dominant fixed cost of the subprocess tier's task spawns).
+_LAZY_EXPORTS = {
+    "get_spark": ("mrjob_spark.session", "get_spark"),
+    "configure_session": ("mrjob_spark.session", "configure_session"),
+    "load_tables": ("mrjob_spark.catalog", "load_tables"),
+    "TABLES": ("mrjob_spark.catalog", "TABLES"),
+}
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _LAZY_EXPORTS[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY_EXPORTS))

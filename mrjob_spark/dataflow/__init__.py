@@ -32,43 +32,48 @@ Scale notes (100 TB design target):
   shape the reference prototypes (``mrjob/spark/harness.py:125-139``).
 """
 
-from mrjob_spark.dataflow.job import SparkMRJob  # noqa: F401
-from mrjob_spark.dataflow.step import (  # noqa: F401
-    GENERIC_ARGS,
-    INPUT,
-    OUTPUT,
-    JarStep,
-    MRStep,
-    SparkJarStep,
-    SparkScriptStep,
-    SparkStep,
-)
-from mrjob_spark.dataflow.runner import SparkJobRunner  # noqa: F401
-from mrjob_spark.dataflow.inline import InlineJobRunner  # noqa: F401
-from mrjob_spark.dataflow.compat import (  # noqa: F401
-    jobconf_from_dict,
-    jobconf_from_env,
-    translate_jobconf,
-)
-from mrjob_spark.dataflow.protocols import (  # noqa: F401
-    BytesProtocol,
-    BytesValueProtocol,
-    JSONProtocol,
-    JSONValueProtocol,
-    PickleProtocol,
-    PickleValueProtocol,
-    RapidJSONProtocol,
-    RapidJSONValueProtocol,
-    RawProtocol,
-    RawValueProtocol,
-    ReprProtocol,
-    ReprValueProtocol,
-    SimpleJSONProtocol,
-    SimpleJSONValueProtocol,
-    StandardJSONProtocol,
-    StandardJSONValueProtocol,
-    TextProtocol,
-    TextValueProtocol,
-    UltraJSONProtocol,
-    UltraJSONValueProtocol,
-)
+# PEP 562 lazy exports (round 12): a task container imports
+# `mrjob_spark.dataflow.job` / `.hstream` to unpickle its spool; the old
+# eager `from .runner import SparkJobRunner` pulled pyspark into every
+# such process (~0.35 s per task, the subprocess tier's dominant fixed
+# cost). Job/step/protocol classes resolve from their light modules;
+# the runners only load when actually referenced (driver side).
+_LAZY_MODULES = {
+    "SparkMRJob": "mrjob_spark.dataflow.job",
+    "SparkJobRunner": "mrjob_spark.dataflow.runner",
+    "InlineJobRunner": "mrjob_spark.dataflow.inline",
+}
+for _name in (
+    "GENERIC_ARGS", "INPUT", "OUTPUT", "JarStep", "MRStep",
+    "SparkJarStep", "SparkScriptStep", "SparkStep",
+):
+    _LAZY_MODULES[_name] = "mrjob_spark.dataflow.step"
+for _name in ("jobconf_from_dict", "jobconf_from_env", "translate_jobconf"):
+    _LAZY_MODULES[_name] = "mrjob_spark.dataflow.compat"
+for _name in (
+    "BytesProtocol", "BytesValueProtocol", "JSONProtocol",
+    "JSONValueProtocol", "PickleProtocol", "PickleValueProtocol",
+    "RapidJSONProtocol", "RapidJSONValueProtocol", "RawProtocol",
+    "RawValueProtocol", "ReprProtocol", "ReprValueProtocol",
+    "SimpleJSONProtocol", "SimpleJSONValueProtocol",
+    "StandardJSONProtocol", "StandardJSONValueProtocol", "TextProtocol",
+    "TextValueProtocol", "UltraJSONProtocol", "UltraJSONValueProtocol",
+):
+    _LAZY_MODULES[_name] = "mrjob_spark.dataflow.protocols"
+del _name
+
+
+def __getattr__(name: str):
+    try:
+        mod_name = _LAZY_MODULES[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY_MODULES))

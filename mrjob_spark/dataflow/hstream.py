@@ -52,7 +52,12 @@ class StderrReporter:
 
 
 def _load_job(path: str):
-    import pyspark.cloudpickle  # noqa: F401  (registers reconstructors)
+    # plain pickle.load: by-reference spools (any importable job class —
+    # cloudpickle only by-values __main__/unimportable classes) never
+    # touch pyspark, and by-VALUE streams carry `pyspark.cloudpickle...`
+    # global refs that pickle imports on demand — the old eager
+    # `import pyspark.cloudpickle` cost every task container ~0.35 s of
+    # pyspark import it usually never needed (round 12)
     import pickle
 
     with open(path, "rb") as fh:

@@ -920,7 +920,9 @@ def _task_main(spec_path: str) -> int:
     with open(spec_path) as fh:
         spec = json.load(fh)
 
-    import pyspark.cloudpickle  # noqa: F401  (registers reconstructors)
+    # plain pickle.load — by-value streams resolve their
+    # pyspark.cloudpickle globals on demand; importable job classes
+    # skip the pyspark import entirely (the hstream rationale, round 12)
     import pickle
 
     with open(spec["job_pkl"], "rb") as fh:

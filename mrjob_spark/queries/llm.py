@@ -2825,11 +2825,18 @@ def l10_ccnet_clean(spark, sf_dir):
         .agg(rnd(davg("logp"), 6).alias("avg_logp"))
     )
 
+    # one row per doc after the aggregates — materialize ONCE: the tercile
+    # thresholds AND the verdict join both consume `scored`, and measured
+    # AQE runtime reuse recovered only 2 of the duplicated subtree's 11
+    # exchanges (join-strategy replanning de-canonicalizes the rest), so
+    # without this barrier the whole dedup+LM pipeline executed twice
+    # (round 12; ~10.2 s -> ~6 s at sf0.1). The checkpointed frame is
+    # per-doc-bounded — the same scale class as every broadcast here.
     scored = (
         docs.select("doc_id", "lang")
         .join(dedup, "doc_id")
         .join(ppl, "doc_id")
-    )
+    ).localCheckpoint()
     thr = scored.groupBy("lang").agg(
         rnd(F.expr("percentile(avg_logp, 0.333333)"), 6).alias("t33"),
         rnd(F.expr("percentile(avg_logp, 0.666667)"), 6).alias("t66"),

@@ -550,7 +550,14 @@ def jar_main(args: list[str], stdout, stderr) -> int:
         # the cluster it mocks (VERDICT r11 task 2, subprocess tier).
         from concurrent.futures import ThreadPoolExecutor
 
-        pool_size = min(8, max(1, os.cpu_count() or 1))
+        # task-container width = the mocked cluster's slot count: default
+        # to the host's cores (a real cluster runs one container per
+        # slot), overridable for constrained hosts. The old fixed 8 left
+        # 3/4 of a 32-core host idle during the task waves (round 12).
+        pool_size = int(
+            os.environ.get("MOCK_HADOOP_TASK_SLOTS")
+            or max(1, os.cpu_count() or 1)
+        )
 
         def run_split(m: int, real: str):
             """mapper (+combiner) for one split → (task_name, rc, lines)"""
