@@ -1246,6 +1246,21 @@ def ivf_embedding_admission(
     ab = assign_cells(
         arrivals, centroids, probe=probe, id_col=id_col, vec_col=vec_col
     )  # (vec_id, cluster, dist) — top-probe rows per arrival
+    # PERSISTED, deliberately (the `cand` precedent in minhash_lsh_pairs
+    # and the `firsts` precedent above): this one Arrow assignment pass
+    # feeds THREE independent consumers — the rank-1 occupancy aggregate,
+    # the history probe's broadcast side, and the in-batch join's probed
+    # side — and without the barrier each consuming branch re-executes
+    # the MapInArrow assignment + its upstream scan (measured 3 Python
+    # worker passes instead of 1 at sf0.1, ~1 s of the admission plan).
+    # Footprint is batch-bounded by construction (arrivals × probe rows
+    # of (id, cluster, dist) — the micro-batch asymmetry this operator
+    # leans on), eager count() prevents the racing-stage recompute, and
+    # accurate InMemoryRelation stats keep the downstream joins
+    # broadcast. Callers release via unpersist_intermediates(result)
+    # after their consuming action (wired in the streaming twin).
+    ab = ab.persist(StorageLevel.MEMORY_AND_DISK)
+    ab.count()
     # rank-1 occupancy derives from the SAME scored rows (no re-score):
     # the (dist, cluster)-min is the cell a streamed ingest appends to
     ab1 = (
@@ -1299,7 +1314,7 @@ def ivf_embedding_admission(
         .withColumn("batch_hit", F.lit(1))
     )
 
-    return (
+    result = (
         arr.select("vec_id")
         .join(hist_top, "vec_id", "left")
         .join(F.broadcast(batch_hits), "vec_id", "left")
@@ -1314,3 +1329,8 @@ def ivf_embedding_admission(
             "hist_top_cosine",
         )
     )
+    # release handle (the lsh_admission_from_bands precedent above): a
+    # long-running ingest stream calls this once per micro-batch;
+    # without a handle each call strands one CacheManager entry.
+    result._mrjob_spark_persisted = [ab]
+    return result

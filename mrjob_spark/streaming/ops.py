@@ -383,17 +383,25 @@ def embedding_ingest_foreach_batch(
                     [], f"cluster long, {id_col} long,"
                     f" {vec_col} array<float>"
                 )
+            from mrjob_spark.operators.dedup import unpersist_intermediates
+
             verdicts = ivf_embedding_admission(
                 batch, index, centroids, probe=probe,
                 threshold=threshold, id_col=id_col, vec_col=vec_col,
             )
-            (
-                verdicts.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
-            )
+            try:
+                (
+                    verdicts.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_dir)
+                )
+            finally:
+                # releases the operator-internal cell-assignment cache —
+                # without this a long-running stream strands one entry
+                # per micro-batch (the VERDICT r11 stranded-block class)
+                unpersist_intermediates(verdicts)
             (
                 assign_cells(
                     batch, centroids, probe=1,
