@@ -28,6 +28,11 @@ import argparse
 import itertools
 import sys
 
+from mrjob_spark.dataflow.protocols import (
+    memoized_line_reader,
+    memoized_pair_writer,
+)
+
 
 class StderrReporter:
     """Counter sink that speaks PipeMapRed's stderr protocol; the
@@ -125,9 +130,14 @@ def run_task(job, kind: str, step_num: int, stdin=None, stdout=None) -> None:
             # distinct line is its own group even though every pair
             # decodes to key=None)
             read = in_wire.read
-            decoded = (
-                (line.split(b"\t", 1)[0], read(line)) for line in lines
+            # sorted task input repeats each encoded line once per
+            # map-side occurrence — decode each distinct line once and
+            # share the (byte_key, pair) result for immutable pairs
+            decode = memoized_line_reader(
+                lambda line: (line.split(b"\t", 1)[0], read(line)),
+                pair_of=lambda out: out[1],
             )
+            decoded = (decode(line) for line in lines)
             for _, group in itertools.groupby(decoded, key=lambda it: it[0]):
                 _, (key, first_v) = next(group)
                 values = itertools.chain(
@@ -144,7 +154,10 @@ def run_task(job, kind: str, step_num: int, stdin=None, stdout=None) -> None:
     else:
         raise ValueError(f"bad task kind: {kind!r}")
 
-    write = out_wire.write
+    # task output repeats a small distinct-pair vocabulary (wordcount
+    # emits (word, 1) per occurrence) — encode each distinct scalar pair
+    # once instead of two json dumps per occurrence
+    write = memoized_pair_writer(out_wire.write)
     for key, value in pairs:
         stdout.write(write(key, value) + b"\n")
     stdout.flush()

@@ -60,6 +60,10 @@ import sys
 import tempfile
 from typing import Iterator, Optional
 
+from mrjob_spark.dataflow.protocols import (
+    memoized_line_reader,
+    memoized_pair_writer,
+)
 from mrjob_spark.dataflow.runner import _jobconf_env
 from mrjob_spark.dataflow.step import MRStep, spool_stdin
 
@@ -634,8 +638,9 @@ def _encode_composite(job, pairs, wire=None) -> Iterator[bytes]:
     enc = job.INTERNAL_PROTOCOL().encode_sort_key
     gk = wire.group_key
     write = wire.write
-    for k, v in pairs:
-        yield (
+
+    def build(k, v):
+        return (
             gk(k, v).hex().encode()
             + b"\t"
             + enc(v).hex().encode()
@@ -643,14 +648,28 @@ def _encode_composite(job, pairs, wire=None) -> Iterator[bytes]:
             + write(k, v).hex().encode()
         )
 
+    # task output repeats a small distinct-pair vocabulary (wordcount:
+    # one (word, 1) per occurrence) — memoize the built line per scalar
+    # pair instead of re-running 4 json dumps + 3 hex encodes each time
+    line_of = memoized_pair_writer(build)
+    for k, v in pairs:
+        yield line_of(k, v)
+
 
 def _decode_composite(job, lines, wire=None) -> Iterator[tuple]:
     """Decode composite lines; ``wire`` is the consumer's read protocol
     (equals the embedded bytes' writer protocol by plan construction)."""
     read = (wire or job.INTERNAL_PROTOCOL()).read
-    for line in lines:
+
+    def decode(line):
         hex_k, _, internal = line.split(b"\t", 2)
-        yield hex_k, read(bytes.fromhex(internal.decode()))
+        return hex_k, read(bytes.fromhex(internal.decode()))
+
+    # byte-equal lines decode equal; share the result for immutable
+    # pairs (reducer input repeats each encoded line per occurrence)
+    decode_of = memoized_line_reader(decode, pair_of=lambda out: out[1])
+    for line in lines:
+        yield decode_of(line)
 
 
 def _run_mapper_task(job, step, spec) -> None:
@@ -791,7 +810,7 @@ def _write_map_output(job, step, pairs, spec, combined_ok=True,
     if wire is None:
         wire = _plan_for(job).mapper_output(spec["step_num"])
     if spec.get("emit") == "output":
-        write = wire.write
+        write = memoized_pair_writer(wire.write)
         with open(spec["output_path"], "wb") as fh:
             for k, v in pairs:
                 fh.write(write(k, v) + b"\n")
@@ -906,7 +925,7 @@ def _write_reduce_output(job, pairs, spec, wire=None) -> None:
     if wire is None:
         wire = job.OUTPUT_PROTOCOL()
     if spec["emit"] == "output":
-        write = wire.write
+        write = memoized_pair_writer(wire.write)
         with open(spec["output_path"], "wb") as fh:
             for k, v in pairs:
                 fh.write(write(k, v) + b"\n")

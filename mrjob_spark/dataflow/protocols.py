@@ -34,6 +34,78 @@ def _canonical_bytes(obj) -> bytes:
         return repr(obj).encode("utf-8")
 
 
+#: Exact types safe to key an ENCODE memo on. The memo key carries the
+#: types, so equal-but-distinct values like ``1``/``True`` or ``"1"``/``1``
+#: can never collide. ``float`` is deliberately absent: ``-0.0 == 0.0``
+#: hashes equal but serializes differently, so a float could return
+#: another float's cached bytes.
+_ENC_MEMO_TYPES = frozenset((str, int, bool, bytes, type(None)))
+
+#: Exact types a DECODE memo may hand out by reference. Byte-equal input
+#: lines always decode equal (no collision risk), so the only constraint
+#: is immutability of the shared result — ``float`` is fine here.
+_DEC_MEMO_TYPES = frozenset((str, int, bool, float, bytes, type(None)))
+
+_MEMO_CAP = 1 << 16
+
+
+def memoized_pair_writer(build, cap=_MEMO_CAP):
+    """Wrap a deterministic ``(key, value) -> bytes`` encoder with a
+    bounded per-task memo over scalar pairs. MapReduce task output is
+    dominated by a small distinct-pair vocabulary re-encoded per
+    occurrence (wordcount emits ``(word, 1)`` once per occurrence);
+    caching the built line collapses the per-pair json/hex work to a
+    dict hit. Byte-identical by construction: ``build`` is a pure
+    function of ``(type, key, type, value)`` for the admitted scalar
+    types, and non-scalar or cap-overflow pairs fall through to
+    ``build`` unchanged. The memo lives only for this writer's task —
+    no cross-run state."""
+    memo = {}
+
+    def write_pair(key, value):
+        tk = type(key)
+        tv = type(value)
+        if tk in _ENC_MEMO_TYPES and tv in _ENC_MEMO_TYPES:
+            mk = (tk, key, tv, value)
+            out = memo.get(mk)
+            if out is None:
+                out = build(key, value)
+                if len(memo) < cap:
+                    memo[mk] = out
+            return out
+        return build(key, value)
+
+    return write_pair
+
+
+def memoized_line_reader(decode, pair_of=None, cap=_MEMO_CAP):
+    """Wrap a deterministic ``line -> result`` decoder with a bounded
+    per-task memo. Reducer/combiner input repeats the same encoded line
+    once per map-side occurrence; byte-equal lines decode equal, so the
+    cached result can be shared — but only when the decoded pair is
+    immutable (a shared list a consumer mutates would alias).
+    ``pair_of(result)`` extracts the ``(key, value)`` pair to guard; it
+    defaults to the result itself."""
+    memo = {}
+    if pair_of is None:
+        pair_of = lambda result: result  # noqa: E731
+
+    def read_line(line):
+        out = memo.get(line)
+        if out is None:
+            out = decode(line)
+            kv = pair_of(out)
+            if (
+                len(memo) < cap
+                and type(kv[0]) in _DEC_MEMO_TYPES
+                and type(kv[1]) in _DEC_MEMO_TYPES
+            ):
+                memo[line] = out
+        return out
+
+    return read_line
+
+
 class Protocol:
     """Base: tab-joined encoded key/value fields."""
 

@@ -1281,3 +1281,66 @@ def test_reporter_counters_from_cmd_on_spark(spark):
         r.run()
         assert sorted(v for _, v in r.cat_output()) == ["a", "b", "c"]
         assert r.counters() == {"shell": {"ticks": 15}}  # 3 partitions
+
+
+def test_memoized_wire_codecs_byte_identical():
+    # round 12: the per-task encode/decode memo must be invisible on the
+    # wire — identical bytes to the raw codec for every pair shape,
+    # including the collision baits (1 vs True vs "1"; -0.0 vs 0.0,
+    # which compare equal but serialize differently and are therefore
+    # excluded from the encode memo), and must never hand out a shared
+    # MUTABLE decoded value
+    import math
+
+    from mrjob_spark.dataflow.examples import MRWordFreqCount
+    from mrjob_spark.dataflow.local import _decode_composite, _encode_composite
+    from mrjob_spark.dataflow.protocols import (
+        JSONProtocol,
+        memoized_line_reader,
+        memoized_pair_writer,
+    )
+
+    wire = JSONProtocol()
+    baits = [
+        (1, True), (True, 1), ("1", 1), (1, "1"), (True, False),
+        (0.0, -0.0), (-0.0, 0.0), (0, 0.0), ("x", None), (None, "x"),
+        ("nan", math.nan), ("word", 1), ("word", 1), ("word", 2),
+        (["list", "key"], 1), ("k", ["mutable", "value"]),
+        ("k", {"d": 1}), ("k", (1, 2)),
+    ]
+    memo_write = memoized_pair_writer(wire.write)
+    for k, v in baits * 2:  # second pass hits the memo
+        assert memo_write(k, v) == wire.write(k, v), (k, v)
+
+    # composite lines through the generator pair must round-trip to the
+    # same decoded stream as the raw codec, twice (memo-hit pass)
+    job = MRWordFreqCount()
+    scalar_pairs = [p for p in baits if not isinstance(p[0], list)] * 2
+    lines = list(_encode_composite(job, scalar_pairs))
+    raw = [
+        (
+            wire.group_key(k, v).hex().encode()
+            + b"\t"
+            + wire.encode_sort_key(v).hex().encode()
+            + b"\t"
+            + wire.write(k, v).hex().encode()
+        )
+        for k, v in scalar_pairs
+    ]
+    assert lines == raw
+    decoded = list(_decode_composite(job, lines))
+    assert [kv for _, kv in decoded] == [
+        wire.read(wire.write(k, v)) for k, v in scalar_pairs
+    ]
+
+    # a decoded MUTABLE value must be a fresh object per occurrence
+    read = memoized_line_reader(wire.read)
+    line = wire.write("k", ["a"])
+    first = read(line)[1]
+    second = read(line)[1]
+    assert first == second == ["a"] and first is not second
+
+    # cap: distinct pairs beyond the cap still encode correctly
+    small = memoized_pair_writer(wire.write, cap=4)
+    many = [(f"w{i}", i) for i in range(16)] * 2
+    assert [small(k, v) for k, v in many] == [wire.write(k, v) for k, v in many]
