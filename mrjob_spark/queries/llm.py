@@ -3260,6 +3260,22 @@ def _train_bpe_merges(documents, n_merges: int) -> list:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Cached plans are exempt from AQE coalescing by default, so `base`
+    # would materialize at the static spark.sql.shuffle.partitions width
+    # and every merge round would scan that many near-empty cached
+    # partitions of a vocab-bounded table. The conf must be set BEFORE
+    # .persist(): the InMemoryRelation's plan (adaptive or not) is fixed
+    # when the cache entry is registered, not when it materializes.
+    # Scoped (not session-global): the same conf measured a net loss on
+    # the corpus-sized persisted frames of the minhash family, where
+    # coalescing the cache trades away scan parallelism.
+    spark = documents.sparkSession
+    _CACHE_AQE = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        prior_cache_aqe = spark.conf.get(_CACHE_AQE)
+    except Exception:
+        prior_cache_aqe = "false"
+    spark.conf.set(_CACHE_AQE, "true")
     base = words.select(
         F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("syms"),
         "cnt",
@@ -3297,6 +3313,7 @@ def _train_bpe_merges(documents, n_merges: int) -> list:
             )
     finally:
         base.unpersist()
+        spark.conf.set(_CACHE_AQE, prior_cache_aqe)
     return merges
 
 

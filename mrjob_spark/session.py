@@ -29,15 +29,6 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let AQE re-plan (coalesce) the shuffle that materializes a persisted
-    # DataFrame and its consumers. Off by default, a persisted frame is
-    # frozen at the static spark.sql.shuffle.partitions width, so every
-    # later scan of a small cached table pays a fixed per-partition cost
-    # (measured: each BPE merge round scanned 200 near-empty cached
-    # partitions). Result-safe here: no query derives values from partition
-    # layout (no rand/monotonically_increasing_id/spark_partition_id;
-    # partition-proving queries force layout with explicit repartition(n)).
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The events fixture stores TIMESTAMP(NANOS); Spark reads it as int64
     # under this flag and the catalog converts to microsecond timestamps.
@@ -113,7 +104,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
