@@ -780,6 +780,25 @@ def test_bpe_train_matches_imperative_reference(spark):
     assert got == expected
 
 
+def test_bpe_train_scopes_cached_plan_aqe_conf(spark):
+    """_train_bpe_merges enables canChangeCachedPlanOutputPartitioning
+    only for its own vocab-bounded cache: the session value is restored
+    on exit whatever it was before, and the merges are identical under
+    either prior setting (the conf may never change results)."""
+    from mrjob_spark.queries import Tables
+    from mrjob_spark.queries.llm import _train_bpe_merges
+
+    docs = Tables(spark, "/root/testdata/sf0.001").documents
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    by_prior = {}
+    for prior in ("false", "true"):
+        spark.conf.set(key, prior)
+        by_prior[prior] = _train_bpe_merges(docs, 4)
+        assert spark.conf.get(key) == prior
+    spark.conf.unset(key)
+    assert by_prior["false"] == by_prior["true"] and len(by_prior["false"]) == 4
+
+
 def test_paragraph_dedup_keeps_first_occurrence_only(spark):
     """Corpus-wide CCNet rule: a paragraph shared by many docs survives
     exactly once, at the smallest (doc_id, para_idx); documents made
