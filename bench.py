@@ -12,6 +12,12 @@ Per-query timing = median of ``$SPARK_GRAFT_BENCH_RUNS`` (default 3) runs,
 materialized with the ``noop`` sink so we measure engine execution, not
 driver-side row transfer. All progress chatter goes to stderr; stdout is
 exactly the one JSON line.
+
+Methodology change (round 13): after every materialize — the untimed
+warmup included — the query's ``_mrjob_spark_persisted`` release handles
+are dropped, so each timed run recomputes its own persisted
+intermediates instead of hitting the cache the warmup populated
+(VERDICT r12 item 3). Timing loop is otherwise unchanged.
 """
 
 from __future__ import annotations
@@ -61,6 +67,22 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release(df) -> None:
+    """Cache hygiene between timed runs (round 13, VERDICT r12 item 3):
+    queries that persist bounded intermediates expose them via the
+    ``_mrjob_spark_persisted`` release handle; dropping the entries after
+    every materialize (warmup included) means each timed run recomputes
+    its own persist instead of silently hitting the cache the untimed
+    warmup populated — Spark's CacheManager matches canonicalized plans,
+    so without this the warmup warms the TIMED runs of the whole
+    minhash/admission family. Methodology note: this makes those
+    families' absolute numbers honestly cache-cold; BASELINE.md §21 was
+    re-recorded once under the new rule."""
+    from mrjob_spark.operators.dedup import unpersist_intermediates
+
+    unpersist_intermediates(df)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -95,11 +117,15 @@ def main() -> int:
             # footer reads land here, so the timed median reflects steady
             # state (what BASELINE.md §4 recorded) instead of first-run
             # compilation spikes that vary with registry position
-            _materialize(fn(spark, sf_dir))
+            warm = fn(spark, sf_dir)
+            _materialize(warm)
+            _release(warm)
             for i in range(n_runs):
                 t0 = time.monotonic()
-                _materialize(fn(spark, sf_dir))
+                df = fn(spark, sf_dir)
+                _materialize(df)
                 runs.append(time.monotonic() - t0)
+                _release(df)
             timings[name] = round(statistics.median(runs), 3)
             print(f"[bench] {name}: {timings[name]}s (runs={['%.2f' % r for r in runs]})",
                   file=sys.stderr, flush=True)

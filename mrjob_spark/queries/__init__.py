@@ -113,87 +113,31 @@ from mrjob_spark.queries import composites  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # NEW in round 12: the L6 multimodal deepening (VERDICT r11 task 5)
-    # — cross-modal exact dedup over BinaryType and corpus-scale media
-    # metadata extraction through the real header sniffer
-    "l6_cross_modal_dedup",
-    "l6_media_metadata_extract",
-    "l1_url_dedup",
-    "l7_source_divergence",
+    # ROUND 13 (VERDICT r12 "Next round" item 1): lead with the queries the
+    # round-12 optimizations TOUCHED but the r12 oracle window rotated away
+    # from — their semantic-preservation evidence is repo-internal until the
+    # driver re-checks them. st13 joins the set because round 13 touches its
+    # index-probe path (VERDICT item 5) and its round-12 provenance was a
+    # mid-round feature (VERDICT gate note).
+    "l2_embedding_neardup_tight",
+    "l2_embedding_neardup_planted",
+    "l2_semdedup_prune",
+    "l3_knn_lsh",
+    "l3_knn_ivf_pq",
+    "l10_ccnet_clean",
+    "l4_bpe_train",
+    "l4_bpe_encode",
+    "mr_hadoop_wordfreq",
+    "mr_emr_wordfreq",
+    "mr_dataproc_topword",
+    "x6_spark_script",
+    "x7_jar_step_emr",
+    "st12_incremental_neardup",
+    "mr_emr_reference_differential",
     "st13_incremental_embedding_neardup",
-    # the full round-11 rotation queue — the 28 r8-greens, the stalest
-    # cohort on the board — leads the window (VERDICT r11 task 4): after
-    # this round no green predates r9
-    "q22_sales_opportunity",
-    "a3_count_per_group",
-    "a4_global_agg",
-    "a5_argmax_per_group",
-    "a6_distinct",
-    "a7_stats_per_group",
-    "a8_dataflow_counters",
-    "j2_broadcast_star",
-    "j6_asof_join",
-    "l3_kmeans_assign",
-    "l3_knn_bruteforce",
-    "l3_knn_bucketed",
-    "l4_token_stats",
-    "l8_dsir_select",
-    "mr_next_word_stats",
-    "mr_text_classifier",
-    "o3_dataflow_sorted_dates",
-    "o5_dataflow_head_per_group",
-    "p3_filter_predicate",
-    "p7_project_rename",
-    "s1_s2_gzip_text_scan",
-    "s4_s5_file_attribution",
-    "u2_except_all",
-    "w1_ranking_scalable",
-    "w4_range_frame_scalable",
-    "x1_dataflow_wordcount",
-    "x2_dataflow_most_used_word",
-    "x5_dataflow_pipe_grep",
-    # 20 of the 47 r9-greens (the next-stalest cohort once r12 lands)
-    # fill the remaining slots — preferring queries that ride code
-    # touched this round (the l6 family gains two siblings in
-    # multimodal.py; l1_dedup_clusters_capped rides the dedup.py persist-
-    # handle change; the st4-st9 streaming family rides streaming/ops.py,
-    # where the near-dup ingest sink and release path changed) plus the
-    # heavy ANN rows whose bases deserve fresh in-run readings
-    "l6_media_features",
-    "l6_multimodal_bytes",
-    "l1_dedup_clusters_capped",
-    "st4_session_window",
-    "st5_stream_dedup",
-    "st6_stateful_running_totals",
-    "st7_stream_enrich_window",
-    "st8_stream_stream_join",
-    "st8_stream_stream_left_outer",
-    "st8_stream_stream_full_outer",
-    "st9_foreachbatch_sink",
-    "l2_embedding_neardup_ivf",
-    "l2_embedding_neardup_ivf_hi",
-    "l3_knn_pq",
-    "j3_semi_join",
-    "j3_anti_join",
-    "j4_left_outer_join",
-]
-
-
-#: Queries that do NOT fit the current 50-entry driver window. Listing them
-#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
-#: a query may sit beyond the window ONLY if it was driver-green before or
-#: is queued here — so displacement is always a choice, never an accident
-#: (VERDICT r2 "what's wrong" #1). Round 12: the queue is the STRUCTURAL
-#: overflow the registry size forces — 180 queries cycle through a
-#: 50-slot window against a 3-round staleness horizon, so
-#: registry − 3×window = 30 greens must sit out each round (cap 34 with
-#: the +4 slack). The 30 names below are the r9-greens that didn't fit
-#: behind the returning 28 r8-greens and the two new l6 rows:
-#: stable-path queries untouched this round — single-operator
-#: relational/window/set rows, the l4/l5/l7/l8 families whose heavier
-#: siblings are in-window, and the io/sql micro rows. They LEAD the
-#: round-13 window.
-_ROTATION_QUEUE: list[str] = [
+    # the full round-12 rotation queue — the 30 r9-greens, the stalest
+    # cohort on the board (horizon: r10 once CORRECTNESS_r12 is the newest
+    # file) — fills the middle, as the r12 queue comment promised
     "j5_range_join_bucketed",
     "j7_star_join",
     "sql1_ansi_interface",
@@ -224,6 +168,69 @@ _ROTATION_QUEUE: list[str] = [
     "w2_lag_lead",
     "w3_running_total",
     "w4_range_frame",
+    # 4 r10-greens that ride code touched THIS round close the window:
+    # l2_embedding_neardup + l2_minhash_lsh_pairs ride the arrow_cosine_
+    # verify ragged-row fix and the bench persist-release hygiene change;
+    # x6_spark_step / x7_jar_step ride the subprocess tier
+    "l2_embedding_neardup",
+    "l2_minhash_lsh_pairs",
+    "x6_spark_step",
+    "x7_jar_step",
+]
+
+
+#: Queries that do NOT fit the current 50-entry driver window. Listing them
+#: here is an explicit acknowledgment, enforced by tests/test_registry.py:
+#: a query may sit beyond the window ONLY if it was driver-green before or
+#: is queued here — so displacement is always a choice, never an accident
+#: (VERDICT r2 "what's wrong" #1). Round 12: the queue is the STRUCTURAL
+#: overflow the registry size forces — 180 queries cycle through a
+#: 50-slot window against a 3-round staleness horizon, so
+#: registry − 3×window = 30 greens must sit out each round (cap 34 with
+#: the +4 slack). The 30 names below are the r9-greens that didn't fit
+#: behind the returning 28 r8-greens and the two new l6 rows:
+#: stable-path queries untouched this round. Round 13: at the current
+#: horizon (r10, with CORRECTNESS_r12 the newest file) every stale green
+#: sits INSIDE the window, so nothing strictly requires queueing; the 34
+#: names below are the r10-greens the 50-slot window cannot also hold,
+#: acknowledged ahead of the horizon advancing when CORRECTNESS_r13
+#: lands. Five r10-greens (f1-f5 scalar micro rows) overflow even the
+#: queue cap and must LEAD the next reshuffle together with this list.
+_ROTATION_QUEUE: list[str] = [
+    "a12_approx_percentiles",
+    "j5_range_join",
+    "u1_union",
+    "f6_json",
+    "f7_hash_funcs",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "q7_volume_shipping",
+    "sql3_portable_windows",
+    "l1_incremental_dedup",
+    "l1_dedup_clusters",
+    "skew_salted_collect_set",
+    "mr_wordcount",
+    "mr_most_used_word",
+    "l2_span_dedup",
+    "l2_span_dedup_capped",
+    "l2_paragraph_dedup",
+    "l2_substring_dedup",
+    "l2_substring_dedup_clean",
+    "l5_repetition_filter",
+    "l4_vocab_coverage",
+    "l8_global_shuffle",
+    "l8_pipeline_end_to_end",
+    "l8_sequence_packing_scalable",
+    "l3_embedding_quantize",
+    "l3_knn_two_stage",
+    "l4_bigram_lm",
+    "l5_lm_perplexity",
+    "a8_o3_counters_sorted",
+    "st6_transform_with_state",
+    "st10_stream_pipeline",
+    "st11_incremental_ingest",
+    "s13_bucketed_join",
 ]
 
 

@@ -1053,9 +1053,15 @@ def l1_dedup_clusters_capped(spark, sf_dir):
         t.documents, "doc_id", "text", threshold=0.6, max_bucket_size=32
     )
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    return cc.select(
+    result = cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
+    # propagate the LSH release handle through the wrapper (round 13
+    # bench cache hygiene — same as l1_dedup_clusters)
+    result._mrjob_spark_persisted = getattr(
+        pairs, "_mrjob_spark_persisted", []
+    )
+    return result
 
 
 # ---------------------------------------------------------------------------

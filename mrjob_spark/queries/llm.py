@@ -170,13 +170,16 @@ def l1_dedup_clusters(spark, sf_dir):
     t = Tables(spark, sf_dir)
     pairs = minhash_lsh_pairs(t.documents, "doc_id", "text", threshold=0.6)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    # The LSH intermediates stay cached (CacheManager dedups identical
-    # plans, so this query and l2_minhash_lsh_pairs SHARE the entries and
-    # storage stays flat); callers that want the memory back call
-    # dedup.unpersist_intermediates(pairs) after their action.
-    return cc.select(
+    result = cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
+    # propagate the LSH release handle through the wrapper (round 13
+    # bench cache hygiene): the consuming action's owner releases the
+    # entries via dedup.unpersist_intermediates(result)
+    result._mrjob_spark_persisted = getattr(
+        pairs, "_mrjob_spark_persisted", []
+    )
+    return result
 
 
 @query("l2_simhash", sql=sql_simhash_fingerprints())
