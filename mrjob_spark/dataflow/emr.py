@@ -1607,7 +1607,14 @@ class EMRJobRunner(StreamingStepRenderer):
         while True:
             try:
                 result = fetch()
-                if result:
+                # delivery is object-existence: a fetch that SUCCEEDS has
+                # found the shipped log, even when the step wrote nothing
+                # to stderr — treating "" as not-yet-delivered spun this
+                # loop for the full deadline (600 s) on every step whose
+                # driver stderr was empty (round 13; the stall behind the
+                # driver's truncated pytest run). Only a raising fetch
+                # (object not there yet) keeps waiting.
+                if result is not None:
                     return result
             except Exception:
                 pass

@@ -1064,7 +1064,42 @@ class SparkJobRunner:
         cmd += spark_args
         for k, v in step.jobconf.items():
             cmd += ["--conf", f"{k}={v}"]
-        cmd += step.submit_target() + args
+        target = step.submit_target()
+        cmd += target + args
+
+        # Python script apps route through the pooled submit host (round
+        # 13): the ~10.5 s spark-submit client JVM boot is a fixed cost
+        # of the LOCAL mock, amortized exactly once per (prefix) like a
+        # long-lived gateway would — the script itself still executes in
+        # full per submission (see dataflow/submit_pool.py for the whole
+        # argument). JVM jar apps (--class + jar) and any prefix whose
+        # host fails to start (a test's fake spark-submit) take the
+        # classic one-shot path below.
+        if len(target) == 1 and str(target[0]).endswith(".py"):
+            from mrjob_spark.dataflow import submit_pool
+
+            client = submit_pool.get_client(tuple(cmd[: -len(target + args)]))
+            if client is not None:
+                try:
+                    reply, out, err = client.run(str(target[0]), args)
+                except submit_pool._HostDied:
+                    client = None  # fall through to one-shot
+                else:
+                    self.spark_submit_stdout = out
+                    self.spark_submit_stderr = err
+                    if not reply.get("ok"):
+                        raise RuntimeError(
+                            f"spark app step {step_num} failed "
+                            f"(rc={reply.get('rc')}): {' '.join(cmd)}\n"
+                            f"{(reply.get('err') or err)[-2000:]}"
+                        )
+            if client is not None:
+                if not uses_output:
+                    return self.spark.sparkContext.emptyRDD()
+                read = self.job.INTERNAL_PROTOCOL().read
+                lines = self.spark.sparkContext.textFile(out_dir)
+                return lines.map(lambda line: read(line.encode("utf-8")))
+
         proc = subprocess.run(cmd, capture_output=True, text=True)
         self.spark_submit_stdout = proc.stdout
         self.spark_submit_stderr = proc.stderr

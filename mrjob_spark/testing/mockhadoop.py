@@ -554,10 +554,12 @@ def jar_main(args: list[str], stdout, stderr) -> int:
         # to the host's cores (a real cluster runs one container per
         # slot), overridable for constrained hosts. The old fixed 8 left
         # 3/4 of a 32-core host idle during the task waves (round 12).
-        pool_size = int(
-            os.environ.get("MOCK_HADOOP_TASK_SLOTS")
-            or max(1, os.cpu_count() or 1)
-        )
+        try:
+            pool_size = int(os.environ.get("MOCK_HADOOP_TASK_SLOTS") or 0)
+        except ValueError:
+            pool_size = 0  # non-integer override: fall back to cpu width
+        if pool_size < 1:
+            pool_size = max(1, os.cpu_count() or 1)
 
         def run_split(m: int, real: str):
             """mapper (+combiner) for one split → (task_name, rc, lines)"""
