@@ -52,6 +52,8 @@ def _assign_rows(
     centroid_rows: list[tuple[int, list[int]]],
     probe: int = 1,
     with_qv: bool = False,
+    passthrough: tuple[str, ...] = (),
+    with_rank: bool = False,
 ) -> DataFrame:
     """Top-``probe`` nearest centroids per vector over the DRIVER-RESIDENT
     ``k``-row centroid list, Arrow-vectorized (round 12).
@@ -72,6 +74,15 @@ def _assign_rows(
     is a closure constant (k × dim ints — the same bounded driver state
     the collect-based Lloyd's loop already holds); the corpus never
     shuffles for assignment, exactly as before.
+
+    ``passthrough`` names extra input columns carried through the pass
+    unchanged (repeated per probe row) — the §8 move-the-payload-once
+    rule: an index build that needs ``(cluster, vec_id, embedding)``
+    ships the vector through this one Arrow pass instead of joining the
+    assignment back onto the corpus by ``vec_id`` (a corpus×corpus
+    shuffle). ``with_rank`` adds the 1-based probe rank ``rn`` (rank 1 =
+    the ``ORDER BY dist, cluster`` winner), so rank-1 consumers filter
+    instead of re-aggregating.
     """
     import numpy as np
 
@@ -84,6 +95,10 @@ def _assign_rows(
         if with_qv
         else "vec_id long, cluster long, dist long"
     )
+    if with_rank:
+        schema += ", rn int"
+    for name in passthrough:
+        schema += ", %s %s" % (name, qdf.schema[name].dataType.simpleString())
 
     def _score(batches):
         import pyarrow as pa
@@ -111,28 +126,40 @@ def _assign_rows(
                         "cluster": cols["cluster"],
                         "dist": cols["dist"],
                     }
+                if with_rank:
+                    cols["rn"] = pa.array(np.ones(n, dtype=np.int32),
+                                          pa.int32())
+                for name in passthrough:
+                    cols[name] = b.column(name)
                 yield pa.record_batch(cols)
             else:
                 # fewer live centroids than probe (clusters can collapse
                 # on degenerate data): emit what exists, like the
                 # slice(sort_array(...), 1, probe) it replaced
                 order = np.argsort(dists, axis=1, kind="stable")[:, :probe]
-                yield pa.record_batch(
-                    {
-                        "vec_id": pa.array(
-                            np.repeat(vid, order.shape[1]), pa.int64()
-                        ),
-                        "cluster": pa.array(
-                            clusters[order].ravel(), pa.int64()
-                        ),
-                        "dist": pa.array(
-                            np.take_along_axis(dists, order, axis=1).ravel(),
-                            pa.int64(),
-                        ),
-                    }
-                )
+                w = order.shape[1]
+                cols = {
+                    "vec_id": pa.array(np.repeat(vid, w), pa.int64()),
+                    "cluster": pa.array(clusters[order].ravel(), pa.int64()),
+                    "dist": pa.array(
+                        np.take_along_axis(dists, order, axis=1).ravel(),
+                        pa.int64(),
+                    ),
+                }
+                if with_rank:
+                    cols["rn"] = pa.array(
+                        np.tile(np.arange(1, w + 1, dtype=np.int32), n),
+                        pa.int32(),
+                    )
+                if passthrough:
+                    idx = pa.array(np.repeat(np.arange(n), w))
+                    for name in passthrough:
+                        cols[name] = b.column(name).take(idx)
+                yield pa.record_batch(cols)
 
-    return qdf.select("vec_id", "qv").mapInArrow(_score, schema=schema)
+    return qdf.select(
+        "vec_id", "qv", *[c for c in passthrough]
+    ).mapInArrow(_score, schema=schema)
 
 
 def _centroids_df(spark: SparkSession, rows: list[tuple[int, list[int]]]) -> DataFrame:
@@ -183,14 +210,17 @@ def kmeans_assign(
 
 def _quantized(emb: DataFrame, *, id_col: str = "vec_id",
                vec_col: str = "embedding",
-               scale: int = FIXED_POINT_SCALE) -> DataFrame:
-    """(vec_id, qv) on the fixed-point grid, scan-parallelism recovered."""
+               scale: int = FIXED_POINT_SCALE,
+               passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, qv[, *passthrough]) on the fixed-point grid,
+    scan-parallelism recovered."""
     from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
     return parallelize_narrow_scan(
         emb.select(
             F.col(id_col).cast("long").alias("vec_id"),
             quantize_fixed_point(F.col(vec_col), scale).alias("qv"),
+            *[F.col(c) for c in passthrough],
         )
     )
 
@@ -265,13 +295,28 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = FIXED_POINT_SCALE,
+    passthrough: tuple[str, ...] = (),
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign vectors to their top-``probe`` cells under a PRE-FITTED
     centroid table (collected to its bounded k×dim driver form, scored
     Arrow-vectorized in-task — the corpus never shuffles for
-    assignment). Returns ``vec_id, cluster, dist``."""
-    qdf = _quantized(emb, id_col=id_col, vec_col=vec_col, scale=scale)
-    rows = [(int(r["cluster"]), list(r["cv"])) for r in centroids.collect()]
-    return _assign_rows(qdf, rows, probe=probe).select(
-        "vec_id", "cluster", "dist"
+    assignment). Returns ``vec_id, cluster, dist`` plus, on request,
+    the 1-based probe rank ``rn`` and any ``passthrough`` input columns
+    carried through the pass (round 13: lets an index build emit
+    ``(cluster, vec_id, embedding)`` in the one Arrow pass instead of
+    shuffling the corpus to join the vector back on by id)."""
+    qdf = _quantized(
+        emb, id_col=id_col, vec_col=vec_col, scale=scale,
+        passthrough=passthrough,
     )
+    rows = [(int(r["cluster"]), list(r["cv"])) for r in centroids.collect()]
+    out = _assign_rows(
+        qdf, rows, probe=probe, passthrough=passthrough,
+        with_rank=with_rank,
+    )
+    cols = ["vec_id", "cluster", "dist"]
+    if with_rank:
+        cols.append("rn")
+    cols.extend(passthrough)
+    return out.select(*cols)

@@ -1238,44 +1238,58 @@ def ivf_embedding_admission(
     from mrjob_spark.functions.vectors import dot, l2_norm
     from mrjob_spark.operators.clustering import assign_cells
 
-    arr = arrivals.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).alias("_vec"),
-    ).withColumn("_norm", l2_norm(F.col("_vec")))
+    arr = arrivals.select(F.col(id_col).cast("long").alias("vec_id"))
 
+    # ONE Arrow assignment pass emits (vec_id, cluster, dist, rn, vector)
+    # per probed cell (round 13): the probe rank and the vector ride the
+    # pass itself, so the old rank-1 re-aggregate (an exchange) and the
+    # two joins back onto the arrivals frame by vec_id are gone — §8's
+    # move-the-payload-once rule applied batch-side.
     ab = assign_cells(
-        arrivals, centroids, probe=probe, id_col=id_col, vec_col=vec_col
-    )  # (vec_id, cluster, dist) — top-probe rows per arrival
+        arrivals, centroids, probe=probe, id_col=id_col, vec_col=vec_col,
+        passthrough=(vec_col,), with_rank=True,
+    ).select(
+        "vec_id", "cluster", "rn", F.col(vec_col).alias("_vec")
+    ).withColumn("_norm", l2_norm(F.col("_vec")))
     # PERSISTED, deliberately (the `cand` precedent in minhash_lsh_pairs
     # and the `firsts` precedent above): this one Arrow assignment pass
-    # feeds THREE independent consumers — the rank-1 occupancy aggregate,
+    # feeds THREE independent consumers — the rank-1 occupancy filter,
     # the history probe's broadcast side, and the in-batch join's probed
     # side — and without the barrier each consuming branch re-executes
     # the MapInArrow assignment + its upstream scan (measured 3 Python
     # worker passes instead of 1 at sf0.1, ~1 s of the admission plan).
-    # Footprint is batch-bounded by construction (arrivals × probe rows
-    # of (id, cluster, dist) — the micro-batch asymmetry this operator
-    # leans on), eager count() prevents the racing-stage recompute, and
-    # accurate InMemoryRelation stats keep the downstream joins
-    # broadcast. Callers release via unpersist_intermediates(result)
+    # Footprint is batch-bounded by construction (arrivals × probe rows,
+    # now carrying the arrival's vector — the micro-batch asymmetry this
+    # operator leans on), eager count() prevents the racing-stage
+    # recompute, and accurate InMemoryRelation stats keep the downstream
+    # joins broadcast. Callers release via unpersist_intermediates(result)
     # after their consuming action (wired in the streaming twin).
     ab = ab.persist(StorageLevel.MEMORY_AND_DISK)
     ab.count()
-    # rank-1 occupancy derives from the SAME scored rows (no re-score):
-    # the (dist, cluster)-min is the cell a streamed ingest appends to
-    ab1 = (
-        ab.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster")).alias("dc"))
-        .select("vec_id", F.col("dc.cluster").alias("cluster"))
-    )
+    # rank-1 occupancy is the rn=1 row of the SAME scored pass (stable
+    # argsort = the old min(struct(dist, cluster)) winner, no re-score
+    # and no exchange): the cell a streamed ingest appends to
+    ab1 = ab.where(F.col("rn") == 1)
 
-    probed = ab.join(arr, "vec_id").select(
-        "vec_id", "cluster", "_vec", "_norm"
+    probed = ab.select("vec_id", "cluster", "_vec", "_norm")
+
+    # the probed-cell id set is bounded by the centroid count — collect
+    # it (driver state no bigger than the centroid table the caller
+    # already holds) and pre-filter the corpus index: the equi-join on
+    # `cluster` discards every other cell anyway, and on the cluster-
+    # partitioned parquet index the streaming twin maintains this is
+    # what turns the probe into a partition-pruned read instead of a
+    # full index scan (VERDICT r12 item 5).
+    cells = [r["cluster"] for r in probed.select("cluster").distinct().collect()]
+    pruned = (
+        index.where(F.col("cluster").isin(cells))
+        if cells
+        else index.where(F.lit(False))
     )
 
     # history probe: batch side broadcasts, the corpus index streams
-    idx = index.select(
-        F.col("cluster"),
+    idx = pruned.select(
+        F.col("cluster").cast("long").alias("cluster"),
         F.col(id_col).cast("long").alias("_hid"),
         F.col(vec_col).alias("_hvec"),
     ).withColumn("_hnorm", l2_norm(F.col("_hvec")))
@@ -1291,8 +1305,8 @@ def ivf_embedding_admission(
     )
 
     # in-batch: later arrivals' probed cells vs earlier arrivals'
-    # rank-1 occupancy (both batch-sized)
-    occ = ab1.join(arr, "vec_id").select(
+    # rank-1 occupancy (both batch-sized; the vector already rides ab1)
+    occ = ab1.select(
         F.col("vec_id").alias("_eid"),
         "cluster",
         F.col("_vec").alias("_evec"),

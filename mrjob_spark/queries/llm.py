@@ -3294,6 +3294,15 @@ def _train_bpe_merges(documents, n_merges: int) -> list:
                 F.slice(arr, 2, n),
                 lambda a, b: F.struct(a.alias("l"), b.alias("r")),
             )
+            # Round-13 measurement note (VERDICT r12 item 7): folding
+            # this argmax into a single-row min(struct(-c, l, r))
+            # aggregate was A/B-measured 0.15-0.2 s/loop SLOWER at sf0.1
+            # (merges identical) — orderBy+limit(1) compiles to
+            # TakeOrderedAndProject, which takes the per-partition top-1
+            # and merges on the driver with NO extra exchange, while the
+            # fold ADDS a single-partition exchange + struct build per
+            # row. Kept as-is; plans/r13/l4_bpe_train_argmax_*.txt holds
+            # both plans.
             best = (
                 state.select("cnt", F.explode(prs).alias("p"))
                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))

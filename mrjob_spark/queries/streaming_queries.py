@@ -726,12 +726,13 @@ def st13_incremental_embedding_neardup(spark, sf_dir):
 
     k = max(16, _math.ceil(history.count() / 125))
     cents = kmeans_fit(history, k=k, iters=1)
-    index = (
-        assign_cells(history, cents, probe=1)
-        .select("vec_id", "cluster")
-        .join(history, "vec_id")
-        .select("cluster", "vec_id", "embedding")
-    )
+    # the vector rides the assignment pass (round 13): the old
+    # .join(history, "vec_id") shuffled the corpus onto its own
+    # assignment by id just to re-attach the embedding — §8's
+    # move-the-payload-once rule, one Arrow pass, zero joins
+    index = assign_cells(
+        history, cents, probe=1, passthrough=("embedding",)
+    ).select("cluster", "vec_id", "embedding")
     return ivf_embedding_admission(
         arrivals, index, cents, probe=2, threshold=0.4
     )

@@ -1067,13 +1067,15 @@ def test_embedding_ingest_across_microbatches_converges_to_batch_twin(
 
     index_dir = str(tmp_path / "cell_index")
     out_dir = str(tmp_path / "verdicts")
-    # seed the index with the ingested corpus's rank-1 cells
+    # seed the index with the ingested corpus's rank-1 cells, in the
+    # operator's declared at-scale layout: PARTITIONED BY CLUSTER (the
+    # ingest's per-batch appends use the same layout, and admission's
+    # probed-cell pre-filter partition-prunes it — round 13)
     (
-        assign_cells(history, cents, probe=1)
-        .select("vec_id", "cluster")
-        .join(history, "vec_id")
+        assign_cells(history, cents, probe=1, passthrough=("embedding",))
         .select("cluster", "vec_id", "embedding")
-        .write.parquet(index_dir)
+        .write.partitionBy("cluster")
+        .parquet(index_dir)
     )
 
     spark.catalog.clearCache()
