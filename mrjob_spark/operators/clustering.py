@@ -100,14 +100,31 @@ def _assign_rows(
     for name in passthrough:
         schema += ", %s %s" % (name, qdf.schema[name].dataType.simpleString())
 
+    dim = cmat.shape[1] if cmat.ndim == 2 else 0
+
     def _score(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for b in batches:
-            n = b.num_rows
-            if n == 0:
+            if b.num_rows == 0:
                 continue
             qv = b.column("qv")
+            # malformed-row guard (round 13, ADVICE r12): a null or
+            # wrong-dimension vector used to crash the whole job at
+            # reshape; such rows are now dropped from assignment (the
+            # expected dimension is the centroids') — one vectorized
+            # length compare on the fast path, nothing else changes.
+            lens = pc.list_value_length(qv).to_numpy(zero_copy_only=False)
+            lens = np.asarray(lens, dtype=np.float64)
+            good = ~np.isnan(lens) & (lens == dim)
+            if not good.all():
+                keep = pa.array(np.flatnonzero(good))
+                b = b.take(keep)
+                if b.num_rows == 0:
+                    continue
+                qv = b.column("qv")
+            n = b.num_rows
             q = np.asarray(qv.flatten(), dtype=np.int64).reshape(n, -1)
             qq = (q * q).sum(axis=1)
             dists = qq[:, None] + cc[None, :] - 2 * (q @ cmat.T)

@@ -166,6 +166,28 @@ def add_lsh_buckets(
     return df.withColumn(out_col, F.array(*buckets))
 
 
+def _drop_malformed_vec_rows(b, vec_name: str, dim: int):
+    """Drop null / wrong-dimension vector rows from an Arrow batch
+    (round 13, ADVICE r12): the kernels below reshape the flattened list
+    column to ``(n, dim)``, so one malformed row used to raise
+    ValueError and fail the whole job; such rows now simply produce no
+    output, the same verdict the old expression forms' null scores got.
+    Fast path (well-formed batch, the fixture contract) is a single
+    vectorized length compare."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(b.column(vec_name)).to_numpy(
+        zero_copy_only=False
+    )
+    lens = np.asarray(lens, dtype=np.float64)
+    good = ~np.isnan(lens) & (lens == dim)
+    if good.all():
+        return b
+    return b.take(pa.array(np.flatnonzero(good)))
+
+
 def _lsh_bucket_rows(
     df: DataFrame,
     dim: int,
@@ -204,6 +226,7 @@ def _lsh_bucket_rows(
         import pyarrow as pa
 
         for b in batches:
+            b = _drop_malformed_vec_rows(b, vec_col, dim)
             n = b.num_rows
             if n == 0:
                 continue
@@ -244,6 +267,16 @@ def hyperplane_lsh_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k via OR-amplified hyperplane LSH.
+
+    CONTRACT (round 13, ADVICE r12): ``queries`` must be a row-subset of
+    ``corpus`` — same ids bound to the same vectors. Scoring resolves
+    BOTH pair sides by id against ``corpus`` (the
+    :func:`arrow_cosine_verify` spine), so a query id absent from the
+    corpus silently drops its pairs (inner-join semantics), and a query
+    id bound to a DIFFERENT corpus vector would be scored against the
+    corpus's copy. The single registry call site
+    (``queries/llm.py:l3_knn_lsh``) passes ``corpus.limit(k)`` rows,
+    which satisfies this by construction.
 
     Candidates are the union over ``n_tables`` independent hash tables of
     the query's co-bucket rows; per-candidate recall for a neighbor with
@@ -470,6 +503,7 @@ def _pq_corpus_pass(
         import pyarrow as pa
 
         for b in batches:
+            b = _drop_malformed_vec_rows(b, vec_col, m * d_sub)
             n = b.num_rows
             if n == 0:
                 continue
@@ -838,6 +872,7 @@ def arrow_cosine_verify(
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     spark = cand.sparkSession
     p = groups or spark.sparkContext.defaultParallelism
@@ -876,10 +911,33 @@ def arrow_cosine_verify(
             return empty
         ids = np.asarray(vec_tbl.column("_vid"), dtype=np.int64)
         emb_col = vec_tbl.column("_vec").combine_chunks()
-        m = np.asarray(emb_col.flatten(), dtype=np.float64)
-        if ids.size == 0 or m.size % ids.size:
-            return empty  # ragged dims: nothing comparable
-        m = m.reshape(ids.size, -1)
+        if ids.size == 0:
+            return empty
+        # malformed-row guard (round 13, ADVICE r12): drop only the
+        # null/deviant-length vectors — their pairs vanish exactly like
+        # ids missing from `emb` — instead of returning an empty table
+        # for the WHOLE cogroup, which silently discarded every
+        # well-formed pair sharing the group with one bad row. The
+        # surviving dimension is the group's majority length (ties take
+        # the smaller), the one the fixture contract guarantees unique.
+        lens = pc.list_value_length(emb_col).to_numpy(zero_copy_only=False)
+        lens = np.asarray(lens, dtype=np.float64)
+        present = ~np.isnan(lens)
+        if not present.any():
+            return empty
+        if present.all() and lens.min() == lens.max():
+            pass  # fast path: rectangular, no nulls (the normal case)
+        else:
+            vals, counts = np.unique(lens[present], return_counts=True)
+            dim_len = vals[np.argmax(counts)]
+            keep = np.flatnonzero(present & (lens == dim_len))
+            ids = ids[keep]
+            emb_col = emb_col.take(pa.array(keep))
+            if ids.size == 0:
+                return empty
+        m = np.asarray(emb_col.flatten(), dtype=np.float64).reshape(
+            ids.size, -1
+        )
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
         # l2_norm's exact order: acc + x*x, left-assoc per dimension

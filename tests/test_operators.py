@@ -1196,3 +1196,54 @@ def test_lsh_bucket_rows_bit_identical_to_expression_form(spark, vec_corpus):
     )
     assert sorted(map(tuple, old.collect())) == \
         sorted(map(tuple, new.collect()))
+
+
+def test_arrow_cosine_verify_keeps_well_formed_pairs_in_ragged_group(spark):
+    """Malformed-row guard (round 13): one deviant-length vector must
+    drop ONLY its own pairs — the old guard returned an empty table for
+    the whole cogroup, silently discarding every well-formed pair that
+    shared a group with one bad row."""
+    from pyspark.sql import Row
+
+    from mrjob_spark.operators.similarity import arrow_cosine_verify
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[0.5, 0.5]),  # deviant dimension
+    ])
+    cand = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3)]
+    )
+    # force everything into ONE group so the bad row shares the cogroup
+    got = arrow_cosine_verify(
+        cand, emb, threshold=-2.0, groups=1
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in got}
+    assert pairs == {(1, 2): 1.0}  # (1,3) dropped, (1,2) survives
+
+
+def test_assign_cells_drops_null_and_ragged_vectors(spark):
+    """Malformed-row guard (round 13): null / wrong-dimension embeddings
+    are excluded from assignment instead of failing the whole job at the
+    Arrow reshape."""
+    from pyspark.sql import Row
+
+    from mrjob_spark.operators.clustering import (
+        _centroids_df,
+        assign_cells,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=None),
+            Row(vec_id=3, embedding=[1.0, 0.0, 0.0]),  # wrong dim
+            Row(vec_id=4, embedding=[0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = _centroids_df(spark, [(0, [1000, 0]), (1, [0, 1000])])
+    got = {r["vec_id"]: r["cluster"]
+           for r in assign_cells(emb, cents, probe=1).collect()}
+    assert got == {1: 0, 4: 1}
