@@ -26,6 +26,21 @@ STOPWORDS = (
 )
 
 
+def bind1(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``f`` as a bound lambda
+    variable. Spark's higher-order functions are CodegenFallback
+    (interpreted), and an interpreted lambda re-evaluates every CAPTURED
+    subexpression per array element — so a per-element lambda that closes
+    over a heavy expression (tokenize, lower) multiplies that expression's
+    cost by the array length (measured: span_hashes 17.3 s -> 5.3 s at the
+    sf1 fixture from this fix alone). A lambda VARIABLE, by contrast, is a
+    plain slot lookup; wrapping the heavy column as the element of a
+    one-element ``transform`` turns the capture into a binding. Pure
+    expression rewrite: same values, same nullability, no plan-shape
+    change beyond the wrapper."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def tokens(col: Column) -> Column:
     """lowercase word tokens, empty strings removed → array<string>."""
     arr = F.split(F.lower(col), TOKEN_SPLIT_RE)
@@ -49,9 +64,17 @@ def char_shingles(text_col: Column, n: int = 8) -> Column:
     Texts shorter than ``n`` produce the single truncated shingle, matching
     ``substr`` semantics in the SQL oracle.
     """
-    lowered = F.lower(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.substring(lowered, i, n))
+    # lower(text) is bound once per row (bind1): captured directly in the
+    # per-index lambda it would be re-lowered once per shingle, O(len^2)
+    return bind1(
+        F.lower(text_col),
+        lambda lowered: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.substring(lowered, i, n),
+        ),
+    )
 
 
 def sql_tokens(expr: str) -> str:

@@ -781,16 +781,24 @@ def span_hashes(
     spans), hashed to 16-byte md5 keys, and deduped in-row
     (``array_distinct`` before the explode), so the exploded stream is
     already unique on (doc_id, span_h) and never carries raw text."""
-    from mrjob_spark.functions.text import tokens
+    from mrjob_spark.functions.text import bind1, tokens
 
-    toks = tokens(F.col(text_col))
-    n_spans = F.ceil(F.size(toks) / F.lit(float(span_w))).cast("int")
-    spans = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_spans - 1),
-            lambda j: F.array_join(F.slice(toks, j * span_w + 1, span_w), " "),
+    def _spans(toks):
+        # tokens bound once per row (bind1): captured in the per-span
+        # lambda the whole tokenize would re-run once per span
+        n_spans = F.ceil(F.size(toks) / F.lit(float(span_w))).cast("int")
+        return F.when(
+            F.size(toks) == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda j: F.array_join(
+                    F.slice(toks, j * span_w + 1, span_w), " "
+                ),
+            )
         )
-    )
+
+    spans = bind1(tokens(F.col(text_col)), _spans)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.transform(spans, F.md5))).alias("span_h"),
@@ -901,19 +909,22 @@ def paragraph_dedup(
     corpus is scanned and tokenized once (AQE exchange reuse, the
     span_dedup pattern). The join back on ``para_h`` is skew-split by
     AQE where a hash is hot."""
-    from mrjob_spark.functions.text import tokens
+    from mrjob_spark.functions.text import bind1, tokens
 
-    toks = tokens(F.col(text_col))
-    n_paras = F.ceil(F.size(toks) / F.lit(float(para_w))).cast("int")
-    paras = F.when(
-        F.size(toks) == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_paras - 1),
-            lambda j: F.array_join(
-                F.slice(toks, j * para_w + 1, para_w), " "),
+    def _paras(toks):
+        # tokens bound once per row (bind1, see span_hashes)
+        n_paras = F.ceil(F.size(toks) / F.lit(float(para_w))).cast("int")
+        return F.when(
+            F.size(toks) == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda j: F.array_join(
+                    F.slice(toks, j * para_w + 1, para_w), " "),
+            )
         )
-    )
+
+    paras = bind1(tokens(F.col(text_col)), _paras)
     per_para = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.transform(paras, F.md5)).alias("para_idx", "para_h"),

@@ -21,6 +21,7 @@ from mrjob_spark.functions.hashing import (
 )
 from mrjob_spark.functions.text import (
     STOPWORDS,
+    bind1,
     normalize_text,
     sql_normalize_text,
     sql_tokens,
@@ -1096,13 +1097,18 @@ def l4_ngrams(spark, sf_dir):
     of the token array — no posexplode + self-join, no UDF. One explode and
     one map-side-combinable count: linear in corpus size at any scale."""
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n_pairs),
-        F.slice(toks, 2, n_pairs),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+
+    def _bigrams(toks):
+        # tokens bound once per row (bind1): as a captured expression the
+        # tokenize re-runs for each of the 4 references below
+        n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(toks, 1, n_pairs),
+            F.slice(toks, 2, n_pairs),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    bigrams = bind1(tokens(F.col("text")), _bigrams)
     return (
         t.documents.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -2593,13 +2599,7 @@ def l4_bigram_lm(spark, sf_dir):
     from pyspark.sql.window import Window
 
     t = Tables(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, n_pairs),
-        F.slice(toks, 2, n_pairs),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
+    pairs = bind1(tokens(F.col("text")), _token_pairs)
     cnt = (
         t.documents.select(F.explode(pairs).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -2622,6 +2622,18 @@ def l4_bigram_lm(spark, sf_dir):
     )
 
 
+def _token_pairs(toks):
+    """(w1, w2) struct array of adjacent-token pairs — call through
+    :func:`bind1` so the tokenize evaluates once per row instead of once
+    per reference (4 below) under the interpreted higher-order eval."""
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def _bigram_logp(docs):
     """(doc_id, logp): every bigram of every document, scored by the
     corpus-trained bigram LM — the shared core of ``l5_lm_perplexity``
@@ -2636,13 +2648,7 @@ def _bigram_logp(docs):
     the f2 precedent)."""
     from pyspark.sql.window import Window
 
-    toks = tokens(F.col("text"))
-    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(toks, 1, n_pairs),
-        F.slice(toks, 2, n_pairs),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
+    pairs = bind1(tokens(F.col("text")), _token_pairs)
     bg = docs.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
