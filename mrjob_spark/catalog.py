@@ -35,79 +35,22 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-#: Scale-adaptive leaf fan-out (round 13, guide §2 "derive partitioning
-#: from input size, not a constant"): a parquet file parallelizes at most
-#: one task per ROW GROUP — byte-range splits beyond that are no-ops
-#: (each row group is read by whichever split holds its midpoint), and
-#: every fixture here is a single file with ONE row group, so without
-#: intervention every leaf scan (and the compute-dense tokenize/shingle/
-#: vector first stage fused onto it) runs as a single task at any core
-#: count. When the physical layout cannot fill the machine, an explicit
-#: round-robin repartition to ``defaultParallelism`` moves that first
-#: stage onto all cores for the price of one small shuffle (the optimizer
-#: still pushes filters and column pruning below the exchange, so only
-#: pruned, filtered rows are shuffled). At production scale the layout
-#: has row groups >= cores and this is structurally a no-op — the
-#: condition is derived from the footer, not tuned to local[32].
-#: Disable per-session with spark.mrjob_spark.input_fanout=false (the
-#: at-scale plan-shape tests pin their invariants with it off).
-_FANOUT_FLOOR_BYTES = 32 * 1024
-
-#: (path, mtime, size) -> achievable parallel units from the footer.
-_fanout_splits_cache: dict[tuple[str, float, int], int] = {}
+# NOTE on leaf scan parallelism (round 13): every fixture is a single
+# parquet file with ONE row group, so a leaf scan admits exactly one
+# task no matter the core count (byte-range splits beyond the row-group
+# count are no-ops). A catalog-level round-robin fan-out of every table
+# was built and A/B-measured here: it won only where the per-row work
+# on the scan is genuinely heavy (a1's DECIMAL partials: 2.0 -> 1.1 s)
+# and LOST 0.1-1.1 s/query across the multi-join relational tier, the
+# Python-boundary stages and the loop-shaped queries (extra exchange +
+# 32-way width on tiny data). Scan-parallelism recovery therefore stays
+# an explicit per-operator decision via
+# operators.partitioning.parallelize_narrow_scan — a structural no-op
+# whenever the layout already fills the machine.
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
-
-
-def _achievable_splits(path: str) -> int:
-    """Upper bound on scan parallelism the file layout admits: one unit
-    per parquet row group (summed across files for a directory)."""
-    import pyarrow.parquet as pq
-
-    if os.path.isfile(path):
-        files = [path]
-    else:
-        files = [
-            os.path.join(root, f)
-            for root, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-    total = 0
-    for f in files:
-        st = os.stat(f)
-        key = (f, st.st_mtime, st.st_size)
-        n = _fanout_splits_cache.get(key)
-        if n is None:
-            n = max(1, pq.ParquetFile(f).metadata.num_row_groups)
-            _fanout_splits_cache[key] = n
-        total += n
-    return total
-
-
-def _adaptive_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
-    if spark.conf.get("spark.mrjob_spark.input_fanout", "true") != "true":
-        return df
-    try:
-        if os.path.isfile(path):
-            nbytes = os.path.getsize(path)
-        else:
-            nbytes = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _, fs in os.walk(path)
-                for f in fs
-            )
-        if nbytes < _FANOUT_FLOOR_BYTES:
-            return df  # broadcast-class dims: scheduling would cost more
-        cores = spark.sparkContext.defaultParallelism
-        if _achievable_splits(path) >= cores:
-            return df  # the layout already fills the machine
-    except Exception:
-        return df  # unreadable footer/path: never fail a read over a hint
-    # explicit numPartitions => AQE will not coalesce it back down
-    return df.repartition(cores)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -119,7 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle comparisons agree.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _adaptive_fanout(spark, df, table_path(sf_dir, name))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

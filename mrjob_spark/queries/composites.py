@@ -1222,9 +1222,16 @@ def _ivf_neardup_pairs(t, k: int, probe: int, threshold: float,
     strictly fewer bytes moved (ids + per-group distinct vectors instead
     of two full vectors per pair)."""
     from mrjob_spark.operators.clustering import kmeans_assign
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
     from mrjob_spark.operators.similarity import arrow_cosine_verify
 
-    emb_src = emb if emb is not None else t.embeddings
+    # the k-means assignment is a MapInArrow pass over the corpus and runs
+    # at SCAN parallelism — a single-row-group file would put the whole
+    # distance computation on one core (measured: ivf_hi 3.7 -> 2.7 s at
+    # sf0.1 from this fan-out; no-op once the layout fills the machine)
+    emb_src = emb if emb is not None else parallelize_narrow_scan(
+        t.embeddings.select("vec_id", "embedding")
+    )
     assign = kmeans_assign(emb_src, k=k, iters=1, probe=probe).select(
         "vec_id", "cluster"
     )

@@ -115,9 +115,22 @@ def p7_project_rename(spark, sf_dir):
 def a1_pricing_summary(spark, sf_dir):
     """Flagship: TPC-H Q1-style pricing summary (A1/A2/A3/A7). Catalyst emits
     partial+final hash aggregation — the map-side combine the reference
-    implements by hand via combineByKey (mrjob/spark/harness.py:439-509)."""
+    implements by hand via combineByKey (mrjob/spark/harness.py:439-509).
+
+    The DECIMAL(38,6)-exact partial aggregation is the per-row cost here,
+    so the scan must enter at cluster parallelism: a single-row-group
+    parquet file gives the partial agg ONE task (measured 2.0 s -> 1.1 s
+    at sf0.1 on 32 cores from the narrow-scan fan-out; structural no-op
+    whenever the layout already fills the machine)."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
     t = Tables(spark, sf_dir)
-    li = t.lineitem
+    li = parallelize_narrow_scan(
+        t.lineitem.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")

@@ -57,14 +57,9 @@ def test_global_sort_limit_avoids_total_sort(spark):
 
 
 def test_weighted_mixture_has_no_shuffle(spark):
-    # pure per-row hash math: any DATA shuffle means someone broke the
-    # design; the one allowed exchange is the adaptive leaf round-robin
-    # (catalog._adaptive_fanout — a no-op once the layout has row groups
-    # >= cores, i.e. at any real scale)
+    # pure per-row hash math: any Exchange means someone broke the design
     plan = _plan(spark, "l8_weighted_mixture")
-    assert "Exchange hashpartitioning" not in plan
-    assert "Exchange rangepartitioning" not in plan
-    assert plan.count("Exchange") <= 1
+    assert "Exchange" not in plan
 
 
 def test_quality_filter_no_hash_shuffle(spark):
@@ -194,12 +189,9 @@ def test_q14_single_row_aggregate_broadcasts_part(spark):
 
 
 def test_token_mask_is_shuffle_free(spark):
-    # redaction is pure per-row column math: any DATA shuffle is a
-    # regression; only the adaptive leaf round-robin fan-out may appear
+    # redaction is pure per-row column math: any Exchange is a regression
     plan = _plan(spark, "l8_token_mask")
-    assert "Exchange hashpartitioning" not in plan
-    assert "Exchange rangepartitioning" not in plan
-    assert plan.count("Exchange") <= 1
+    assert "Exchange" not in plan
     assert "EvalPython" not in plan
 
 
@@ -244,10 +236,7 @@ def test_q6_is_one_pruned_scan_with_partial_agg(spark):
     plan = _plan(spark, "q6_forecast_revenue")
     assert "Join" not in plan
     assert "PushedFilters: []" not in plan
-    # exactly one single-row final exchange, plus at most the adaptive
-    # leaf round-robin fan-out (absent at real scale)
-    assert plan.count("Exchange hashpartitioning") <= 1
-    assert plan.count("Exchange") <= 2
+    assert plan.count("Exchange") == 1
     assert "l_tax" not in plan  # column pruning: untouched columns absent
 
 
@@ -580,13 +569,10 @@ def test_incremental_dedup_never_shuffles_history(spark):
 
 def test_pii_redaction_is_map_only(spark):
     # corpus hygiene must be a pure map pass: one scan, regex column math
-    # inside whole-stage codegen, zero DATA shuffles — a hash shuffle here
-    # would be a plan bug that turns a 100 TB scrub into a 100 TB shuffle.
-    # Only the adaptive leaf round-robin fan-out may appear (no-op at scale).
+    # inside whole-stage codegen, ZERO exchanges — any shuffle here would
+    # be a plan bug that turns a 100 TB scrub into a 100 TB shuffle
     plan = _plan(spark, "l9_pii_redaction")
-    assert "Exchange hashpartitioning" not in plan
-    assert "Exchange rangepartitioning" not in plan
-    assert plan.count("Exchange") <= 1
+    assert "Exchange" not in plan
     assert "FileScan parquet" in plan
 
 
@@ -854,10 +840,7 @@ def test_media_metadata_extract_zero_shuffles(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("MapInPandas") == 2
-    # payload bytes never hash-shuffle; the adaptive leaf round-robin
-    # fan-out (pre-synth doc ids, no payload yet) is the one exception
-    assert "Exchange hashpartitioning" not in final
-    assert final.count("Exchange") <= 1
+    assert "Exchange" not in final
     assert final.count("documents.parquet") == 1
 
 
@@ -946,55 +929,13 @@ def test_registry_wide_no_unlabeled_cartesian_no_rowwise_python(spark):
     assert offenders == {}, offenders
 
 
-# ---------------------------------------------------------------------------
-# Adaptive leaf fan-out (round 13): a single-row-group parquet file admits
-# no scan parallelism, so catalog.load_table spreads small inputs across
-# defaultParallelism with an explicit round-robin repartition — and must
-# NOT when the layout already fills the machine, when the table is
-# broadcast-class tiny, or when the session opts out.
-# ---------------------------------------------------------------------------
-
-
-def test_fanout_spreads_single_row_group_input(spark):
-    from mrjob_spark.catalog import load_table
-
-    # lineitem at sf0.001 is one file, one row group, well above the floor
-    df = load_table(spark, SF_DIR, "lineitem")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def test_a1_enters_at_cluster_parallelism(spark):
+    # the DECIMAL(38,6) partial aggregation is a1's per-row cost, so a
+    # single-row-group scan must fan out to defaultParallelism before the
+    # aggregate (parallelize_narrow_scan; no-op once the layout has
+    # >= cores splits, i.e. at any real scale) — and the shuffle must
+    # carry only the six referenced columns, never the whole row
+    plan = _plan(spark, "a1_pricing_summary")
     cores = spark.sparkContext.defaultParallelism
     assert f"RoundRobinPartitioning({cores})" in plan
-    # REPARTITION_BY_NUM: AQE must not coalesce the fan-out back down
-    assert "REPARTITION_BY_NUM" in plan
-
-
-def test_fanout_skips_broadcast_class_dims_and_honors_opt_out(spark):
-    from mrjob_spark.catalog import load_table
-
-    # nation (2.7 KB) is under the scheduling floor: never fanned
-    plan = load_table(spark, SF_DIR, "nation") \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-
-    spark.conf.set("spark.mrjob_spark.input_fanout", "false")
-    try:
-        plan = load_table(spark, SF_DIR, "lineitem") \
-            ._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
-    finally:
-        spark.conf.set("spark.mrjob_spark.input_fanout", "true")
-
-
-def test_fanout_is_noop_when_layout_fills_cores(spark, tmp_path):
-    from mrjob_spark.catalog import _adaptive_fanout, load_table
-
-    # a layout with >= defaultParallelism row groups needs no help —
-    # this is the production-scale shape, where fan-out must vanish
-    cores = spark.sparkContext.defaultParallelism
-    src = load_table(spark, SF_DIR, "lineitem")
-    dest = str(tmp_path / "wide_lineitem.parquet")
-    src.repartition(cores).write.parquet(dest)
-    df = spark.read.parquet(dest)
-    out = _adaptive_fanout(spark, df, dest)
-    assert out is df
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "l_shipdate" not in plan  # column pruning below the fan-out
