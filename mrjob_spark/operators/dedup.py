@@ -782,6 +782,11 @@ def span_hashes(
     (``array_distinct`` before the explode), so the exploded stream is
     already unique on (doc_id, span_h) and never carries raw text."""
     from mrjob_spark.functions.text import bind1, tokens
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    # per-row tokenize+md5 runs at scan parallelism: fan a degenerate
+    # single-row-group layout out to the cores first (no-op otherwise)
+    df = parallelize_narrow_scan(df.select(id_col, text_col))
 
     def _spans(toks):
         # tokens bound once per row (bind1): captured in the per-span
@@ -910,6 +915,11 @@ def paragraph_dedup(
     span_dedup pattern). The join back on ``para_h`` is skew-split by
     AQE where a hash is hot."""
     from mrjob_spark.functions.text import bind1, tokens
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    # same parallelism-recovery as span_hashes: the paragraph build is
+    # the per-row cost and must not run at single-file scan width
+    df = parallelize_narrow_scan(df.select(id_col, text_col))
 
     def _paras(toks):
         # tokens bound once per row (bind1, see span_hashes)
@@ -1026,9 +1036,12 @@ def _sliding_anchors(df: DataFrame, id_col: str, text_col: str,
     twice. Aggregating ``min(struct(doc_id, p))`` references p
     intrinsically and needs no such trick."""
     from mrjob_spark.functions.text import tokens
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
 
     toks = tokens(F.col(text_col))
-    docs = df.select(
+    # sliding tokenize+md5 is the per-row cost: enter at cluster
+    # parallelism (no-op once the file layout fills the machine)
+    docs = parallelize_narrow_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), toks.alias("__w")
     ).where(F.size("__w") >= k)
     anchors = docs.select(

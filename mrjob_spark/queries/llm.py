@@ -1096,6 +1096,8 @@ def l4_ngrams(spark, sf_dir):
     adjacent-token pairs via ``zip_with`` over two shifted ``slice`` views
     of the token array — no posexplode + self-join, no UDF. One explode and
     one map-side-combinable count: linear in corpus size at any scale."""
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
     t = Tables(spark, sf_dir)
 
     def _bigrams(toks):
@@ -1109,8 +1111,9 @@ def l4_ngrams(spark, sf_dir):
         )
 
     bigrams = bind1(tokens(F.col("text")), _bigrams)
+    docs = parallelize_narrow_scan(t.documents.select("text"))
     return (
-        t.documents.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -2598,10 +2601,13 @@ def l4_bigram_lm(spark, sf_dir):
     independent), not the corpus."""
     from pyspark.sql.window import Window
 
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
     t = Tables(spark, sf_dir)
     pairs = bind1(tokens(F.col("text")), _token_pairs)
+    docs = parallelize_narrow_scan(t.documents.select("text"))
     cnt = (
-        t.documents.select(F.explode(pairs).alias("bg"))
+        docs.select(F.explode(pairs).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -2648,6 +2654,12 @@ def _bigram_logp(docs):
     the f2 precedent)."""
     from pyspark.sql.window import Window
 
+    from mrjob_spark.operators.partitioning import parallelize_narrow_scan
+
+    # tokenize+explode is the per-row cost: enter at cluster parallelism
+    # (sf1 screen: the single-row-group scan ran the whole bigram stage
+    # on 1-2 cores — l5 8.9 -> 4.5 s from this; no-op at real layouts)
+    docs = parallelize_narrow_scan(docs.select("doc_id", "text"))
     pairs = bind1(tokens(F.col("text")), _token_pairs)
     bg = docs.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
