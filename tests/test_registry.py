@@ -172,7 +172,7 @@ def test_coverage_doc_names_resolve():
 # enforced as code).
 _PLAN_PIN_GRANDFATHERED = frozenset((
       "a10_approx_count_distinct", "a11_exact_percentiles",
-      "a12_approx_percentiles", "a1_pricing_summary", "a3_count_per_group",
+      "a12_approx_percentiles", "a3_count_per_group",
       "a4_global_agg", "a5_argmax_per_group", "a6_distinct",
       "a7_stats_per_group", "a8_dataflow_counters", "a8_o3_counters_sorted",
       "a9_cube", "a9_grouping_sets", "a9_rollup", "f1_string_funcs",
